@@ -1,13 +1,81 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` is one declared operator from SURVEY.md §2.2;
+  * `oracleSql` carries the equivalent DuckDB SQL the driver hash-compares
+  * against on the same parquet tables (t2 gate). Column names/aliases match
+  * pairwise by construction — the compare sorts columns by name.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (TPC-H Q1 shape, q20) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    AggQueries.q20_agg_hash(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. scan / filter / project / sort / limit
+    "q01_scan_project" -> (CoreQueries.q01_scan_project _),
+    "q02_filter_where" -> (CoreQueries.q02_filter_where _),
+    "q03_project_arith" -> (CoreQueries.q03_project_arith _),
+    "q04_sort_multi" -> (CoreQueries.q04_sort_multi _),
+    "q05_topk_global" -> (CoreQueries.q05_topk_global _),
+    // B. joins
+    "q10_join_inner" -> (JoinQueries.q10_join_inner _),
+    "q11_join_multiway" -> (JoinQueries.q11_join_multiway _),
+    "q12_join_left_outer" -> (JoinQueries.q12_join_left_outer _),
+    "q13_join_semi" -> (JoinQueries.q13_join_semi _),
+    "q14_join_anti" -> (JoinQueries.q14_join_anti _),
+    "q15_join_theta" -> (JoinQueries.q15_join_theta _),
+    "q16_join_asof" -> (JoinQueries.q16_join_asof _),
+    "q17_join_cross" -> (JoinQueries.q17_join_cross _),
+    // C. aggregation
+    "q20_agg_hash" -> (AggQueries.q20_agg_hash _),
+    "q21_agg_distinct" -> (AggQueries.q21_agg_distinct _),
+    "q22_agg_rollup" -> (AggQueries.q22_agg_rollup _),
+    "q23_agg_cube" -> (AggQueries.q23_agg_cube _),
+    "q25_agg_having" -> (AggQueries.q25_agg_having _),
+    "q26_agg_stats" -> (AggQueries.q26_agg_stats _),
+    // D. windows
+    "q30_window_rank" -> (WindowSetQueries.q30_window_rank _),
+    "q31_window_frame" -> (WindowSetQueries.q31_window_frame _),
+    "q32_window_lag" -> (WindowSetQueries.q32_window_lag _),
+    // E. set ops
+    "q40_union" -> (WindowSetQueries.q40_union _),
+    "q41_intersect" -> (WindowSetQueries.q41_intersect _),
+    "q42_except" -> (WindowSetQueries.q42_except _),
+    // F. scalar functions
+    "q50_string_funcs" -> (ScalarQueries.q50_string_funcs _),
+    "q51_date_funcs" -> (ScalarQueries.q51_date_funcs _),
+    "q52_math_funcs" -> (ScalarQueries.q52_math_funcs _),
+    "q53_case_coalesce" -> (ScalarQueries.q53_case_coalesce _),
+    "q54_array_funcs" -> (ScalarQueries.q54_array_funcs _),
+    "q55_json_map" -> (ScalarQueries.q55_json_map _),
+    // G. streaming shapes (batch twins; true streaming in graft.streaming)
+    "q60_window_tumbling" -> (StreamShapeQueries.q60_window_tumbling _),
+    "q61_window_sliding" -> (StreamShapeQueries.q61_window_sliding _),
+    "q62_session_window" -> (StreamShapeQueries.q62_session_window _),
+    "q63_dedup_keyed" -> (StreamShapeQueries.q63_dedup_keyed _),
+    // H. UDF / UDAF / UDTF
+    "q70_udf_scalar" -> (UdxQueries.q70_udf_scalar _),
+    "q71_udaf_weighted" -> (UdxQueries.q71_udaf_weighted _),
+    "q72_udtf_explode" -> (UdxQueries.q72_udtf_explode _),
+    // I. north-star LLM-pipeline operators
+    "q80_dedup_exact" -> (NorthStarQueries.q80_dedup_exact _),
+    "q81_sim_jaccard" -> (NorthStarQueries.q81_sim_jaccard _),
+    "q82_knn_cosine" -> (NorthStarQueries.q82_knn_cosine _),
+    "q83_text_topterms" -> (NorthStarQueries.q83_text_topterms _),
+    "q84_text_langstats" -> (NorthStarQueries.q84_text_langstats _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracle ++ JoinQueries.oracle ++ AggQueries.oracle ++
+      WindowSetQueries.oracle ++ ScalarQueries.oracle ++
+      StreamShapeQueries.oracle ++ UdxQueries.oracle ++ NorthStarQueries.oracle
 }

@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.2.C — aggregation (SoQL `$group`/`$having` + aggregate functions).
+  *
+  * All bodies are plain `groupBy(...).agg(...)` so Spark plans a partial
+  * (map-side) HashAggregate before the shuffle and a final one after — the
+  * shape that scales: only |groups| rows cross the wire, not |input|.
+  * rollup/cube lower to a single Expand + HashAggregate, not N passes.
+  */
+object AggQueries {
+
+  /** Flagship — TPC-H Q1 shape (SURVEY.md §2.2 q20). */
+  def q20_agg_hash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Det.r2(sum(col("l_quantity"))).as("sum_qty"),
+        Det.r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+        Det.r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("sum_disc_price"),
+        Det.r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax")))).as("sum_charge"),
+        Det.r2(avg(col("l_quantity"))).as("avg_qty"),
+        Det.r2(avg(col("l_extendedprice"))).as("avg_price"),
+        Det.r2(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  def q21_agg_distinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+
+  def q22_agg_rollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        Det.r2(sum(col("c_acctbal"))).as("sum_bal"),
+        count(lit(1)).as("n"))
+      .orderBy(col("gid"), col("r_name").asc_nulls_first,
+        col("n_name").asc_nulls_first)
+
+  def q23_agg_cube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        Det.r2(sum(col("o_totalprice"))).as("sum_price"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  def q25_agg_having(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total_raw"))
+      .filter(col("n") >= 3 && col("total_raw") > 150000)
+      .select(col("o_custkey"), col("n"),
+        Det.r2(col("total_raw")).as("total"))
+      .orderBy(col("o_custkey"))
+
+  def q26_agg_stats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        Det.r4(stddev_samp(col("value"))).as("sd"),
+        Det.r4(avg(col("value"))).as("mean"),
+        Det.r4(min(col("value"))).as("min_v"),
+        Det.r4(max(col("value"))).as("max_v"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val oracle: Map[String, String] = Map(
+    "q20_agg_hash" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  round(avg(l_discount), 2) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q21_agg_distinct" ->
+      """SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q22_agg_rollup" ->
+      """SELECT r_name, n_name,
+        |  CAST(GROUPING(r_name, n_name) AS INTEGER) AS gid,
+        |  round(sum(c_acctbal), 2) AS sum_bal,
+        |  count(*) AS n
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q23_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+        |  count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q25_agg_having" ->
+      """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(*) >= 3 AND sum(o_totalprice) > 150000
+        |ORDER BY o_custkey""".stripMargin,
+    "q26_agg_stats" ->
+      """SELECT event_type,
+        |  round(stddev_samp(value), 4) AS sd,
+        |  round(avg(value), 4) AS mean,
+        |  round(min(value), 4) AS min_v,
+        |  round(max(value), 4) AS max_v,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

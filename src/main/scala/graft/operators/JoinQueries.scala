@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.2.B — joins. The reference merged fetched datasets client-side with
+  * Ruby Enumerable (SURVEY.md §2.1); here every join is declarative so
+  * Catalyst/AQE pick the physical algorithm.
+  *
+  * Scale notes (100 TB): dimension tables (region 5, nation 25, supplier,
+  * part, customer) are explicitly `broadcast()`-hinted where they join a
+  * fact table — a broadcast-hash join ships the dim to every executor once
+  * and avoids shuffling the fact side entirely. The multiway q11 joins
+  * facts first on their co-partitioned keys, dims last. The as-of join
+  * (q16) is a union + running `last(..., ignoreNulls)` window — one shuffle
+  * by user_id, no range-join explosion, and it scales linearly with events
+  * per user.
+  */
+object JoinQueries {
+
+  def q10_join_inner(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"),
+        Det.r2(col("o_totalprice")).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+      .limit(1000)
+
+  /** TPC-H Q5 shape: revenue by nation for ASIA customers whose supplier is
+    * in the same nation. Facts join facts on keys; all four dims broadcast.
+    */
+  def q11_join_multiway(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(Det.r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  def q12_join_left_outer(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(
+        Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_p_orders"))
+      .orderBy(col("n_p_orders").desc, col("c_custkey"))
+
+  def q13_join_semi(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(
+        Tables.orders(spark, sfDir).filter(col("o_totalprice") > 490000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  def q14_join_anti(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(
+        Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+
+  def q15_join_theta(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)),
+        col("l_partkey") === col("p_partkey") &&
+          col("l_quantity") > col("p_size"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), Det.r2(sum(col("l_quantity"))).as("sum_qty"))
+      .orderBy(col("p_brand"))
+
+  /** Left as-of join: for each purchase, the most recent signup of the same
+    * user with (ts, event_id) <= the purchase's (ts, event_id).
+    *
+    * Formulation: single pass over events per user ordered by (ts, event_id)
+    * carrying `last(signup_id, ignoreNulls)` — O(n log n) in the sort, one
+    * shuffle on user_id, no join at all. At 100 TB this beats a range join:
+    * state is one value per user, and the sort is the same one a
+    * time-windowed pipeline already needs.
+    */
+  def q16_join_asof(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("signup_id",
+        when(col("event_type") === "signup", col("event_id")))
+      .withColumn("signup_event_id",
+        last(col("signup_id"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("signup_event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  def q17_join_cross(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.region(spark, sfDir).select(col("r_name"))
+      .crossJoin(Tables.nation(spark, sfDir).select(col("n_name")))
+      .orderBy(col("r_name"), col("n_name"))
+
+  val oracle: Map[String, String] = Map(
+    "q10_join_inner" ->
+      """SELECT o_orderkey, c_name, c_mktsegment, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey LIMIT 1000""".stripMargin,
+    "q11_join_multiway" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q12_join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_p_orders
+        |FROM customer
+        |LEFT OUTER JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY n_p_orders DESC, c_custkey""".stripMargin,
+    "q13_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 490000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q14_join_anti" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q15_join_theta" ->
+      """SELECT p_brand, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN part
+        |  ON l_partkey = p_partkey AND l_quantity > p_size
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q16_join_asof" ->
+      """SELECT p.event_id,
+        |  (SELECT s.event_id FROM events s
+        |   WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+        |     AND (s.ts < p.ts OR (s.ts = p.ts AND s.event_id <= p.event_id))
+        |   ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS signup_event_id
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+    "q17_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+  )
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.2.I — the north-star LLM-data-pipeline operators over `documents` /
+  * `embeddings`: dedup, similarity, text analysis.
+  *
+  * Scale design (100 TB):
+  *  - q80 exact dedup is a hash-groupBy — one shuffle on the digest, partial
+  *    agg map-side; never a self-join.
+  *  - q81 near-dup is ALWAYS blocked (here by `lang`; MinHash-LSH banding in
+  *    `graft.functions.MinHashLSH` is the 100 TB path) — all-pairs is never
+  *    materialized across blocks. Token arrays are computed once per side
+  *    before the join, not per pair.
+  *  - q82 KNN keeps the probe set tiny and broadcast; the corpus side streams
+  *    map-side (broadcast-nested-loop on the 5-row probe side), so no corpus
+  *    shuffle. The IVF-style variant lives in `graft.functions.Ann`.
+  *  - q83/q84 are explode→groupBy wordcounts: map-side partial aggregation
+  *    collapses the token stream per partition before the exchange.
+  */
+object NorthStarQueries {
+
+  def q80_dedup_exact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .orderBy(col("hash"))
+
+  /** Token sets computed once per doc; self-join blocked on lang. */
+  def q81_sim_jaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("tok"))
+    val a = toks.select(col("lang"), col("doc_id").as("id_a"), col("tok").as("tok_a"))
+    val b = toks.select(col("lang").as("lang_b"), col("doc_id").as("id_b"), col("tok").as("tok_b"))
+    val inter = size(array_intersect(col("tok_a"), col("tok_b"))).cast("double")
+    val union = (size(col("tok_a")) + size(col("tok_b"))).cast("double") -
+      size(array_intersect(col("tok_a"), col("tok_b"))).cast("double")
+    a.join(b, col("lang") === col("lang_b") && col("id_a") < col("id_b"))
+      .withColumn("jaccard_raw", inter / union)
+      .filter(col("jaccard_raw") >= 0.8)
+      .select(col("lang"), col("id_a"), col("id_b"),
+        Det.r4(col("jaccard_raw")).as("jaccard"))
+      .orderBy(col("lang"), col("id_a"), col("id_b"))
+  }
+
+  /** Brute-force cosine top-k for a bounded probe set. Rank quantized to
+    * 6 dp before ordering so Spark and the oracle break near-ties the same
+    * way (raw doubles can differ in the last ulp across engines).
+    */
+  def q82_knn_cosine(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val corpus = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val cos = Det.r6(Det.dotD(col("pv"), col("cv")) /
+      (Det.l2norm(col("pv")) * Det.l2norm(col("cv"))))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    broadcast(probes).crossJoin(corpus)
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cos)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  def q83_text_topterms(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("term").asc)
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  def q84_text_langstats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        Det.r2(avg(col("n_chars"))).as("avg_chars"),
+        max(col("n_chars")).as("max_chars"),
+        Det.r2(avg(size(split(col("text"), " ")).cast("double"))).as("avg_tokens"))
+      .orderBy(col("lang"), col("source"))
+
+  val oracle: Map[String, String] = Map(
+    "q80_dedup_exact" ->
+      """SELECT md5(text) AS hash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+        |FROM documents GROUP BY 1 ORDER BY hash""".stripMargin,
+    "q81_sim_jaccard" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    list_distinct(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+        |    (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))), 4) AS jaccard
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) /
+        |    (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.8
+        |ORDER BY lang, id_a, id_b""".stripMargin,
+    "q82_knn_cosine" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |  sims AS (
+        |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |      round(list_dot_product(p.v, c.v) /
+        |        (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+        |    FROM e p JOIN e c ON p.vec_id < 5 AND p.vec_id <> c.vec_id),
+        |  ranked AS (
+        |    SELECT probe_id, neighbor_id, cos_sim,
+        |      row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        |    FROM sims)
+        |SELECT probe_id, neighbor_id, cos_sim, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "q83_text_topterms" ->
+      """SELECT lang, term, cnt, rank FROM (
+        |  SELECT lang, term, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term ASC) AS rank
+        |  FROM (
+        |    SELECT lang, term, count(*) AS cnt FROM (
+        |      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+        |    GROUP BY 1, 2))
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    "q84_text_langstats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  round(avg(n_chars), 2) AS avg_chars,
+        |  max(n_chars) AS max_chars,
+        |  round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 2) AS avg_tokens
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+  )
+}

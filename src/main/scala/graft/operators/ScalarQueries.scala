@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.2.F — scalar function surface (SoQL string/date/math/conditional
+  * functions + the north-star array/JSON columns). All expressions are
+  * built-in `org.apache.spark.sql.functions` — codegen'd, stay inside
+  * WholeStageCodegen, no UDFs in these paths.
+  */
+object ScalarQueries {
+
+  def q50_string_funcs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        lower(col("p_type")).as("lo_type"),
+        substring(col("p_name"), 1, 5).as("sub5"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), " ", "_").as("snake_name"),
+        col("p_name").like("%gear%").as("has_gear"),
+        col("p_brand").like("Brand#1%").as("is_brand1"))
+      .orderBy(col("p_partkey"))
+      .limit(500)
+
+  def q51_date_funcs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("o_month"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(dayofmonth(col("o_orderdate"))).cast("long").as("min_day"),
+        max(datediff(to_date(lit("2000-01-01")), to_date(col("o_orderdate"))))
+          .cast("long").as("max_diff"))
+      .select(
+        col("o_month"),
+        year(col("o_month")).cast("long").as("yr"),
+        month(col("o_month")).cast("long").as("mo"),
+        col("n"), col("min_day"), col("max_diff"))
+      .orderBy(col("o_month"))
+
+  def q52_math_funcs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        Det.r2(col("l_extendedprice")).as("rp"),
+        Det.r2(abs(col("l_quantity") - 25.0)).as("ab"),
+        ceil(col("l_extendedprice")).cast("long").as("ce"),
+        floor(col("l_extendedprice")).cast("long").as("fl"),
+        Det.r6(pow(col("l_discount"), 2.0)).as("pw"),
+        Det.r6(log(col("l_extendedprice"))).as("ln_p"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("rp"), col("ab"),
+        col("ce"), col("fl"), col("pw"), col("ln_p"))
+      .limit(500)
+
+  def q53_case_coalesce(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        when(col("o_orderstatus") === "O", "open")
+          .when(col("o_orderstatus") === "F", "finished")
+          .otherwise("other").as("status_label"),
+        coalesce(nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")),
+          lit("none")).as("prio"))
+      .groupBy(col("status_label"), col("prio"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("status_label"), col("prio"))
+
+  def q54_array_funcs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 100)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        Det.r6(element_at(col("embedding"), 1).cast("double")).as("first_elem"),
+        Det.r4(graft.Det.l2norm(col("embedding"))).as("l2"))
+      .orderBy(col("vec_id"))
+
+  def q55_json_map(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(Det.r4(avg(col("k"))).as("avg_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val oracle: Map[String, String] = Map(
+    "q50_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up_name,
+        |  lower(p_type) AS lo_type,
+        |  substring(p_name, 1, 5) AS sub5,
+        |  length(p_name) AS name_len,
+        |  p_brand || '/' || p_type AS brand_type,
+        |  replace(p_name, ' ', '_') AS snake_name,
+        |  p_name LIKE '%gear%' AS has_gear,
+        |  p_brand LIKE 'Brand#1%' AS is_brand1
+        |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
+    "q51_date_funcs" ->
+      """SELECT o_month,
+        |  CAST(year(o_month) AS BIGINT) AS yr,
+        |  CAST(month(o_month) AS BIGINT) AS mo,
+        |  n, min_day, max_diff
+        |FROM (
+        |  SELECT date_trunc('month', o_orderdate) AS o_month,
+        |    count(*) AS n,
+        |    CAST(min(day(o_orderdate)) AS BIGINT) AS min_day,
+        |    CAST(max(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')) AS BIGINT) AS max_diff
+        |  FROM orders GROUP BY 1
+        |) ORDER BY o_month""".stripMargin,
+    "q52_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice, 2) AS rp,
+        |  round(abs(l_quantity - 25.0), 2) AS ab,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+        |  round(pow(l_discount, 2.0), 6) AS pw,
+        |  round(ln(l_extendedprice), 6) AS ln_p
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, rp, ab, ce, fl, pw, ln_p LIMIT 500""".stripMargin,
+    "q53_case_coalesce" ->
+      """SELECT
+        |  CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+        |    ELSE 'other' END AS status_label,
+        |  coalesce(nullif(o_orderpriority, '4-NOT SPECIFIED'), 'none') AS prio,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY status_label, prio""".stripMargin,
+    "q54_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+        |  round(sqrt(list_aggregate(
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |    'sum')), 4) AS l2
+        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
+    "q55_json_map" ->
+      """SELECT event_type,
+        |  round(avg(k), 4) AS avg_k,
+        |  max(k) AS max_k
+        |FROM (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events
+        |) GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.2.D window functions + §2.2.E set operations.
+  *
+  * Windows partition by a key (customer / user) — one shuffle on the
+  * partition key, then a per-partition sort; no self-joins. At 100 TB the
+  * partition count follows the key cardinality, and AQE coalesces small
+  * post-shuffle partitions.
+  */
+object WindowSetQueries {
+
+  def q30_window_rank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        Det.r2(col("o_totalprice")).as("o_totalprice"),
+        col("rn"), col("rnk"), col("drnk"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  def q31_window_frame(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val moving = base.rowsBetween(-2, 0)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("run_sum", Det.r2(sum(col("value")).over(running)))
+      .withColumn("mov_avg", Det.r4(avg(col("value")).over(moving)))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("run_sum"), col("mov_avg"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  def q32_window_lag(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("us_since_prev",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("prev_type"), col("us_since_prev"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  private def buildingCustkeys(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+
+  private def bigOrderCustkeys(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 490000)
+      .select(col("o_custkey").as("c_custkey"))
+
+  def q40_union(spark: SparkSession, sfDir: String): DataFrame =
+    buildingCustkeys(spark, sfDir)
+      .union(bigOrderCustkeys(spark, sfDir))
+      .distinct()
+      .orderBy(col("c_custkey"))
+
+  def q41_intersect(spark: SparkSession, sfDir: String): DataFrame =
+    buildingCustkeys(spark, sfDir)
+      .intersect(bigOrderCustkeys(spark, sfDir))
+      .orderBy(col("c_custkey"))
+
+  def q42_except(spark: SparkSession, sfDir: String): DataFrame =
+    buildingCustkeys(spark, sfDir)
+      .except(bigOrderCustkeys(spark, sfDir))
+      .orderBy(col("c_custkey"))
+
+  private val setA = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+  private val setB = "SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 490000"
+
+  val oracle: Map[String, String] = Map(
+    "q30_window_rank" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |  rn, rnk, drnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER w AS rn, rank() OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q31_window_frame" ->
+      """SELECT user_id, ts, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+    "q32_window_lag" ->
+      """SELECT user_id, ts, event_id,
+        |  lag(event_type) OVER w AS prev_type,
+        |  epoch_us(ts) - epoch_us(lag(ts) OVER w) AS us_since_prev
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q40_union" ->
+      s"""SELECT c_custkey FROM ($setA UNION $setB) ORDER BY c_custkey""",
+    "q41_intersect" ->
+      s"""SELECT c_custkey FROM ($setA INTERSECT $setB) ORDER BY c_custkey""",
+    "q42_except" ->
+      s"""SELECT c_custkey FROM ($setA EXCEPT $setB) ORDER BY c_custkey""",
+  )
+}
