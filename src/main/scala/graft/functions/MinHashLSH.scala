@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH banding for near-duplicate candidate generation at scale.
+  *
+  * The exact within-block Jaccard join (q81) is quadratic per block; at
+  * 100 TB the only viable shape is signature → band → bucket-join:
+  * docs agreeing on ANY band become candidates, and only candidates get the
+  * exact Jaccard check. All hashing is `md5` over `seed|token`, so the
+  * pipeline is deterministic and reproducible in any engine with md5
+  * (the DuckDB oracle for q85 replays it exactly).
+  *
+  * Scale properties:
+  *  - signatures: one narrow pass, no shuffle (k mins folded per row).
+  *  - candidates: one shuffle on band key; bucket sizes are bounded by
+  *    collision probability, not corpus size. A pathological hot bucket
+  *    (e.g. empty docs) is capped via `maxBucket` before pairing —
+  *    the classic LSH skew guard.
+  */
+object MinHashLSH {
+
+  /** distinct whitespace tokens of `textCol` */
+  def tokens(textCol: Column): Column = array_distinct(split(textCol, " "))
+
+  /** One minhash value: the lexicographic min of md5(seed|token). */
+  def minhash(tok: Column, seed: Int): Column =
+    array_min(transform(tok, t => md5(concat(lit(s"$seed|"), t))))
+
+  /** Append k minhash columns mh_0..mh_{k-1}. */
+  def withSignature(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val tok = tokens(col(textCol))
+    (0 until k).foldLeft(docs.withColumn("__tok", tok)) { (df, i) =>
+      df.withColumn(s"mh_$i", minhash(col("__tok"), i))
+    }.drop("__tok")
+  }
+
+  /** Band keys: k minhashes in `bands` bands of k/bands rows each; the band
+    * key is the band index + the concatenated minhashes of that band.
+    */
+  def bandKeys(k: Int, bands: Int): Seq[Column] = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
+      concat_ws("|", lit(b.toString) +: cols: _*)
+    }
+  }
+
+  /** Candidate near-duplicate pairs (id_a < id_b): docs sharing any band.
+    *
+    * @param maxBucket drop buckets larger than this before pairing (skew
+    *                  guard; a bucket of size m yields m^2/2 pairs).
+    */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, bands: Int = 4,
+                     maxBucket: Int = 1000): DataFrame = {
+    val signed = withSignature(docs.select(col(idCol), col(textCol)), textCol, k)
+    val banded = signed
+      .select(col(idCol).as("id"), explode(array(bandKeys(k, bands): _*)).as("band"))
+    val pruned = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+}

@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language ID, document fingerprinting, full-text search
+  * (the SoQL `$q` analog — SURVEY §2.3).
+  *
+  * All pure column expressions (codegen'd, narrow) except language ID,
+  * which needs a per-language vocabulary profile — built in one
+  * aggregation pass and broadcast back.
+  */
+object TextFunctions {
+
+  /** whitespace token count */
+  def tokenCountWs(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish token count: alpha runs, digit runs, and single non-space
+    * symbols each count as one token.
+    */
+  def tokenCountRegex(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** distinct-token ratio: vocabulary richness in [0,1] */
+  def distinctRatio(text: Column): Column = {
+    val tok = split(text, " ")
+    size(array_distinct(tok)).cast("double") / size(tok).cast("double")
+  }
+
+  /** mean token length */
+  def avgTokenLen(text: Column): Column = {
+    val tok = split(text, " ")
+    aggregate(tok, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      size(tok).cast("double")
+  }
+
+  /** fraction of tokens in `stopwords` */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val tok = split(text, " ")
+    size(array_intersect_keepdup(tok, stopwords)).cast("double") /
+      size(tok).cast("double")
+  }
+
+  // filter(tok, t -> t IN stopwords) — keeps duplicates, unlike array_intersect
+  private def array_intersect_keepdup(tok: Column, words: Seq[String]): Column =
+    filter(tok, t => t.isInCollection(words))
+
+  /** punctuation-character ratio over the whole text */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
+      .cast("double") / length(text).cast("double")
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, rich
+    * vocabulary, low punctuation. Weights are heuristic — the point is the
+    * shape (pure narrow projection; scores 100 TB at scan speed).
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val distinct = distinctRatio(text)
+    val punct = punctRatio(text)
+    val stop = stopwordRatio(text, stopwords)
+    round(greatest(lit(0.0), least(lit(1.0),
+      lenScore * 0.3 + distinct * 0.4 + (lit(1.0) - punct) * 0.2 +
+        (lit(1.0) - stop) * 0.1)), 4)
+  }
+
+  /** Order-sensitive document fingerprint: a Karp–Rabin polynomial rolling
+    * hash over per-token xxhash64 values, base 31 modulo the Mersenne prime
+    * 2^31−1 (modular form keeps every step inside long range — Spark 4 runs
+    * ANSI mode, so wrapping overflow would throw). Identical token
+    * sequences ⇒ identical fingerprints; any reorder/edit ⇒ different
+    * (w.h.p.). One narrow fold, no shuffle.
+    */
+  def fingerprint(text: Column): Column = {
+    val m = lit((1L << 31) - 1)
+    aggregate(split(text, " "), lit(0L),
+      (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), m), m))
+  }
+
+  /** Full-text search (SoQL `$q` analog): docs whose token set contains
+    * EVERY term in `query` (whitespace-split, conjunctive, unranked —
+    * matching Socrata's documented `$q` semantics closely enough for the
+    * capability tier).
+    */
+  def fullTextSearch(docs: DataFrame, textCol: String, query: String): DataFrame = {
+    val terms = query.trim.split("\\s+").toSeq
+    val tok = split(col(textCol), " ")
+    terms.foldLeft(docs)((df, t) => df.filter(array_contains(tok, t)))
+  }
+
+  /** Language ID via n-gram/vocabulary profiles: build a top-`profileSize`
+    * term profile per language from a labeled corpus (one agg pass, tiny
+    * result, broadcast), then score each doc by profile overlap; predicted
+    * language = argmax overlap (ties → lexicographically first lang).
+    * Returns the input plus `pred_lang`.
+    */
+  def langId(docs: DataFrame, labeled: DataFrame, textCol: String,
+             langCol: String, profileSize: Int = 20): DataFrame = {
+    val wTop = Window.partitionBy(col("lang_p"))
+      .orderBy(col("cnt").desc, col("term").asc)
+    val profiles = labeled
+      .select(col(langCol).as("lang_p"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("lang_p"), col("term")).agg(count(lit(1)).as("cnt"))
+      .withColumn("r", row_number().over(wTop))
+      .filter(col("r") <= profileSize)
+      .groupBy(col("lang_p"))
+      .agg(collect_set(col("term")).as("profile"))
+    val wBest = Window.partitionBy(col("__rid"))
+      .orderBy(col("overlap").desc, col("lang_p").asc)
+    docs.withColumn("__rid", monotonically_increasing_id())
+      .crossJoin(broadcast(profiles))
+      .withColumn("overlap",
+        size(array_intersect(array_distinct(split(col(textCol), " ")),
+          col("profile"))))
+      .withColumn("__r", row_number().over(wBest))
+      .filter(col("__r") === 1)
+      .withColumn("pred_lang", col("lang_p"))
+      .drop("lang_p", "profile", "overlap", "__r", "__rid")
+  }
+}

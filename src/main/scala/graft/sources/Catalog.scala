@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Dataset-catalog listing — the Spark-native analog of the reference
+  * client's `list` (the HawaiiDataPipeline gem enumerated a Socrata
+  * portal's datasets; SURVEY §2.1 Plumb). Here a "portal" is a directory
+  * of parquet tables; the listing is a DataFrame of (table, path, n_cols,
+  * schema_ddl), derived via the Hadoop FileSystem API so it works on any
+  * supported filesystem (local, HDFS, object stores).
+  */
+object Catalog {
+
+  val schema: StructType = StructType(Seq(
+    StructField("table", StringType),
+    StructField("path", StringType),
+    StructField("n_cols", IntegerType),
+    StructField("schema_ddl", StringType)))
+
+  /** List the `*.parquet` tables under `dir` with their schemas (schemas
+    * read from parquet footers — metadata only, no data scan).
+    */
+  def list(spark: SparkSession, dir: String): DataFrame = {
+    // parquet TIMESTAMP(NANOS) footers (events) are unreadable otherwise
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tables = fs.listStatus(p).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val path = st.getPath.toString
+        val s = spark.read.parquet(path).schema
+        org.apache.spark.sql.Row(
+          st.getPath.getName.stripSuffix(".parquet"), path, s.size, s.toDDL)
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(tables, 1), schema)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Ingest/egress surface (SURVEY §2.3): the reference consumed Socrata
+  * JSON/CSV exports and cached CSV locally; the Spark-native equivalents
+  * are schema'd CSV/JSON/text readers and parquet/CSV/JSON writers.
+  *
+  * Readers take an explicit schema — inference is allowed for ad-hoc
+  * exploration but correctness paths always pin types (and at 100 TB an
+  * inference pass is a full extra read of the data).
+  */
+object Sources {
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  def readCsvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Binary ingestion for multimodal payloads (images/audio/video blobs):
+    * each file becomes (path, modificationTime, length, content).
+    */
+  def readBinary(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile").load(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Write-through materialization (the reference's local dataset cache,
+    * SURVEY §4.1): persist `df` as parquet at `path` and read it back —
+    * downstream stages reuse the materialized copy instead of recomputing
+    * the lineage.
+    */
+  def materialize(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    writeParquet(df, path)
+    spark.read.parquet(path)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.Det
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** True-streaming twins of the declared batch shapes q60–q63 (SURVEY §2.2.G
+  * / §5.2.3). Each takes an events-shaped DataFrame — batch or streaming
+  * (`readStream` / MemoryStream) — and applies the SAME transformation; the
+  * unit tests assert streaming output == the batch twin on identical rows,
+  * and that rows later than watermark+delay are dropped in append mode.
+  *
+  * The watermark bounds state: at 100 TB/day the aggregation state for
+  * tumbling windows is |windows in flight| × |keys|, evicted as the
+  * watermark passes — without it, state grows without bound.
+  */
+object StreamTwins {
+
+  /** q60 twin: tumbling 1-day counts/sums per event_type. */
+  def tumbling(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.r2(sum(col("value"))).as("sum_v"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_v"))
+
+  /** q61 twin: sliding 1-day/6-hour window counts. */
+  def sliding(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day", "6 hours"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+
+  /** q62 twin: per-user session windows with a 30-minute gap. */
+  def sessions(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), Det.r2(sum(col("value"))).as("sum_v"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_v"))
+
+  /** q63 twin: keyed dedup — first event per (user_id, event_type) within
+    * the watermark. Streaming uses `dropDuplicatesWithinWatermark` (state
+    * evicted past the watermark; plain dropDuplicates would keep all keys
+    * forever).
+    */
+  def dedupKeyed(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"), col("event_id"))
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generator-driven properties (SURVEY §5.2.2) over the set/similarity
+  * algebra — ScalaCheck `Gen` with fixed seeds (deterministic), evaluated
+  * through Spark columns on tiny generated frames.
+  */
+class PropertiesSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val tokGen: Gen[List[String]] =
+    Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f")))
+
+  test("jaccard ∈ [0,1], symmetric, 1 iff equal sets (generated)") {
+    val cases = samples(Gen.zip(tokGen, tokGen), 25)
+    val df = cases.map { case (x, y) => (x.distinct, y.distinct) }.toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+      Dedup.jaccard(col("x"), col("y")).as("xy"),
+      Dedup.jaccard(col("y"), col("x")).as("yx")).collect()
+    got.foreach { r =>
+      val (xy, yx) = (r.getDouble(2), r.getDouble(3))
+      assert(xy >= 0.0 && xy <= 1.0)
+      assert(xy == yx)
+      if (r.getSeq[String](0).toSet == r.getSeq[String](1).toSet)
+        assert(xy == 1.0)
+    }
+  }
+
+  test("union cardinality: |A ∪ B| = |A| + |B| - |A ∩ B| (generated key sets)") {
+    val cases = samples(
+      Gen.zip(Gen.listOf(Gen.chooseNum(0, 30)), Gen.listOf(Gen.chooseNum(0, 30))), 10)
+    cases.foreach { case (a, b) =>
+      val da = a.distinct.toDF("k")
+      val db = b.distinct.toDF("k")
+      val u = da.union(db).distinct().count()
+      val i = da.intersect(db).count()
+      assert(u == a.distinct.size + b.distinct.size - i)
+    }
+  }
+
+  test("exact dedup idempotence on generated duplicate-heavy frames") {
+    val cases = samples(Gen.listOfN(20, Gen.oneOf("x", "y", "z")), 5)
+    cases.foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val once = Dedup.exact(df, "id", Seq("text"))
+      val twice = Dedup.exact(once, "id", Seq("text"))
+      assert(once.count() == twice.count())
+      assert(once.count() == texts.distinct.size.toLong)
+    }
+  }
+
+  test("cosine self-similarity is exactly 1 after rounding (all fixture vectors)") {
+    val emb = Tables.embeddings(spark, sfDir = "/root/testdata/sf0.001")
+    val self = emb.select(
+      round(Det.dotD(col("embedding"), col("embedding")) /
+        (Det.l2norm(col("embedding")) * Det.l2norm(col("embedding"))), 6).as("c"))
+    assert(self.filter(col("c") =!= 1.0).count() == 0)
+  }
+}

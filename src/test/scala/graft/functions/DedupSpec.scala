@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("exact dedup is idempotent and keeps min doc_id per digest") {
+    val once = Dedup.exact(docs, "doc_id", Seq("text"))
+    val twice = Dedup.exact(once, "doc_id", Seq("text"))
+    assert(once.count() == twice.count())
+    // fixtures have no exact dups → dedup is identity on count
+    assert(once.count() == docs.count())
+  }
+
+  test("exact dedup collapses injected duplicates to one survivor") {
+    val withDup = docs.limit(3)
+      .union(docs.limit(3).withColumn("doc_id", col("doc_id") + 100000))
+    val out = Dedup.exact(withDup, "doc_id", Seq("text"))
+    assert(out.count() == 3)
+    // survivors are the original (min) ids
+    assert(out.filter(col("doc_id") >= 100000).count() == 0)
+  }
+
+  test("jaccard is within [0,1], symmetric, and 1 on self") {
+    val pairs = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("a")),
+      (Seq("a", "b"), Seq("c", "d"))).toDF("x", "y")
+    val j = pairs.select(
+      Dedup.jaccard(col("x"), col("y")).as("xy"),
+      Dedup.jaccard(col("y"), col("x")).as("yx")).collect()
+    j.foreach { r =>
+      val (xy, yx) = (r.getDouble(0), r.getDouble(1))
+      assert(xy >= 0.0 && xy <= 1.0 && xy == yx)
+    }
+    assert(j(1).getDouble(0) == 1.0)
+    assert(j(2).getDouble(0) == 0.0)
+  }
+
+  test("ngrams produce size-n shingles, deduped") {
+    val g = Seq("a b c d").toDF("t")
+      .select(Dedup.ngrams(col("t"), 2).as("g"))
+      .as[Seq[String]].head()
+    assert(g.toSet == Set("a b", "b c", "c d"))
+  }
+
+  test("ngram near-dups: self-copy detected at jaccard 1.0, blocked by lang") {
+    val base = docs.limit(5)
+    val copies = base
+      .withColumn("doc_id", col("doc_id") + 100000) // identical text
+    val pairs = Dedup.ngramNearDups(base.union(copies), "doc_id", "text",
+      "lang", 3, 0.99)
+    // every base doc pairs with its copy
+    assert(pairs.count() >= 5)
+    assert(pairs.filter(col("jaccard") === 1.0).count() >= 5)
+  }
+
+  test("embedding near-dups exclude self and respect threshold") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Dedup.embeddingNearDups(emb, "vec_id", "embedding", "label", 0.99)
+    assert(out.filter(col("id_a") === col("id_b")).count() == 0)
+    assert(out.filter(col("cos_sim") < 0.99).count() == 0)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace vs BPE-ish regex") {
+    val df = Seq("hello world42 foo-bar").toDF("t").select(
+      TextFunctions.tokenCountWs(col("t")).as("ws"),
+      TextFunctions.tokenCountRegex(col("t")).as("re")).collect().head
+    assert(df.getInt(0) == 3)
+    // hello | world | 42 | foo | - | bar
+    assert(df.getInt(1) == 6)
+  }
+
+  test("quality score is within [0,1] over the corpus and deterministic") {
+    val stop = Seq("join", "filter", "scan")
+    val q = Tables.documents(spark, sfDir).select(
+      TextFunctions.qualityScore(col("text"), stop).as("q"))
+    assert(q.filter(col("q") < 0.0 || col("q") > 1.0).count() == 0)
+    val a = q.agg(sum("q")).head.getDouble(0)
+    val b = q.agg(sum("q")).head.getDouble(0)
+    assert(a == b)
+  }
+
+  test("fingerprint: equal for identical token sequences, order-sensitive") {
+    val df = Seq(
+      ("a b c", "a b c"),
+      ("a b c", "c b a")).toDF("x", "y").select(
+      TextFunctions.fingerprint(col("x")).as("fx"),
+      TextFunctions.fingerprint(col("y")).as("fy")).collect()
+    assert(df(0).getLong(0) == df(0).getLong(1))
+    assert(df(1).getLong(0) != df(1).getLong(1))
+  }
+
+  test("full-text search is conjunctive ($q analog)") {
+    val docs = Seq(
+      (1L, "scan filter join"),
+      (2L, "scan window sort"),
+      (3L, "filter join scan extra")).toDF("doc_id", "text")
+    val hits = TextFunctions.fullTextSearch(docs, "text", "scan filter")
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(1L, 3L))
+    assert(TextFunctions.fullTextSearch(docs, "text", "absent").count() == 0)
+  }
+
+  test("stopword and punct ratios behave on crafted input") {
+    val r = Seq("the cat, the dog!").toDF("t").select(
+      TextFunctions.stopwordRatio(col("t"), Seq("the")).as("sw"),
+      TextFunctions.punctRatio(col("t")).as("p")).collect().head
+    // tokens: the | cat, | the | dog! → 'the' twice of 4
+    assert(r.getDouble(0) == 0.5)
+    assert(r.getDouble(1) > 0.0 && r.getDouble(1) < 0.3)
+  }
+
+  test("langId is deterministic, total, and lands in the label domain") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextFunctions.langId(docs, docs, "text", "lang")
+    assert(out.count() == docs.count())
+    val langs = docs.select("lang").distinct().as[String].collect().toSet
+    val preds = out.select("pred_lang").distinct().as[String].collect().toSet
+    assert(preds.subsetOf(langs))
+    // deterministic across runs
+    val again = TextFunctions.langId(docs, docs, "text", "lang")
+      .select("doc_id", "pred_lang").collect().toSet
+    assert(again == out.select("doc_id", "pred_lang").collect().toSet)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-sources").toString
+
+  test("parquet → CSV → parquet round-trip preserves data") {
+    val dir = tmp()
+    val orig = Tables.nation(spark, sfDir)
+    Sources.writeCsv(orig, s"$dir/nation_csv")
+    val back = Sources.readCsv(spark, s"$dir/nation_csv", Tables.nationSchema)
+    assert(back.count() == orig.count())
+    assert(back.exceptAll(orig).count() == 0)
+    assert(orig.exceptAll(back).count() == 0)
+  }
+
+  test("JSON round-trip preserves data and types") {
+    val dir = tmp()
+    val orig = Tables.region(spark, sfDir)
+    Sources.writeJson(orig, s"$dir/region_json")
+    val back = Sources.readJson(spark, s"$dir/region_json", Tables.regionSchema)
+    assert(back.schema == orig.schema)
+    assert(back.exceptAll(orig).count() == 0 && orig.exceptAll(back).count() == 0)
+  }
+
+  test("text source reads lines") {
+    val dir = tmp()
+    Files.write(java.nio.file.Paths.get(dir, "doc.txt"),
+      "line one\nline two\n".getBytes)
+    val df = Sources.readText(spark, s"$dir/doc.txt")
+    assert(df.count() == 2)
+    assert(df.columns.toSeq == Seq("value"))
+  }
+
+  test("binaryFile source yields content bytes + metadata") {
+    val dir = tmp()
+    Files.write(java.nio.file.Paths.get(dir, "blob.bin"),
+      Array[Byte](1, 2, 3, 4, 5))
+    val df = Sources.readBinary(spark, s"$dir/blob.bin")
+    val row = df.select("length", "content").collect().head
+    assert(row.getLong(0) == 5)
+    assert(row.getAs[Array[Byte]](1).toSeq == Seq[Byte](1, 2, 3, 4, 5))
+  }
+
+  test("materialize writes through and reads back identical data") {
+    val dir = tmp()
+    val q = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "P")
+    val mat = Sources.materialize(spark, q, s"$dir/p_orders")
+    assert(mat.count() == q.count())
+    assert(mat.exceptAll(q).count() == 0)
+  }
+
+  test("catalog lists every fixture table with schema metadata") {
+    val cat = Catalog.list(spark, sfDir).collect()
+    val names = cat.map(_.getString(0)).toSet
+    assert(Tables.all.toSet.subsetOf(names))
+    val li = cat.find(_.getString(0) == "lineitem").get
+    assert(li.getInt(2) == 11)
+    assert(li.getString(3).contains("l_orderkey"))
+  }
+
+  test("cached result equals uncached result") {
+    val q = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag").agg(round(sum("l_quantity"), 2).as("s"))
+    val uncached = q.collect().toSet
+    q.cache()
+    try {
+      assert(q.collect().toSet == uncached)  // populate + compare
+      assert(q.collect().toSet == uncached)  // served from cache
+    } finally q.unpersist()
+  }
+}

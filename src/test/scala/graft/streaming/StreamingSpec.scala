@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+/** Streaming-equivalence suite (SURVEY §5.2.3): the q60–q63 streaming twins
+  * produce the same rows as their batch twins on identical input, and the
+  * watermark actually drops late data in append mode.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    Ev(1, t("2024-01-01 00:05:00"), 1, "click", 1.0, "{}"),
+    Ev(2, t("2024-01-01 00:20:00"), 1, "click", 2.0, "{}"),
+    Ev(3, t("2024-01-01 01:10:00"), 1, "view", 3.0, "{}"),   // >30min gap → new session
+    Ev(4, t("2024-01-01 00:10:00"), 2, "click", 4.0, "{}"),
+    Ev(5, t("2024-01-02 06:00:00"), 2, "click", 5.0, "{}"),  // second day
+    Ev(6, t("2024-01-02 06:00:00"), 2, "click", 6.0, "{}"),  // dup key (u2,click)
+    Ev(7, t("2024-01-03 00:00:00"), 3, "view", 7.0, "{}"))
+
+  /** run a streaming transform over a MemoryStream of `data`, complete mode */
+  private def runStream(data: Seq[Ev], f: DataFrame => DataFrame,
+                        mode: OutputMode, name: String): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(data)
+    val q = f(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  test("q60 twin: streaming tumbling agg == batch tumbling agg") {
+    val batch = StreamTwins.tumbling(rows.toDF()).collect().toSet
+    val stream = runStream(rows, StreamTwins.tumbling(_), OutputMode.Complete(),
+      "t60").collect().toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("q61 twin: streaming sliding agg == batch sliding agg") {
+    val batch = StreamTwins.sliding(rows.toDF()).collect().toSet
+    val stream = runStream(rows, StreamTwins.sliding(_), OutputMode.Complete(),
+      "t61").collect().toSet
+    assert(stream == batch)
+  }
+
+  test("q62 twin: streaming session windows == batch session windows") {
+    val batch = StreamTwins.sessions(rows.toDF()).collect().toSet
+    val stream = runStream(rows, StreamTwins.sessions(_), OutputMode.Complete(),
+      "t62").collect().toSet
+    assert(stream == batch)
+    // the >30min gap split user 1 into two sessions
+    assert(batch.count(_.getLong(0) == 1L) == 2)
+  }
+
+  test("q63 twin: dropDuplicatesWithinWatermark keeps one row per key") {
+    val stream = runStream(rows, StreamTwins.dedupKeyed(_), OutputMode.Append(),
+      "t63")
+    val keys = stream.select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(keys.length == keys.distinct.length)
+    // (u2, click) appeared 3 times in input → exactly once out
+    assert(keys.count(_ == (2L, "click")) == 1)
+  }
+
+  test("watermark drops rows later than watermark + delay in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = StreamTwins.tumbling(mem.toDF(), watermark = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("twm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: events on Jan 1 + a Jan 5 event that pushes the watermark
+      mem.addData(rows.take(4))
+      q.processAllAvailable()
+      mem.addData(Seq(Ev(100, t("2024-01-05 12:00:00"), 9, "click", 1.0, "{}")))
+      q.processAllAvailable()
+      // batch 2: a straggler from Jan 1 — far behind watermark (Jan 5 11:00)
+      mem.addData(Seq(Ev(101, t("2024-01-01 00:30:00"), 9, "late", 99.0, "{}")))
+      q.processAllAvailable()
+      val out = spark.table("twm")
+      assert(out.filter($"event_type" === "late").count() == 0,
+        "late row past the watermark must be dropped")
+      // the on-time Jan-1 window was finalized and emitted
+      assert(out.filter($"event_type" === "click").count() >= 1)
+    } finally q.stop()
+  }
+}
