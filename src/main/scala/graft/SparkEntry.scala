@@ -70,6 +70,14 @@ object SparkEntry {
     "q82_knn_cosine" -> (NorthStarQueries.q82_knn_cosine _),
     "q83_text_topterms" -> (NorthStarQueries.q83_text_topterms _),
     "q84_text_langstats" -> (NorthStarQueries.q84_text_langstats _),
+    // J. training-data pipeline tiers (dedup ladder, quality, fingerprint,
+    //    full-text) — hash-checked like everything else
+    "q85_dedup_minhash_lsh" -> (PipelineQueries.q85_dedup_minhash_lsh _),
+    "q86_dedup_ngram" -> (PipelineQueries.q86_dedup_ngram _),
+    "q87_dedup_embcos" -> (PipelineQueries.q87_dedup_embcos _),
+    "q88_text_quality" -> (PipelineQueries.q88_text_quality _),
+    "q89_doc_fingerprint" -> (PipelineQueries.q89_doc_fingerprint _),
+    "q90_fulltext_search" -> (PipelineQueries.q90_fulltext_search _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -77,5 +85,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ JoinQueries.oracle ++ AggQueries.oracle ++
       WindowSetQueries.oracle ++ ScalarQueries.oracle ++
-      StreamShapeQueries.oracle ++ UdxQueries.oracle ++ NorthStarQueries.oracle
+      StreamShapeQueries.oracle ++ UdxQueries.oracle ++
+      NorthStarQueries.oracle ++ PipelineQueries.oracle
 }

@@ -59,7 +59,7 @@ object MinHashLSH {
     val signed = withSignature(docs.select(col(idCol), col(textCol)), textCol, k)
     val banded = signed
       .select(col(idCol).as("id"), explode(array(bandKeys(k, bands): _*)).as("band"))
-    val pruned = banded
+    val pruned = if (maxBucket == Int.MaxValue) banded else banded
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
       .filter(col("bucket_n") <= maxBucket)

@@ -55,15 +55,21 @@ object TextFunctions {
   /** Composite quality score in [0,1]: rewards mid-length docs, rich
     * vocabulary, low punctuation. Weights are heuristic — the point is the
     * shape (pure narrow projection; scores 100 TB at scan speed).
+    *
+    * Computed in exact integer basis points (each component quantized to
+    * 1e-4, weighted by small ints, summed, then one exact /1e5 division).
+    * A float composite of 4-dp components lands exactly on 5th-decimal
+    * rounding boundaries by construction, where engines' round() rules
+    * disagree — integer arithmetic has no boundary at all.
     */
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {
-    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
-    val distinct = distinctRatio(text)
-    val punct = punctRatio(text)
-    val stop = stopwordRatio(text, stopwords)
-    round(greatest(lit(0.0), least(lit(1.0),
-      lenScore * 0.3 + distinct * 0.4 + (lit(1.0) - punct) * 0.2 +
-        (lit(1.0) - stop) * 0.1)), 4)
+    def bp(c: Column): Column = round(c * 10000).cast("long")
+    val lenBp = bp(least(length(text).cast("double") / 500.0, lit(1.0)))
+    val distBp = bp(distinctRatio(text))
+    val punctBp = bp(punctRatio(text))
+    val stopBp = bp(stopwordRatio(text, stopwords))
+    (lenBp * 3 + distBp * 4 + (lit(10000L) - punctBp) * 2 +
+      (lit(10000L) - stopBp)).cast("double") / 100000.0
   }
 
   /** Order-sensitive document fingerprint: a Karp–Rabin polynomial rolling

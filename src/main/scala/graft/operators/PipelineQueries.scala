@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import graft.functions.{Dedup, MinHashLSH, TextFunctions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.2.J (extension of SURVEY §2.2.I) — the training-data-pipeline
+  * operators promoted to hash-checked declared queries: every dedup tier,
+  * text quality/fingerprinting, and full-text search run through the same
+  * DuckDB-oracle gate as the relational surface. Each body delegates to the
+  * reusable `graft.functions` operators.
+  *
+  * Determinism notes: all hashing is md5 (identical hex in both engines);
+  * similarity filters are applied to ROUNDED values so boundary pairs
+  * behave identically; every query ends in a total order.
+  */
+object PipelineQueries {
+
+  /** MinHash-LSH near-dup pipeline: banded candidates (k=8, 4 bands of 2)
+    * verified by exact Jaccard ≥ 0.9. The declared output is the LSH
+    * pipeline's output — band collisions are part of the semantics, and
+    * the oracle replays the identical md5 minhash/banding in SQL.
+    */
+  def q85_dedup_minhash_lsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val cand = MinHashLSH.candidatePairs(docs, "doc_id", "text",
+      k = 8, bands = 4, maxBucket = Int.MaxValue)
+    val tok = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("tok"))
+    cand
+      .join(tok.select(col("doc_id").as("id_a"), col("tok").as("tok_a")), "id_a")
+      .join(tok.select(col("doc_id").as("id_b"), col("tok").as("tok_b")), "id_b")
+      .withColumn("jaccard_raw", Dedup.jaccard(col("tok_a"), col("tok_b")))
+      .filter(col("jaccard_raw") >= 0.9)
+      .select(col("id_a"), col("id_b"), Det.r4(col("jaccard_raw")).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Word-3-gram Jaccard near-dups within lang — catches local rewordings
+    * the token-set measure (q81) scores too high.
+    */
+  def q86_dedup_ngram(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramNearDups(Tables.documents(spark, sfDir), "doc_id", "text",
+      "lang", n = 3, threshold = 0.4)
+      .withColumnRenamed("block", "lang")
+      .orderBy(col("lang"), col("id_a"), col("id_b"))
+
+  /** Embedding-cosine near-dup pairs, blocked by the coarse cluster label
+    * (the IVF cell) — semantic dedup tier.
+    */
+  def q87_dedup_embcos(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.embeddingNearDups(Tables.embeddings(spark, sfDir), "vec_id",
+      "embedding", "label", threshold = 0.3)
+      .withColumnRenamed("block", "label")
+      .orderBy(col("label"), col("id_a"), col("id_b"))
+
+  /** Per-document quality metrics + composite score. */
+  def q88_text_quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val stops = Seq("join", "filter", "scan")
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      TextFunctions.tokenCountWs(col("text")).cast("long").as("n_ws"),
+      TextFunctions.tokenCountRegex(col("text")).cast("long").as("n_re"),
+      Det.r4(TextFunctions.distinctRatio(col("text"))).as("distinct_ratio"),
+      Det.r4(TextFunctions.avgTokenLen(col("text"))).as("avg_tok_len"),
+      Det.r4(TextFunctions.stopwordRatio(col("text"), stops)).as("stop_ratio"),
+      TextFunctions.qualityScore(col("text"), stops).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Min-shingle document fingerprint (winnowing-style): the lexicographic
+    * min md5 over word-3-grams — robust to local edits away from the
+    * minimal shingle, cross-engine stable (md5 hex).
+    */
+  def q89_doc_fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      array_min(transform(Dedup.ngrams(col("text"), 3), g => md5(g))).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Conjunctive full-text search (the SoQL `$q` analog, SURVEY §2.3 —
+    * promoted to hash-checked now that the semantics are token-exact).
+    */
+  def q90_fulltext_search(spark: SparkSession, sfDir: String): DataFrame =
+    TextFunctions.fullTextSearch(Tables.documents(spark, sfDir), "text",
+      "join filter")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  private val tokCte =
+    "SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok FROM documents"
+
+  private def mh(i: Int) =
+    s"list_aggregate(list_transform(tok, t -> md5('$i|' || t)), 'min')"
+
+  private val gramsExpr =
+    "list_distinct(list_transform(" +
+      "range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1), " +
+      "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] " +
+      "|| ' ' || string_split(text, ' ')[i+2]))"
+
+  val oracle: Map[String, String] = Map(
+    "q85_dedup_minhash_lsh" ->
+      s"""WITH d AS ($tokCte),
+         |sig AS (SELECT doc_id, tok,
+         |  ['0|' || ${mh(0)} || '|' || ${mh(1)},
+         |   '1|' || ${mh(2)} || '|' || ${mh(3)},
+         |   '2|' || ${mh(4)} || '|' || ${mh(5)},
+         |   '3|' || ${mh(6)} || '|' || ${mh(7)}] AS bands FROM d),
+         |bb AS (SELECT doc_id, unnest(bands) AS band FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bb a JOIN bb b ON a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT c.id_a, c.id_b,
+         |  round(CAST(len(list_intersect(da.tok, db.tok)) AS DOUBLE) /
+         |    (len(da.tok) + len(db.tok) - len(list_intersect(da.tok, db.tok))), 4) AS jaccard
+         |FROM cand c JOIN d da ON da.doc_id = c.id_a JOIN d db ON db.doc_id = c.id_b
+         |WHERE CAST(len(list_intersect(da.tok, db.tok)) AS DOUBLE) /
+         |    (len(da.tok) + len(db.tok) - len(list_intersect(da.tok, db.tok))) >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q86_dedup_ngram" ->
+      s"""WITH d AS (SELECT doc_id, lang, $gramsExpr AS g FROM documents)
+         |SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+         |    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4) AS jaccard
+         |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+         |    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.4
+         |ORDER BY lang, id_a, id_b""".stripMargin,
+    "q87_dedup_embcos" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        |SELECT label, id_a, id_b, cos_sim FROM (
+        |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cos_sim >= 0.3
+        |ORDER BY label, id_a, id_b""".stripMargin,
+    "q88_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_re,
+        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |    len(string_split(text, ' ')), 4) AS distinct_ratio,
+        |  round(CAST(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum') AS DOUBLE) /
+        |    len(string_split(text, ' ')), 4) AS avg_tok_len,
+        |  round(CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('join', 'filter', 'scan'))) AS DOUBLE) /
+        |    len(string_split(text, ' ')), 4) AS stop_ratio,
+        |  CAST(
+        |    CAST(round(least(length(text) / 500.0, 1.0) * 10000) AS BIGINT) * 3 +
+        |    CAST(round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |      len(string_split(text, ' ')) * 10000) AS BIGINT) * 4 +
+        |    (10000 - CAST(round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) /
+        |      length(text) * 10000) AS BIGINT)) * 2 +
+        |    (10000 - CAST(round(CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('join', 'filter', 'scan'))) AS DOUBLE) /
+        |      len(string_split(text, ' ')) * 10000) AS BIGINT))
+        |  AS DOUBLE) / 100000.0 AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q89_doc_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_aggregate(list_transform($gramsExpr, g -> md5(g)), 'min') AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q90_fulltext_search" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'join')
+        |  AND list_contains(string_split(text, ' '), 'filter')
+        |ORDER BY doc_id""".stripMargin,
+  )
+}
