@@ -1,0 +1,20 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev tool: dump formatted physical plans of representative queries for
+  * the scale audit (pushdown, broadcast, codegen coverage). */
+object PlanAudit extends App {
+  val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false").getOrCreate()
+  spark.sparkContext.setLogLevel("ERROR")
+  val sf = "/root/testdata/sf0.01"
+  val targets = Seq("q02_filter_where", "q11_join_multiway", "q20_agg_hash",
+    "q30_window_rank", "q82_knn_cosine", "q05_topk_global", "q15_join_theta")
+  targets.foreach { q =>
+    println(s"\n========== $q ==========")
+    println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
+  }
+  spark.stop()
+}

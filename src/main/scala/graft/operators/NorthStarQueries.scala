@@ -29,18 +29,29 @@ object NorthStarQueries {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
       .orderBy(col("hash"))
 
-  /** Token sets computed once per doc; self-join blocked on lang. */
+  /** Token sets computed once per doc; self-join blocked on lang.
+    *
+    * Tokens are interned to xxhash64 longs before the pairwise intersect:
+    * set sizes (and therefore Jaccard) are unchanged w.h.p. (collision
+    * odds ~n²/2⁶⁵; a unit test pins |distinct hashes| == |distinct
+    * strings| on the fixtures), and intersecting sorted longs is several
+    * times cheaper than strings — this is the hot inner loop of the
+    * quadratic-per-block join.
+    */
   def q81_sim_jaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
-        array_distinct(split(col("text"), " ")).as("tok"))
-    val a = toks.select(col("lang"), col("doc_id").as("id_a"), col("tok").as("tok_a"))
-    val b = toks.select(col("lang").as("lang_b"), col("doc_id").as("id_b"), col("tok").as("tok_b"))
-    val inter = size(array_intersect(col("tok_a"), col("tok_b"))).cast("double")
-    val union = (size(col("tok_a")) + size(col("tok_b"))).cast("double") -
-      size(array_intersect(col("tok_a"), col("tok_b"))).cast("double")
+        array_sort(array_distinct(
+          transform(split(col("text"), " "), t => xxhash64(t)))).as("tok"))
+    val a = toks.select(col("lang"), col("doc_id").as("id_a"),
+      col("tok").as("tok_a"), size(col("tok")).as("na"))
+    val b = toks.select(col("lang").as("lang_b"), col("doc_id").as("id_b"),
+      col("tok").as("tok_b"), size(col("tok")).as("nb"))
     a.join(b, col("lang") === col("lang_b") && col("id_a") < col("id_b"))
-      .withColumn("jaccard_raw", inter / union)
+      .withColumn("inter",
+        size(array_intersect(col("tok_a"), col("tok_b"))).cast("double"))
+      .withColumn("jaccard_raw",
+        col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard_raw") >= 0.8)
       .select(col("lang"), col("id_a"), col("id_b"),
         Det.r4(col("jaccard_raw")).as("jaccard"))

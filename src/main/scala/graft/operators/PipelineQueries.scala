@@ -26,8 +26,11 @@ object PipelineQueries {
     val docs = Tables.documents(spark, sfDir)
     val cand = MinHashLSH.candidatePairs(docs, "doc_id", "text",
       k = 8, bands = 4, maxBucket = Int.MaxValue)
+    // verification intersect runs on interned (xxhash64) token ids — same
+    // set sizes w.h.p., far cheaper per candidate pair
     val tok = docs.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("tok"))
+      array_sort(array_distinct(
+        transform(split(col("text"), " "), t => xxhash64(t)))).as("tok"))
     cand
       .join(tok.select(col("doc_id").as("id_a"), col("tok").as("tok_a")), "id_a")
       .join(tok.select(col("doc_id").as("id_b"), col("tok").as("tok_b")), "id_b")

@@ -59,6 +59,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter(col("jaccard") === 1.0).count() >= 5)
   }
 
+  test("token/shingle hash interning is collision-free on the fixtures") {
+    val docs3 = Tables.documents(spark, sfDir)
+    val toks = docs3.select(explode(split(col("text"), " ")).as("t"))
+    assert(toks.select("t").distinct().count() ==
+      toks.select(xxhash64(col("t")).as("h")).distinct().count())
+    val grams = docs3.select(explode(Dedup.ngrams(col("text"), 3)).as("g"))
+    assert(grams.select("g").distinct().count() ==
+      grams.select(xxhash64(col("g")).as("h")).distinct().count())
+  }
+
   test("embedding near-dups exclude self and respect threshold") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = Dedup.embeddingNearDups(emb, "vec_id", "embedding", "label", 0.99)
