@@ -57,8 +57,13 @@ object MinHashLSH {
                      k: Int = 8, bands: Int = 4,
                      maxBucket: Int = 1000): DataFrame = {
     val signed = withSignature(docs.select(col(idCol), col(textCol)), textCol, k)
+    // band keys join-compressed to xxhash64 longs: the bucket join compares
+    // 8-byte keys instead of 60+-char md5 concatenations (same buckets
+    // w.h.p.; a phantom collision pair is removed by the caller's exact
+    // verify step, which every LSH pipeline has anyway)
     val banded = signed
-      .select(col(idCol).as("id"), explode(array(bandKeys(k, bands): _*)).as("band"))
+      .select(col(idCol).as("id"),
+        explode(array(bandKeys(k, bands).map(xxhash64(_)): _*)).as("band"))
     val pruned = if (maxBucket == Int.MaxValue) banded else banded
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))

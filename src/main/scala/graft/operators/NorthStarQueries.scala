@@ -41,17 +41,12 @@ object NorthStarQueries {
   def q81_sim_jaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
-        array_sort(array_distinct(
-          transform(split(col("text"), " "), t => xxhash64(t)))).as("tok"))
-    val a = toks.select(col("lang"), col("doc_id").as("id_a"),
-      col("tok").as("tok_a"), size(col("tok")).as("na"))
-    val b = toks.select(col("lang").as("lang_b"), col("doc_id").as("id_b"),
-      col("tok").as("tok_b"), size(col("tok")).as("nb"))
+        graft.functions.Dedup.tokenIds(col("text")).as("tok"))
+    val a = toks.select(col("lang"), col("doc_id").as("id_a"), col("tok").as("tok_a"))
+    val b = toks.select(col("lang").as("lang_b"), col("doc_id").as("id_b"), col("tok").as("tok_b"))
     a.join(b, col("lang") === col("lang_b") && col("id_a") < col("id_b"))
-      .withColumn("inter",
-        size(array_intersect(col("tok_a"), col("tok_b"))).cast("double"))
       .withColumn("jaccard_raw",
-        col("inter") / (col("na") + col("nb") - col("inter")))
+        graft.functions.Dedup.jaccardSortedIds(col("tok_a"), col("tok_b")))
       .filter(col("jaccard_raw") >= 0.8)
       .select(col("lang"), col("id_a"), col("id_b"),
         Det.r4(col("jaccard_raw")).as("jaccard"))

@@ -28,13 +28,11 @@ object PipelineQueries {
       k = 8, bands = 4, maxBucket = Int.MaxValue)
     // verification intersect runs on interned (xxhash64) token ids — same
     // set sizes w.h.p., far cheaper per candidate pair
-    val tok = docs.select(col("doc_id"),
-      array_sort(array_distinct(
-        transform(split(col("text"), " "), t => xxhash64(t)))).as("tok"))
+    val tok = docs.select(col("doc_id"), Dedup.tokenIds(col("text")).as("tok"))
     cand
       .join(tok.select(col("doc_id").as("id_a"), col("tok").as("tok_a")), "id_a")
       .join(tok.select(col("doc_id").as("id_b"), col("tok").as("tok_b")), "id_b")
-      .withColumn("jaccard_raw", Dedup.jaccard(col("tok_a"), col("tok_b")))
+      .withColumn("jaccard_raw", Dedup.jaccardSortedIds(col("tok_a"), col("tok_b")))
       .filter(col("jaccard_raw") >= 0.9)
       .select(col("id_a"), col("id_b"), Det.r4(col("jaccard_raw")).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
