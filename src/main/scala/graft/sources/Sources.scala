@@ -41,6 +41,27 @@ object Sources {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Hive-style partitioned parquet layout: one directory per value of
+    * `partitionCols` — the 100 TB read path prunes entire directories when
+    * a query filters on the partition key (SURVEY §7.4.8: documents
+    * partitioned by the blocking key, events by date).
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted table for co-located joins: two tables bucketed by
+    * the same key into the same bucket count join WITHOUT a shuffle (the
+    * classic pre-shuffle trade: pay the exchange once at write time).
+    * Bucketing requires `saveAsTable` (metastore-tracked layout).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+
   /** Write-through materialization (the reference's local dataset cache,
     * SURVEY §4.1): persist `df` as parquet at `path` and read it back —
     * downstream stages reuse the materialized copy instead of recomputing

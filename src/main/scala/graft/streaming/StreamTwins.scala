@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.Det
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** True-streaming twins of the declared batch shapes q60–q63 (SURVEY §2.2.G
   * / §5.2.3). Each takes an events-shaped DataFrame — batch or streaming
@@ -52,4 +53,40 @@ object StreamTwins {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
       .select(col("user_id"), col("event_type"), col("event_id"))
+
+  /** Custom arbitrary state (SURVEY §2.3 "session state"): per-user running
+    * totals via `flatMapGroupsWithState` — the escape hatch when built-in
+    * windows can't express the state machine. Emits one row per input
+    * event: (user_id, event_id, n_so_far, sum_so_far). State is one
+    * (count, sum) pair per user — bounded by |users|, not |events| — and
+    * works identically on a batch or streaming input frame.
+    */
+  def runningTotals(events: DataFrame): DataFrame = {
+    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_so_far",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_so_far",
+        org.apache.spark.sql.types.DoubleType))))
+    events
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as(Encoders.row(events.select("user_id", "event_id", "value").schema))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState[(Long, Double), Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Row], state: GroupState[(Long, Double)]) =>
+          var (n, s) = state.getOption.getOrElse((0L, 0.0))
+          // event-id order within the batch for deterministic output
+          val out = rows.toSeq.sortBy(_.getLong(1)).map { r =>
+            n += 1; s += r.getDouble(2)
+            Row(user, r.getLong(1), n, math.rint(s * 100) / 100)
+          }
+          state.update((n, s))
+          out.iterator
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), enc)
+      .toDF()
+  }
 }

@@ -64,6 +64,41 @@ class SourcesSpec extends SparkSpec {
     assert(li.getString(3).contains("l_orderkey"))
   }
 
+  test("partitioned write prunes directories on the partition key") {
+    val dir = tmp()
+    Sources.writePartitioned(Tables.documents(spark, sfDir),
+      s"$dir/docs_by_lang", Seq("lang"))
+    val back = spark.read.parquet(s"$dir/docs_by_lang")
+    assert(back.count() == Tables.documents(spark, sfDir).count())
+    val one = back.filter(col("lang") === "en")
+    // the scan leaf must carry the lang predicate as a PartitionFilter
+    val scan = one.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"partition pruning missing in scan: ${scan.take(400)}")
+    val expected = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en").count()
+    assert(one.count() == expected)
+  }
+
+  test("bucketed tables join without an exchange on the bucket key") {
+    Sources.writeBucketed(Tables.orders(spark, sfDir), "orders_b", "o_custkey", 4)
+    Sources.writeBucketed(
+      Tables.customer(spark, sfDir).withColumnRenamed("c_custkey", "o_custkey"),
+      "customer_b", "o_custkey", 4)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n${plan.take(1500)}")
+      assert(j.count() == Tables.orders(spark, sfDir).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
   test("cached result equals uncached result") {
     val q = Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag").agg(round(sum("l_quantity"), 2).as("s"))

@@ -73,6 +73,26 @@ class StreamingSpec extends SparkSpec {
     assert(keys.count(_ == (2L, "click")) == 1)
   }
 
+  test("flatMapGroupsWithState running totals: streaming == batch, state carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamTwins.runningTotals(mem.toDF()).writeStream
+      .format("memory").queryName("trt").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows.take(4))
+      q.processAllAvailable()
+      mem.addData(rows.drop(4))     // second batch: state must carry over
+      q.processAllAvailable()
+      val stream = spark.table("trt").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = StreamTwins.runningTotals(rows.toDF()).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(stream == batch)
+      // user 2 saw events 4,5,6 -> n_so_far must reach 3 across batches
+      assert(stream.exists(t => t._1 == 2L && t._3 == 3L))
+    } finally q.stop()
+  }
+
   test("watermark drops rows later than watermark + delay in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
