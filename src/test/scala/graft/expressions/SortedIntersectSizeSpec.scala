@@ -41,4 +41,16 @@ class SortedIntersectSizeSpec extends SparkSpec {
       bad.select(SortedIntersectSize.sizeOfIntersect(col("a"), col("b"))).collect()
     }
   }
+
+  test("SQL surface via GraftExtensions: sorted_intersect_size callable from spark.sql") {
+    graft.plans.GraftExtensions.register(spark)
+    val n = spark.sql(
+      "SELECT sorted_intersect_size(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS n")
+      .head.getInt(0)
+    assert(n == 2)
+    val err = intercept[Exception] {
+      spark.sql("SELECT sorted_intersect_size(array('a'), array(1L))").collect()
+    }
+    assert(err.getMessage.contains("array<bigint>"))
+  }
 }
