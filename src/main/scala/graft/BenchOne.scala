@@ -1,0 +1,18 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev tool: time a single declared query at a given sf. */
+object BenchOne extends App {
+  val Array(name, sfDir) = args
+  val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  val spark = SparkSession.builder().master(s"local[$cpus]")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false").getOrCreate()
+  spark.sparkContext.setLogLevel("ERROR")
+  val fn = SparkEntry.queries(name)
+  fn(spark, sfDir).count() // warm
+  val t0 = System.nanoTime()
+  val n = fn(spark, sfDir).count()
+  println(f"BENCHONE $name rows=$n sec=${(System.nanoTime()-t0)/1e9}%.2f")
+  spark.stop()
+}

@@ -55,7 +55,18 @@ object MinHashLSH {
     */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 8, bands: Int = 4,
-                     maxBucket: Int = 1000): DataFrame = {
+                     maxBucket: Int = 1000): DataFrame =
+    candidatePairsRaw(docs, idCol, textCol, k, bands, maxBucket).distinct()
+
+  /** Candidate pairs WITHOUT the cross-band dedup — a pair agreeing on m
+    * bands appears m times. When a downstream exact-verify filter runs
+    * anyway (the normal LSH pipeline), deduping AFTER that filter is much
+    * cheaper: the filter output is small, while deduping here shuffles the
+    * full candidate multiset.
+    */
+  def candidatePairsRaw(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, bands: Int = 4,
+                        maxBucket: Int = 1000): DataFrame = {
     val signed = withSignature(docs.select(col(idCol), col(textCol)), textCol, k)
     // band keys join-compressed to xxhash64 longs: the bucket join compares
     // 8-byte keys instead of 60+-char md5 concatenations (same buckets
@@ -73,6 +84,5 @@ object MinHashLSH {
       .join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
   }
 }

@@ -24,7 +24,9 @@ object PipelineQueries {
     */
   def q85_dedup_minhash_lsh(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val cand = MinHashLSH.candidatePairs(docs, "doc_id", "text",
+    // raw (multi-band) candidates: dedup AFTER the jaccard filter — the
+    // filtered set is tiny, the unfiltered candidate multiset is not
+    val cand = MinHashLSH.candidatePairsRaw(docs, "doc_id", "text",
       k = 8, bands = 4, maxBucket = Int.MaxValue)
     // verification intersect runs on interned (xxhash64) token ids — same
     // set sizes w.h.p., far cheaper per candidate pair
@@ -35,6 +37,7 @@ object PipelineQueries {
       .withColumn("jaccard_raw", Dedup.jaccardSortedIds(col("tok_a"), col("tok_b")))
       .filter(col("jaccard_raw") >= 0.9)
       .select(col("id_a"), col("id_b"), Det.r4(col("jaccard_raw")).as("jaccard"))
+      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 
