@@ -1,0 +1,106 @@
+package graft.sources
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** SoQL-style query parameters — the reference client's request surface
+  * (`$select,$where,$order,$group,$having,$limit,$offset,$q`; SURVEY §2.1
+  * [E2, published SODA API]) re-expressed over DataFrames. Expression
+  * strings are parsed by Spark's SQL parser (`expr`), so the full SoQL
+  * scalar/aggregate function surface maps to Spark SQL's.
+  *
+  * List-valued params are Scala Seqs rather than comma-joined strings —
+  * commas inside function calls make string splitting ambiguous; the
+  * reference had the same problem and punted it to the server.
+  */
+case class SoqlParams(
+    select: Seq[String] = Nil,        // "$select" — expressions, may alias
+    where: Option[String] = None,     // "$where"  — boolean expression
+    group: Seq[String] = Nil,         // "$group"
+    having: Option[String] = None,    // "$having"
+    order: Seq[String] = Nil,         // "$order"  — "col [asc|desc]"
+    limit: Option[Int] = None,        // "$limit"
+    offset: Option[Int] = None,       // "$offset"
+    q: Option[String] = None)         // "$q" — full-text over text columns
+
+object Soql {
+
+  /** Apply SoQL parameter semantics in SODA's evaluation order:
+    * q → where → group/select(+having) → order → offset → limit.
+    */
+  def apply(df0: DataFrame, p: SoqlParams): DataFrame = {
+    var df = df0
+    p.q.foreach { terms =>
+      // SODA $q searches all text fields: keep rows where ANY string
+      // column contains EVERY term (token match, case-sensitive fixture
+      // semantics; the reference delegated stemming to the server)
+      val textCols = df.schema.fields
+        .filter(_.dataType == StringType).map(_.name)
+      val perCol = textCols.map { c =>
+        terms.trim.split("\\s+").map(t =>
+          array_contains(split(col(c), " "), t)).reduce(_ && _)
+      }
+      if (perCol.nonEmpty) df = df.filter(perCol.reduce(_ || _))
+    }
+    p.where.foreach(w => df = df.filter(expr(w)))
+    if (p.group.nonEmpty) {
+      val aggExprs = p.select.filterNot(p.group.contains).map(expr)
+      require(aggExprs.nonEmpty, "$group requires aggregate $select exprs")
+      df = df.groupBy(p.group.map(col): _*)
+        .agg(aggExprs.head, aggExprs.tail: _*)
+      p.having.foreach(h => df = df.filter(expr(h)))
+    } else if (p.select.nonEmpty) {
+      df = df.select(p.select.map(expr): _*)
+    }
+    if (p.order.nonEmpty) {
+      val sorts = p.order.map { o =>
+        val parts = o.trim.split("\\s+")
+        if (parts.length > 1 && parts(1).equalsIgnoreCase("desc"))
+          col(parts(0)).desc
+        else col(parts(0)).asc
+      }
+      df = df.orderBy(sorts: _*)
+    }
+    p.offset.foreach(n => df = df.offset(n))
+    p.limit.foreach(n => df = df.limit(n))
+    df
+  }
+}
+
+/** The reference client's two-call surface (`client.list`,
+  * `client.data_for(id, params)` [E2]) over a directory of parquet tables:
+  * a drop-in orientation point for users switching from the Ruby gem.
+  */
+class GraftClient(spark: SparkSession, dir: String) {
+
+  /** `client.list` — the dataset catalog. */
+  def list: DataFrame = Catalog.list(spark, dir)
+
+  /** `client.data_for(name)` with optional SoQL-style params. Tables with
+    * pinned fixture schemas read through `graft.Tables`; anything else
+    * reads schema-on-file.
+    */
+  def dataFor(table: String, params: SoqlParams = SoqlParams()): DataFrame = {
+    import graft.Tables
+    val base = table match {
+      case "region" => Tables.region(spark, dir)
+      case "nation" => Tables.nation(spark, dir)
+      case "supplier" => Tables.supplier(spark, dir)
+      case "customer" => Tables.customer(spark, dir)
+      case "part" => Tables.part(spark, dir)
+      case "orders" => Tables.orders(spark, dir)
+      case "lineitem" => Tables.lineitem(spark, dir)
+      case "events" => Tables.events(spark, dir)
+      case "documents" => Tables.documents(spark, dir)
+      case "embeddings" => Tables.embeddings(spark, dir)
+      case other => spark.read.parquet(s"$dir/$other.parquet")
+    }
+    Soql(base, params)
+  }
+
+  /** `$q`-only convenience over one known text column. */
+  def fullText(table: String, textCol: String, query: String): DataFrame =
+    TextFunctions.fullTextSearch(dataFor(table), textCol, query)
+}

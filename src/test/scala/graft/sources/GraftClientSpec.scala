@@ -1,0 +1,70 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class GraftClientSpec extends SparkSpec {
+
+  private def client = new GraftClient(spark, sfDir)
+
+  test("client.list mirrors the catalog") {
+    assert(client.list.count() >= 10)
+  }
+
+  test("dataFor with no params returns the full table") {
+    assert(client.dataFor("nation").count() == 25)
+  }
+
+  test("$select/$where/$order/$limit translate to the DataFrame ops") {
+    val got = client.dataFor("orders", SoqlParams(
+      select = Seq("o_orderkey", "round(o_totalprice, 2) as price"),
+      where = Some("o_orderstatus = 'P'"),
+      order = Seq("price desc", "o_orderkey"),
+      limit = Some(10)))
+    val want = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "P")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(10)
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("$group/$having aggregate path") {
+    val got = client.dataFor("orders", SoqlParams(
+      select = Seq("o_orderstatus", "count(1) as n"),
+      group = Seq("o_orderstatus"),
+      having = Some("n > 10"),
+      order = Seq("o_orderstatus")))
+    val want = Tables.orders(spark, sfDir)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 10).orderBy("o_orderstatus")
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("$offset pages through a stable order") {
+    val p1 = client.dataFor("nation", SoqlParams(
+      select = Seq("n_nationkey"), order = Seq("n_nationkey"), limit = Some(5)))
+    val p2 = client.dataFor("nation", SoqlParams(
+      select = Seq("n_nationkey"), order = Seq("n_nationkey"),
+      offset = Some(5), limit = Some(5)))
+    val keys = (p1.collect() ++ p2.collect()).map(_.getInt(0)).toSeq
+    assert(keys == (0 until 10))
+  }
+
+  test("$q searches every text column conjunctively") {
+    val got = client.dataFor("documents", SoqlParams(q = Some("join filter")))
+    val want = Tables.documents(spark, sfDir)
+      .filter(array_contains(split(col("text"), " "), "join") &&
+        array_contains(split(col("text"), " "), "filter"))
+    assert(got.count() == want.count())
+    assert(client.dataFor("documents",
+      SoqlParams(q = Some("zz_nonexistent"))).count() == 0)
+  }
+
+  test("unknown table falls back to schema-on-file parquet") {
+    assert(client.dataFor("region").schema == Tables.regionSchema)
+    intercept[Exception] {
+      client.dataFor("not_a_table").collect()
+    }
+  }
+}
