@@ -12,6 +12,8 @@ class DedupSpec extends SparkSpec {
     val once = Dedup.exact(docs, "doc_id", Seq("text"))
     val twice = Dedup.exact(once, "doc_id", Seq("text"))
     assert(once.count() == twice.count())
+    // no internal columns leak into user output
+    assert(once.columns.toSet == docs.columns.toSet)
     // fixtures have no exact dups → dedup is identity on count
     assert(once.count() == docs.count())
   }
