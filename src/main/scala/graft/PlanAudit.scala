@@ -10,7 +10,8 @@ object PlanAudit extends App {
   spark.sparkContext.setLogLevel("ERROR")
   val sf = "/root/testdata/sf0.01"
   val targets = Seq("q02_filter_where", "q11_join_multiway", "q20_agg_hash",
-    "q30_window_rank", "q82_knn_cosine", "q05_topk_global", "q15_join_theta")
+    "q30_window_rank", "q82_knn_cosine", "q05_topk_global", "q15_join_theta",
+    "q85_dedup_minhash_lsh", "q86_dedup_ngram", "q16_join_asof")
   targets.foreach { q =>
     println(s"\n========== $q ==========")
     println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(

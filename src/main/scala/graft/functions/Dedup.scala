@@ -68,12 +68,28 @@ object Dedup {
     // longs instead of multi-word strings
     val g = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
       array_sort(transform(ngrams(col(textCol), n), s => xxhash64(s))).as("g"))
-    g.as("a").join(g.as("b"),
-        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
-      .withColumn("jac", jaccardSortedIds(col("a.g"), col("b.g")))
-      .filter(col("jac") >= threshold)
+
+    // Exact prefix filter (Bayardo/PPJoin): under one global element order
+    // (the sorted hashes), J(A,B) ≥ t forces |A∩B| ≥ ceil(t·|A|), so A and
+    // B must share an element inside their first |·| − ceil(t·|·|) + 1
+    // elements. Candidates come from an inverted index over those prefixes
+    // — a superset of the true pairs (no false negatives), far smaller
+    // than block-all-pairs when shingle vocabulary is rich.
+    val prefixLen = (size(col("g")) - ceil(size(col("g")) * threshold) + 1)
+      .cast("int")
+    val idx = g.select(col("block"), col("id"), col("g"),
+        explode(slice(col("g"), lit(1), greatest(prefixLen, lit(1)))).as("p"))
+    val cand = idx.as("a").join(idx.as("b"),
+        col("a.block") === col("b.block") && col("a.p") === col("b.p") &&
+          col("a.id") < col("b.id"))
       .select(col("a.block").as("block"), col("a.id").as("id_a"),
-        col("b.id").as("id_b"), Det.r4(col("jac")).as("jaccard"))
+        col("b.id").as("id_b"), col("a.g").as("ga"), col("b.g").as("gb"))
+    cand
+      .withColumn("jac", jaccardSortedIds(col("ga"), col("gb")))
+      .filter(col("jac") >= threshold)
+      .select(col("block"), col("id_a"), col("id_b"),
+        Det.r4(col("jac")).as("jaccard"))
+      .distinct()
   }
 
   /** Semantic near-duplicate pairs: embedding cosine ≥ threshold, blocked

@@ -8,14 +8,42 @@ import org.apache.spark.sql.functions._
   */
 class DeclaredQueriesSpec extends SparkSpec {
 
-  test("every declared query has an oracle and runs non-empty at sf0.001") {
+  // pinned sf0.001 row counts — the cheap regression net under the full
+  // DuckDB-oracle gate; a count change means a semantic change
+  private val golden: Map[String, Long] = Map(
+    "q01_scan_project" -> 100L, "q02_filter_where" -> 48L,
+    "q03_project_arith" -> 500L, "q04_sort_multi" -> 200L,
+    "q05_topk_global" -> 50L, "q10_join_inner" -> 1000L,
+    "q11_join_multiway" -> 1L, "q12_join_left_outer" -> 150L,
+    "q13_join_semi" -> 27L, "q14_join_anti" -> 7L, "q15_join_theta" -> 25L,
+    "q16_join_asof" -> 202L, "q17_join_cross" -> 125L, "q20_agg_hash" -> 6L,
+    "q21_agg_distinct" -> 5L, "q22_agg_rollup" -> 31L, "q23_agg_cube" -> 24L,
+    "q25_agg_having" -> 149L, "q26_agg_stats" -> 5L,
+    "q30_window_rank" -> 449L, "q31_window_frame" -> 1000L,
+    "q32_window_lag" -> 1000L, "q40_union" -> 57L, "q41_intersect" -> 4L,
+    "q42_except" -> 30L, "q50_string_funcs" -> 200L,
+    "q51_date_funcs" -> 80L, "q52_math_funcs" -> 500L,
+    "q53_case_coalesce" -> 15L, "q54_array_funcs" -> 100L,
+    "q55_json_map" -> 5L, "q60_window_tumbling" -> 150L,
+    "q61_window_sliding" -> 123L, "q62_session_window" -> 946L,
+    "q63_dedup_keyed" -> 75L, "q70_udf_scalar" -> 3L,
+    "q71_udaf_weighted" -> 3L, "q72_udtf_explode" -> 192L,
+    "q80_dedup_exact" -> 500L, "q81_sim_jaccard" -> 7289L,
+    "q82_knn_cosine" -> 25L, "q83_text_topterms" -> 25L,
+    "q84_text_langstats" -> 99L, "q85_dedup_minhash_lsh" -> 11025L,
+    "q86_dedup_ngram" -> 8L, "q87_dedup_embcos" -> 82L,
+    "q88_text_quality" -> 500L, "q89_doc_fingerprint" -> 500L,
+    "q90_fulltext_search" -> 304L)
+
+  test("every declared query has an oracle and matches its golden sf0.001 count") {
     val qs = SparkEntry.queries
-    assert(qs.size >= 43)
+    assert(qs.size == golden.size,
+      s"query set changed: ${qs.keySet.diff(golden.keySet)} / ${golden.keySet.diff(qs.keySet)} -- re-pin golden counts")
     assert(SparkEntry.oracleSql.keySet == qs.keySet,
       s"oracle/queries key mismatch: ${qs.keySet.diff(SparkEntry.oracleSql.keySet)} / ${SparkEntry.oracleSql.keySet.diff(qs.keySet)}")
     qs.foreach { case (name, fn) =>
       val n = fn(spark, sfDir).count()
-      assert(n > 0, s"$name returned 0 rows")
+      assert(n == golden(name), s"$name: got $n rows, golden ${golden(name)}")
     }
   }
 
