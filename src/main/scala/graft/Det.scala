@@ -18,11 +18,12 @@ object Det {
 
   /** double-precision dot product of two float vectors, accumulated
     * left-to-right (matches DuckDB list_dot_product on double-cast lists).
+    * Backed by the codegen'd [[graft.expressions.DotProductD]] — the HOF
+    * formulation (`aggregate(zip_with(...))`) computes the identical
+    * double but materializes an intermediate array per row.
     */
   def dotD(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.expressions.DotProductD.dot(a, b)
 
   /** L2 norm of a float vector, in double precision. */
   def l2norm(v: Column): Column = sqrt(dotD(v, v))

@@ -102,7 +102,8 @@ object Ann {
       .select(col(coarseKey).as("cell"), col("embedding"))
       .groupBy(col("cell"))
       .agg(array((0 until dim).map(i =>
-        avg(element_at(col("embedding"), i + 1))): _*).as("centroid"))
+        avg(element_at(col("embedding"), i + 1))): _*)
+        .cast("array<float>").as("centroid"))
     val pw = Window.partitionBy(col("probe_id"))
       .orderBy(col("cent_sim").desc, col("cell").asc)
     val probeCells = broadcast(probes
