@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   *  1. `bruteForceTopK` — exact cosine top-k, probe side broadcast, corpus
   *     side streamed map-side. Correctness baseline (q82 uses this shape);
   *     fine whenever |probes| is bounded.
-  *  2. `srpTopK` — signed-random-projection LSH: each vector gets a
+  *  2. `srpTopK` — signed-random-projection LSH (Charikar STOC 2002
+  *     rounding-hyperplane sketch): each vector gets a
   *     `nbits`-bit signature from deterministic ±1 hyperplanes
   *     (sign pattern derived from xxhash64(plane,dim) — no RNG state, so
   *     the bucketing is reproducible). Probes only score candidates whose

@@ -69,7 +69,9 @@ object Dedup {
     val g = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
       array_sort(transform(ngrams(col(textCol), n), s => xxhash64(s))).as("g"))
 
-    // Exact prefix filter (Bayardo/PPJoin): under one global element order
+    // Exact prefix filter (Bayardo/Ma/Srikant, "Scaling up all pairs
+    // similarity search", WWW 2007; positional refinement in Xiao et al.
+    // PPJoin, WWW 2008 — public literature): under one global element order
     // (the sorted hashes), J(A,B) ≥ t forces |A∩B| ≥ ceil(t·|A|), so A and
     // B must share an element inside their first |·| − ceil(t·|·|) + 1
     // elements. Candidates come from an inverted index over those prefixes

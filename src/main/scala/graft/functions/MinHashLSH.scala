@@ -3,7 +3,10 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** MinHash + LSH banding for near-duplicate candidate generation at scale.
+/** MinHash + LSH banding for near-duplicate candidate generation at scale
+  * (Broder, "On the resemblance and containment of documents", SEQUENCES
+  * 1997; banding analysis per Leskovec/Rajaraman/Ullman, Mining of Massive
+  * Datasets ch. 3 — both public literature).
   *
   * The exact within-block Jaccard join (q81) is quadratic per block; at
   * 100 TB the only viable shape is signature → band → bucket-join:
