@@ -1,0 +1,54 @@
+package graft
+
+/** Physical-plan shape regressions: the scale properties PlanAudit checks
+  * by eye, pinned as assertions — broadcast joins stay broadcast, pushdown
+  * stays pushed, top-k stays TakeOrderedAndProject, quadratic paths stay
+  * cartesian-free. A change that silently degrades one of these would pass
+  * every value-correctness gate and still be wrong at 100 TB.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q11 multiway join: all five dim joins are broadcast-hash") {
+    val p = plan("q11_join_multiway")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5, p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q02 filter predicates are pushed into the parquet scan") {
+    val p = plan("q02_filter_where")
+    // toString elides the filter list tail — assert on the visible head
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(1500))
+  }
+
+  test("q20 aggregation is two-phase (partial + final HashAggregate)") {
+    val p = plan("q20_agg_hash")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("q05 global top-k compiles to TakeOrderedAndProject, not a full sort") {
+    val p = plan("q05_topk_global")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1000))
+  }
+
+  test("q82 KNN broadcasts the probe side") {
+    val p = plan("q82_knn_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("near-dup pipelines never plan a cartesian product") {
+    Seq("q81_sim_jaccard", "q85_dedup_minhash_lsh", "q86_dedup_ngram",
+      "q87_dedup_embcos").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1200)}")
+    }
+  }
+
+  test("q01/q20 scans read only the referenced columns (pruning)") {
+    val p = plan("q01_scan_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      p.take(1200))
+  }
+}
