@@ -33,21 +33,25 @@ object SparkEntry {
     "q15_join_theta" -> (JoinQueries.q15_join_theta _),
     "q16_join_asof" -> (JoinQueries.q16_join_asof _),
     "q17_join_cross" -> (JoinQueries.q17_join_cross _),
+    "q18_join_full_outer" -> (JoinQueries.q18_join_full_outer _),
     // C. aggregation
     "q20_agg_hash" -> (AggQueries.q20_agg_hash _),
     "q21_agg_distinct" -> (AggQueries.q21_agg_distinct _),
     "q22_agg_rollup" -> (AggQueries.q22_agg_rollup _),
     "q23_agg_cube" -> (AggQueries.q23_agg_cube _),
     "q25_agg_having" -> (AggQueries.q25_agg_having _),
+    "q27_agg_percentile" -> (AggQueries.q27_agg_percentile _),
     "q26_agg_stats" -> (AggQueries.q26_agg_stats _),
     // D. windows
     "q30_window_rank" -> (WindowSetQueries.q30_window_rank _),
     "q31_window_frame" -> (WindowSetQueries.q31_window_frame _),
     "q32_window_lag" -> (WindowSetQueries.q32_window_lag _),
+    "q33_window_ntile" -> (WindowSetQueries.q33_window_ntile _),
     // E. set ops
     "q40_union" -> (WindowSetQueries.q40_union _),
     "q41_intersect" -> (WindowSetQueries.q41_intersect _),
     "q42_except" -> (WindowSetQueries.q42_except _),
+    "q43_union_all" -> (WindowSetQueries.q43_union_all _),
     // F. scalar functions
     "q50_string_funcs" -> (ScalarQueries.q50_string_funcs _),
     "q51_date_funcs" -> (ScalarQueries.q51_date_funcs _),
@@ -55,6 +59,7 @@ object SparkEntry {
     "q53_case_coalesce" -> (ScalarQueries.q53_case_coalesce _),
     "q54_array_funcs" -> (ScalarQueries.q54_array_funcs _),
     "q55_json_map" -> (ScalarQueries.q55_json_map _),
+    "q56_regex_funcs" -> (ScalarQueries.q56_regex_funcs _),
     // G. streaming shapes (batch twins; true streaming in graft.streaming)
     "q60_window_tumbling" -> (StreamShapeQueries.q60_window_tumbling _),
     "q61_window_sliding" -> (StreamShapeQueries.q61_window_sliding _),

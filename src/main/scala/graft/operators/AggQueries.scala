@@ -74,6 +74,19 @@ object AggQueries {
         Det.r2(col("total_raw")).as("total"))
       .orderBy(col("o_custkey"))
 
+  /** Exact interpolated percentiles (SoQL/`Enumerable` stats surface):
+    * Spark's `percentile` and DuckDB's `percentile_cont` share the linear-
+    * interpolation-at-rank definition; 4-dp rounding absorbs ulp drift.
+    */
+  def q27_agg_percentile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        Det.r4(expr("percentile(value, 0.5)")).as("p50"),
+        Det.r4(expr("percentile(value, 0.9)")).as("p90"),
+        Det.r4(expr("percentile(value, 0.99)")).as("p99"))
+      .orderBy(col("event_type"))
+
   def q26_agg_stats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
@@ -134,6 +147,12 @@ object AggQueries {
         |  round(min(value), 4) AS min_v,
         |  round(max(value), 4) AS max_v,
         |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q27_agg_percentile" ->
+      """SELECT event_type,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4) AS p50,
+        |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 4) AS p90,
+        |  round(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 4) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

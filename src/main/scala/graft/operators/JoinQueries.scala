@@ -107,6 +107,23 @@ object JoinQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Full outer join with rows unmatched on BOTH sides: negative-balance
+    * customers ⟗ customers holding a >490k order.
+    */
+  def q18_join_full_outer(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") < 0)
+      .select(col("c_custkey"), Det.r2(col("c_acctbal")).as("neg_bal"))
+    val b = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 490000)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big"))
+    a.join(b, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("neg_bal"), col("n_big"))
+      .orderBy(col("custkey"))
+  }
+
   def q17_join_cross(spark: SparkSession, sfDir: String): DataFrame =
     Tables.region(spark, sfDir).select(col("r_name"))
       .crossJoin(Tables.nation(spark, sfDir).select(col("n_name")))
@@ -159,5 +176,14 @@ object JoinQueries {
     "q17_join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+    "q18_join_full_outer" ->
+      """SELECT coalesce(a.c_custkey, b.o_custkey) AS custkey,
+        |  a.neg_bal, b.n_big
+        |FROM (SELECT c_custkey, round(c_acctbal, 2) AS neg_bal
+        |      FROM customer WHERE c_acctbal < 0) a
+        |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_big
+        |      FROM orders WHERE o_totalprice > 490000 GROUP BY o_custkey) b
+        |  ON a.c_custkey = b.o_custkey
+        |ORDER BY custkey""".stripMargin,
   )
 }

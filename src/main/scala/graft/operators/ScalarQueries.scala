@@ -55,6 +55,18 @@ object ScalarQueries {
         col("ce"), col("fl"), col("pw"), col("ln_p"))
       .limit(500)
 
+  /** regex surface: group extraction, numeric capture, full-match test */
+  def q56_regex_funcs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 2).as("second_word"),
+        regexp_extract(col("p_brand"), "Brand#([0-9]+)", 1).cast("int")
+          .as("brand_num"),
+        col("p_type").rlike("^[A-Z]+$").as("all_caps"))
+      .orderBy(col("p_partkey"))
+      .limit(500)
+
   def q53_case_coalesce(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .select(
@@ -125,6 +137,12 @@ object ScalarQueries {
         |  coalesce(nullif(o_orderpriority, '4-NOT SPECIFIED'), 'none') AS prio,
         |  count(*) AS n
         |FROM orders GROUP BY 1, 2 ORDER BY status_label, prio""".stripMargin,
+    "q56_regex_funcs" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+        |  CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INTEGER) AS brand_num,
+        |  regexp_matches(p_type, '^[A-Z]+$') AS all_caps
+        |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
     "q54_array_funcs" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,

@@ -56,6 +56,22 @@ object WindowSetQueries {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Distribution window functions: ntile quartiles, percent_rank and
+    * cume_dist — all rank-derived rationals, deterministic under the
+    * unique (price, orderkey) sort.
+    */
+  def q33_window_ntile(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        Det.r2(col("o_totalprice")).as("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pr", Det.r6(percent_rank().over(w)))
+      .withColumn("cd", Det.r6(cume_dist().over(w)))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
   private def buildingCustkeys(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)
       .filter(col("c_mktsegment") === "BUILDING")
@@ -70,6 +86,12 @@ object WindowSetQueries {
     buildingCustkeys(spark, sfDir)
       .union(bigOrderCustkeys(spark, sfDir))
       .distinct()
+      .orderBy(col("c_custkey"))
+
+  /** multiset union — duplicates preserved (Spark union == SQL UNION ALL) */
+  def q43_union_all(spark: SparkSession, sfDir: String): DataFrame =
+    buildingCustkeys(spark, sfDir)
+      .union(bigOrderCustkeys(spark, sfDir))
       .orderBy(col("c_custkey"))
 
   def q41_intersect(spark: SparkSession, sfDir: String): DataFrame =
@@ -109,8 +131,19 @@ object WindowSetQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q33_window_ntile" ->
+      """SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q40_union" ->
       s"""SELECT c_custkey FROM ($setA UNION $setB) ORDER BY c_custkey""",
+    "q43_union_all" ->
+      s"""SELECT c_custkey FROM ($setA UNION ALL $setB) ORDER BY c_custkey""",
     "q41_intersect" ->
       s"""SELECT c_custkey FROM ($setA INTERSECT $setB) ORDER BY c_custkey""",
     "q42_except" ->

@@ -33,7 +33,9 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q84_text_langstats" -> 99L, "q85_dedup_minhash_lsh" -> 11025L,
     "q86_dedup_ngram" -> 8L, "q87_dedup_embcos" -> 82L,
     "q88_text_quality" -> 500L, "q89_doc_fingerprint" -> 500L,
-    "q90_fulltext_search" -> 304L)
+    "q90_fulltext_search" -> 304L, "q18_join_full_outer" -> 36L,
+    "q27_agg_percentile" -> 5L, "q33_window_ntile" -> 1500L,
+    "q43_union_all" -> 65L, "q56_regex_funcs" -> 200L)
 
   test("every declared query has an oracle and matches its golden sf0.001 count") {
     val qs = SparkEntry.queries
