@@ -41,17 +41,20 @@ object SparkEntry {
     "q23_agg_cube" -> (AggQueries.q23_agg_cube _),
     "q25_agg_having" -> (AggQueries.q25_agg_having _),
     "q27_agg_percentile" -> (AggQueries.q27_agg_percentile _),
+    "q28_agg_minmax_by" -> (AggQueries.q28_agg_minmax_by _),
     "q26_agg_stats" -> (AggQueries.q26_agg_stats _),
     // D. windows
     "q30_window_rank" -> (WindowSetQueries.q30_window_rank _),
     "q31_window_frame" -> (WindowSetQueries.q31_window_frame _),
     "q32_window_lag" -> (WindowSetQueries.q32_window_lag _),
     "q33_window_ntile" -> (WindowSetQueries.q33_window_ntile _),
+    "q34_window_range" -> (WindowSetQueries.q34_window_range _),
     // E. set ops
     "q40_union" -> (WindowSetQueries.q40_union _),
     "q41_intersect" -> (WindowSetQueries.q41_intersect _),
     "q42_except" -> (WindowSetQueries.q42_except _),
     "q43_union_all" -> (WindowSetQueries.q43_union_all _),
+    "q44_except_all" -> (WindowSetQueries.q44_except_all _),
     // F. scalar functions
     "q50_string_funcs" -> (ScalarQueries.q50_string_funcs _),
     "q51_date_funcs" -> (ScalarQueries.q51_date_funcs _),

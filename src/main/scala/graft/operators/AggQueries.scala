@@ -87,6 +87,19 @@ object AggQueries {
         Det.r4(expr("percentile(value, 0.99)")).as("p99"))
       .orderBy(col("event_type"))
 
+  /** max_by/min_by with an explicit lexicographic (value, id) tie-break —
+    * bare max_by on a double key is nondeterministic under ties.
+    */
+  def q28_agg_minmax_by(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("max_by(event_id, struct(value, event_id))").as("id_of_max"),
+        expr("min_by(event_id, struct(value, event_id))").as("id_of_min"),
+        Det.r4(max(col("value"))).as("max_v"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   def q26_agg_stats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
@@ -148,6 +161,20 @@ object AggQueries {
         |  round(max(value), 4) AS max_v,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q28_agg_minmax_by" ->
+      """WITH mx AS (SELECT event_type, event_id AS id_of_max FROM (
+        |    SELECT event_type, event_id, row_number() OVER (
+        |      PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |  mn AS (SELECT event_type, event_id AS id_of_min FROM (
+        |    SELECT event_type, event_id, row_number() OVER (
+        |      PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |  st AS (SELECT event_type, round(max(value), 4) AS max_v,
+        |    count(*) AS n FROM events GROUP BY 1)
+        |SELECT st.event_type, mx.id_of_max, mn.id_of_min, st.max_v, st.n
+        |FROM st JOIN mx USING (event_type) JOIN mn USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "q27_agg_percentile" ->
       """SELECT event_type,
         |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4) AS p50,

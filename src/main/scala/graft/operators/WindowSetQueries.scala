@@ -72,6 +72,24 @@ object WindowSetQueries {
       .orderBy(col("o_orderpriority"), col("o_orderkey"))
   }
 
+  /** Time-range window frame: clicks by the same user in the hour strictly
+    * before each purchase. The frame is a RANGE over epoch-µs — one shuffle
+    * on user_id, no self-join, linear state per user (the shape a
+    * range-join would otherwise explode).
+    */
+  def q34_window_range(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, -1L)  // [ts−1h, ts−1µs]
+    Tables.events(spark, sfDir)
+      .withColumn("n_prior_clicks",
+        coalesce(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .over(w), lit(0L)))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("n_prior_clicks"))
+      .orderBy(col("event_id"))
+  }
+
   private def buildingCustkeys(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)
       .filter(col("c_mktsegment") === "BUILDING")
@@ -93,6 +111,17 @@ object WindowSetQueries {
     buildingCustkeys(spark, sfDir)
       .union(bigOrderCustkeys(spark, sfDir))
       .orderBy(col("c_custkey"))
+
+  /** multiset difference with real duplicate counts: orderkeys of 'A'
+    * lineitems minus orderkeys of 'R' lineitems, per-occurrence.
+    */
+  def q44_except_all(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.filter(col("l_returnflag") === "A").select(col("l_orderkey"))
+      .exceptAll(
+        li.filter(col("l_returnflag") === "R").select(col("l_orderkey")))
+      .orderBy(col("l_orderkey"))
+  }
 
   def q41_intersect(spark: SparkSession, sfDir: String): DataFrame =
     buildingCustkeys(spark, sfDir)
@@ -140,10 +169,25 @@ object WindowSetQueries {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |  ORDER BY o_totalprice DESC, o_orderkey ASC)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q34_window_range" ->
+      """SELECT event_id, n_prior_clicks FROM (
+        |  SELECT event_id, event_type,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+        |          AND INTERVAL 1 MICROSECOND PRECEDING), 0) AS BIGINT) AS n_prior_clicks
+        |  FROM events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "q40_union" ->
       s"""SELECT c_custkey FROM ($setA UNION $setB) ORDER BY c_custkey""",
     "q43_union_all" ->
       s"""SELECT c_custkey FROM ($setA UNION ALL $setB) ORDER BY c_custkey""",
+    "q44_except_all" ->
+      """SELECT l_orderkey FROM (
+        |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+        |  EXCEPT ALL
+        |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        |ORDER BY l_orderkey""".stripMargin,
     "q41_intersect" ->
       s"""SELECT c_custkey FROM ($setA INTERSECT $setB) ORDER BY c_custkey""",
     "q42_except" ->

@@ -35,7 +35,9 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q88_text_quality" -> 500L, "q89_doc_fingerprint" -> 500L,
     "q90_fulltext_search" -> 304L, "q18_join_full_outer" -> 36L,
     "q27_agg_percentile" -> 5L, "q33_window_ntile" -> 1500L,
-    "q43_union_all" -> 65L, "q56_regex_funcs" -> 200L)
+    "q43_union_all" -> 65L, "q56_regex_funcs" -> 200L,
+    "q28_agg_minmax_by" -> 5L, "q34_window_range" -> 202L,
+    "q44_except_all" -> 957L)
 
   test("every declared query has an oracle and matches its golden sf0.001 count") {
     val qs = SparkEntry.queries
