@@ -42,6 +42,7 @@ object SparkEntry {
     "q25_agg_having" -> (AggQueries.q25_agg_having _),
     "q27_agg_percentile" -> (AggQueries.q27_agg_percentile _),
     "q28_agg_minmax_by" -> (AggQueries.q28_agg_minmax_by _),
+    "q29_agg_bool" -> (AggQueries.q29_agg_bool _),
     "q26_agg_stats" -> (AggQueries.q26_agg_stats _),
     // D. windows
     "q30_window_rank" -> (WindowSetQueries.q30_window_rank _),
@@ -49,6 +50,7 @@ object SparkEntry {
     "q32_window_lag" -> (WindowSetQueries.q32_window_lag _),
     "q33_window_ntile" -> (WindowSetQueries.q33_window_ntile _),
     "q34_window_range" -> (WindowSetQueries.q34_window_range _),
+    "q35_window_firstlast" -> (WindowSetQueries.q35_window_firstlast _),
     // E. set ops
     "q40_union" -> (WindowSetQueries.q40_union _),
     "q41_intersect" -> (WindowSetQueries.q41_intersect _),
@@ -63,6 +65,7 @@ object SparkEntry {
     "q54_array_funcs" -> (ScalarQueries.q54_array_funcs _),
     "q55_json_map" -> (ScalarQueries.q55_json_map _),
     "q56_regex_funcs" -> (ScalarQueries.q56_regex_funcs _),
+    "q57_date_arith" -> (ScalarQueries.q57_date_arith _),
     // G. streaming shapes (batch twins; true streaming in graft.streaming)
     "q60_window_tumbling" -> (StreamShapeQueries.q60_window_tumbling _),
     "q61_window_sliding" -> (StreamShapeQueries.q61_window_sliding _),
@@ -86,6 +89,7 @@ object SparkEntry {
     "q88_text_quality" -> (PipelineQueries.q88_text_quality _),
     "q89_doc_fingerprint" -> (PipelineQueries.q89_doc_fingerprint _),
     "q90_fulltext_search" -> (PipelineQueries.q90_fulltext_search _),
+    "q91_text_langid" -> (PipelineQueries.q91_text_langid _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

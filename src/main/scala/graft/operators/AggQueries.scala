@@ -100,6 +100,16 @@ object AggQueries {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** boolean aggregates (SoQL checkbox-column rollups) */
+  def q29_agg_bool(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        bool_and(col("c_acctbal") > 0).as("all_pos"),
+        bool_or(col("c_acctbal") < 0).as("any_neg"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+
   def q26_agg_stats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
@@ -161,6 +171,12 @@ object AggQueries {
         |  round(max(value), 4) AS max_v,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q29_agg_bool" ->
+      """SELECT c_mktsegment,
+        |  bool_and(c_acctbal > 0) AS all_pos,
+        |  bool_or(c_acctbal < 0) AS any_neg,
+        |  count(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q28_agg_minmax_by" ->
       """WITH mx AS (SELECT event_type, event_id AS id_of_max FROM (
         |    SELECT event_type, event_id, row_number() OVER (

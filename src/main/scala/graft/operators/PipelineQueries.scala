@@ -92,6 +92,38 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Language ID, fully hash-checked: vocabulary profiles (top-20 terms per
+    * lang by (count desc, term asc)) built from the corpus in one pass and
+    * broadcast; each doc scored by profile overlap; argmax with (overlap
+    * desc, lang asc) tie-break. The oracle rebuilds the identical profiles
+    * and scoring in SQL. (Fixture note: the corpus shares one vocabulary
+    * across langs, so predictions are dominated by the tie-break — the
+    * determinism and the pipeline shape are what is being verified.)
+    */
+  def q91_text_langid(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val wTop = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("term").asc)
+    val profiles = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 20)
+      .groupBy(col("lang")).agg(collect_list(col("term")).as("profile"))
+    val tok = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("t"))
+    val wBest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("ov").desc, col("lang").asc)
+    tok.crossJoin(broadcast(profiles))
+      .withColumn("ov", size(array_intersect(col("t"), col("profile"))))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"),
+        col("ov").cast("long").as("overlap"))
+      .orderBy(col("doc_id"))
+  }
+
   private val tokCte =
     "SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok FROM documents"
 
@@ -172,5 +204,22 @@ object PipelineQueries {
         |WHERE list_contains(string_split(text, ' '), 'join')
         |  AND list_contains(string_split(text, ' '), 'filter')
         |ORDER BY doc_id""".stripMargin,
+    "q91_text_langid" ->
+      """WITH tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+        |    FROM documents),
+        |  tc AS (SELECT lang, term, count(*) AS cnt FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+        |    GROUP BY 1, 2),
+        |  prof AS (SELECT lang, list(term) AS profile FROM (
+        |    SELECT lang, term, row_number() OVER (
+        |      PARTITION BY lang ORDER BY cnt DESC, term ASC) AS rn FROM tc)
+        |    WHERE rn <= 20 GROUP BY lang),
+        |  scored AS (SELECT d.doc_id, p.lang,
+        |    len(list_intersect(d.t, p.profile)) AS ov
+        |    FROM tok d CROSS JOIN prof p),
+        |  best AS (SELECT doc_id, lang, ov, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY ov DESC, lang ASC) AS rn FROM scored)
+        |SELECT doc_id, lang AS pred_lang, CAST(ov AS BIGINT) AS overlap
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
   )
 }

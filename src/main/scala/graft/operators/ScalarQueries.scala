@@ -67,6 +67,20 @@ object ScalarQueries {
       .orderBy(col("p_partkey"))
       .limit(500)
 
+  /** calendar arithmetic: add_months (month-end clamping matches DuckDB's
+    * `+ INTERVAL 1 MONTH`), last_day, day offsets — all emitted as DATE on
+    * both sides (dialects differ in timestamp-vs-date returns otherwise).
+    */
+  def q57_date_arith(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        add_months(to_date(col("o_orderdate")), 1).as("plus_month"),
+        last_day(to_date(col("o_orderdate"))).as("month_end"),
+        date_add(to_date(col("o_orderdate")), 7).as("plus_week"))
+      .orderBy(col("o_orderkey"))
+      .limit(500)
+
   def q53_case_coalesce(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .select(
@@ -137,6 +151,12 @@ object ScalarQueries {
         |  coalesce(nullif(o_orderpriority, '4-NOT SPECIFIED'), 'none') AS prio,
         |  count(*) AS n
         |FROM orders GROUP BY 1, 2 ORDER BY status_label, prio""".stripMargin,
+    "q57_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS plus_month,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(o_orderdate AS DATE) + 7 AS plus_week
+        |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin,
     "q56_regex_funcs" ->
       """SELECT p_partkey,
         |  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,

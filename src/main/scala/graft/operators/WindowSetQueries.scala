@@ -90,6 +90,24 @@ object WindowSetQueries {
       .orderBy(col("event_id"))
   }
 
+  /** first_value / last_value / nth_value over the full per-user frame,
+    * collapsed to one row per user.
+    */
+  def q35_window_firstlast(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, sfDir)
+      .withColumn("first_event", first_value(col("event_id")).over(full))
+      .withColumn("last_event", last_value(col("event_id")).over(full))
+      .withColumn("second_event", nth_value(col("event_id"), 2).over(full))
+      .withColumn("rn", row_number().over(ord))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("first_event"), col("last_event"),
+        col("second_event"))
+      .orderBy(col("user_id"))
+  }
+
   private def buildingCustkeys(spark: SparkSession, sfDir: String): DataFrame =
     Tables.customer(spark, sfDir)
       .filter(col("c_mktsegment") === "BUILDING")
@@ -178,6 +196,18 @@ object WindowSetQueries {
         |          AND INTERVAL 1 MICROSECOND PRECEDING), 0) AS BIGINT) AS n_prior_clicks
         |  FROM events)
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q35_window_firstlast" ->
+      """SELECT user_id, first_event, last_event, second_event FROM (
+        |  SELECT user_id,
+        |    first_value(event_id) OVER wf AS first_event,
+        |    last_value(event_id) OVER wf AS last_event,
+        |    nth_value(event_id, 2) OVER wf AS second_event,
+        |    row_number() OVER wo AS rn
+        |  FROM events
+        |  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |    wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q40_union" ->
       s"""SELECT c_custkey FROM ($setA UNION $setB) ORDER BY c_custkey""",
     "q43_union_all" ->

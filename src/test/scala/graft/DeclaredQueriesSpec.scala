@@ -37,7 +37,9 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q27_agg_percentile" -> 5L, "q33_window_ntile" -> 1500L,
     "q43_union_all" -> 65L, "q56_regex_funcs" -> 200L,
     "q28_agg_minmax_by" -> 5L, "q34_window_range" -> 202L,
-    "q44_except_all" -> 957L)
+    "q44_except_all" -> 957L, "q29_agg_bool" -> 5L,
+    "q35_window_firstlast" -> 15L, "q57_date_arith" -> 500L,
+    "q91_text_langid" -> 500L)
 
   test("every declared query has an oracle and matches its golden sf0.001 count") {
     val qs = SparkEntry.queries
