@@ -99,6 +99,34 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("localCheckpoint truncates lineage, values unchanged") {
+    val q = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "P")
+      .select("o_orderkey", "o_custkey")
+    val cp = q.localCheckpoint(true)
+    assert(cp.collect().toSet == q.collect().toSet)
+    // lineage gone: the checkpointed plan is a scan of materialized rows
+    assert(!cp.queryExecution.optimizedPlan.toString.contains("Filter"))
+  }
+
+  test("permissive CSV ingest captures malformed rows instead of failing") {
+    val dir = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bad.csv"),
+      "r_regionkey,r_name\n0,AFRICA\nnot_an_int,ASIA\n2,EUROPE\n".getBytes)
+    val schema = org.apache.spark.sql.types.StructType(
+      Tables.regionSchema.fields :+
+        org.apache.spark.sql.types.StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType))
+    val df = spark.read.schema(schema)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(s"$dir/bad.csv").cache()
+    try {
+      assert(df.count() == 3)
+      assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
+      assert(df.filter(col("r_regionkey").isNull).count() == 1)
+    } finally df.unpersist()
+  }
+
   test("cached result equals uncached result") {
     val q = Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag").agg(round(sum("l_quantity"), 2).as("s"))

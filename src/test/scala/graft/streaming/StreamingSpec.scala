@@ -93,6 +93,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-based stream source: q60 twin over parquet files == batch") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-src").toString
+    rows.toDF().write.mode("overwrite").parquet(dir)
+    val batch = StreamTwins.tumbling(rows.toDF()).collect().toSet
+    val stream = spark.readStream
+      .schema(rows.toDF().schema)
+      .parquet(dir)
+    val q = StreamTwins.tumbling(stream).writeStream
+      .format("memory").queryName("tfile")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("tfile").collect().toSet == batch)
+  }
+
   test("watermark drops rows later than watermark + delay in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
