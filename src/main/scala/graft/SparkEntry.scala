@@ -90,6 +90,8 @@ object SparkEntry {
     "q89_doc_fingerprint" -> (PipelineQueries.q89_doc_fingerprint _),
     "q90_fulltext_search" -> (PipelineQueries.q90_fulltext_search _),
     "q91_text_langid" -> (PipelineQueries.q91_text_langid _),
+    "q92_text_tfidf" -> (PipelineQueries.q92_text_tfidf _),
+    "q93_text_cooccur" -> (PipelineQueries.q93_text_cooccur _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -124,6 +124,56 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF: tf(term, doc) × ln(N / df(term)), top-3 terms per doc by
+    * (score desc, term asc). Two aggregation passes (term counts per doc,
+    * document frequencies) + a broadcast join — no per-doc loops; the
+    * standard relevance primitive of a text pipeline, hash-checked.
+    */
+  def q92_text_tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count().toDouble
+    val termCounts = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = termCounts
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    termCounts.join(broadcast(docFreq), "term")
+      .withColumn("tfidf",
+        Det.r6(col("tf") * log(lit(n) / col("df"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Term co-occurrence: top-5 unordered token pairs per lang by document
+    * co-occurrence count (the collocation/PMI numerator). Pairs come from
+    * each doc's distinct-token set — quadratic in tokens-per-doc (bounded,
+    * ~30), linear in docs.
+    */
+  def q93_text_cooccur(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        array_sort(array_distinct(split(col("text"), " "))).as("t"))
+    val pairs = toks
+      .select(col("lang"), col("doc_id"), explode(col("t")).as("a"), col("t"))
+      .select(col("lang"), col("doc_id"), col("a"), explode(col("t")).as("b"))
+      .filter(col("a") < col("b"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_docs").desc, col("a").asc, col("b").asc)
+    pairs
+      .groupBy(col("lang"), col("a"), col("b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy(col("lang"), col("rank"))
+  }
+
   private val tokCte =
     "SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok FROM documents"
 
@@ -204,6 +254,32 @@ object PipelineQueries {
         |WHERE list_contains(string_split(text, ' '), 'join')
         |  AND list_contains(string_split(text, ' '), 'filter')
         |ORDER BY doc_id""".stripMargin,
+    "q92_text_tfidf" ->
+      """WITH tc AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |    GROUP BY 1, 2),
+        |  dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+        |  nn AS (SELECT count(*) AS n FROM documents),
+        |  scored AS (SELECT tc.doc_id, tc.term, tc.tf, dfq.df,
+        |    round(tc.tf * ln(CAST(nn.n AS DOUBLE) / dfq.df), 6) AS tfidf
+        |    FROM tc JOIN dfq ON tc.term = dfq.term CROSS JOIN nn),
+        |  ranked AS (SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+        |    FROM scored)
+        |SELECT doc_id, term, tf, df, tfidf, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q93_text_cooccur" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |    list_sort(list_distinct(string_split(text, ' '))) AS tk FROM documents),
+        |  e1 AS (SELECT lang, doc_id, unnest(tk) AS a, tk FROM t),
+        |  e2 AS (SELECT lang, doc_id, a, unnest(tk) AS b FROM e1),
+        |  pr AS (SELECT lang, a, b, count(*) AS n_docs FROM e2
+        |    WHERE a < b GROUP BY 1, 2, 3),
+        |  r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY lang ORDER BY n_docs DESC, a ASC, b ASC) AS rank
+        |    FROM pr)
+        |SELECT lang, a, b, n_docs, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     "q91_text_langid" ->
       """WITH tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
         |    FROM documents),

@@ -39,7 +39,8 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q28_agg_minmax_by" -> 5L, "q34_window_range" -> 202L,
     "q44_except_all" -> 957L, "q29_agg_bool" -> 5L,
     "q35_window_firstlast" -> 15L, "q57_date_arith" -> 500L,
-    "q91_text_langid" -> 500L)
+    "q91_text_langid" -> 500L, "q92_text_tfidf" -> 1500L,
+    "q93_text_cooccur" -> 25L)
 
   test("every declared query has an oracle and matches its golden sf0.001 count") {
     val qs = SparkEntry.queries
