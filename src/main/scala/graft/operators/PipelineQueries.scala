@@ -132,7 +132,9 @@ object PipelineQueries {
   def q92_text_tfidf(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
-    val n = docs.count().toDouble
+    // N as a 1-row broadcast aggregate, not a driver-side count(): the
+    // query stays fully lazy and cluster-side
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n_total"))
     val termCounts = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -141,8 +143,9 @@ object PipelineQueries {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term").asc)
     termCounts.join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(nDf))
       .withColumn("tfidf",
-        Det.r6(col("tf") * log(lit(n) / col("df"))))
+        Det.r6(col("tf") * log(col("n_total") / col("df"))))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
