@@ -15,10 +15,13 @@ object Bench {
     // hygiene, applied identically at every sf.
     try SparkEntry.queries.get("q20_agg_hash").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
+    // a crashed query records -1.0, never a plausible-looking elapsed time
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

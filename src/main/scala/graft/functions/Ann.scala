@@ -98,13 +98,16 @@ object Ann {
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, coarseKey: String,
               k: Int, nprobe: Int = 2): DataFrame = {
-    val dim = 64
+    // dimension-agnostic centroids: explode to (cell, pos, value), average
+    // per position, reassemble ordered by pos — works for any vector dim
     val cells = corpus
-      .select(col(coarseKey).as("cell"), col("embedding"))
+      .select(col(coarseKey).as("cell"), posexplode(col("embedding")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("col")).as("m"))
       .groupBy(col("cell"))
-      .agg(array((0 until dim).map(i =>
-        avg(element_at(col("embedding"), i + 1))): _*)
-        .cast("array<float>").as("centroid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"),
+        transform(col("pm"), p => p.getField("m").cast("float")).as("centroid"))
     val pw = Window.partitionBy(col("probe_id"))
       .orderBy(col("cent_sim").desc, col("cell").asc)
     val probeCells = broadcast(probes

@@ -20,18 +20,26 @@ object Dedup {
     * `contentCols`. Scale: shuffle on the digest only; never a self-join.
     */
   def exact(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
-    val digest = md5(concat_ws(" ", contentCols.map(col): _*))
+    // digest over the JSON-encoded struct: injective across column
+    // boundaries and null-vs-empty (a plain separator concat would collide
+    // ("a b","c") with ("a","b c") and null with "")
+    val digest = md5(to_json(struct(contentCols.map(col): _*)))
     val keep = df.groupBy(digest.as("__h")).agg(min(col(idCol)).as(idCol))
       .select(idCol) // survivors only -- internal digest never leaks out
     df.join(keep, idCol)
   }
 
-  /** Word n-gram (shingle) set of a text column. */
+  /** Word n-gram (shingle) set of a text column. Documents shorter than n
+    * tokens yield an EMPTY set (not a truncated shingle) — this matches
+    * the q86/q89 oracle SQL, which generates no grams for len < n.
+    */
   def ngrams(text: Column, n: Int): Column = {
     val tok = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(tok) - n, lit(0))),
-      i => concat_ws(" ", slice(tok, i + lit(1), lit(n)))))
+    when(size(tok) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(tok) - n),
+        i => concat_ws(" ", slice(tok, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Jaccard similarity of two array columns (by |∩| / (|A|+|B|-|∩|)). */

@@ -18,10 +18,10 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** deterministic salt in [0, buckets): hash of the whole row's join key
-    * plus a disambiguator column (defaults to spark_partition_id which is
-    * NOT deterministic across runs — pass an id column for reproducible
-    * output).
+  /** deterministic salt in [0, buckets): hash of a caller-chosen
+    * disambiguator column. Pass a stable row id (not something like
+    * spark_partition_id, which varies across runs) so salted output is
+    * reproducible.
     */
   def salt(disambiguator: Column, buckets: Int): Column =
     pmod(xxhash64(disambiguator), lit(buckets.toLong)).cast("int")

@@ -100,10 +100,15 @@ object TextFunctions {
     * term profile per language from a labeled corpus (one agg pass, tiny
     * result, broadcast), then score each doc by profile overlap; predicted
     * language = argmax overlap (ties → lexicographically first lang).
-    * Returns the input plus `pred_lang`.
+    * Returns the input plus `pred_lang` and `lang_overlap`.
+    *
+    * @param idCol a stable unique row id for the argmax window; when absent
+    *              a synthetic id is generated (fine for ad-hoc use, but a
+    *              real id keeps output reproducible across runs).
     */
   def langId(docs: DataFrame, labeled: DataFrame, textCol: String,
-             langCol: String, profileSize: Int = 20): DataFrame = {
+             langCol: String, profileSize: Int = 20,
+             idCol: Option[String] = None): DataFrame = {
     val wTop = Window.partitionBy(col("lang_p"))
       .orderBy(col("cnt").desc, col("term").asc)
     val profiles = labeled
@@ -113,17 +118,21 @@ object TextFunctions {
       .withColumn("r", row_number().over(wTop))
       .filter(col("r") <= profileSize)
       .groupBy(col("lang_p"))
-      .agg(collect_set(col("term")).as("profile"))
+      .agg(collect_list(col("term")).as("profile"))
+    val withId = idCol match {
+      case Some(c) => docs.withColumn("__rid", col(c))
+      case None => docs.withColumn("__rid", monotonically_increasing_id())
+    }
     val wBest = Window.partitionBy(col("__rid"))
-      .orderBy(col("overlap").desc, col("lang_p").asc)
-    docs.withColumn("__rid", monotonically_increasing_id())
+      .orderBy(col("lang_overlap").desc, col("lang_p").asc)
+    withId
       .crossJoin(broadcast(profiles))
-      .withColumn("overlap",
+      .withColumn("lang_overlap",
         size(array_intersect(array_distinct(split(col(textCol), " ")),
           col("profile"))))
       .withColumn("__r", row_number().over(wBest))
       .filter(col("__r") === 1)
       .withColumn("pred_lang", col("lang_p"))
-      .drop("lang_p", "profile", "overlap", "__r", "__rid")
+      .drop("lang_p", "profile", "__r", "__rid")
   }
 }

@@ -101,26 +101,13 @@ object PipelineQueries {
     * determinism and the pipeline shape are what is being verified.)
     */
   def q91_text_langid(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
-    val wTop = Window.partitionBy(col("lang"))
-      .orderBy(col("cnt").desc, col("term").asc)
-    val profiles = docs
-      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
-      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= 20)
-      .groupBy(col("lang")).agg(collect_list(col("term")).as("profile"))
-    val tok = docs.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("t"))
-    val wBest = Window.partitionBy(col("doc_id"))
-      .orderBy(col("ov").desc, col("lang").asc)
-    tok.crossJoin(broadcast(profiles))
-      .withColumn("ov", size(array_intersect(col("t"), col("profile"))))
-      .withColumn("rn", row_number().over(wBest))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang").as("pred_lang"),
-        col("ov").cast("long").as("overlap"))
+    // delegates to the library operator — the declared query IS the
+    // unit-tested implementation, with doc_id as the stable row key
+    TextFunctions.langId(docs, docs, "text", "lang",
+        profileSize = 20, idCol = Some("doc_id"))
+      .select(col("doc_id"), col("pred_lang"),
+        col("lang_overlap").cast("long").as("overlap"))
       .orderBy(col("doc_id"))
   }
 

@@ -23,8 +23,20 @@ object Catalog {
     * read from parquet footers — metadata only, no data scan).
     */
   def list(spark: SparkSession, dir: String): DataFrame = {
-    // parquet TIMESTAMP(NANOS) footers (events) are unreadable otherwise
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // parquet TIMESTAMP(NANOS) footers (events) are unreadable without the
+    // legacy flag — scope it to the footer reads and restore afterwards so
+    // a listing call never changes how the session reads other parquet
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "true")
+    try listImpl(spark, dir)
+    finally prior match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
+  private def listImpl(spark: SparkSession, dir: String): DataFrame = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tables = fs.listStatus(p).toSeq

@@ -82,7 +82,12 @@ object StreamTwins {
           // event-id order within the batch for deterministic output
           val out = rows.toSeq.sortBy(_.getLong(1)).map { r =>
             n += 1; s += r.getDouble(2)
-            Row(user, r.getLong(1), n, math.rint(s * 100) / 100)
+            // same rounding rule as Det.r2 (Spark round = HALF_UP), not
+            // rint's half-to-even — keeps totals comparable with the
+            // declared window surfaces on exact .5 boundaries
+            Row(user, r.getLong(1), n,
+              BigDecimal(s).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble)
           }
           state.update((n, s))
           out.iterator

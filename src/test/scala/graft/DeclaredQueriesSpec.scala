@@ -89,15 +89,20 @@ class DeclaredQueriesSpec extends SparkSpec {
     }
   }
 
-  test("q40/q41/q42 satisfy |A ∪ B| = |A| + |B| - |A ∩ B|") {
+  test("q40/q41/q42 satisfy |A ∪ B| = |A| + |B| - |A ∩ B| (independent |A|, |B|)") {
     val u = SparkEntry.queries("q40_union")(spark, sfDir).count()
     val i = SparkEntry.queries("q41_intersect")(spark, sfDir).count()
     val d = SparkEntry.queries("q42_except")(spark, sfDir).count()
-    // |A| = |A\B| + |A∩B|; |A∪B| = |A\B| + |B| ⇒ u = d + i + (|B|-i) + i
-    assert(u == d + i + (u - d - i)) // tautology guard
-    val a = d + i                    // |A|
-    val b = u - d                    // |B|
-    assert(u == a + b - i)
+    // |A| and |B| counted straight from the source frames, NOT derived
+    // from u/i/d — otherwise the identity is a tautology
+    val a = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey").distinct().count()
+    val b = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 490000)
+      .select("o_custkey").distinct().count()
+    assert(u == a + b - i, s"u=$u a=$a b=$b i=$i")
+    assert(d == a - i, s"d=$d a=$a i=$i")
   }
 
   test("topk(50) ⊆ topk(100) for the global top-k") {

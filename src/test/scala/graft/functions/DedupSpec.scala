@@ -43,6 +43,23 @@ class DedupSpec extends SparkSpec {
     assert(j(2).getDouble(0) == 0.0)
   }
 
+  test("ngrams yield an EMPTY set for docs shorter than n (oracle parity)") {
+    val g = Seq("a b", "a b c").toDF("t")
+      .select(Dedup.ngrams(col("t"), 3).as("g"))
+      .as[Seq[String]].collect()
+    assert(g(0).isEmpty)             // 2 tokens, n=3: no truncated shingle
+    assert(g(1) == Seq("a b c"))
+  }
+
+  test("exact dedup digest distinguishes column boundaries and null-vs-empty") {
+    val df = Seq(
+      (1L, Some("a b"), Some("c")),
+      (2L, Some("a"), Some("b c")),   // same concat, different rows
+      (3L, Some("a"), None),
+      (4L, Some("a"), Some(""))).toDF("id", "x", "y")
+    assert(Dedup.exact(df, "id", Seq("x", "y")).count() == 4)
+  }
+
   test("ngrams produce size-n shingles, deduped") {
     val g = Seq("a b c d").toDF("t")
       .select(Dedup.ngrams(col("t"), 2).as("g"))
