@@ -106,6 +106,36 @@ object Multimodal {
         col("meta.n_frames").as("n_frames"), col("meta.format").as("format")))
   }
 
+  private val audioFeatSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_windows", IntegerType),
+    StructField("rms", DoubleType),
+    StructField("peak", IntegerType)))
+
+  /** STUB audio feature extraction: window the payload body into fixed
+    * 8-byte frames and compute RMS energy + peak amplitude over the raw
+    * bytes — a real implementation would decode PCM and window samples;
+    * the per-partition batching, fixed output schema, and windowing shape
+    * are the actual plumbing under test.
+    */
+  def extractAudioFeatures(df: DataFrame, window: Int = 8): DataFrame = {
+    val enc = Encoders.row(audioFeatSchema)
+    df.filter(col("kind") === "audio")
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val body = r.getAs[Array[Byte]]("payload").drop(8)
+          val nWin = body.length / window
+          val sq = body.map(b => (b & 0xFF).toDouble).map(x => x * x).sum
+          val rms = if (body.isEmpty) 0.0 else math.sqrt(sq / body.length)
+          val peak = if (body.isEmpty) 0 else body.map(_ & 0xFF).max
+          Row(r.getAs[Long]("media_id"), nWin,
+            BigDecimal(rms).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble, peak)
+        }
+      }(enc).toDF()
+  }
+
   /** STUB frame sampling for video: emit every `stride`-th frame index with
     * a deterministic per-frame digest. Explode shape (one row per sampled
     * frame) is the real plumbing a video pipeline needs.

@@ -37,6 +37,20 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("body") =!= col("body2")).count() == 0)
   }
 
+  test("audio feature extraction: deterministic windows/rms/peak over audio rows only") {
+    val feats = Multimodal.extractAudioFeatures(media)
+    val nAudio = media.filter(col("kind") === "audio").count()
+    assert(feats.count() == nAudio)
+    val rows = feats.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_windows") == 4)        // 32-byte body / 8
+      assert(r.getAs[Double]("rms") >= 0.0)
+      assert(r.getAs[Int]("peak") >= 0 && r.getAs[Int]("peak") <= 255)
+    }
+    assert(Multimodal.extractAudioFeatures(media).collect().toSet ==
+      rows.toSet)                                    // deterministic
+  }
+
   test("frame sampling emits every stride-th frame per video with stable digests") {
     val frames = Multimodal.sampleFrames(media, stride = 2)
     val vids = media.filter(col("kind") === "video")
