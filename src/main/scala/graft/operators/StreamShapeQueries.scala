@@ -67,8 +67,10 @@ object StreamShapeQueries {
         |        INTERVAL 6 HOUR)) AS ws) g
         |JOIN events e ON e.ts >= g.ws AND e.ts < g.ws + INTERVAL 1 DAY
         |GROUP BY g.ws ORDER BY window_start""".stripMargin,
-    // gaps-and-islands with the same strict rule as Spark session_window:
-    // a gap of exactly 30:00 starts a NEW session (windows are [start, end)).
+    // gaps-and-islands matching Spark session_window's observed merge rule:
+    // an event exactly gap-length after the previous one still JOINS the
+    // session (verified empirically in StreamingSpec's boundary test), so
+    // only a STRICTLY greater gap starts a new session.
     "q62_session_window" ->
       """SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
         |  round(sum(value), 2) AS sum_v
@@ -80,7 +82,7 @@ object StreamShapeQueries {
         |    SELECT user_id, ts, value, event_id,
         |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |                >= INTERVAL 30 MINUTE
+        |                > INTERVAL 30 MINUTE
         |           THEN 1 ELSE 0 END AS new_s
         |    FROM events))
         |GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,

@@ -107,6 +107,46 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("tfile").collect().toSet == batch)
   }
 
+  test("session boundary: a gap of EXACTLY 30:00 merges; strictly greater splits") {
+    // Spark session_window merges an event landing exactly gap-length
+    // after the previous one (verified here); the q62 oracle's
+    // gaps-and-islands SQL uses the same strictly-greater split rule
+    val boundary = Seq(
+      Ev(1, t("2024-01-01 00:00:00"), 1, "click", 1.0, "{}"),
+      Ev(2, t("2024-01-01 00:30:00"), 1, "click", 1.0, "{}"),     // == gap: merges
+      Ev(3, t("2024-01-01 01:00:00.000001"), 1, "click", 1.0, "{}")) // > gap: splits
+    val sessions = StreamTwins.sessions(boundary.toDF()).collect()
+    assert(sessions.length == 2, sessions.mkString(";"))
+    val byStart = sessions.sortBy(_.getTimestamp(1).getTime)
+    assert(byStart(0).getLong(2) == 2)   // first session holds events 1+2
+    assert(byStart(1).getLong(2) == 1)
+  }
+
+  test("generated event streams: tumbling twin is streaming==batch under random batching") {
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic pseudo-random corpus (seeded), split into two batches
+    val rnd = new scala.util.Random(42)
+    val gen = (0 until 300).map { i =>
+      Ev(i.toLong,
+        t(f"2024-01-${1 + rnd.nextInt(20)}%02d ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"),
+        rnd.nextInt(7).toLong,
+        Seq("click", "view", "purchase")(rnd.nextInt(3)),
+        math.floor(rnd.nextDouble() * 1000) / 100, "{}")
+    }
+    val (b1, b2) = gen.splitAt(137)
+    val mem = MemoryStream[Ev]
+    val q = StreamTwins.tumbling(mem.toDF()).writeStream
+      .format("memory").queryName("tgen").outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val stream = spark.table("tgen").collect().toSet
+      val batch = StreamTwins.tumbling(gen.toDF()).collect().toSet
+      assert(stream == batch)
+      assert(batch.size > 10)
+    } finally q.stop()
+  }
+
   test("watermark drops rows later than watermark + delay in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
