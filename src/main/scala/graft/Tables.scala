@@ -112,10 +112,20 @@ object Tables {
     * it reads the same file, so timestamps hash-match across engines.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, sfDir, "events", eventsRawSchema)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    // flip nanosAsLong only for this read, then restore — the flag is
+    // session-global and would otherwise silently retype any later
+    // nanos-timestamp parquet read (same save/restore as Catalog.list)
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      read(spark, sfDir, "events", eventsRawSchema)
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "documents", documentsSchema)

@@ -17,16 +17,21 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Keep exactly one row (the min of `idCol`) per distinct digest of
-    * `contentCols`. Scale: shuffle on the digest only; never a self-join.
+    * `contentCols`. Scale: ONE scan of the input and one shuffle (full
+    * rows, keyed by the digest) — the previous groupBy+join-back shape
+    * scanned the input twice and shuffled it by id as well; never a
+    * self-join either way.
     */
   def exact(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
     // digest over the JSON-encoded struct: injective across column
     // boundaries and null-vs-empty (a plain separator concat would collide
     // ("a b","c") with ("a","b c") and null with "")
     val digest = md5(to_json(struct(contentCols.map(col): _*)))
-    val keep = df.groupBy(digest.as("__h")).agg(min(col(idCol)).as(idCol))
-      .select(idCol) // survivors only -- internal digest never leaks out
-    df.join(keep, idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(digest).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
   }
 
   /** Word n-gram (shingle) set of a text column. Documents shorter than n

@@ -53,6 +53,13 @@ object MinHashLSH {
 
   /** Candidate near-duplicate pairs (id_a < id_b): docs sharing any band.
     *
+    * Band keys are xxhash64-compressed (see [[candidatePairsRaw]]), so the
+    * result may contain RARE phantom pairs from a 64-bit band-key collision
+    * (odds ~n²/2⁶⁵ across n·bands keys). Callers that cannot tolerate a
+    * false candidate must run an exact-verify step (the normal LSH pipeline
+    * shape — e.g. the Jaccard filter in q85 / CurationPipeline.nearDedup);
+    * the dedup here removes cross-band duplicates, not phantom collisions.
+    *
     * @param maxBucket drop buckets larger than this before pairing (skew
     *                  guard; a bucket of size m yields m^2/2 pairs).
     */
@@ -69,15 +76,21 @@ object MinHashLSH {
     */
   def candidatePairsRaw(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, bands: Int = 4,
-                        maxBucket: Int = 1000): DataFrame = {
-    val signed = withSignature(docs.select(col(idCol), col(textCol)), textCol, k)
+                        maxBucket: Int = 1000,
+                        blockCols: Seq[String] = Nil): DataFrame = {
+    val signed = withSignature(
+      docs.select((idCol +: blockCols).map(col) :+ col(textCol): _*), textCol, k)
     // band keys join-compressed to xxhash64 longs: the bucket join compares
     // 8-byte keys instead of 60+-char md5 concatenations (same buckets
     // w.h.p.; a phantom collision pair is removed by the caller's exact
-    // verify step, which every LSH pipeline has anyway)
+    // verify step, which every LSH pipeline has anyway). Block columns are
+    // folded into the hash, so docs only collide within their block — the
+    // blocked-LSH shape (e.g. near-dup within lang) shares this one path.
+    val bandCols = bandKeys(k, bands)
+      .map(bk => xxhash64(blockCols.map(col) :+ bk: _*))
     val banded = signed
-      .select(col(idCol).as("id"),
-        explode(array(bandKeys(k, bands).map(xxhash64(_)): _*)).as("band"))
+      .select(col(idCol).as("id") +: blockCols.map(col)
+        :+ explode(array(bandCols: _*)).as("band"): _*)
     val pruned = if (maxBucket == Int.MaxValue) banded else banded
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
@@ -86,6 +99,7 @@ object MinHashLSH {
     pruned.as("a")
       .join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a") +: col("b.id").as("id_b")
+        +: blockCols.map(c => col(s"a.$c")): _*)
   }
 }

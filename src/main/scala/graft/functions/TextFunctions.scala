@@ -96,6 +96,38 @@ object TextFunctions {
     terms.foldLeft(docs)((df, t) => df.filter(array_contains(tok, t)))
   }
 
+  /** Ranked full-text search: the conjunctive `$q` match of
+    * [[fullTextSearch]], ordered by relevance — the summed TF-IDF of the
+    * query terms (`Σ_t tf(t,doc)·ln(N/df(t))`, the same weighting q92
+    * computes corpus-wide), with a deterministic `idCol` tie-break.
+    *
+    * Scale shape: N is a 1-row aggregate, per-term document frequencies are
+    * a tiny broadcast (≤ |query| rows), and term frequencies are computed
+    * only over the already-matched docs — no corpus-wide per-doc loop, one
+    * narrow explode + two small joins.
+    */
+  def fullTextSearchRanked(docs: DataFrame, idCol: String, textCol: String,
+                           query: String): DataFrame = {
+    val terms = query.trim.split("\\s+").toSeq.distinct
+    val matched = fullTextSearch(docs, textCol, query)
+    val nDf = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val dfPerTerm = docs
+      .select(explode(array_distinct(split(col(textCol), " "))).as("__term"))
+      .filter(col("__term").isInCollection(terms))
+      .groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val tf = matched
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__term"))
+      .filter(col("__term").isInCollection(terms))
+      .groupBy(col(idCol), col("__term")).agg(count(lit(1)).as("__tf"))
+    val scores = tf
+      .join(broadcast(dfPerTerm), "__term")
+      .crossJoin(broadcast(nDf))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf") * log(col("__n") / col("__df"))).as("score"))
+    matched.join(scores, idCol)
+      .orderBy(col("score").desc, col(idCol).asc)
+  }
+
   /** Language ID via n-gram/vocabulary profiles: build a top-`profileSize`
     * term profile per language from a labeled corpus (one agg pass, tiny
     * result, broadcast), then score each doc by profile overlap; predicted
@@ -103,8 +135,12 @@ object TextFunctions {
     * Returns the input plus `pred_lang` and `lang_overlap`.
     *
     * @param idCol a stable unique row id for the argmax window; when absent
-    *              a synthetic id is generated (fine for ad-hoc use, but a
-    *              real id keeps output reproducible across runs).
+    *              the id is derived as `xxhash64` over ALL input columns —
+    *              deterministic across runs and partitionings (unlike
+    *              `monotonically_increasing_id`, which §7.2.7 bans), at the
+    *              cost of collapsing fully-identical duplicate rows onto one
+    *              output row (identical rows are interchangeable, so the
+    *              result is still deterministic).
     */
   def langId(docs: DataFrame, labeled: DataFrame, textCol: String,
              langCol: String, profileSize: Int = 20,
@@ -121,7 +157,7 @@ object TextFunctions {
       .agg(collect_list(col("term")).as("profile"))
     val withId = idCol match {
       case Some(c) => docs.withColumn("__rid", col(c))
-      case None => docs.withColumn("__rid", monotonically_increasing_id())
+      case None => docs.withColumn("__rid", xxhash64(docs.columns.map(col): _*))
     }
     val wBest = Window.partitionBy(col("__rid"))
       .orderBy(col("lang_overlap").desc, col("lang_p").asc)

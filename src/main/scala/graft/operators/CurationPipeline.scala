@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   *   4. annotate            (token counts, fingerprint, predicted lang)
   *
   * Every stage is a pure DataFrame→DataFrame function; `run` returns the
-  * curated frame plus per-stage row counts for observability (counts are
-  * actions — at production scale you'd sample or read them from the final
-  * write's metrics instead; `collectStats=false` skips them).
+  * curated frame plus per-stage row counts for observability. Stats are
+  * collected in a SINGLE execution of the expensive stages: the linear
+  * prefix (scan → quality gate → exact dedup) is measured with
+  * `Dataset.observe` metrics piggybacked on the one action that also
+  * materializes the exact-dedup cache, and the LSH near-dedup output is
+  * cached before its count — nothing upstream ever re-executes
+  * (`collectStats=false` skips all actions and caching, staying fully
+  * lazy).
   */
 object CurationPipeline {
 
@@ -68,17 +73,29 @@ object CurationPipeline {
 
   def run(docs: DataFrame, cfg: Config = Config(),
           collectStats: Boolean = true): Result = {
-    val gated = qualityGate(docs, cfg)
-    val exact = exactDedup(gated, cfg)
-    val near = nearDedup(exact, cfg)
+    if (!collectStats) {
+      val out = annotate(nearDedup(exactDedup(qualityGate(docs, cfg), cfg), cfg), cfg)
+      return Result(out, Map.empty)
+    }
+    // single-execution stats: observe() metrics ride along the one action
+    // that materializes the exact-dedup cache, so the scan→gate→dedup
+    // prefix runs exactly once; nearDedup then reads `exact` from cache in
+    // all three of its branches (candidates, token join, anti-join)
+    val obsInput = org.apache.spark.sql.Observation()
+    val obsGated = org.apache.spark.sql.Observation()
+    val gated = qualityGate(
+      docs.observe(obsInput, count(lit(1)).as("n")), cfg)
+      .observe(obsGated, count(lit(1)).as("n"))
+    val exact = exactDedup(gated, cfg).cache()
+    val nExact = exact.count()                 // action #1: fills the cache
+    val near = nearDedup(exact, cfg).cache()
+    val nNear = near.count()                   // action #2: LSH runs once
+    exact.unpersist()
     val out = annotate(near, cfg)
-    val stats =
-      if (!collectStats) Map.empty[String, Long]
-      else Map(
-        "input" -> docs.count(),
-        "after_quality" -> gated.count(),
-        "after_exact_dedup" -> exact.count(),
-        "after_near_dedup" -> near.count())
-    Result(out, stats)
+    Result(out, Map(
+      "input" -> obsInput.get("n").asInstanceOf[Long],
+      "after_quality" -> obsGated.get("n").asInstanceOf[Long],
+      "after_exact_dedup" -> nExact,
+      "after_near_dedup" -> nNear))
   }
 }

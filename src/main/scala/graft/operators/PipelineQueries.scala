@@ -17,17 +17,28 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
-  /** MinHash-LSH near-dup pipeline: banded candidates (k=8, 4 bands of 2)
-    * verified by exact Jaccard ≥ 0.9. The declared output is the LSH
-    * pipeline's output — band collisions are part of the semantics, and
-    * the oracle replays the identical md5 minhash/banding in SQL.
+  /** Bucket cap for the declared LSH queries (q85, q94) — buckets larger
+    * than this are dropped before pairing (the standard LSH skew guard: a
+    * bucket of size m emits m²/2 pairs, and a bucket holding a large
+    * fraction of the corpus has no discriminating power anyway). The SAME
+    * cap is replayed in the DuckDB oracle via a window count over the band
+    * key, so the hash-checked query is the exact pipeline you would run at
+    * 100 TB.
+    */
+  val LshMaxBucket = 200
+
+  /** MinHash-LSH near-dup pipeline: banded candidates (k=8, 4 bands of 2),
+    * buckets capped at [[LshMaxBucket]], verified by exact Jaccard ≥ 0.9.
+    * The declared output is the LSH pipeline's output — band collisions and
+    * the bucket cap are part of the semantics, and the oracle replays the
+    * identical md5 minhash/banding/cap in SQL.
     */
   def q85_dedup_minhash_lsh(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     // raw (multi-band) candidates: dedup AFTER the jaccard filter — the
     // filtered set is tiny, the unfiltered candidate multiset is not
     val cand = MinHashLSH.candidatePairsRaw(docs, "doc_id", "text",
-      k = 8, bands = 4, maxBucket = Int.MaxValue)
+      k = 8, bands = 4, maxBucket = LshMaxBucket)
     // verification intersect runs on interned (xxhash64) token ids — same
     // set sizes w.h.p., far cheaper per candidate pair
     val tok = docs.select(col("doc_id"), Dedup.tokenIds(col("text")).as("tok"))
@@ -39,6 +50,29 @@ object PipelineQueries {
       .select(col("id_a"), col("id_b"), Det.r4(col("jaccard_raw")).as("jaccard"))
       .distinct()
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Lang-blocked MinHash-LSH near-dup — the scale-safe twin of the exact
+    * q81: the band key folds in `lang` (docs only collide within their
+    * language), buckets capped at [[LshMaxBucket]], candidates verified by
+    * exact Jaccard ≥ 0.8. At fixture scale this recovers ~99.9% of q81's
+    * exact pairs; unlike q81 its cost is bounded by bucket size, not by
+    * block cardinality, so the SAME plan survives a 100× corpus (SCALE.md).
+    */
+  def q94_dedup_lsh_lang(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val cand = MinHashLSH.candidatePairsRaw(docs, "doc_id", "text",
+      k = 8, bands = 4, maxBucket = LshMaxBucket, blockCols = Seq("lang"))
+    val tok = docs.select(col("doc_id"), Dedup.tokenIds(col("text")).as("tok"))
+    cand
+      .join(tok.select(col("doc_id").as("id_a"), col("tok").as("tok_a")), "id_a")
+      .join(tok.select(col("doc_id").as("id_b"), col("tok").as("tok_b")), "id_b")
+      .withColumn("jaccard_raw", Dedup.jaccardSortedIds(col("tok_a"), col("tok_b")))
+      .filter(col("jaccard_raw") >= 0.8)
+      .select(col("lang"), col("id_a"), col("id_b"),
+        Det.r4(col("jaccard_raw")).as("jaccard"))
+      .distinct()
+      .orderBy(col("lang"), col("id_a"), col("id_b"))
   }
 
   /** Word-3-gram Jaccard near-dups within lang — catches local rewordings
@@ -184,7 +218,9 @@ object PipelineQueries {
          |   '1|' || ${mh(2)} || '|' || ${mh(3)},
          |   '2|' || ${mh(4)} || '|' || ${mh(5)},
          |   '3|' || ${mh(6)} || '|' || ${mh(7)}] AS bands FROM d),
-         |bb AS (SELECT doc_id, unnest(bands) AS band FROM sig),
+         |bb0 AS (SELECT doc_id, unnest(bands) AS band FROM sig),
+         |bb AS (SELECT doc_id, band FROM bb0
+         |  QUALIFY count(*) OVER (PARTITION BY band) <= 200),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM bb a JOIN bb b ON a.band = b.band AND a.doc_id < b.doc_id)
          |SELECT c.id_a, c.id_b,
@@ -194,13 +230,35 @@ object PipelineQueries {
          |WHERE CAST(len(list_intersect(da.tok, db.tok)) AS DOUBLE) /
          |    (len(da.tok) + len(db.tok) - len(list_intersect(da.tok, db.tok))) >= 0.9
          |ORDER BY id_a, id_b""".stripMargin,
+    "q94_dedup_lsh_lang" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |  list_distinct(string_split(text, ' ')) AS tok FROM documents),
+         |sig AS (SELECT doc_id, lang, tok,
+         |  ['0|' || ${mh(0)} || '|' || ${mh(1)},
+         |   '1|' || ${mh(2)} || '|' || ${mh(3)},
+         |   '2|' || ${mh(4)} || '|' || ${mh(5)},
+         |   '3|' || ${mh(6)} || '|' || ${mh(7)}] AS bands FROM d),
+         |bb0 AS (SELECT doc_id, lang, unnest(bands) AS band FROM sig),
+         |bb AS (SELECT doc_id, lang, band FROM bb0
+         |  QUALIFY count(*) OVER (PARTITION BY lang, band) <= 200),
+         |cand AS (SELECT DISTINCT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bb a JOIN bb b
+         |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT c.lang AS lang, c.id_a, c.id_b,
+         |  round(CAST(len(list_intersect(da.tok, db.tok)) AS DOUBLE) /
+         |    (len(da.tok) + len(db.tok) - len(list_intersect(da.tok, db.tok))), 4) AS jaccard
+         |FROM cand c JOIN d da ON da.doc_id = c.id_a JOIN d db ON db.doc_id = c.id_b
+         |WHERE CAST(len(list_intersect(da.tok, db.tok)) AS DOUBLE) /
+         |    (len(da.tok) + len(db.tok) - len(list_intersect(da.tok, db.tok))) >= 0.8
+         |ORDER BY c.lang, c.id_a, c.id_b""".stripMargin,
     "q86_dedup_ngram" ->
       s"""WITH d AS (SELECT doc_id, lang, $gramsExpr AS g FROM documents)
          |SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
          |  round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
          |    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4) AS jaccard
          |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+         |WHERE len(a.g) + len(b.g) > 0
+         |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
          |    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.4
          |ORDER BY lang, id_a, id_b""".stripMargin,
     "q87_dedup_embcos" ->

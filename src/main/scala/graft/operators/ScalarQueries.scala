@@ -81,6 +81,24 @@ object ScalarQueries {
       .orderBy(col("o_orderkey"))
       .limit(500)
 
+  /** Money-exact decimal path (SURVEY §1.2 maps Socrata `money` to
+    * `DecimalType`): totals run in exact DECIMAL(18,2) arithmetic, not
+    * double — no floating drift — and are hash-compared UNROUNDED against
+    * DuckDB's DECIMAL engine. The sum is widened explicitly to
+    * DECIMAL(38,2) so both engines emit the identical type.
+    */
+  def q58_decimal_money(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("price_d"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(col("price_d")).cast("decimal(38,2)").as("total_money"),
+        count(lit(1)).as("n"),
+        min(col("price_d")).as("min_money"),
+        max(col("price_d")).as("max_money"))
+      .orderBy(col("o_orderstatus"))
+
   def q53_case_coalesce(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .select(
@@ -144,6 +162,13 @@ object ScalarQueries {
         |  round(pow(l_discount, 2.0), 6) AS pw,
         |  round(ln(l_extendedprice), 6) AS ln_p
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, rp, ab, ce, fl, pw, ln_p LIMIT 500""".stripMargin,
+    "q58_decimal_money" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_money,
+        |  count(*) AS n,
+        |  min(CAST(o_totalprice AS DECIMAL(18,2))) AS min_money,
+        |  max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_money
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "q53_case_coalesce" ->
       """SELECT
         |  CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'

@@ -30,7 +30,7 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q71_udaf_weighted" -> 3L, "q72_udtf_explode" -> 192L,
     "q80_dedup_exact" -> 500L, "q81_sim_jaccard" -> 7289L,
     "q82_knn_cosine" -> 25L, "q83_text_topterms" -> 25L,
-    "q84_text_langstats" -> 99L, "q85_dedup_minhash_lsh" -> 11025L,
+    "q84_text_langstats" -> 99L, "q85_dedup_minhash_lsh" -> 260L,
     "q86_dedup_ngram" -> 8L, "q87_dedup_embcos" -> 82L,
     "q88_text_quality" -> 500L, "q89_doc_fingerprint" -> 500L,
     "q90_fulltext_search" -> 304L, "q18_join_full_outer" -> 36L,
@@ -40,7 +40,8 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q44_except_all" -> 957L, "q29_agg_bool" -> 5L,
     "q35_window_firstlast" -> 15L, "q57_date_arith" -> 500L,
     "q91_text_langid" -> 500L, "q92_text_tfidf" -> 1500L,
-    "q93_text_cooccur" -> 25L)
+    "q93_text_cooccur" -> 25L, "q94_dedup_lsh_lang" -> 7283L,
+    "q58_decimal_money" -> 3L)
 
   test("every declared query has an oracle and matches its golden sf0.001 count") {
     val qs = SparkEntry.queries

@@ -56,6 +56,33 @@ class MinHashLSHSpec extends SparkSpec {
     assert(cand < allPairs / 10, s"cand=$cand allPairs=$allPairs")
   }
 
+  test("skewed corpus: one hot bucket is dropped entirely; candidate count " +
+    "stays within the per-bucket quadratic bound") {
+    import spark.implicits._
+    // 400 identical docs (one degenerate bucket per band — all four buckets
+    // are the same 400-doc set) + 100 diverse docs in 10 disjoint-vocab
+    // groups of 10
+    val hot = (0 until 400).map(i => (i.toLong, "the same exact document text"))
+    val diverse = (0 until 100).map { i =>
+      val g = i / 10
+      (1000L + i, (0 until 12).map(j => s"v${g}_${(i * 7 + j) % 25}").mkString(" "))
+    }
+    val corpus = (hot ++ diverse).toDF("doc_id", "text")
+    val cap = 50
+    val bands = 4
+    val cand = MinHashLSH.candidatePairsRaw(corpus, "doc_id", "text",
+      k = 8, bands = bands, maxBucket = cap)
+    // the hot docs' buckets (size 400 > cap) are dropped in every band ⇒
+    // zero pairs among hot ids — the m²/2 blowup never happens
+    assert(cand.filter(col("id_a") < 1000L && col("id_b") < 1000L).count() == 0)
+    // every surviving bucket has ≤ cap members ⇒ raw candidate multiset is
+    // bounded by bands · cap²/2 per distinct bucket; with ≤10 diverse
+    // vocab-groups the global bound bands · 10 · cap²/2 must hold
+    val raw = cand.count()
+    assert(raw <= bands.toLong * 10 * cap * (cap - 1) / 2,
+      s"raw candidates $raw exceed the capped-bucket bound")
+  }
+
   test("fixture corpus note: shared 31-term vocab makes most pairs collide — " +
     "maxBucket guard caps the blowup") {
     val capped = MinHashLSH.candidatePairs(docs, "doc_id", "text",

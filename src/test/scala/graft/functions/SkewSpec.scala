@@ -31,6 +31,42 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("stress: genuinely skewed corpus (one key = 50% of rows) — salted " +
+    "agg exact, hot key spread evenly over salt buckets") {
+    import spark.implicits._
+    // 100k rows: key "hot" holds 50%, the rest spread over 50 cold keys
+    val n = 100000
+    val skewed = (0 until n).map { i =>
+      val key = if (i % 2 == 0) "hot" else s"cold_${i % 50}"
+      (key, i.toLong, (i % 97).toLong)
+    }.toDF("key", "id", "v").repartition(32)
+    val buckets = 8
+
+    // correctness: salted two-phase agg must equal the plain agg EXACTLY
+    // (long sums — no float reassociation questions)
+    val plain = skewed.groupBy("key")
+      .agg(sum("v").as("sv"), sum(lit(1L)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedSum(skewed, "key", "id", buckets,
+      Map("sv" -> col("v"), "n" -> lit(1L)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+
+    // scale property: phase-1 fan-out splits the hot key's 50k rows into
+    // `buckets` groups of ≈ 1/buckets each — no reducer sees the full key
+    val hotPerSalt = skewed.filter(col("key") === "hot")
+      .groupBy(Skew.salt(col("id"), buckets).as("s"))
+      .count().collect().map(_.getLong(1))
+    assert(hotPerSalt.length == buckets, "hot key missing from some salt bucket")
+    val hotTotal = hotPerSalt.sum
+    assert(hotTotal == n / 2)
+    val ideal = hotTotal.toDouble / buckets
+    assert(hotPerSalt.max <= ideal * 1.2,
+      s"max salt bucket ${hotPerSalt.max} vs ideal $ideal — salt not spreading")
+    assert(hotPerSalt.min >= ideal * 0.8,
+      s"min salt bucket ${hotPerSalt.min} vs ideal $ideal — salt not spreading")
+  }
+
   test("salt spreads a single hot key across buckets") {
     import spark.implicits._
     val hot = (0 until 1000).map(i => (1L, i.toLong)).toDF("key", "id")

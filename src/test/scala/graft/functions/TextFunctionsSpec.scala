@@ -55,6 +55,42 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.getDouble(1) > 0.0 && r.getDouble(1) < 0.3)
   }
 
+  test("ranked full-text search orders by TF-IDF with doc_id tie-break") {
+    // corpus of 4 docs; query terms: 'scan' (df=3) and 'rare' (df=2)
+    val docs = Seq(
+      (1L, "scan rare rare other"),   // tf(scan)=1, tf(rare)=2
+      (2L, "scan rare other other"),  // tf(scan)=1, tf(rare)=1
+      (3L, "scan scan other other"),  // no 'rare' → filtered out
+      (4L, "other other other other")).toDF("doc_id", "text")
+    val out = TextFunctions.fullTextSearchRanked(docs, "doc_id", "text",
+      "scan rare").select("doc_id", "score").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "conjunctive match must keep docs 1,2 ordered by score")
+    // hand-computed: score = tf_scan·ln(4/3) + tf_rare·ln(4/2)
+    val s1 = 1 * math.log(4.0 / 3) + 2 * math.log(4.0 / 2)
+    val s2 = 1 * math.log(4.0 / 3) + 1 * math.log(4.0 / 2)
+    assert(math.abs(out(0).getDouble(1) - s1) < 1e-12)
+    assert(math.abs(out(1).getDouble(1) - s2) < 1e-12)
+    // tie-break: identical texts rank by doc_id ascending
+    val tied = Seq((9L, "scan rare"), (3L, "scan rare")).toDF("doc_id", "text")
+    val t = TextFunctions.fullTextSearchRanked(tied, "doc_id", "text",
+      "scan rare").select("doc_id").as[Long].collect().toSeq
+    assert(t == Seq(3L, 9L))
+  }
+
+  test("langId without an id column is deterministic across partitionings " +
+    "(no monotonically_increasing_id)") {
+    val docs = Tables.documents(spark, sfDir)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextFunctions.langId(d, docs, "text", "lang")
+        .select("doc_id", "pred_lang", "lang_overlap").collect().toSet
+    // same data, three different physical layouts → identical output
+    val base = run(docs)
+    assert(run(docs.repartition(7, col("lang"))) == base)
+    assert(run(docs.repartition(13).sortWithinPartitions(col("n_chars").desc))
+      == base)
+  }
+
   test("langId is deterministic, total, and lands in the label domain") {
     val docs = Tables.documents(spark, sfDir)
     val out = TextFunctions.langId(docs, docs, "text", "lang")

@@ -19,6 +19,28 @@ class CurationPipelineSpec extends SparkSpec {
     assert(r.curated.count() > 0)
   }
 
+  test("collectStats runs the expensive stages once: source scanned exactly one time") {
+    // a nondeterministic always-true probe filter cannot be pushed down,
+    // eliminated, or collapsed — the accumulator counts exactly one
+    // increment per row per execution of the scan→gate prefix
+    val acc = spark.sparkContext.longAccumulator("sourceRows")
+    val probe = udf { (_: Long) => acc.add(1); true }.asNondeterministic()
+    val probed = docs.filter(probe(col("doc_id")))
+    val r = CurationPipeline.run(probed, cfg)
+    assert(r.stats("input") == 500)
+    // old implementation: 4 count() actions over uncached lineages scanned
+    // the source ~6×; the observe+cache version must scan it exactly once
+    assert(acc.value == 500L, s"source scanned ${acc.value / 500.0}x")
+    // stats must agree with independently recomputed per-stage counts
+    val gated = CurationPipeline.qualityGate(docs, cfg)
+    val exact = CurationPipeline.exactDedup(gated, cfg)
+    val near = CurationPipeline.nearDedup(exact, cfg)
+    assert(r.stats("after_quality") == gated.count())
+    assert(r.stats("after_exact_dedup") == exact.count())
+    assert(r.stats("after_near_dedup") == near.count())
+    assert(r.curated.count() == r.stats("after_near_dedup"))
+  }
+
   test("annotations present with sane domains") {
     val r = CurationPipeline.run(docs, cfg, collectStats = false)
     assert(Seq("n_tokens", "quality", "fingerprint")
