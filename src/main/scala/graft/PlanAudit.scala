@@ -11,7 +11,8 @@ object PlanAudit extends App {
   val sf = "/root/testdata/sf0.01"
   val targets = Seq("q02_filter_where", "q11_join_multiway", "q20_agg_hash",
     "q30_window_rank", "q82_knn_cosine", "q05_topk_global", "q15_join_theta",
-    "q85_dedup_minhash_lsh", "q86_dedup_ngram", "q16_join_asof")
+    "q85_dedup_minhash_lsh", "q86_dedup_ngram", "q16_join_asof",
+    "q52_math_funcs", "q58_decimal_money", "q94_dedup_lsh_lang")
   targets.foreach { q =>
     println(s"\n========== $q ==========")
     println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(
