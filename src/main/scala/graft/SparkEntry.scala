@@ -67,6 +67,7 @@ object SparkEntry {
     "q56_regex_funcs" -> (ScalarQueries.q56_regex_funcs _),
     "q57_date_arith" -> (ScalarQueries.q57_date_arith _),
     "q58_decimal_money" -> (ScalarQueries.q58_decimal_money _),
+    "q59_geo_distance" -> (ScalarQueries.q59_geo_distance _),
     // G. streaming shapes (batch twins; true streaming in graft.streaming)
     "q60_window_tumbling" -> (StreamShapeQueries.q60_window_tumbling _),
     "q61_window_sliding" -> (StreamShapeQueries.q61_window_sliding _),
@@ -94,6 +95,7 @@ object SparkEntry {
     "q92_text_tfidf" -> (PipelineQueries.q92_text_tfidf _),
     "q93_text_cooccur" -> (PipelineQueries.q93_text_cooccur _),
     "q94_dedup_lsh_lang" -> (PipelineQueries.q94_dedup_lsh_lang _),
+    "q95_fulltext_ranked" -> (PipelineQueries.q95_fulltext_ranked _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

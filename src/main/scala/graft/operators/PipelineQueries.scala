@@ -126,6 +126,20 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Ranked full-text search (round 3; closes the `$q` relevance gap):
+    * conjunctive match on 'join filter' ordered by the summed TF-IDF of the
+    * query terms, doc_id tie-break. Two query terms ⇒ the score is a sum of
+    * exactly two doubles (IEEE addition is commutative, so no
+    * association-order hazard); rounded to 6 dp before the ordering on both
+    * sides.
+    */
+  def q95_fulltext_ranked(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    TextFunctions.fullTextSearchRanked(docs, "doc_id", "text", "join filter")
+      .select(col("doc_id"), col("lang"), Det.r6(col("score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** Language ID, fully hash-checked: vocabulary profiles (top-20 terms per
     * lang by (count desc, term asc)) built from the corpus in one pass and
     * broadcast; each doc scored by profile overlap; argmax with (overlap
@@ -302,6 +316,23 @@ object PipelineQueries {
         |WHERE list_contains(string_split(text, ' '), 'join')
         |  AND list_contains(string_split(text, ' '), 'filter')
         |ORDER BY doc_id""".stripMargin,
+    "q95_fulltext_ranked" ->
+      """WITH m AS (SELECT doc_id, lang, text FROM documents
+        |    WHERE list_contains(string_split(text, ' '), 'join')
+        |      AND list_contains(string_split(text, ' '), 'filter')),
+        |  nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |  dfx AS (SELECT term, count(*) AS df FROM (
+        |      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        |      FROM documents)
+        |    WHERE term IN ('join', 'filter') GROUP BY term),
+        |  tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM m)
+        |    WHERE term IN ('join', 'filter') GROUP BY 1, 2),
+        |  sc AS (SELECT tf.doc_id, sum(tf.tf * ln(nn.n / dfx.df)) AS score
+        |    FROM tf JOIN dfx USING (term) CROSS JOIN nn GROUP BY 1)
+        |SELECT m.doc_id, m.lang, round(sc.score, 6) AS score
+        |FROM m JOIN sc ON m.doc_id = sc.doc_id
+        |ORDER BY round(sc.score, 6) DESC, m.doc_id""".stripMargin,
     "q92_text_tfidf" ->
       """WITH tc AS (SELECT doc_id, term, count(*) AS tf FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)

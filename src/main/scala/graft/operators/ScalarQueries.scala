@@ -99,6 +99,36 @@ object ScalarQueries {
         max(col("price_d")).as("max_money"))
       .orderBy(col("o_orderstatus"))
 
+  /** Socrata `location` surface (SURVEY §1.2), hash-checked: build
+    * `struct<lat,lon>` columns with [[graft.functions.Geo]], compute
+    * haversine `distance_in_meters` to a fixed point (Honolulu — the
+    * reference served Hawaii open data), filter `within_circle`-style on
+    * the rounded km, and emit a `within_box` flag. Lat/lon are derived
+    * deterministically from supplier keys (pure double arithmetic, replayed
+    * identically in the oracle); distances are rounded to whole km so the
+    * ≤1-ulp libm-vs-JVM trig divergence cannot flip a comparison.
+    */
+  def q59_geo_distance(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Geo
+    val lat = col("s_nationkey").cast("double") * 3.0 - 36.0
+    val lon = (col("s_suppkey") % 360).cast("double") - 180.0 +
+      col("s_nationkey").cast("double") / 50.0
+    val honolulu = Geo.location(lit(21.3069), lit(-157.8583))
+    Tables.supplier(spark, sfDir)
+      .withColumn("loc", Geo.location(lat, lon))
+      .withColumn("dist_km",
+        round(Geo.distanceInMeters(col("loc"), honolulu) / 1000.0).cast("long"))
+      .filter(col("dist_km") <= 9000L)
+      .select(
+        col("s_suppkey"),
+        col("loc.lat").as("lat"),
+        col("loc.lon").as("lon"),
+        col("dist_km"),
+        Geo.withinBox(col("loc"), nwLat = 30.0, nwLon = -180.0,
+          seLat = -30.0, seLon = -120.0).as("in_box"))
+      .orderBy(col("s_suppkey"))
+  }
+
   def q53_case_coalesce(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .select(
@@ -169,6 +199,23 @@ object ScalarQueries {
         |  min(CAST(o_totalprice AS DECIMAL(18,2))) AS min_money,
         |  max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_money
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "q59_geo_distance" ->
+      """WITH s AS (SELECT s_suppkey,
+        |    CAST(s_nationkey AS DOUBLE) * 3.0 - 36.0 AS lat,
+        |    CAST(s_suppkey % 360 AS DOUBLE) - 180.0 +
+        |      CAST(s_nationkey AS DOUBLE) / 50.0 AS lon
+        |  FROM supplier),
+        |d AS (SELECT s_suppkey, lat, lon,
+        |    CAST(round(2 * 6371000.0 * asin(sqrt(
+        |      pow(sin(radians(21.3069 - lat) / 2), 2) +
+        |      cos(radians(lat)) * cos(radians(21.3069)) *
+        |      pow(sin(radians(-157.8583 - lon) / 2), 2))) / 1000.0) AS BIGINT)
+        |      AS dist_km
+        |  FROM s)
+        |SELECT s_suppkey, lat, lon, dist_km,
+        |  (lat <= 30.0 AND lat >= -30.0 AND lon >= -180.0 AND lon <= -120.0)
+        |    AS in_box
+        |FROM d WHERE dist_km <= 9000 ORDER BY s_suppkey""".stripMargin,
     "q53_case_coalesce" ->
       """SELECT
         |  CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'

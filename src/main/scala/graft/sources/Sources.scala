@@ -32,8 +32,17 @@ object Sources {
   def readBinary(spark: SparkSession, path: String): DataFrame =
     spark.read.format("binaryFile").load(path)
 
+  /** ORC reader (columnar alternative Spark ships natively; same
+    * pushdown/pruning machinery as parquet via the vectorized ORC reader).
+    */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
 
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)

@@ -41,7 +41,8 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q35_window_firstlast" -> 15L, "q57_date_arith" -> 500L,
     "q91_text_langid" -> 500L, "q92_text_tfidf" -> 1500L,
     "q93_text_cooccur" -> 25L, "q94_dedup_lsh_lang" -> 7283L,
-    "q58_decimal_money" -> 3L)
+    "q58_decimal_money" -> 3L, "q59_geo_distance" -> 10L,
+    "q95_fulltext_ranked" -> 304L)
 
   test("every declared query has an oracle and matches its golden sf0.001 count") {
     val qs = SparkEntry.queries

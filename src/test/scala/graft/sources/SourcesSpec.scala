@@ -28,6 +28,20 @@ class SourcesSpec extends SparkSpec {
     assert(back.exceptAll(orig).count() == 0 && orig.exceptAll(back).count() == 0)
   }
 
+  test("ORC round-trip preserves data and pushes filters to the scan") {
+    val dir = tmp()
+    val orig = Tables.customer(spark, sfDir)
+    Sources.writeOrc(orig, s"$dir/customer_orc")
+    val back = Sources.readOrc(spark, s"$dir/customer_orc", Tables.customerSchema)
+    assert(back.schema == orig.schema)
+    assert(back.exceptAll(orig).count() == 0 && orig.exceptAll(back).count() == 0)
+    // same pushdown machinery as parquet: the filter must reach the scan
+    val plan = back.filter(col("c_custkey") === 42L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)")
+      || plan.contains("EqualTo(c_custkey,42)"), plan.take(1500))
+  }
+
   test("text source reads lines") {
     val dir = tmp()
     Files.write(java.nio.file.Paths.get(dir, "doc.txt"),
