@@ -10,11 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM (codegen/JIT) and parquet footer caches once so the
-    // first timed query doesn't absorb session startup; standard bench
-    // hygiene, applied identically at every sf.
-    try SparkEntry.queries.get("q20_agg_hash").foreach(_(spark, sfDir).count())
-    catch { case _: Throwable => () }
+    // Warm-up: run EVERY query once at the smallest fixture (sf0.001,
+    // ~0.1% of the timed data) so each query's generated code is JIT'd
+    // before it is timed — the timed numbers then measure steady-state
+    // throughput at the target sf, not per-query codegen compilation
+    // (observed ~1-3 s of one-time compile cost on expression-heavy
+    // queries). Standard bench hygiene, applied identically at every sf;
+    // falls back to a single q20 warm-up if the small fixture is absent.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.values.foreach { fn =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+    else
+      try SparkEntry.queries.get("q20_agg_hash").foreach(_(spark, sfDir).count())
+      catch { case _: Throwable => () }
     // a crashed query records -1.0, never a plausible-looking elapsed time
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -64,11 +64,19 @@ object Dedup {
     inter / (size(a).cast("double") + size(b).cast("double") - inter)
   }
 
-  /** Sorted distinct xxhash64 ids of whitespace tokens — the interned form
-    * consumed by [[jaccardSortedIds]].
+  /** Sorted distinct 64-bit token ids — the interned form consumed by
+    * [[jaccardSortedIds]]. One codegen'd pass
+    * ([[graft.expressions.ShingleIds]] with n=1) replacing the interpreted
+    * `array_sort(array_distinct(transform(split, xxhash64)))` HOF chain.
     */
   def tokenIds(text: Column): Column =
-    array_sort(array_distinct(transform(split(text, " "), t => xxhash64(t))))
+    graft.expressions.ShingleIds.shingleIds(text, 1)
+
+  /** Sorted distinct 64-bit word-n-gram ids (empty when tokens < n) — the
+    * interned form of [[ngrams]], one codegen'd pass.
+    */
+  def gramIds(text: Column, n: Int): Column =
+    graft.expressions.ShingleIds.shingleIds(text, n)
 
   /** Near-duplicate pairs by word-n-gram Jaccard ≥ threshold, blocked on
     * `blockCol` — the join never crosses blocks, so the quadratic term is
@@ -76,11 +84,12 @@ object Dedup {
     */
   def ngramNearDups(docs: DataFrame, idCol: String, textCol: String,
                     blockCol: String, n: Int, threshold: Double): DataFrame = {
-    // shingles interned to xxhash64 longs: identical set sizes w.h.p.,
-    // and the per-pair intersect (the quadratic hot loop) runs on sorted
-    // longs instead of multi-word strings
+    // shingles interned to 64-bit ids (one codegen'd ShingleIds pass):
+    // identical set sizes w.h.p., and the per-pair intersect (the
+    // quadratic hot loop) runs on sorted longs instead of multi-word
+    // strings
     val g = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
-      array_sort(transform(ngrams(col(textCol), n), s => xxhash64(s))).as("g"))
+      gramIds(col(textCol), n).as("g"))
 
     // Exact prefix filter (Bayardo/Ma/Srikant, "Scaling up all pairs
     // similarity search", WWW 2007; positional refinement in Xiao et al.
@@ -92,19 +101,26 @@ object Dedup {
     // than block-all-pairs when shingle vocabulary is rich.
     val prefixLen = (size(col("g")) - ceil(size(col("g")) * threshold) + 1)
       .cast("int")
-    val idx = g.select(col("block"), col("id"), col("g"),
+    // the index rows carry ONLY (block, id, prefix element): a doc's
+    // shingle array must not ride the explode through the shuffle
+    // prefixLen-times over — pairs are deduped first (narrow id pairs),
+    // then the two arrays are attached once per distinct pair via
+    // broadcast-friendly joins, then verified once
+    val idx = g.select(col("block"), col("id"),
         explode(slice(col("g"), lit(1), greatest(prefixLen, lit(1)))).as("p"))
     val cand = idx.as("a").join(idx.as("b"),
         col("a.block") === col("b.block") && col("a.p") === col("b.p") &&
           col("a.id") < col("b.id"))
       .select(col("a.block").as("block"), col("a.id").as("id_a"),
-        col("b.id").as("id_b"), col("a.g").as("ga"), col("b.g").as("gb"))
+        col("b.id").as("id_b"))
+      .distinct()
     cand
+      .join(g.select(col("id").as("id_a"), col("g").as("ga")), "id_a")
+      .join(g.select(col("id").as("id_b"), col("g").as("gb")), "id_b")
       .withColumn("jac", jaccardSortedIds(col("ga"), col("gb")))
       .filter(col("jac") >= threshold)
       .select(col("block"), col("id_a"), col("id_b"),
         Det.r4(col("jac")).as("jaccard"))
-      .distinct()
   }
 
   /** Semantic near-duplicate pairs: embedding cosine ≥ threshold, blocked

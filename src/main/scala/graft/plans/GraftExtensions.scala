@@ -3,11 +3,17 @@ package graft.plans
 import graft.expressions.SortedIntersectSize
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Session extension registering graft's custom expressions as SQL
   * functions, so `spark.sql("... sorted_intersect_size(a, b) ...")` works
-  * alongside the Column API.
+  * alongside the Column API — plus the SoQL geo trio
+  * (`distance_in_meters`, `within_circle`, `within_box`) as COMPOSED
+  * Catalyst expression trees: they expand to the same built-in trig
+  * expressions `graft.functions.Geo` builds through the Column API, so a
+  * `$where` string like `within_circle(lat, lon, 21.3, -157.8, 5e4)` stays
+  * fully inside whole-stage codegen (no UDF anywhere).
   *
   * Two entry points:
   *  - cluster-wide: `--conf spark.sql.extensions=graft.plans.GraftExtensions`
@@ -15,18 +21,20 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - per-session: `GraftExtensions.register(spark)` on a live session.
   *
   * No custom optimizer `Rule` or `SparkStrategy` is injected — SURVEY §7.3:
-  * Catalyst's built-ins cover every declared query; the only custom piece
-  * that earns its keep is the expression.
+  * Catalyst's built-ins cover every declared query; the only custom pieces
+  * that earn their keep are expressions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.sortedIntersectSizeDesc)
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
 
-  private val sortedIntersectSizeDesc: (FunctionIdentifier, ExpressionInfo,
-      Seq[Expression] => Expression) = (
+  private type FunctionDesc =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private val sortedIntersectSizeDesc: FunctionDesc = (
     FunctionIdentifier("sorted_intersect_size"),
     new ExpressionInfo(classOf[SortedIntersectSize].getName,
       "sorted_intersect_size"),
@@ -36,9 +44,60 @@ object GraftExtensions {
       SortedIntersectSize(args.head, args(1))
     })
 
-  /** Register the functions into an already-running session. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = sortedIntersectSizeDesc
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  private def d(e: Expression): Expression = Cast(e, DoubleType)
+
+  /** The exact expression tree `Geo.distanceInMeters` builds via Columns:
+    * haversine on a spherical earth, R = 6371 km.
+    */
+  private def haversine(lat1: Expression, lon1: Expression,
+                        lat2: Expression, lon2: Expression): Expression = {
+    val half = Literal(2.0)
+    val dLat = ToRadians(Subtract(d(lat2), d(lat1)))
+    val dLon = ToRadians(Subtract(d(lon2), d(lon1)))
+    val h = Add(
+      Pow(Sin(Divide(dLat, half)), Literal(2.0)),
+      Multiply(
+        Multiply(Cos(ToRadians(d(lat1))), Cos(ToRadians(d(lat2)))),
+        Pow(Sin(Divide(dLon, half)), Literal(2.0))))
+    Multiply(Literal(2.0 * graft.functions.Geo.EarthRadiusM), Asin(Sqrt(h)))
   }
+
+  private val distanceInMetersDesc: FunctionDesc = (
+    FunctionIdentifier("distance_in_meters"),
+    new ExpressionInfo(GraftExtensions.getClass.getName, "distance_in_meters"),
+    (args: Seq[Expression]) => {
+      require(args.length == 4,
+        s"distance_in_meters(lat1, lon1, lat2, lon2) takes 4 arguments, got ${args.length}")
+      haversine(args(0), args(1), args(2), args(3))
+    })
+
+  private val withinCircleDesc: FunctionDesc = (
+    FunctionIdentifier("within_circle"),
+    new ExpressionInfo(GraftExtensions.getClass.getName, "within_circle"),
+    (args: Seq[Expression]) => {
+      require(args.length == 5,
+        s"within_circle(lat, lon, centerLat, centerLon, radiusM) takes 5 arguments, got ${args.length}")
+      LessThanOrEqual(haversine(args(0), args(1), args(2), args(3)), d(args(4)))
+    })
+
+  private val withinBoxDesc: FunctionDesc = (
+    FunctionIdentifier("within_box"),
+    new ExpressionInfo(GraftExtensions.getClass.getName, "within_box"),
+    (args: Seq[Expression]) => {
+      require(args.length == 6,
+        s"within_box(lat, lon, nwLat, nwLon, seLat, seLon) takes 6 arguments, got ${args.length}")
+      val (lat, lon) = (d(args(0)), d(args(1)))
+      And(
+        And(LessThanOrEqual(lat, d(args(2))), GreaterThanOrEqual(lat, d(args(4)))),
+        And(GreaterThanOrEqual(lon, d(args(3))), LessThanOrEqual(lon, d(args(5)))))
+    })
+
+  private val all: Seq[FunctionDesc] = Seq(sortedIntersectSizeDesc,
+    distanceInMetersDesc, withinCircleDesc, withinBoxDesc)
+
+  /** Register the functions into an already-running session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -78,14 +78,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter(col("jaccard") === 1.0).count() >= 5)
   }
 
-  test("token/shingle hash interning is collision-free on the fixtures") {
+  test("token/shingle id interning is collision-free and size-faithful on the fixtures") {
     val docs3 = Tables.documents(spark, sfDir)
+    // per-doc: id-set size == string-set size (what the oracles rely on)
+    val bad = docs3.select(
+        size(Dedup.tokenIds(col("text"))).as("ids1"),
+        size(array_distinct(split(col("text"), " "))).as("str1"),
+        size(Dedup.gramIds(col("text"), 3)).as("ids3"),
+        size(Dedup.ngrams(col("text"), 3)).as("str3"))
+      .filter(col("ids1") =!= col("str1") || col("ids3") =!= col("str3"))
+    assert(bad.count() == 0)
+    // corpus-wide: distinct ids == distinct strings (cross-doc collisions)
     val toks = docs3.select(explode(split(col("text"), " ")).as("t"))
+    val ids = docs3.select(explode(Dedup.tokenIds(col("text"))).as("h"))
     assert(toks.select("t").distinct().count() ==
-      toks.select(xxhash64(col("t")).as("h")).distinct().count())
+      ids.select("h").distinct().count())
     val grams = docs3.select(explode(Dedup.ngrams(col("text"), 3)).as("g"))
+    val gids = docs3.select(explode(Dedup.gramIds(col("text"), 3)).as("h"))
     assert(grams.select("g").distinct().count() ==
-      grams.select(xxhash64(col("g")).as("h")).distinct().count())
+      gids.select("h").distinct().count())
   }
 
   test("embedding near-dups exclude self and respect threshold") {

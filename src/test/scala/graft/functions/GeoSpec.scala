@@ -33,6 +33,26 @@ class GeoSpec extends SparkSpec {
     assert(hits == Seq("honolulu"))
   }
 
+  test("SQL surface via GraftExtensions: geo functions callable from $where strings") {
+    graft.plans.GraftExtensions.register(spark)
+    // SQL tree must equal the Column-API tree bit-for-bit
+    val viaSql = locs.selectExpr("name",
+      "distance_in_meters(lat, lon, 21.3069, -157.8583) AS dm",
+      "within_circle(lat, lon, 21.3069, -157.8583, 400000) AS wc",
+      "within_box(lat, lon, 21.8, -158.4, 21.2, -157.5) AS wb")
+    val viaCols = locs.select(col("name"),
+      Geo.distanceInMeters(col("loc"),
+        Geo.location(lit(21.3069), lit(-157.8583))).as("dm"),
+      Geo.withinCircle(col("loc"), 21.3069, -157.8583, 400000).as("wc"),
+      Geo.withinBox(col("loc"), 21.8, -158.4, 21.2, -157.5).as("wb"))
+    assert(viaSql.collect().toSet == viaCols.collect().toSet)
+    // and it flows through the SoQL client's $where strings
+    val filtered = locs.filter(
+      expr("within_circle(lat, lon, 21.3069, -157.8583, 50000)"))
+      .select("name").as[String].collect().toSeq
+    assert(filtered == Seq("honolulu"))
+  }
+
   test("within_circle radius gates correctly") {
     val near = locs.filter(
       Geo.withinCircle($"loc", honolulu._1, honolulu._2, 50000))
