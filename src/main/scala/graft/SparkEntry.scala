@@ -34,8 +34,12 @@ object SparkEntry {
     "q16_join_asof" -> (JoinQueries.q16_join_asof _),
     "q17_join_cross" -> (JoinQueries.q17_join_cross _),
     "q18_join_full_outer" -> (JoinQueries.q18_join_full_outer _),
+    "q46_subquery" -> (JoinQueries.q46_subquery _),
     // C. aggregation
     "q20_agg_hash" -> (AggQueries.q20_agg_hash _),
+    "q24_agg_grouping_sets" -> (AggQueries.q24_agg_grouping_sets _),
+    "q45_pivot" -> (AggQueries.q45_pivot _),
+    "q48_string_agg" -> (AggQueries.q48_string_agg _),
     "q21_agg_distinct" -> (AggQueries.q21_agg_distinct _),
     "q22_agg_rollup" -> (AggQueries.q22_agg_rollup _),
     "q23_agg_cube" -> (AggQueries.q23_agg_cube _),
@@ -51,6 +55,7 @@ object SparkEntry {
     "q33_window_ntile" -> (WindowSetQueries.q33_window_ntile _),
     "q34_window_range" -> (WindowSetQueries.q34_window_range _),
     "q35_window_firstlast" -> (WindowSetQueries.q35_window_firstlast _),
+    "q36_window_distribution" -> (WindowSetQueries.q36_window_distribution _),
     // E. set ops
     "q40_union" -> (WindowSetQueries.q40_union _),
     "q41_intersect" -> (WindowSetQueries.q41_intersect _),

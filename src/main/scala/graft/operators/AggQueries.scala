@@ -121,7 +121,79 @@ object AggQueries {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** GROUPING SETS — the general form rollup/cube specialize (round 3).
+    * Expressed through `spark.sql` over a temp view: Spark lowers it to the
+    * same single Expand + HashAggregate as rollup/cube (no N passes).
+    * `grouping(col)` flags disambiguate the NULL-as-total rows; NULLS FIRST
+    * is pinned explicitly because Spark and DuckDB default differently.
+    */
+  def q24_agg_grouping_sets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  cast(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  cast(grouping(o_orderpriority) AS BIGINT) AS g_prio
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio,
+        |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  /** Pivot (round 3): priority classes to columns, one row per status —
+    * lowered by Spark to a single agg with conditional sums (the same
+    * CASE-WHEN shape the oracle spells out), NOT per-column passes.
+    */
+  def q45_pivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(Det.r2(sum(col("o_totalprice"))))
+      .orderBy(col("o_orderstatus"))
+
+  /** Ordered string aggregation (round 3): LISTAGG/string_agg semantics
+    * made deterministic by sorting the collected values before joining —
+    * `collect_list` order is partition-dependent, so the sort is the
+    * correctness step, not a style choice.
+    */
+  def q48_string_agg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy(col("r_name"))
+
   val oracle: Map[String, String] = Map(
+    "q24_agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio,
+        |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q45_pivot" ->
+      """SELECT o_orderstatus,
+        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS "1-URGENT",
+        |  round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS "2-HIGH",
+        |  round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS "3-MEDIUM",
+        |  round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS "4-NOT SPECIFIED",
+        |  round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q48_string_agg" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q20_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -129,7 +129,36 @@ object JoinQueries {
       .crossJoin(Tables.nation(spark, sfDir).select(col("n_name")))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** Correlated subqueries (round 3): a scalar COUNT subquery and a
+    * correlated EXISTS, written as SQL — Catalyst de-correlates both into
+    * the aggregate + semi-join plan you would hand-write (this is the
+    * showcase: the declarative subquery costs nothing over the manual
+    * join), which is why no dedicated "subquery operator" exists in the
+    * DataFrame surface.
+    */
+  def q46_subquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("graft_cust_sq")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_ord_sq")
+    spark.sql(
+      """SELECT c_custkey, c_acctbal,
+        |  (SELECT count(*) FROM graft_ord_sq o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM graft_cust_sq c
+        |WHERE EXISTS (SELECT 1 FROM graft_ord_sq o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey
+        |""".stripMargin)
+  }
+
   val oracle: Map[String, String] = Map(
+    "q46_subquery" ->
+      """SELECT c_custkey, c_acctbal,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
     "q10_join_inner" ->
       """SELECT o_orderkey, c_name, c_mktsegment, round(o_totalprice, 2) AS o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

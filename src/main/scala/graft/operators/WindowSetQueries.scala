@@ -154,7 +154,33 @@ object WindowSetQueries {
   private val setA = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
   private val setB = "SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 490000"
 
+  /** Distribution window functions (round 3): percent_rank / cume_dist /
+    * nth_value. The ORDER BY key (c_acctbal, c_custkey) is unique, so rank
+    * fractions are identical across engines (k/n binary divisions — exact);
+    * nth_value uses the default running frame in both.
+    */
+  def q36_window_distribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(spark, sfDir)
+      .select(
+        col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        nth_value(col("c_custkey"), 2).over(w).as("second_key"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q36_window_distribution" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(c_custkey, 2) OVER w AS second_key
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |  ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "q30_window_rank" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
         |  rn, rnk, drnk FROM (
