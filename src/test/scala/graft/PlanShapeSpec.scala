@@ -40,10 +40,49 @@ class PlanShapeSpec extends SparkSpec {
 
   test("near-dup pipelines never plan a cartesian product") {
     Seq("q81_sim_jaccard", "q85_dedup_minhash_lsh", "q86_dedup_ngram",
-      "q87_dedup_embcos").foreach { q =>
+      "q87_dedup_embcos", "q94_dedup_lsh_lang").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1200)}")
     }
+  }
+
+  test("q85/q94 bucket cap is a Window over the band key, feeding the band join") {
+    Seq("q85_dedup_minhash_lsh", "q94_dedup_lsh_lang").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q lost the bucket-cap window: ${p.take(1200)}")
+      assert(p.contains("bucket_n"), s"$q: ${p.take(1200)}")
+    }
+  }
+
+  test("q24 grouping sets / q23 cube lower to a single Expand, not N passes") {
+    Seq("q24_agg_grouping_sets", "q23_agg_cube").foreach { q =>
+      val p = plan(q)
+      assert("Expand".r.findAllIn(p).size == 1, s"$q: ${p.take(1200)}")
+    }
+  }
+
+  test("q45 pivot is one conditional-aggregation pass, no join or repeated scans") {
+    val p = plan("q45_pivot")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1200)) // partial+final
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
+  test("q46 correlated subqueries de-correlate: no cartesian, joins only") {
+    val p = plan("q46_subquery")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("Join"), p.take(1500))
+  }
+
+  test("q58 decimal aggregation is two-phase like its double twin") {
+    val p = plan("q58_decimal_money")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
+  }
+
+  test("q59 geo query is a pure narrow projection over one scan (no shuffle before sort)") {
+    val p = plan("q59_geo_distance")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
   }
 
   test("q01/q20 scans read only the referenced columns (pruning)") {
