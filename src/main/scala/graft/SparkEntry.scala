@@ -101,6 +101,7 @@ object SparkEntry {
     "q93_text_cooccur" -> (PipelineQueries.q93_text_cooccur _),
     "q94_dedup_lsh_lang" -> (PipelineQueries.q94_dedup_lsh_lang _),
     "q95_fulltext_ranked" -> (PipelineQueries.q95_fulltext_ranked _),
+    "q97_curation_pipeline" -> (PipelineQueries.q97_curation_pipeline _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -93,6 +93,24 @@ object PipelineQueries {
       .withColumnRenamed("block", "label")
       .orderBy(col("label"), col("id_a"), col("id_b"))
 
+  /** The WHOLE curation funnel as one hash-checked query (round 3): quality
+    * gate ≥ 0.5 → exact dedup (min doc_id per distinct text) → capped-LSH
+    * near-dedup (k=8, 4 bands, maxBucket=[[LshMaxBucket]], verify ≥ 0.9,
+    * larger id loses) → annotate. The oracle replays every stage in SQL —
+    * the ORCHESTRATION is verified, not just its pieces. (The oracle dedups
+    * by text directly; the Spark digest groupBy is equivalent unless md5
+    * collides. Quality is exact integer basis points — no float drift.)
+    */
+  def q97_curation_pipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val cfg = CurationPipeline.Config(maxBucket = LshMaxBucket)
+    CurationPipeline.run(Tables.documents(spark, sfDir), cfg,
+        collectStats = false)
+      .curated
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document quality metrics + composite score. */
   def q88_text_quality(spark: SparkSession, sfDir: String): DataFrame = {
     val stops = Seq("join", "filter", "scan")
@@ -218,6 +236,20 @@ object PipelineQueries {
   private def mh(i: Int) =
     s"list_aggregate(list_transform(tok, t -> md5('$i|' || t)), 'min')"
 
+  /** The exact-integer-basis-points quality score of q88/TextFunctions
+    * .qualityScore, shared by the q88 and q97 oracles. */
+  private val qualityExpr =
+    """CAST(
+      |    CAST(round(least(length(text) / 500.0, 1.0) * 10000) AS BIGINT) * 3 +
+      |    CAST(round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+      |      len(string_split(text, ' ')) * 10000) AS BIGINT) * 4 +
+      |    (10000 - CAST(round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) /
+      |      length(text) * 10000) AS BIGINT)) * 2 +
+      |    (10000 - CAST(round(CAST(len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('join', 'filter', 'scan'))) AS DOUBLE) /
+      |      len(string_split(text, ' ')) * 10000) AS BIGINT))
+      |  AS DOUBLE) / 100000.0""".stripMargin
+
   private val gramsExpr =
     "list_distinct(list_transform(" +
       "range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1), " +
@@ -286,27 +318,43 @@ object PipelineQueries {
         |WHERE cos_sim >= 0.3
         |ORDER BY label, id_a, id_b""".stripMargin,
     "q88_text_quality" ->
-      """SELECT doc_id,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
-        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_re,
-        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
-        |    len(string_split(text, ' ')), 4) AS distinct_ratio,
-        |  round(CAST(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum') AS DOUBLE) /
-        |    len(string_split(text, ' ')), 4) AS avg_tok_len,
-        |  round(CAST(len(list_filter(string_split(text, ' '),
-        |    t -> t IN ('join', 'filter', 'scan'))) AS DOUBLE) /
-        |    len(string_split(text, ' ')), 4) AS stop_ratio,
-        |  CAST(
-        |    CAST(round(least(length(text) / 500.0, 1.0) * 10000) AS BIGINT) * 3 +
-        |    CAST(round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
-        |      len(string_split(text, ' ')) * 10000) AS BIGINT) * 4 +
-        |    (10000 - CAST(round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) /
-        |      length(text) * 10000) AS BIGINT)) * 2 +
-        |    (10000 - CAST(round(CAST(len(list_filter(string_split(text, ' '),
-        |      t -> t IN ('join', 'filter', 'scan'))) AS DOUBLE) /
-        |      len(string_split(text, ' ')) * 10000) AS BIGINT))
-        |  AS DOUBLE) / 100000.0 AS quality
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_re,
+         |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+         |    len(string_split(text, ' ')), 4) AS distinct_ratio,
+         |  round(CAST(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum') AS DOUBLE) /
+         |    len(string_split(text, ' ')), 4) AS avg_tok_len,
+         |  round(CAST(len(list_filter(string_split(text, ' '),
+         |    t -> t IN ('join', 'filter', 'scan'))) AS DOUBLE) /
+         |    len(string_split(text, ' ')), 4) AS stop_ratio,
+         |  $qualityExpr AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q97_curation_pipeline" ->
+      s"""WITH q AS (SELECT doc_id, text, $qualityExpr AS quality FROM documents),
+         |gated AS (SELECT doc_id, text, quality FROM q WHERE quality >= 0.5),
+         |ex AS (SELECT doc_id, text, quality FROM gated
+         |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+         |d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok FROM ex),
+         |sig AS (SELECT doc_id, tok,
+         |  ['0|' || ${mh(0)} || '|' || ${mh(1)},
+         |   '1|' || ${mh(2)} || '|' || ${mh(3)},
+         |   '2|' || ${mh(4)} || '|' || ${mh(5)},
+         |   '3|' || ${mh(6)} || '|' || ${mh(7)}] AS bands FROM d),
+         |bb0 AS (SELECT doc_id, unnest(bands) AS band FROM sig),
+         |bb AS (SELECT doc_id, band FROM bb0
+         |  QUALIFY count(*) OVER (PARTITION BY band) <= 200),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bb a JOIN bb b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |losers AS (SELECT DISTINCT c.id_b FROM cand c
+         |  JOIN d da ON da.doc_id = c.id_a JOIN d db ON db.doc_id = c.id_b
+         |  WHERE CAST(len(list_intersect(da.tok, db.tok)) AS DOUBLE) /
+         |    (len(da.tok) + len(db.tok) - len(list_intersect(da.tok, db.tok))) >= 0.9)
+         |SELECT e.doc_id,
+         |  CAST(len(string_split(e.text, ' ')) AS BIGINT) AS n_tokens,
+         |  e.quality
+         |FROM ex e WHERE e.doc_id NOT IN (SELECT id_b FROM losers)
+         |ORDER BY e.doc_id""".stripMargin,
     "q89_doc_fingerprint" ->
       s"""SELECT doc_id,
          |  list_aggregate(list_transform($gramsExpr, g -> md5(g)), 'min') AS fp
