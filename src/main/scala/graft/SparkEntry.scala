@@ -101,6 +101,7 @@ object SparkEntry {
     "q93_text_cooccur" -> (PipelineQueries.q93_text_cooccur _),
     "q94_dedup_lsh_lang" -> (PipelineQueries.q94_dedup_lsh_lang _),
     "q95_fulltext_ranked" -> (PipelineQueries.q95_fulltext_ranked _),
+    "q96_dedup_simhash" -> (PipelineQueries.q96_dedup_simhash _),
     "q97_curation_pipeline" -> (PipelineQueries.q97_curation_pipeline _),
   )
 

@@ -93,6 +93,30 @@ object PipelineQueries {
       .withColumnRenamed("block", "label")
       .orderBy(col("label"), col("id_a"), col("id_b"))
 
+  /** SimHash near-dup tier, hash-checked (round 3 — promoted from the
+    * xxhash64 unit tier): 60-bit md5-based fingerprints
+    * ([[graft.expressions.SimHash60]]), 4 bands of 15 bits (sound for
+    * Hamming ≤ 3 by pigeonhole), exact Hamming verify. The oracle rebuilds
+    * the identical fingerprints from md5 hex in SQL — pure integer/bit
+    * arithmetic, no float anywhere.
+    */
+  def q96_dedup_simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("id"),
+        graft.expressions.SimHash60.simhash60(col("text")).as("fp"))
+    val bandCols = (0 until 4).map(i =>
+      lit(i.toLong * 32768L) + shiftright(col("fp"), i * 15).bitwiseAND(32767L))
+    val banded = fp.select(col("id"), col("fp"),
+      explode(array(bandCols: _*)).as("band"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long").as("dist"))
+      .filter(col("dist") <= 3)
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** The WHOLE curation funnel as one hash-checked query (round 3): quality
     * gate ≥ 0.5 → exact dedup (min doc_id per distinct text) → capped-LSH
     * near-dedup (k=8, 4 bands, maxBucket=[[LshMaxBucket]], verify ≥ 0.9,
@@ -330,6 +354,29 @@ object PipelineQueries {
          |    len(string_split(text, ' ')), 4) AS stop_ratio,
          |  $qualityExpr AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q96_dedup_simhash" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_transform(list_distinct(string_split(text, ' ')),
+        |    t -> list_aggregate(list_transform(range(1, 16),
+        |      i -> (CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) AS BIGINT) - 1)
+        |        * (1::BIGINT << (4 * (15 - i)))), 'sum')) AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_aggregate(list_transform(range(0, 60),
+        |    b -> CASE WHEN 2 * len(list_filter(h, x -> ((x >> b) & 1) = 1)) >= len(h)
+        |      THEN (1::BIGINT << b) ELSE 0::BIGINT END), 'sum') AS fp
+        |  FROM d),
+        |bb AS (SELECT doc_id, fp, unnest([
+        |   0::BIGINT * 32768 + ((fp >> 0) & 32767),
+        |   1::BIGINT * 32768 + ((fp >> 15) & 32767),
+        |   2::BIGINT * 32768 + ((fp >> 30) & 32767),
+        |   3::BIGINT * 32768 + ((fp >> 45) & 32767)]) AS band FROM s),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.fp AS fa, b.fp AS fb
+        |  FROM bb a JOIN bb b ON a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS dist
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q97_curation_pipeline" ->
       s"""WITH q AS (SELECT doc_id, text, $qualityExpr AS quality FROM documents),
          |gated AS (SELECT doc_id, text, quality FROM q WHERE quality >= 0.5),
