@@ -88,6 +88,7 @@ object SparkEntry {
     "q82_knn_cosine" -> (NorthStarQueries.q82_knn_cosine _),
     "q83_text_topterms" -> (NorthStarQueries.q83_text_topterms _),
     "q84_text_langstats" -> (NorthStarQueries.q84_text_langstats _),
+    "q98_knn_ivf_cell" -> (NorthStarQueries.q98_knn_ivf_cell _),
     // J. training-data pipeline tiers (dedup ladder, quality, fingerprint,
     //    full-text) — hash-checked like everything else
     "q85_dedup_minhash_lsh" -> (PipelineQueries.q85_dedup_minhash_lsh _),

@@ -76,6 +76,35 @@ object NorthStarQueries {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** IVF read-path KNN, hash-checked (round 3): each probe scores ONLY the
+    * vectors in its own coarse cell (`label` — on disk this is the
+    * bucketed/partitioned shard, so the scan prunes to 1/|cells| of the
+    * corpus). Centroid ROUTING (picking nprobe cells by centroid cosine)
+    * stays unit-test tier in `Ann.ivfTopK` — replaying float centroid
+    * averaging across engines is not hash-stable, the pruned-search
+    * semantics are.
+    */
+  def q98_knn_ivf_cell(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("label"),
+        col("embedding").as("pv"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      col("label"), col("embedding").as("cv"))
+    val cos = Det.r6(Det.dotD(col("pv"), col("cv")) /
+      (Det.l2norm(col("pv")) * Det.l2norm(col("cv"))))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    broadcast(probes).join(corpus, "label")
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", cos)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("label"), col("neighbor_id"),
+        col("cos_sim"), col("rank"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   def q83_text_topterms(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("cnt").desc, col("term").asc)
@@ -127,6 +156,22 @@ object NorthStarQueries {
         |    FROM sims)
         |SELECT probe_id, neighbor_id, cos_sim, rank FROM ranked
         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "q98_knn_ivf_cell" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |  sims AS (
+        |    SELECT p.vec_id AS probe_id, p.label AS label, c.vec_id AS neighbor_id,
+        |      round(list_dot_product(p.v, c.v) /
+        |        (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+        |    FROM e p JOIN e c ON p.label = c.label
+        |      AND p.vec_id < 5 AND p.vec_id <> c.vec_id),
+        |  ranked AS (
+        |    SELECT probe_id, label, neighbor_id, cos_sim,
+        |      row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        |    FROM sims)
+        |SELECT probe_id, label, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     "q83_text_topterms" ->
       """SELECT lang, term, cnt, rank FROM (
         |  SELECT lang, term, cnt,

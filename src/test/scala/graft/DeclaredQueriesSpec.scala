@@ -45,7 +45,8 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q95_fulltext_ranked" -> 304L, "q24_agg_grouping_sets" -> 9L,
     "q36_window_distribution" -> 150L, "q45_pivot" -> 3L,
     "q46_subquery" -> 130L, "q48_string_agg" -> 5L,
-    "q97_curation_pipeline" -> 421L, "q96_dedup_simhash" -> 1883L)
+    "q97_curation_pipeline" -> 421L, "q96_dedup_simhash" -> 1883L,
+    "q98_knn_ivf_cell" -> 25L)
 
   test("every declared query has an oracle and matches its golden sf0.001 count") {
     val qs = SparkEntry.queries
