@@ -12,7 +12,9 @@ object PlanAudit extends App {
   val targets = Seq("q02_filter_where", "q11_join_multiway", "q20_agg_hash",
     "q30_window_rank", "q82_knn_cosine", "q05_topk_global", "q15_join_theta",
     "q85_dedup_minhash_lsh", "q86_dedup_ngram", "q16_join_asof",
-    "q52_math_funcs", "q58_decimal_money", "q94_dedup_lsh_lang")
+    "q52_math_funcs", "q58_decimal_money", "q94_dedup_lsh_lang",
+    "q96_dedup_simhash", "q97_curation_pipeline", "q98_knn_ivf_cell",
+    "q24_agg_grouping_sets", "q45_pivot", "q46_subquery")
   targets.foreach { q =>
     println(s"\n========== $q ==========")
     println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(
