@@ -54,6 +54,29 @@ object StreamTwins {
       .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
       .select(col("user_id"), col("event_type"), col("event_id"))
 
+  /** Stream-STREAM interval join: purchases matched to the same user's
+    * clicks that happened within the preceding hour. Both sides carry a
+    * watermark and the join condition carries the time bound — that pair is
+    * what lets Spark evict join state (a side's rows older than
+    * watermark + interval can never match again). Without the time bound,
+    * stream-stream state grows without limit; this is THE pattern for
+    * joining two live feeds at scale.
+    */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame,
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val r = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    l.join(r,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** Custom arbitrary state (SURVEY §2.3 "session state"): per-user running
     * totals via `flatMapGroupsWithState` — the escape hatch when built-in
     * windows can't express the state machine. Emits one row per input

@@ -147,6 +147,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: streaming == batch, across batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      Ev(10, t("2024-01-01 10:00:00"), 1, "click", 0, "{}"),
+      Ev(11, t("2024-01-01 10:30:00"), 1, "click", 0, "{}"),
+      Ev(12, t("2024-01-01 09:00:00"), 2, "click", 0, "{}"))
+    val purchases = Seq(
+      Ev(20, t("2024-01-01 10:45:00"), 1, "purchase", 0, "{}"), // joins 10 & 11
+      Ev(21, t("2024-01-01 11:30:00"), 1, "purchase", 0, "{}"), // joins 11 only
+      Ev(22, t("2024-01-01 11:00:00"), 2, "purchase", 0, "{}")) // 2h after click: no join
+    val batch = StreamTwins.intervalJoin(clicks.toDF(), purchases.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch == Set((1L, 10L, 20L), (1L, 11L, 20L), (1L, 11L, 21L)))
+
+    val memC = MemoryStream[Ev]; val memP = MemoryStream[Ev]
+    val q = StreamTwins.intervalJoin(memC.toDF(), memP.toDF()).writeStream
+      .format("memory").queryName("tssj").outputMode(OutputMode.Append()).start()
+    try {
+      // clicks arrive first, purchases in a LATER micro-batch — the join
+      // state must hold the clicks until their matches arrive
+      memC.addData(clicks); q.processAllAvailable()
+      memP.addData(purchases); q.processAllAvailable()
+      val stream = spark.table("tssj").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(stream == batch)
+    } finally q.stop()
+  }
+
   test("watermark drops rows later than watermark + delay in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
