@@ -67,6 +67,42 @@ class SkewSpec extends SparkSpec {
       s"min salt bucket ${hotPerSalt.min} vs ideal $ideal — salt not spreading")
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (the built-in complement to salting)") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      // shrink the skew thresholds so fixture-scale data trips the
+      // optimizer; disable broadcast so the join actually sort-merges
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // one hot key with 60k fat rows vs 40 cold keys
+      val left = (0 until 66000).map { i =>
+        (if (i % 11 == 0) (i % 40) + 1L else 0L, i.toLong, "x" * 64)
+      }.toDF("k", "id", "pad")
+      val right = (0L until 41L).map(k => (k, s"dim_$k")).toDF("k", "name")
+      val joined = left.join(right, "k")
+      // collect() executes THIS dataset's QueryExecution (count()/foreach
+      // plan their own and would leave joined's adaptive plan unfinalized)
+      assert(joined.collect().length == 66000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE skew handling did not activate:\n${finalPlan.take(1800)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("salt spreads a single hot key across buckets") {
     import spark.implicits._
     val hot = (0 until 1000).map(i => (1L, i.toLong)).toDF("key", "id")
