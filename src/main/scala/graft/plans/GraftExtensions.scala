@@ -92,8 +92,18 @@ object GraftExtensions {
         And(GreaterThanOrEqual(lon, d(args(3))), LessThanOrEqual(lon, d(args(5)))))
     })
 
+  private val weightedAvgDesc: FunctionDesc = (
+    FunctionIdentifier("weighted_avg"),
+    new ExpressionInfo(classOf[graft.expressions.WeightedAvgDecl].getName,
+      "weighted_avg"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"weighted_avg(x, w) takes 2 arguments, got ${args.length}")
+      graft.expressions.WeightedAvgDecl(args(0), args(1))
+    })
+
   private val all: Seq[FunctionDesc] = Seq(sortedIntersectSizeDesc,
-    distanceInMetersDesc, withinCircleDesc, withinBoxDesc)
+    distanceInMetersDesc, withinCircleDesc, withinBoxDesc, weightedAvgDesc)
 
   /** Register the functions into an already-running session. */
   def register(spark: SparkSession): Unit =
