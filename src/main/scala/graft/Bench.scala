@@ -17,7 +17,14 @@ object Bench {
     // (observed ~1-3 s of one-time compile cost on expression-heavy
     // queries). Standard bench hygiene, applied identically at every sf;
     // falls back to a single q20 warm-up if the small fixture is absent.
-    val warmDir = "/root/testdata/sf0.001"
+    // NOTE: this warm-every-query methodology started in round 3 — r01/r02
+    // ledger numbers were taken under a single-query warm-up and include
+    // per-query JIT (see BASELINE.md ledger).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      new java.io.File(sfDir).getParentFile match {
+        case null => "/root/testdata/sf0.001"
+        case p => new java.io.File(p, "sf0.001").getPath
+      })
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.values.foreach { fn =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }

@@ -1,7 +1,6 @@
 package graft.expressions
 
 import org.apache.spark.sql.{Column, GraftColumn}
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -20,7 +19,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * or all-null group yields NaN, matching the Aggregator's finish().
   */
 case class WeightedAvgDecl(x: Expression, w: Expression)
-  extends DeclarativeAggregate {
+  extends DeclarativeAggregate with ImplicitCastInputTypes {
 
   private lazy val sumWx = AttributeReference("sum_wx", DoubleType,
     nullable = false)()
@@ -32,12 +31,12 @@ case class WeightedAvgDecl(x: Expression, w: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "weighted_avg"
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (Seq(x, w).forall(_.dataType == DoubleType))
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (double, double) inputs, " +
-        s"got (${x.dataType.sql}, ${w.dataType.sql})")
+  // numeric inputs coerce to double automatically, like the built-in
+  // sum/avg this aggregate twins (round 4 — previously int/decimal Columns
+  // failed analysis instead of casting). Declared as Seq[DataType] — the
+  // covariant refinement of Seq[AbstractDataType], whose name is
+  // private[sql] in Spark 4.
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
 
   override lazy val aggBufferAttributes: Seq[AttributeReference] =
     Seq(sumWx, sumW)

@@ -37,7 +37,14 @@ object CurationPipeline {
       minhashBands: Int = 4,
       maxBucket: Int = 1000)
 
-  case class Result(curated: DataFrame, stats: Map[String, Long])
+  /** `release()` unpersists the near-dedup cache that `curated` reads from
+    * (collectStats=true only; a no-op otherwise) — call it once the curated
+    * output has been materialized/written, so long-lived sessions don't
+    * accumulate cached DataFrames across pipeline invocations. Dropping the
+    * cache before materializing is safe too: the frame recomputes.
+    */
+  case class Result(curated: DataFrame, stats: Map[String, Long],
+                    release: () => Unit = () => ())
 
   def qualityGate(docs: DataFrame, cfg: Config): DataFrame =
     docs.filter(TextFunctions.qualityScore(col(cfg.textCol), cfg.stopwords)
@@ -96,6 +103,7 @@ object CurationPipeline {
       "input" -> obsInput.get("n").asInstanceOf[Long],
       "after_quality" -> obsGated.get("n").asInstanceOf[Long],
       "after_exact_dedup" -> nExact,
-      "after_near_dedup" -> nNear))
+      "after_near_dedup" -> nNear),
+      release = () => { near.unpersist(false); () })
   }
 }

@@ -99,15 +99,27 @@ object PipelineQueries {
     * Hamming ≤ 3 by pigeonhole), exact Hamming verify. The oracle rebuilds
     * the identical fingerprints from md5 hex in SQL — pure integer/bit
     * arithmetic, no float anywhere.
+    *
+    * Band buckets are capped at [[LshMaxBucket]] exactly like q85/q94
+    * (round 4): a popular fingerprint band — the norm in exact-dup-heavy
+    * corpora at 100 TB — would otherwise go quadratic. The cap is replayed
+    * in the oracle's QUALIFY, so the hash-checked query is the bounded
+    * production plan. (At fixture scale the largest bucket is 136, so the
+    * cap is semantically inert here — measured in DuckDB before pinning.)
     */
   def q96_dedup_simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val fp = Tables.documents(spark, sfDir)
       .select(col("doc_id").as("id"),
         graft.expressions.SimHash60.simhash60(col("text")).as("fp"))
     val bandCols = (0 until 4).map(i =>
       lit(i.toLong * 32768L) + shiftright(col("fp"), i * 15).bitwiseAND(32767L))
+    val wBand = Window.partitionBy(col("band"))
     val banded = fp.select(col("id"), col("fp"),
-      explode(array(bandCols: _*)).as("band"))
+        explode(array(bandCols: _*)).as("band"))
+      .withColumn("bucket_n", count(lit(1)).over(wBand))
+      .filter(col("bucket_n") <= LshMaxBucket)
+      .drop("bucket_n")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -203,8 +215,17 @@ object PipelineQueries {
 
   /** TF-IDF: tf(term, doc) × ln(N / df(term)), top-3 terms per doc by
     * (score desc, term asc). Two aggregation passes (term counts per doc,
-    * document frequencies) + a broadcast join — no per-doc loops; the
+    * document frequencies) joined back on `term` — no per-doc loops; the
     * standard relevance primitive of a text pipeline, hash-checked.
+    *
+    * The docFreq side carries NO broadcast hint (round 4): its cardinality
+    * is the vocabulary, which at web scale is 10⁸–10⁹ terms — a forced
+    * broadcast OOMs the driver. AQE picks a broadcast join when the table
+    * is actually small (it is at fixture scale) and falls back to a
+    * shuffle join on `term` when it is not; both sides of that join are
+    * already partitioned by `term`'s hash, so the shuffle is one exchange.
+    * (Contrast q95, which prunes df to the ≤|query terms| rows first —
+    * there the broadcast is provably bounded and stays.)
     */
   def q92_text_tfidf(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -219,7 +240,7 @@ object PipelineQueries {
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term").asc)
-    termCounts.join(broadcast(docFreq), "term")
+    termCounts.join(docFreq, "term")
       .crossJoin(broadcast(nDf))
       .withColumn("tfidf",
         Det.r6(col("tf") * log(col("n_total") / col("df"))))
@@ -366,11 +387,13 @@ object PipelineQueries {
         |    b -> CASE WHEN 2 * len(list_filter(h, x -> ((x >> b) & 1) = 1)) >= len(h)
         |      THEN (1::BIGINT << b) ELSE 0::BIGINT END), 'sum') AS fp
         |  FROM d),
-        |bb AS (SELECT doc_id, fp, unnest([
+        |bb0 AS (SELECT doc_id, fp, unnest([
         |   0::BIGINT * 32768 + ((fp >> 0) & 32767),
         |   1::BIGINT * 32768 + ((fp >> 15) & 32767),
         |   2::BIGINT * 32768 + ((fp >> 30) & 32767),
         |   3::BIGINT * 32768 + ((fp >> 45) & 32767)]) AS band FROM s),
+        |bb AS (SELECT doc_id, fp, band FROM bb0
+        |  QUALIFY count(*) OVER (PARTITION BY band) <= 200),
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         |    a.fp AS fa, b.fp AS fb
         |  FROM bb a JOIN bb b ON a.band = b.band AND a.doc_id < b.doc_id)

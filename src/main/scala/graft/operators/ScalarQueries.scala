@@ -84,8 +84,11 @@ object ScalarQueries {
   /** Money-exact decimal path (SURVEY §1.2 maps Socrata `money` to
     * `DecimalType`): totals run in exact DECIMAL(18,2) arithmetic, not
     * double — no floating drift — and are hash-compared UNROUNDED against
-    * DuckDB's DECIMAL engine. The sum is widened explicitly to
-    * DECIMAL(38,2) so both engines emit the identical type.
+    * DuckDB's DECIMAL engine. The sum is narrowed back to DECIMAL(18,2)
+    * (the values fit — ≈1.3e9 at sf0.01) so both engines write the
+    * INT64-backed parquet decimal; a DECIMAL(38,2) output is
+    * FIXED_LEN_BYTE_ARRAY(16) in Spark and the two engines' wide-decimal
+    * canonicalizations diverge in the driver's hash path (round-3 verdict).
     */
   def q58_decimal_money(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
@@ -93,7 +96,7 @@ object ScalarQueries {
         col("o_totalprice").cast("decimal(18,2)").as("price_d"))
       .groupBy(col("o_orderstatus"))
       .agg(
-        sum(col("price_d")).cast("decimal(38,2)").as("total_money"),
+        sum(col("price_d")).cast("decimal(18,2)").as("total_money"),
         count(lit(1)).as("n"),
         min(col("price_d")).as("min_money"),
         max(col("price_d")).as("max_money"))
@@ -194,7 +197,7 @@ object ScalarQueries {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, rp, ab, ce, fl, pw, ln_p LIMIT 500""".stripMargin,
     "q58_decimal_money" ->
       """SELECT o_orderstatus,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_money,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_money,
         |  count(*) AS n,
         |  min(CAST(o_totalprice AS DECIMAL(18,2))) AS min_money,
         |  max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_money

@@ -46,12 +46,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q85/q94 bucket cap is a Window over the band key, feeding the band join") {
-    Seq("q85_dedup_minhash_lsh", "q94_dedup_lsh_lang").foreach { q =>
-      val p = plan(q)
-      assert(p.contains("Window"), s"$q lost the bucket-cap window: ${p.take(1200)}")
-      assert(p.contains("bucket_n"), s"$q: ${p.take(1200)}")
-    }
+  test("q85/q94/q96 bucket cap is a Window over the band key, feeding the band join") {
+    Seq("q85_dedup_minhash_lsh", "q94_dedup_lsh_lang", "q96_dedup_simhash")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("Window"), s"$q lost the bucket-cap window: ${p.take(1200)}")
+        assert(p.contains("bucket_n"), s"$q: ${p.take(1200)}")
+      }
+  }
+
+  test("q92 does not force-broadcast the vocabulary df table (unbounded aggregate)") {
+    val qe = SparkEntry.queries("q92_text_tfidf")(spark, sfDir).queryExecution
+    val hints = "strategy=broadcast".r
+      .findAllIn(qe.optimizedPlan.toString).size
+    // exactly one broadcast hint survives: the 1-row corpus-count aggregate
+    // on the cross join. The term-keyed docFreq join must carry none — at
+    // web scale that side is vocabulary-cardinality and AQE has to be free
+    // to pick a shuffle join.
+    assert(hints <= 1, s"forced broadcast crept back into q92:\n" +
+      qe.optimizedPlan.toString.take(1500))
   }
 
   test("q24 grouping sets / q23 cube lower to a single Expand, not N passes") {

@@ -41,6 +41,20 @@ class WeightedAvgDeclSpec extends SparkSpec {
     assert(nan.isNaN)
   }
 
+  test("integer/long inputs coerce to double like built-in sum/avg") {
+    // pre-round-4 this failed analysis: checkInputDataTypes demanded
+    // exactly (double, double); ImplicitCastInputTypes now inserts casts
+    val df = Seq((1, 2L), (3, 4L)).toDF("x", "w")
+    val r = df.agg(WeightedAvgDecl.weightedAvg(col("x"), col("w")))
+      .head().getDouble(0)
+    assert(r == (1.0 * 2 + 3.0 * 4) / 6)
+    graft.plans.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("graft_wa_int")
+    val viaSql = spark.sql(
+      "SELECT weighted_avg(x, w) FROM graft_wa_int").head().getDouble(0)
+    assert(viaSql == r)
+  }
+
   test("SQL surface via GraftExtensions: weighted_avg callable in GROUP BY queries") {
     graft.plans.GraftExtensions.register(spark)
     Tables.lineitem(spark, sfDir).createOrReplaceTempView("graft_li_wa")

@@ -44,4 +44,30 @@ class SimHashSpec extends SparkSpec {
       col("dist") === 0).count() == 10)
     assert(pairs.filter(col("dist") > 3).count() == 0)
   }
+
+  test("stress: hot fingerprint band (300 identical docs) is bucket-capped — " +
+    "cost stays bounded, cold twins still found") {
+    // 300 docs with IDENTICAL text → one fingerprint → 4 hot bands of 300.
+    // Uncapped that is 300·299/2 ≈ 45k pairs from a bucket with zero
+    // discriminating power; the cap drops those buckets before pairing.
+    val hot = (0 until 300).map(i => (i.toLong, "the same exact duplicated text body"))
+    val cold = Seq(
+      (1000L, "unique cold document about spark planning"),
+      (2000L, "unique cold document about spark planning"), // twin of 1000
+      (3000L, "another entirely different subject matter here"))
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+    val capped = SimHash.nearDupPairs(docs, "doc_id", "text",
+      maxDist = 3, maxBucket = 50)
+    val got = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hot-bucket pairs are gone (that tier belongs to exact dedup)…
+    assert(!got.exists { case (a, b) => a < 300 && b < 300 },
+      s"hot-band pairs leaked through the cap: ${got.take(5)}")
+    // …while the cold twin pair survives in its small bucket
+    assert(got.contains((1000L, 2000L)), s"cold twin lost: $got")
+    // and an uncapped run on the same corpus IS quadratic — the cap is
+    // load-bearing, not decorative
+    val uncapped = SimHash.nearDupPairs(docs, "doc_id", "text",
+      maxDist = 3, maxBucket = Int.MaxValue).count()
+    assert(uncapped >= 300L * 299 / 2, s"expected quadratic blowup, got $uncapped")
+  }
 }

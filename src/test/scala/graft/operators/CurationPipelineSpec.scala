@@ -41,6 +41,23 @@ class CurationPipelineSpec extends SparkSpec {
     assert(r.curated.count() == r.stats("after_near_dedup"))
   }
 
+  test("release() drops the near-dedup cache; collectStats=false caches nothing") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val r = CurationPipeline.run(docs, cfg)
+    r.curated.count()
+    // run() unpersists `exact` itself; exactly the near-dedup cache remains
+    assert(sc.getPersistentRDDs.size == before + 1,
+      s"expected one resident cache, got ${sc.getPersistentRDDs.size - before}")
+    r.release()
+    assert(sc.getPersistentRDDs.size == before,
+      "near-dedup cache still resident after release()")
+    val lazyRun = CurationPipeline.run(docs, cfg, collectStats = false)
+    assert(sc.getPersistentRDDs.size == before)
+    lazyRun.release() // no-op by contract
+    assert(sc.getPersistentRDDs.size == before)
+  }
+
   test("annotations present with sane domains") {
     val r = CurationPipeline.run(docs, cfg, collectStats = false)
     assert(Seq("n_tokens", "quality", "fingerprint")
