@@ -83,14 +83,22 @@ object Dedup {
     * per-block, not global.
     */
   def ngramNearDups(docs: DataFrame, idCol: String, textCol: String,
-                    blockCol: String, n: Int, threshold: Double): DataFrame = {
+                    blockCol: String, n: Int, threshold: Double): DataFrame =
     // shingles interned to 64-bit ids (one codegen'd ShingleIds pass):
     // identical set sizes w.h.p., and the per-pair intersect (the
     // quadratic hot loop) runs on sorted longs instead of multi-word
     // strings
-    val g = docs.select(col(blockCol).as("block"), col(idCol).as("id"),
-      gramIds(col(textCol), n).as("g"))
+    ngramNearDupsFromIds(
+      docs.select(col(blockCol).as("block"), col(idCol).as("id"),
+        gramIds(col(textCol), n).as("g")),
+      threshold)
 
+  /** [[ngramNearDups]] over a pre-interned `(block, id, g)` frame — the
+    * entry point for callers holding a shared gram materialization
+    * ([[TextCache.gramIds]]), so the shingle build is not recomputed per
+    * query.
+    */
+  def ngramNearDupsFromIds(g: DataFrame, threshold: Double): DataFrame = {
     // Exact prefix filter (Bayardo/Ma/Srikant, "Scaling up all pairs
     // similarity search", WWW 2007; positional refinement in Xiao et al.
     // PPJoin, WWW 2008 — public literature): under one global element order
