@@ -10,10 +10,16 @@ import org.apache.spark.sql.types._
   * IMAGE decode and resize are REAL: payloads are genuine PNG bytes
   * (encoded with the JDK's built-in `javax.imageio` PNG codec — no
   * external libraries) and `decodeImages`/`resize` run an actual
-  * `ImageIO.read` / `Graphics2D` rescale. Audio/video codec bodies remain
-  * deterministic stand-ins (no PCM/video codecs ship with the JDK); their
-  * Spark-side plumbing — schema, per-partition batching, stable UDF
-  * signatures — is the same tested shape as the real image path.
+  * `ImageIO.read` / `Graphics2D` rescale.
+  *
+  * AUDIO decode is REAL too: payloads are genuine RIFF/WAVE files (16-bit
+  * mono PCM) written by the JDK's `javax.sound.sampled.AudioSystem`, and
+  * `decodeAudio`/`extractAudioFeatures` run an actual
+  * `AudioSystem.getAudioInputStream` parse and window the decoded PCM
+  * samples. Only the VIDEO codec body remains a deterministic stand-in
+  * (the JDK ships no video codec); its Spark-side plumbing — schema,
+  * per-partition batching, stable UDF signatures — is the same tested
+  * shape as the real image/audio paths.
   *
   * Scale notes: payloads stay opaque bytes end-to-end (no driver collect,
   * no base64 inflation); per-partition processing amortizes decoder init
@@ -32,9 +38,9 @@ object Multimodal {
       StructField("n_frames", IntegerType),
       StructField("format", StringType))))))
 
-  /** Deterministic synthetic payload for AUDIO/VIDEO: an 8-byte fake header
+  /** Deterministic synthetic payload for VIDEO: an 8-byte fake header
     * (width:int,height:int big-endian) + pseudo-random body derived from
-    * the id. Stands in for real sample/frame bytes in tests.
+    * the id. Stands in for real frame bytes in tests.
     */
   def fakePayload(id: Long, width: Int, height: Int): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 + 32)
@@ -69,17 +75,49 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** A REAL RIFF/WAVE payload: deterministic per-id 16-bit mono PCM noise,
+    * written through the JDK's `javax.sound.sampled.AudioSystem` WAVE
+    * writer (headless-safe, no external codec libraries).
+    */
+  def encodeWav(id: Long, nSamples: Int, sampleRate: Float = 8000f): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var x = id * 0x9E3779B97F4A7C15L + 1
+    var i = 0
+    while (i < nSamples) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      pcm(2 * i) = (x & 0xFF).toByte          // little-endian 16-bit
+      pcm(2 * i + 1) = ((x >>> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1,
+      true /* signed */, false /* little-endian */)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Synthesize a deterministic media table of `n` rows: image rows carry
-    * real PNG bytes, audio/video rows the fake-header payload.
+    * real PNG bytes, audio rows real WAV bytes (meta records the sample
+    * count as `width` and 1 as `height` — the 1-D "dims" of a mono clip),
+    * video rows the fake-header payload.
     */
   def synthetic(spark: SparkSession, n: Int): DataFrame = {
     val rows = (0L until n.toLong).map { i =>
-      val w = 32 + (i % 8).toInt * 16
-      val h = 32 + (i % 5).toInt * 16
       val kind = Seq("image", "audio", "video")((i % 3).toInt)
-      val payload =
-        if (kind == "image") encodePng(i, w, h) else fakePayload(i, w, h)
-      val fmt = if (kind == "image") "png" else "fake"
+      val (w, h) =
+        if (kind == "audio") (64 + (i % 8).toInt * 32, 1)
+        else (32 + (i % 8).toInt * 16, 32 + (i % 5).toInt * 16)
+      val payload = kind match {
+        case "image" => encodePng(i, w, h)
+        case "audio" => encodeWav(i, nSamples = w)
+        case _ => fakePayload(i, w, h)
+      }
+      val fmt = kind match {
+        case "image" => "png"; case "audio" => "wav"; case _ => "fake"
+      }
       Row(i, kind, payload, Row(w, h, 1 + (i % 10).toInt, fmt))
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), mediaSchema)
@@ -92,7 +130,39 @@ object Multimodal {
   def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
 
-  /** Fake-header dims parse for the synthetic audio/video payloads. */
+  /** REAL audio decode: `AudioSystem.getAudioInputStream` over the payload
+    * bytes, returning the decoded 16-bit PCM samples; None when the bytes
+    * are not a parseable audio file (then callers may fall back to the
+    * fake-header path for the synthetic video payloads).
+    */
+  def decodeAudio(payload: Array[Byte]): Option[Array[Short]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val f = ais.getFormat
+      if (f.getSampleSizeInBits != 16) None
+      else {
+        val bytes = ais.readAllBytes()
+        val out = new Array[Short](bytes.length / 2)
+        var i = 0
+        while (i < out.length) {
+          out(i) =
+            if (f.isBigEndian)
+              (((bytes(2 * i).toInt) << 8) | (bytes(2 * i + 1) & 0xFF)).toShort
+            else
+              (((bytes(2 * i + 1).toInt) << 8) | (bytes(2 * i) & 0xFF)).toShort
+          i += 1
+        }
+        Some(out)
+      }
+    } catch { case _: Exception => None }
+
+  /** True iff the payload starts with the RIFF magic (a WAV container). */
+  def isRiff(payload: Array[Byte]): Boolean =
+    payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == 'F'
+
+  /** Fake-header dims parse for the synthetic video payloads. */
   def decodeDims(payload: Array[Byte]): (Int, Int) = {
     val bb = java.nio.ByteBuffer.wrap(payload)
     (bb.getInt(0), bb.getInt(4))
@@ -106,10 +176,11 @@ object Multimodal {
     StructField("n_bytes", IntegerType)))
 
   /** Batch decode over partitions: one pass per partition, rows streamed
-    * through. Images go through the REAL `ImageIO` codec (its reader-SPI
-    * registry scan is per-JVM — amortized exactly like the per-partition
-    * init of heavier codecs); non-image payloads fall back to the
-    * fake-header parse.
+    * through. Images go through the REAL `ImageIO` codec, WAV payloads
+    * through the REAL `AudioSystem` codec (reported dims = (samples, 1));
+    * the codec SPI registry scans are per-JVM — amortized exactly like the
+    * per-partition init of heavier codecs. Remaining payloads (synthetic
+    * video) fall back to the fake-header parse.
     */
   def decodeImages(df: DataFrame): DataFrame = {
     val enc = Encoders.row(decodedSchema)
@@ -120,6 +191,9 @@ object Multimodal {
           val payload = r.getAs[Array[Byte]]("payload")
           val (w, h) = decodeImage(payload)
             .map(im => (im.getWidth, im.getHeight))
+            .orElse(
+              if (isRiff(payload)) decodeAudio(payload).map(s => (s.length, 1))
+              else None)
             .getOrElse(decodeDims(payload))
           Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), w, h,
             payload.length)
@@ -128,7 +202,8 @@ object Multimodal {
   }
 
   /** Resize: REAL `Graphics2D` bilinear rescale + PNG re-encode for image
-    * payloads; fake-header rewrite for the synthetic audio/video payloads.
+    * payloads; audio (RIFF) payloads pass through untouched (resize has no
+    * audio meaning); fake-header rewrite for the synthetic video payloads.
     * Either way a binary→binary column transform — the plumbing a 100 TB
     * image pipeline runs, with the payload never leaving the executor.
     */
@@ -147,6 +222,7 @@ object Multimodal {
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(dst, "png", bos)
           bos.toByteArray
+        case None if isRiff(payload) => payload
         case None =>
           val out = payload.clone()
           val bb = java.nio.ByteBuffer.wrap(out)
@@ -154,10 +230,12 @@ object Multimodal {
           out
       }
     }
+    val resizedMeta = struct(
+      lit(w).as("width"), lit(h).as("height"),
+      col("meta.n_frames").as("n_frames"), col("meta.format").as("format"))
     df.withColumn("payload", resizeUdf(col("payload")))
-      .withColumn("meta", struct(
-        lit(w).as("width"), lit(h).as("height"),
-        col("meta.n_frames").as("n_frames"), col("meta.format").as("format")))
+      .withColumn("meta",
+        when(col("kind") === "audio", col("meta")).otherwise(resizedMeta))
   }
 
   private val audioFeatSchema = StructType(Seq(
@@ -166,23 +244,30 @@ object Multimodal {
     StructField("rms", DoubleType),
     StructField("peak", IntegerType)))
 
-  /** STUB audio feature extraction: window the payload body into fixed
-    * 8-byte frames and compute RMS energy + peak amplitude over the raw
-    * bytes — a real implementation would decode PCM and window samples;
-    * the per-partition batching, fixed output schema, and windowing shape
-    * are the actual plumbing under test.
+  /** REAL audio feature extraction: decode the WAV payload through
+    * `AudioSystem`, window the decoded 16-bit PCM samples into fixed
+    * `window`-sample frames, and compute RMS energy + peak |amplitude|
+    * over the real samples. Payloads that are not parseable audio fall
+    * back to raw-byte windowing (body past the 8-byte fake header) so the
+    * operator stays total over mixed corpora.
     */
-  def extractAudioFeatures(df: DataFrame, window: Int = 8): DataFrame = {
+  def extractAudioFeatures(df: DataFrame, window: Int = 64): DataFrame = {
     val enc = Encoders.row(audioFeatSchema)
     df.filter(col("kind") === "audio")
       .select(col("media_id"), col("payload"))
       .mapPartitions { it =>
+        // heavier codecs would init decoder state here, once per partition
         it.map { r =>
-          val body = r.getAs[Array[Byte]]("payload").drop(8)
-          val nWin = body.length / window
-          val sq = body.map(b => (b & 0xFF).toDouble).map(x => x * x).sum
-          val rms = if (body.isEmpty) 0.0 else math.sqrt(sq / body.length)
-          val peak = if (body.isEmpty) 0 else body.map(_ & 0xFF).max
+          val payload = r.getAs[Array[Byte]]("payload")
+          val samples: Array[Double] = decodeAudio(payload) match {
+            case Some(pcm) => pcm.map(_.toDouble)
+            case None => payload.drop(8).map(b => (b & 0xFF).toDouble)
+          }
+          val nWin = samples.length / window
+          val rms =
+            if (samples.isEmpty) 0.0
+            else math.sqrt(samples.map(x => x * x).sum / samples.length)
+          val peak = if (samples.isEmpty) 0 else samples.map(math.abs).max.toInt
           Row(r.getAs[Long]("media_id"), nWin,
             BigDecimal(rms).setScale(4, BigDecimal.RoundingMode.HALF_UP)
               .toDouble, peak)

@@ -30,27 +30,65 @@ class MultimodalSpec extends SparkSpec {
     assert(wrong.count() == 0)
   }
 
+  test("audio payloads are genuine WAVs and AudioSystem decodes the real samples") {
+    // driver-side round trip: real RIFF/WAVE in, the exact PCM back out
+    val wav = Multimodal.encodeWav(7L, nSamples = 96)
+    assert(Multimodal.isRiff(wav), "payload does not start with RIFF magic")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val pcm = Multimodal.decodeAudio(wav)
+    assert(pcm.isDefined && pcm.get.length == 96)
+    // decode is bit-exact: re-encoding the decoded samples reproduces the
+    // deterministic generator's output
+    assert(Multimodal.decodeAudio(Multimodal.encodeWav(7L, 96)).get.toSeq ==
+      pcm.get.toSeq)
+    // and a different id yields different samples (not a constant stub)
+    assert(Multimodal.decodeAudio(Multimodal.encodeWav(8L, 96)).get.toSeq !=
+      pcm.get.toSeq)
+    // the same codec runs inside the executors via decodeImages:
+    // audio dims = (n_samples, 1), recorded in meta at synthesis time
+    val dec = Multimodal.decodeImages(media.filter(col("kind") === "audio"))
+    val wrong = dec.join(media, "media_id")
+      .filter(col("dec_width") =!= col("meta.width") ||
+        col("dec_height") =!= lit(1))
+    assert(wrong.count() == 0)
+  }
+
   test("decode recovers the dims recorded in metadata for every kind") {
     val dec = Multimodal.decodeImages(media)
     val joined = dec.join(media, "media_id")
       .filter(col("dec_width") =!= col("meta.width") ||
         col("dec_height") =!= col("meta.height"))
     assert(joined.count() == 0)
-    // fake audio/video payloads are exactly header+body; PNGs are bigger
-    assert(dec.filter(col("kind") =!= "image" && col("n_bytes") =!= 40)
+    // fake video payloads are exactly header+body; real codecs write more
+    assert(dec.filter(col("kind") === "video" && col("n_bytes") =!= 40)
       .count() == 0)
     assert(dec.filter(col("kind") === "image" && col("n_bytes") <= 40)
+      .count() == 0)
+    // WAV = 44-byte canonical header + 2 bytes per sample
+    val audioMeta = media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("meta.width").as("n_samples"))
+    assert(dec.select(col("media_id"), col("n_bytes")).join(audioMeta, "media_id")
+      .filter(col("n_bytes") =!= col("n_samples") * 2 + 44)
       .count() == 0)
   }
 
   test("resize rescales real images (re-decoded dims) and rewrites fakes coherently") {
     val r = Multimodal.resize(media, 224, 224)
-    val dec = Multimodal.decodeImages(r)
+    // audio passes through resize untouched — payload and meta both
+    val dec = Multimodal.decodeImages(r.filter(col("kind") =!= "audio"))
     assert(dec.filter(col("dec_width") =!= 224 || col("dec_height") =!= 224)
       .count() == 0)
-    assert(r.filter(col("meta.width") =!= 224).count() == 0)
+    assert(r.filter(col("kind") =!= "audio" && col("meta.width") =!= 224)
+      .count() == 0)
+    // audio meta survives resize verbatim
+    val audioOrig = media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("meta").as("meta_orig"))
+    assert(r.filter(col("kind") === "audio")
+      .select(col("media_id"), col("meta"))
+      .join(audioOrig, "media_id")
+      .filter(col("meta") =!= col("meta_orig")).count() == 0)
     // resized images are still decodable PNGs at the new size (checked via
-    // dec above); fake payload bodies beyond the 8-byte header are unchanged
+    // dec above); audio/video payload bodies past byte 8 are unchanged
     val nonImage = media.filter(col("kind") =!= "image")
     val origBody = nonImage.select(col("media_id"),
       expr("substring(payload, 9, 32)").as("body"))
@@ -60,18 +98,34 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("body") =!= col("body2")).count() == 0)
   }
 
-  test("audio feature extraction: deterministic windows/rms/peak over audio rows only") {
-    val feats = Multimodal.extractAudioFeatures(media)
+  test("audio feature extraction windows REAL decoded PCM: n_windows/rms/peak") {
+    val feats = Multimodal.extractAudioFeatures(media)   // window = 64 samples
     val nAudio = media.filter(col("kind") === "audio").count()
     assert(feats.count() == nAudio)
+    // n_windows comes from the DECODED sample count (meta.width), not the
+    // byte length — the real-codec signal
+    val wrongWin = feats.join(media, "media_id")
+      .filter(col("n_windows") =!= floor(col("meta.width") / 64))
+    assert(wrongWin.count() == 0)
     val rows = feats.collect()
     rows.foreach { r =>
-      assert(r.getAs[Int]("n_windows") == 4)        // 32-byte body / 8
-      assert(r.getAs[Double]("rms") >= 0.0)
-      assert(r.getAs[Int]("peak") >= 0 && r.getAs[Int]("peak") <= 255)
+      // 16-bit PCM noise: rms well above the byte-range 255, peak ≤ 32768
+      assert(r.getAs[Double]("rms") > 255.0 && r.getAs[Double]("rms") < 32768.0)
+      assert(r.getAs[Int]("peak") > 255 && r.getAs[Int]("peak") <= 32768)
     }
     assert(Multimodal.extractAudioFeatures(media).collect().toSet ==
       rows.toSet)                                    // deterministic
+    // cross-check one clip end-to-end against a driver-side decode
+    val id = media.filter(col("kind") === "audio").select("media_id")
+      .orderBy("media_id").first().getLong(0)
+    val payload = media.filter(col("media_id") === id).select("payload")
+      .first().getAs[Array[Byte]](0)
+    val pcm = Multimodal.decodeAudio(payload).get.map(_.toDouble)
+    val expRms = BigDecimal(math.sqrt(pcm.map(x => x * x).sum / pcm.length))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = feats.filter(col("media_id") === id).first()
+    assert(got.getAs[Double]("rms") == expRms)
+    assert(got.getAs[Int]("peak") == pcm.map(math.abs).max.toInt)
   }
 
   test("frame sampling emits every stride-th frame per video with stable digests") {
