@@ -107,6 +107,27 @@ object JoinQueries {
       .orderBy(col("event_id"))
   }
 
+  /** The general library as-of join ([[Asof.join]]) between two distinct
+    * tables: each purchase picks up the user's most recent click at-or-
+    * before it (event_id tie-break). Same one-shuffle union+window plan as
+    * q16, but produced by the reusable operator rather than an inline
+    * formulation — this is the entry that keeps `Asof.join` itself under
+    * the hash gate.
+    */
+  def q19_join_asof_generic(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    Asof.join(purchases, clicks, on = Seq("user_id"),
+        leftAt = "ts", rightAt = "ts", rightPrefix = "click_",
+        tieBreak = Seq("event_id"))
+      .select(col("event_id"), col("click_event_id"),
+        Det.r2(col("click_value")).as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Full outer join with rows unmatched on BOTH sides: negative-balance
     * customers ⟗ customers holding a >490k order.
     */
@@ -205,6 +226,17 @@ object JoinQueries {
     "q17_join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+    "q19_join_asof_generic" ->
+      """SELECT p.event_id, c.event_id AS click_event_id,
+        |  round(c.value, 2) AS click_value
+        |FROM events p
+        |LEFT JOIN LATERAL (
+        |  SELECT ce.event_id, ce.value FROM events ce
+        |  WHERE ce.user_id = p.user_id AND ce.event_type = 'click'
+        |    AND ce.ts <= p.ts
+        |  ORDER BY ce.ts DESC, ce.event_id DESC LIMIT 1) c ON true
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
     "q18_join_full_outer" ->
       """SELECT coalesce(a.c_custkey, b.o_custkey) AS custkey,
         |  a.neg_bal, b.n_big

@@ -16,7 +16,8 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q05_topk_global" -> 50L, "q10_join_inner" -> 1000L,
     "q11_join_multiway" -> 1L, "q12_join_left_outer" -> 150L,
     "q13_join_semi" -> 27L, "q14_join_anti" -> 7L, "q15_join_theta" -> 25L,
-    "q16_join_asof" -> 202L, "q17_join_cross" -> 125L, "q20_agg_hash" -> 6L,
+    "q16_join_asof" -> 202L, "q17_join_cross" -> 125L,
+    "q19_join_asof_generic" -> 202L, "q20_agg_hash" -> 6L,
     "q21_agg_distinct" -> 5L, "q22_agg_rollup" -> 31L, "q23_agg_cube" -> 24L,
     "q25_agg_having" -> 149L, "q26_agg_stats" -> 5L,
     "q30_window_rank" -> 449L, "q31_window_frame" -> 1000L,
