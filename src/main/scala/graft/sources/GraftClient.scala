@@ -23,7 +23,8 @@ case class SoqlParams(
     order: Seq[String] = Nil,         // "$order"  — "col [asc|desc]"
     limit: Option[Int] = None,        // "$limit"
     offset: Option[Int] = None,       // "$offset"
-    q: Option[String] = None)         // "$q" — full-text over text columns
+    q: Option[String] = None,         // "$q" — full-text over text columns
+    qRanked: Boolean = false)         // rank $q matches by tf-idf relevance
 
 object Soql {
 
@@ -33,16 +34,29 @@ object Soql {
   def apply(df0: DataFrame, p: SoqlParams): DataFrame = {
     var df = df0
     p.q.foreach { terms =>
-      // SODA $q searches all text fields: keep rows where ANY string
-      // column contains EVERY term (token match, case-sensitive fixture
-      // semantics; the reference delegated stemming to the server)
       val textCols = df.schema.fields
         .filter(_.dataType == StringType).map(_.name)
-      val perCol = textCols.map { c =>
-        terms.trim.split("\\s+").map(t =>
-          array_contains(split(col(c), " "), t)).reduce(_ && _)
+      if (p.qRanked && textCols.nonEmpty) {
+        // ranked $q: all text fields scored as one bag of terms —
+        // tf·idf via TextFunctions.fullTextSearchRanked (the q95 path),
+        // rows returned in relevance order (a later $order overrides,
+        // matching SODA, where $order beats relevance ranking)
+        val withBag = df
+          .withColumn("__qid", xxhash64(df0.columns.map(col): _*))
+          .withColumn("__qtext", concat_ws(" ", textCols.map(col): _*))
+        df = TextFunctions
+          .fullTextSearchRanked(withBag, "__qid", "__qtext", terms)
+          .drop("__qid", "__qtext", "score")
+      } else {
+        // unranked SODA $q: keep rows where ANY string column contains
+        // EVERY term (token match, case-sensitive fixture semantics; the
+        // reference delegated stemming to the server)
+        val perCol = textCols.map { c =>
+          terms.trim.split("\\s+").map(t =>
+            array_contains(split(col(c), " "), t)).reduce(_ && _)
+        }
+        if (perCol.nonEmpty) df = df.filter(perCol.reduce(_ || _))
       }
-      if (perCol.nonEmpty) df = df.filter(perCol.reduce(_ || _))
     }
     p.where.foreach(w => df = df.filter(expr(w)))
     if (p.group.nonEmpty) {

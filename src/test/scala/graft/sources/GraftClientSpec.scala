@@ -61,6 +61,26 @@ class GraftClientSpec extends SparkSpec {
       SoqlParams(q = Some("zz_nonexistent"))).count() == 0)
   }
 
+  test("$q with qRanked returns matches in q95's tf-idf relevance order") {
+    val got = client.dataFor("documents",
+      SoqlParams(q = Some("join filter"), qRanked = true))
+    // same schema as the unranked surface — score stays internal
+    assert(got.schema == Tables.documents(spark, sfDir).schema)
+    val gotIds = got.select("doc_id").collect().map(_.getLong(0)).toSeq
+    // reference ranking: the declared q95 query on the same corpus
+    val q95 = graft.operators.PipelineQueries
+      .q95_fulltext_ranked(spark, sfDir)
+      .select(col("doc_id"), col("score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(gotIds.toSet == q95.map(_._1).toSet, "match sets differ")
+    // client order is non-increasing in q95's score (ties may permute —
+    // the client tie-breaks on a row hash, q95 on doc_id)
+    val scoreOf = q95.toMap
+    val scores = gotIds.map(scoreOf)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "ranked $q order disagrees with q95 scores")
+  }
+
   test("unknown table falls back to schema-on-file parquet") {
     assert(client.dataFor("region").schema == Tables.regionSchema)
     intercept[Exception] {
