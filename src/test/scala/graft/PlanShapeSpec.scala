@@ -103,4 +103,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
       p.take(1200))
   }
+
+  test("pre-bucketed documents layout: LSH verify joins go shuffle-free on the tok side") {
+    // the 100 TB near-dup layout (SURVEY §7.6): documents bucketed by
+    // doc_id pay the exchange ONCE at write time; every verify join after
+    // candidate generation then meets the bucketed side without a shuffle
+    import graft.functions.{Dedup, MinHashLSH}
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    def verifyStage(docs: DataFrame): DataFrame = {
+      // the exact q94 verify shape: candidates → join tok(id_a) → join tok(id_b)
+      val cand = MinHashLSH.candidatePairsRaw(docs, "doc_id", "text",
+        k = 8, bands = 4, maxBucket = 200, blockCols = Seq("lang"))
+      val tok = docs.select(col("doc_id"), Dedup.tokenIds(col("text")).as("tok"))
+      cand
+        .join(tok.select(col("doc_id").as("id_a"), col("tok").as("tok_a")), "id_a")
+        .join(tok.select(col("doc_id").as("id_b"), col("tok").as("tok_b")), "id_b")
+        .withColumn("jaccard_raw", Dedup.jaccardSortedIds(col("tok_a"), col("tok_b")))
+        .filter(col("jaccard_raw") >= 0.8)
+        .select(col("id_a"), col("id_b"))
+    }
+    graft.sources.Sources.writeBucketed(
+      Tables.documents(spark, sfDir), "documents_b", "doc_id", 4)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val flat = verifyStage(Tables.documents(spark, sfDir))
+      val bucketed = verifyStage(spark.table("documents_b"))
+      def exchanges(df: DataFrame): Int =
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).size
+      // both tok-side exchanges elide on the bucketed copy
+      assert(exchanges(bucketed) <= exchanges(flat) - 2,
+        s"bucketed=${exchanges(bucketed)} flat=${exchanges(flat)}")
+      // same answer either way
+      assert(bucketed.collect().toSet == flat.collect().toSet)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS documents_b")
+    }
+  }
 }
