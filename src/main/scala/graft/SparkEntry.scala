@@ -105,6 +105,7 @@ object SparkEntry {
     "q95_fulltext_ranked" -> (PipelineQueries.q95_fulltext_ranked _),
     "q96_dedup_simhash" -> (PipelineQueries.q96_dedup_simhash _),
     "q97_curation_pipeline" -> (PipelineQueries.q97_curation_pipeline _),
+    "q99_quality_repetition" -> (PipelineQueries.q99_quality_repetition _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

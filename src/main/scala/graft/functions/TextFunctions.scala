@@ -23,6 +23,19 @@ object TextFunctions {
   def tokenCountRegex(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
+  /** Ordered, NON-distinct word n-grams (empty for docs shorter than n
+    * tokens — the [[Dedup.ngrams]] convention). Unlike the distinct-set
+    * variants used for dedup, this keeps duplicates: repetition-quality
+    * signals need the full multiset.
+    */
+  def wordNgramsAll(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (1 to n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** distinct-token ratio: vocabulary richness in [0,1] */
   def distinctRatio(text: Column): Column = {
     val tok = split(text, " ")

@@ -161,6 +161,40 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition-quality signals (round 4; the Gopher-style filters a
+    * training corpus runs after the q88 surface stats): per document, the
+    * duplicate word-3-gram fraction and the most-frequent-token fraction,
+    * both as integer basis points (the float-boundary-proof convention
+    * q88 established).
+    *
+    * Scale shape: the n-gram stats are a pure per-row projection (no
+    * shuffle); the top-token stats are explode → two-phase hash agg —
+    * partial aggregation absorbs the token fan-out map-side, so the
+    * shuffle carries (doc_id, tok) partial counts, not raw tokens.
+    */
+  def q99_quality_repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs
+      .select(col("doc_id"),
+        TextFunctions.wordNgramsAll(col("text"), 3).as("g"))
+      .select(col("doc_id"),
+        size(col("g")).cast("long").as("n_grams"),
+        size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+      .withColumn("dup_bp",
+        when(col("n_grams") > 0,
+          expr("((n_grams - n_distinct) * 10000) div n_grams"))
+          .otherwise(lit(0L)).cast("long"))
+    val top = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("maxc"), sum(col("c")).as("total"))
+    base.join(top, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"), col("dup_bp"),
+        expr("(maxc * 10000) div total").cast("long").as("top_tok_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Min-shingle document fingerprint (winnowing-style): the lexicographic
     * min md5 over word-3-grams — robust to local edits away from the
     * minimal shingle, cross-engine stable (md5 hex).
@@ -375,6 +409,31 @@ object PipelineQueries {
          |    len(string_split(text, ' ')), 4) AS stop_ratio,
          |  $qualityExpr AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q99_quality_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tok_counts AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id, max(c) AS maxc, sum(c) AS total
+        |  FROM tok_counts GROUP BY 1),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |      ELSE [] END AS g
+        |  FROM toks)
+        |SELECT g.doc_id,
+        |  CAST(len(g.g) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(g.g)) AS BIGINT) AS n_distinct,
+        |  CAST(CASE WHEN len(g.g) > 0
+        |    THEN ((len(g.g) - len(list_distinct(g.g))) * 10000) // len(g.g)
+        |    ELSE 0 END AS BIGINT) AS dup_bp,
+        |  CAST((top.maxc * 10000) // top.total AS BIGINT) AS top_tok_bp
+        |FROM grams g JOIN top ON g.doc_id = top.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
     "q96_dedup_simhash" ->
       """WITH d AS (SELECT doc_id,
         |  list_transform(list_distinct(string_split(text, ' ')),
