@@ -117,4 +117,48 @@ class GraftClient(spark: SparkSession, dir: String) {
   /** `$q`-only convenience over one known text column. */
   def fullText(table: String, textCol: String, query: String): DataFrame =
     TextFunctions.fullTextSearch(dataFor(table), textCol, query)
+
+  /** The reference client's paged-fetch loop (SODA `$limit`/`$offset`
+    * paging until a short page [E2]) over local tables: lazily yields one
+    * page per iteration with the supplied params' `$order` extended to a
+    * stable total order requirement — SODA paging without a total order
+    * can duplicate/drop rows across pages, so `order` is REQUIRED here
+    * (same contract the live API documents).
+    *
+    * This is the in-sandbox twin of the live HTTP fetch loop: request
+    * shaping (page params), termination (short/empty page), and
+    * exactly-once row delivery are all real and tested; only the
+    * transport is out of sandbox.
+    */
+  def fetchPages(table: String, params: SoqlParams,
+                 pageSize: Int): Iterator[DataFrame] = {
+    require(pageSize > 0, "pageSize must be positive")
+    require(params.order.nonEmpty,
+      "paged fetch requires $order (stable paging needs a total order)")
+    require(params.limit.isEmpty && params.offset.isEmpty,
+      "fetchPages owns $limit/$offset; pass page-free params")
+    new Iterator[DataFrame] {
+      private var off = 0
+      private var lastShort = false
+      def hasNext: Boolean = !lastShort
+      def next(): DataFrame = {
+        val page = dataFor(table,
+          params.copy(limit = Some(pageSize), offset = Some(off)))
+        // one job per page, like one HTTP request per page; a short page
+        // terminates the loop (the SODA convention)
+        val n = page.count()
+        off += pageSize
+        lastShort = n < pageSize
+        page
+      }
+    }
+  }
+
+  /** `fetchPages` drained and re-unioned: the "fetch whole dataset through
+    * the paging loop" convenience (`client.data_for` with no explicit
+    * `$limit` in the reference gem). Mostly useful in tests — a Spark
+    * pipeline should read the table directly.
+    */
+  def fetchAll(table: String, params: SoqlParams, pageSize: Int): DataFrame =
+    fetchPages(table, params, pageSize).reduce(_.unionByName(_))
 }

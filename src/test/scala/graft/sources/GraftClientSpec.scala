@@ -81,6 +81,28 @@ class GraftClientSpec extends SparkSpec {
       "ranked $q order disagrees with q95 scores")
   }
 
+  test("paged fetch loop delivers every row exactly once and terminates") {
+    val pages = client.fetchPages("nation",
+      SoqlParams(order = Seq("n_nationkey")), pageSize = 7).toSeq
+    // 25 rows / 7 per page → 3 full pages + 1 short page of 4
+    assert(pages.length == 4)
+    assert(pages.map(_.count()) == Seq(7L, 7L, 7L, 4L))
+    val keys = pages.flatMap(_.select("n_nationkey").collect())
+      .map(_.getInt(0))
+    assert(keys == (0 until 25), "pages must tile the ordered table exactly")
+    // page-size divides row count → an extra empty page terminates the loop
+    val even = client.fetchPages("nation",
+      SoqlParams(order = Seq("n_nationkey")), pageSize = 25).toSeq
+    assert(even.map(_.count()) == Seq(25L, 0L))
+    // unordered paging is refused (SODA's documented stability contract)
+    intercept[IllegalArgumentException] {
+      client.fetchPages("nation", SoqlParams(), pageSize = 7)
+    }
+    // fetchAll re-unions the loop into the full table
+    assert(client.fetchAll("nation",
+      SoqlParams(order = Seq("n_nationkey")), pageSize = 7).count() == 25)
+  }
+
   test("unknown table falls back to schema-on-file parquet") {
     assert(client.dataFor("region").schema == Tables.regionSchema)
     intercept[Exception] {
