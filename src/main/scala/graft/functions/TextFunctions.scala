@@ -85,6 +85,37 @@ object TextFunctions {
       (lit(10000L) - stopBp)).cast("double") / 100000.0
   }
 
+  /** PII redaction patterns, applied in precedence order (most-specific
+    * shape first, so an SSN is tagged [SSN] before the phone heuristic can
+    * eat it). Heuristic by design — a compliance pass over web-scale
+    * training text trades recall for precision and auditability; every
+    * replacement leaves a typed tag so downstream filters can count or
+    * drop redacted docs.
+    */
+  private val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "[IP]",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "[SSN]",
+    "\\b(?:\\d{4}[ -]){3}\\d{4}\\b|\\b\\d{13,16}\\b" -> "[CARD]",
+    "(?:\\+?\\d{1,2}[ .-]?)?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]?\\d{4}\\b" -> "[PHONE]")
+
+  /** Redact emails, IPv4s, SSN-shaped, card-shaped, and phone-shaped
+    * substrings to typed tags. Pure chained `regexp_replace` — codegen'd,
+    * scan-speed, idempotent (tags contain no redactable shapes).
+    */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (re, tag)) =>
+      regexp_replace(c, re, java.util.regex.Matcher.quoteReplacement(tag)) }
+
+  /** Number of PII redactions [[scrubPii]] performs on `text` — counted as
+    * tags in the scrubbed output, so the count is exactly consistent with
+    * the precedence-ordered scrub (a digit run claimed by [SSN] is never
+    * also counted as a phone).
+    */
+  def piiCount(text: Column): Column =
+    size(regexp_extract_all(scrubPii(text),
+      lit("\\[(EMAIL|IP|SSN|CARD|PHONE)\\]"), lit(0))).cast("long")
+
   /** Order-sensitive document fingerprint: a Karp–Rabin polynomial rolling
     * hash over per-token xxhash64 values, base 31 modulo the Mersenne prime
     * 2^31−1 (modular form keeps every step inside long range — Spark 4 runs

@@ -91,6 +91,37 @@ class TextFunctionsSpec extends SparkSpec {
       == base)
   }
 
+  test("scrubPii redacts each shape to its typed tag, in precedence order") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "contact bob.smith+x@corp.example.org or jane@sub.dom.io today"),
+      (2L, "server at 192.168.1.200 answered"),
+      (3L, "ssn 123-45-6789 on file"),
+      (4L, "card 4111 1111 1111 1111 or 4111111111111111 works"),
+      (5L, "call +1 (808) 555-0123 or 808-555-0199"),
+      (6L, "no pii here, just text with numbers 42 and 7"),
+      (7L, "mixed: a@b.co at 10.0.0.1, ssn 000-11-2222, dial 222-333-4444"))
+      .toDF("id", "text")
+    val got = rows.select(col("id"),
+      TextFunctions.scrubPii(col("text")).as("clean"),
+      TextFunctions.piiCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L)._1 == "contact [EMAIL] or [EMAIL] today" && got(1L)._2 == 2)
+    assert(got(2L)._1 == "server at [IP] answered" && got(2L)._2 == 1)
+    assert(got(3L)._1 == "ssn [SSN] on file" && got(3L)._2 == 1)
+    assert(got(4L)._1 == "card [CARD] or [CARD] works" && got(4L)._2 == 2)
+    assert(got(5L)._1 == "call [PHONE] or [PHONE]" && got(5L)._2 == 2)
+    assert(got(6L)._1 == rows.filter(col("id") === 6).select("text")
+      .first().getString(0) && got(6L)._2 == 0)   // untouched
+    assert(got(7L)._1 == "mixed: [EMAIL] at [IP], ssn [SSN], dial [PHONE]"
+      && got(7L)._2 == 4)
+    // idempotent: a scrubbed doc re-scrubs to itself
+    val twice = rows.select(col("id"),
+      TextFunctions.scrubPii(TextFunctions.scrubPii(col("text"))).as("c2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.forall { case (id, (clean, _)) => twice(id) == clean })
+  }
+
   test("langId is deterministic, total, and lands in the label domain") {
     val docs = Tables.documents(spark, sfDir)
     val out = TextFunctions.langId(docs, docs, "text", "lang")
