@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Det, Tables}
-import graft.functions.{Dedup, MinHashLSH, TextFunctions}
+import graft.functions.{Dedup, MinHashLSH, Sampling, TextFunctions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -158,6 +158,36 @@ object PipelineQueries {
       Det.r4(TextFunctions.avgTokenLen(col("text"))).as("avg_tok_len"),
       Det.r4(TextFunctions.stopwordRatio(col("text"), stops)).as("stop_ratio"),
       TextFunctions.qualityScore(col("text"), stops).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic train/val/test split (round 4): 90/5/5 by content-hash
+    * of doc_id ([[Sampling.hashSplit]]) — a pure per-row projection, so a
+    * doc's split never changes across runs, layouts, or corpus growth (the
+    * property leakage audits rely on; `rand(seed)`-based splits break it
+    * on any repartition).
+    */
+  def q73_hash_split(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      Sampling.hashSplit(col("doc_id"), trainFrac = 0.9, valFrac = 0.05)
+        .as("split"))
+      .orderBy(col("doc_id"))
+
+  /** Data-mixing recipe (round 4): per-source sampling rates turn corpus
+    * proportions into training proportions ([[Sampling.recipeSample]]) —
+    * srcs 0-3 kept whole, 4-7 at 50%, 8-11 at 25%, the rest at 10%.
+    * Scan-speed filter; no shuffle before the output sort.
+    */
+  def q74_data_recipe(spark: SparkSession, sfDir: String): DataFrame = {
+    val rates: Map[String, Double] =
+      ((0 to 3).map(i => s"src$i" -> 1.0) ++
+        (4 to 7).map(i => s"src$i" -> 0.5) ++
+        (8 to 11).map(i => s"src$i" -> 0.25)).toMap
+    Tables.documents(spark, sfDir)
+      .filter(Sampling.recipeSample(col("source"), col("doc_id"), rates,
+        defaultRate = 0.1))
+      .select(col("doc_id"), col("source"), col("lang"))
       .orderBy(col("doc_id"))
   }
 
@@ -409,6 +439,24 @@ object PipelineQueries {
          |    len(string_split(text, ' ')), 4) AS stop_ratio,
          |  $qualityExpr AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q73_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+        |         THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q74_data_recipe" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE CASE
+        |  WHEN source IN ('src0','src1','src2','src3') THEN true
+        |  WHEN source IN ('src4','src5','src6','src7')
+        |    THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        |  WHEN source IN ('src8','src9','src10','src11')
+        |    THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a' END
+        |ORDER BY doc_id""".stripMargin,
     "q99_quality_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -47,7 +47,8 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q36_window_distribution" -> 150L, "q45_pivot" -> 3L,
     "q46_subquery" -> 130L, "q48_string_agg" -> 5L,
     "q97_curation_pipeline" -> 421L, "q96_dedup_simhash" -> 1883L,
-    "q98_knn_ivf_cell" -> 25L, "q99_quality_repetition" -> 500L)
+    "q98_knn_ivf_cell" -> 25L, "q99_quality_repetition" -> 500L,
+    "q73_hash_split" -> 500L, "q74_data_recipe" -> 196L)
 
   test("every declared query has an oracle and matches its golden sf0.001 count") {
     val qs = SparkEntry.queries

@@ -1,0 +1,85 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("hashSample rate is honored within 4-hex resolution at corpus scale") {
+    val n = docs.count().toDouble
+    Seq(0.1, 0.25, 0.5, 0.9).foreach { rate =>
+      val kept = docs.filter(Sampling.hashSample(col("doc_id"), rate)).count()
+      // md5 uniformity: expect rate·n ± 5·sqrt(n) (≈5σ binomial bound)
+      val tol = 5.0 * math.sqrt(n)
+      assert(math.abs(kept - rate * n) <= tol,
+        s"rate=$rate kept=$kept of $n")
+    }
+    assert(docs.filter(Sampling.hashSample(col("doc_id"), 1.0)).count() == n)
+    assert(docs.filter(Sampling.hashSample(col("doc_id"), 0.0)).count() == 0)
+  }
+
+  test("membership is a pure function of the key: layout- and growth-stable") {
+    val sample = docs.filter(Sampling.hashSample(col("doc_id"), 0.3))
+      .select("doc_id").as[Long].collect().toSet
+    // repartition must not change membership (rand-based samplers fail this)
+    val repart = docs.repartition(13, col("lang"))
+      .filter(Sampling.hashSample(col("doc_id"), 0.3))
+      .select("doc_id").as[Long].collect().toSet
+    assert(repart == sample)
+    // a doc's membership is unchanged when the corpus shrinks/grows
+    val half = docs.filter(col("doc_id") % 2 === 0)
+      .filter(Sampling.hashSample(col("doc_id"), 0.3))
+      .select("doc_id").as[Long].collect().toSet
+    assert(half == sample.filter(_ % 2 == 0))
+  }
+
+  test("hashSplit partitions every key into exactly one of train/val/test") {
+    val out = docs.select(col("doc_id"),
+      Sampling.hashSplit(col("doc_id"), 0.9, 0.05).as("split"))
+    assert(out.count() == docs.count())
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // 90/5/5 within binomial noise on 500 docs
+    assert(counts("train") > 400 && counts("val") < 60 && counts("test") < 60)
+    // nested property: the train set at (0.9, .05) contains the train set
+    // at (0.5, .05) — thresholds are prefixes of the same hash order
+    val small = docs.filter(
+      Sampling.hashSplit(col("doc_id"), 0.5, 0.05) === "train")
+      .select("doc_id").as[Long].collect().toSet
+    val big = docs.filter(
+      Sampling.hashSplit(col("doc_id"), 0.9, 0.05) === "train")
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("recipeSample applies the per-stratum rate and the default elsewhere") {
+    val rates = Map("src0" -> 1.0, "src1" -> 0.0)
+    val kept = docs.filter(
+      Sampling.recipeSample(col("source"), col("doc_id"), rates,
+        defaultRate = 0.5))
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 25)            // rate 1.0: all 25 docs
+    assert(!bySrc.contains("src1"))        // rate 0.0: none
+    // every other source sampled at the 0.5 default — and identical to a
+    // direct hashSample of the same keys (recipe adds nothing but routing)
+    val direct = docs.filter(col("source") =!= "src0" &&
+        col("source") =!= "src1")
+      .filter(Sampling.hashSample(col("doc_id"), 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    val routed = kept.filter(col("source") =!= "src0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(routed == direct)
+  }
+
+  test("hashSampleSql mirrors hashSample's predicate text") {
+    assert(Sampling.hashSampleSql("doc_id", 1.0) == "true")
+    assert(Sampling.hashSampleSql("doc_id", 0.0) == "false")
+    assert(Sampling.hashSampleSql("doc_id", 0.5) ==
+      "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'")
+  }
+}
