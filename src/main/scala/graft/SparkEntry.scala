@@ -105,6 +105,7 @@ object SparkEntry {
     "q95_fulltext_ranked" -> (PipelineQueries.q95_fulltext_ranked _),
     "q96_dedup_simhash" -> (PipelineQueries.q96_dedup_simhash _),
     "q73_hash_split" -> (PipelineQueries.q73_hash_split _),
+    "q75_dedup_incremental" -> (PipelineQueries.q75_dedup_incremental _),
     "q74_data_recipe" -> (PipelineQueries.q74_data_recipe _),
     "q97_curation_pipeline" -> (PipelineQueries.q97_curation_pipeline _),
     "q99_quality_repetition" -> (PipelineQueries.q99_quality_repetition _),

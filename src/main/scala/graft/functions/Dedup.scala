@@ -131,6 +131,54 @@ object Dedup {
         Det.r4(col("jac")).as("jaccard"))
   }
 
+  /** Cross-corpus near-duplicate HITS: new-batch docs whose word-n-gram
+    * Jaccard against ANY same-block corpus doc is ≥ threshold — the
+    * "dedup the new crawl against the training set" primitive. Same exact
+    * PPJoin prefix filter as [[ngramNearDupsFromIds]] (no false
+    * negatives), restricted to corpus×new candidate pairs: the corpus
+    * side's prefix index is the piece a production pipeline materializes
+    * ONCE (bucketed by the prefix element) and reuses for every incoming
+    * batch — per-batch cost then scales with the batch, not the corpus.
+    */
+  def incrementalNearDupPairs(corpus: DataFrame, newDocs: DataFrame,
+                              idCol: String, textCol: String, blockCol: String,
+                              n: Int, threshold: Double): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(blockCol).as("block"), col(idCol).as("id"),
+        gramIds(col(textCol), n).as("g"))
+    def prefixIdx(g: DataFrame): DataFrame = {
+      val prefixLen = (size(col("g")) - ceil(size(col("g")) * threshold) + 1)
+        .cast("int")
+      g.select(col("block"), col("id"),
+        explode(slice(col("g"), lit(1), greatest(prefixLen, lit(1)))).as("p"))
+    }
+    val gC = grams(corpus); val gN = grams(newDocs)
+    val cand = prefixIdx(gC).as("c").join(prefixIdx(gN).as("n"),
+        col("c.block") === col("n.block") && col("c.p") === col("n.p"))
+      .select(col("c.block").as("block"), col("c.id").as("id_corpus"),
+        col("n.id").as("id_new"))
+      .distinct()
+    cand
+      .join(gC.select(col("id").as("id_corpus"), col("g").as("gc")), "id_corpus")
+      .join(gN.select(col("id").as("id_new"), col("g").as("gn")), "id_new")
+      .withColumn("jac", jaccardSortedIds(col("gc"), col("gn")))
+      .filter(col("jac") >= threshold)
+      .select(col("block"), col("id_new"), col("id_corpus"),
+        Det.r4(col("jac")).as("jaccard"))
+  }
+
+  /** [[incrementalNearDupPairs]] applied: the new batch with every
+    * corpus-near-duplicate dropped (anti-join on the hit ids).
+    */
+  def incrementalNearDedup(corpus: DataFrame, newDocs: DataFrame,
+                           idCol: String, textCol: String, blockCol: String,
+                           n: Int, threshold: Double): DataFrame = {
+    val hits = incrementalNearDupPairs(corpus, newDocs, idCol, textCol,
+      blockCol, n, threshold)
+      .select(col("id_new")).distinct()
+    newDocs.join(hits, newDocs(idCol) === hits("id_new"), "left_anti")
+  }
+
   /** Semantic near-duplicate pairs: embedding cosine ≥ threshold, blocked
     * on `blockCol` (e.g. a cluster/label id from a coarse quantizer — the
     * same IVF partitioning [[Ann.ivfTopK]] uses).

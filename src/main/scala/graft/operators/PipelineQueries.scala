@@ -161,6 +161,25 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental (cross-corpus) near-dedup (round 4): sources src0-9 play
+    * the existing training corpus, src10-19 the incoming crawl batch; a
+    * new doc is dropped iff some same-lang corpus doc has word-3-gram
+    * Jaccard ≥ 0.4 with it ([[Dedup.incrementalNearDedup]] — the exact
+    * PPJoin prefix filter of q86 restricted to corpus×new pairs). At
+    * 100 TB the corpus-side prefix index is materialized once and reused
+    * per batch, so per-batch cost scales with the batch, not the corpus.
+    */
+  def q75_dedup_incremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val corpus = docs.filter(srcNum < 10)
+    val newBatch = docs.filter(srcNum >= 10)
+    Dedup.incrementalNearDedup(corpus, newBatch, "doc_id", "text", "lang",
+        n = 3, threshold = 0.4)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic train/val/test split (round 4): 90/5/5 by content-hash
     * of doc_id ([[Sampling.hashSplit]]) — a pure per-row projection, so a
     * doc's split never changes across runs, layouts, or corpus growth (the
@@ -439,6 +458,19 @@ object PipelineQueries {
          |    len(string_split(text, ' ')), 4) AS stop_ratio,
          |  $qualityExpr AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q75_dedup_incremental" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, $gramsExpr AS g FROM documents),
+         |corpus AS (SELECT * FROM d WHERE CAST(substr(source, 4) AS INT) < 10),
+         |newb AS (SELECT * FROM d WHERE CAST(substr(source, 4) AS INT) >= 10),
+         |hits AS (
+         |  SELECT DISTINCT n.doc_id FROM newb n
+         |  JOIN corpus c ON n.lang = c.lang
+         |  WHERE len(n.g) + len(c.g) > 0
+         |    AND CAST(len(list_intersect(n.g, c.g)) AS DOUBLE) /
+         |      (len(n.g) + len(c.g) - len(list_intersect(n.g, c.g))) >= 0.4)
+         |SELECT doc_id, lang, source FROM newb
+         |WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+         |ORDER BY doc_id""".stripMargin,
     "q73_hash_split" ->
       """SELECT doc_id,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'

@@ -99,6 +99,29 @@ class DedupSpec extends SparkSpec {
       gids.select("h").distinct().count())
   }
 
+  test("incremental near-dedup: prefix filter finds exactly the brute-force hits") {
+    val docs = Tables.documents(spark, sfDir)
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val corpus = docs.filter(srcNum < 10)
+    val batch = docs.filter(srcNum >= 10)
+    val survivors = Dedup.incrementalNearDedup(corpus, batch,
+        "doc_id", "text", "lang", n = 3, threshold = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // brute force on the fixture: full corpus×batch jaccard per lang
+    val gc = corpus.select(col("lang"), col("doc_id").as("cid"),
+      Dedup.gramIds(col("text"), 3).as("gc"))
+    val gn = batch.select(col("lang"), col("doc_id").as("nid"),
+      Dedup.gramIds(col("text"), 3).as("gn"))
+    val bruteHits = gn.join(gc, "lang")
+      .filter(size(col("gn")) + size(col("gc")) > 0)
+      .filter(Dedup.jaccardSortedIds(col("gc"), col("gn")) >= 0.4)
+      .select("nid").distinct().collect().map(_.getLong(0)).toSet
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == batchIds -- bruteHits,
+      s"survivors=${survivors.size} batch=${batchIds.size} hits=${bruteHits.size}")
+    assert(bruteHits.nonEmpty, "fixture should contain at least one cross-set hit")
+  }
+
   test("embedding near-dups exclude self and respect threshold") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = Dedup.embeddingNearDups(emb, "vec_id", "embedding", "label", 0.99)
