@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{Dedup, MinHashLSH, TextFunctions}
+import graft.functions.{Dedup, MinHashLSH, Sampling, TextFunctions}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -27,6 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object CurationPipeline {
 
+  /** Round-4 optional stages default OFF so the declared q97 funnel is
+    * byte-identical with a default Config:
+    *  - `scrubPii`: redact PII BEFORE any dedup (normalization must precede
+    *    digesting, or the scrubbed and unscrubbed copies of one doc stop
+    *    colliding);
+    *  - `maxDupBp`: Gopher-style repetition gate (duplicate word-3-gram
+    *    fraction in basis points, the q99 signal) applied after the
+    *    quality gate — still a narrow scan-speed projection;
+    *  - `split`: (trainFrac, valFrac) — annotate each surviving doc with
+    *    its deterministic content-hash split label (the q73 signal).
+    */
   case class Config(
       idCol: String = "doc_id",
       textCol: String = "text",
@@ -35,7 +46,10 @@ object CurationPipeline {
       nearDupJaccard: Double = 0.9,
       minhashK: Int = 8,
       minhashBands: Int = 4,
-      maxBucket: Int = 1000)
+      maxBucket: Int = 1000,
+      scrubPii: Boolean = false,
+      maxDupBp: Option[Int] = None,
+      split: Option[(Double, Double)] = None)
 
   /** `release()` unpersists the near-dedup cache that `curated` reads from
     * (collectStats=true only; a no-op otherwise) — call it once the curated
@@ -49,6 +63,26 @@ object CurationPipeline {
   def qualityGate(docs: DataFrame, cfg: Config): DataFrame =
     docs.filter(TextFunctions.qualityScore(col(cfg.textCol), cfg.stopwords)
       >= cfg.minQuality)
+
+  /** redact PII in place (no-op unless configured) */
+  def scrub(docs: DataFrame, cfg: Config): DataFrame =
+    if (!cfg.scrubPii) docs
+    else docs.withColumn(cfg.textCol,
+      TextFunctions.scrubPii(col(cfg.textCol)))
+
+  /** drop docs whose duplicate word-3-gram fraction exceeds `maxDupBp`
+    * basis points (no-op unless configured) — the q99 repetition signal
+    * as a gate; short docs (no 3-grams) pass
+    */
+  def repetitionGate(docs: DataFrame, cfg: Config): DataFrame =
+    cfg.maxDupBp match {
+      case None => docs
+      case Some(maxBp) =>
+        val g = TextFunctions.wordNgramsAll(col(cfg.textCol), 3)
+        val ng = size(g); val nd = size(array_distinct(g))
+        docs.filter(ng === 0 ||
+          (ng - nd).cast("double") * 10000.0 / ng <= maxBp.toDouble)
+    }
 
   def exactDedup(docs: DataFrame, cfg: Config): DataFrame =
     Dedup.exact(docs, cfg.idCol, Seq(cfg.textCol))
@@ -71,17 +105,24 @@ object CurationPipeline {
     docs.join(losers, Seq(cfg.idCol), "left_anti")
   }
 
-  def annotate(docs: DataFrame, cfg: Config): DataFrame =
-    docs
+  def annotate(docs: DataFrame, cfg: Config): DataFrame = {
+    val base = docs
       .withColumn("n_tokens", TextFunctions.tokenCountWs(col(cfg.textCol)))
       .withColumn("quality",
         TextFunctions.qualityScore(col(cfg.textCol), cfg.stopwords))
       .withColumn("fingerprint", TextFunctions.fingerprint(col(cfg.textCol)))
+    cfg.split match {
+      case Some((train, valF)) => base.withColumn("split",
+        Sampling.hashSplit(col(cfg.idCol), train, valF))
+      case None => base
+    }
+  }
 
   def run(docs: DataFrame, cfg: Config = Config(),
           collectStats: Boolean = true): Result = {
     if (!collectStats) {
-      val out = annotate(nearDedup(exactDedup(qualityGate(docs, cfg), cfg), cfg), cfg)
+      val out = annotate(nearDedup(exactDedup(
+        repetitionGate(qualityGate(scrub(docs, cfg), cfg), cfg), cfg), cfg), cfg)
       return Result(out, Map.empty)
     }
     // single-execution stats: observe() metrics ride along the one action
@@ -90,8 +131,8 @@ object CurationPipeline {
     // all three of its branches (candidates, token join, anti-join)
     val obsInput = org.apache.spark.sql.Observation()
     val obsGated = org.apache.spark.sql.Observation()
-    val gated = qualityGate(
-      docs.observe(obsInput, count(lit(1)).as("n")), cfg)
+    val gated = repetitionGate(qualityGate(
+      scrub(docs, cfg).observe(obsInput, count(lit(1)).as("n")), cfg), cfg)
       .observe(obsGated, count(lit(1)).as("n"))
     val exact = exactDedup(gated, cfg).cache()
     val nExact = exact.count()                 // action #1: fills the cache

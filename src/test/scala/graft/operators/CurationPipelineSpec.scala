@@ -80,4 +80,59 @@ class CurationPipelineSpec extends SparkSpec {
     val twice = CurationPipeline.run(once, cfg).curated
     assert(twice.count() == once.count())
   }
+
+  test("optional round-4 stages: default config is byte-identical (off)") {
+    val plain = CurationPipeline.run(docs, cfg, collectStats = false).curated
+    assert(!plain.columns.contains("split"))
+    // explicit off-config equals default
+    val off = CurationPipeline.run(docs,
+      cfg.copy(scrubPii = false, maxDupBp = None, split = None),
+      collectStats = false).curated
+    assert(off.collect().toSet == plain.collect().toSet)
+  }
+
+  test("repetition gate drops exactly the docs above the dup-3-gram threshold") {
+    import graft.functions.TextFunctions
+    val gated = CurationPipeline.repetitionGate(docs, cfg.copy(maxDupBp = Some(0)))
+    // survivors all have zero duplicate 3-grams
+    val g = TextFunctions.wordNgramsAll(col("text"), 3)
+    val bad = gated.filter(size(g) =!= size(array_distinct(g)))
+    assert(bad.count() == 0)
+    // and the gate is not vacuous on the fixture (33 docs have dup 3-grams
+    // at sf0.001 — measured by the q99 oracle)
+    assert(gated.count() < docs.count())
+    assert(docs.count() - gated.count() == 33)
+  }
+
+  test("scrub stage redacts before dedup so PII variants of one doc collide") {
+    import spark.implicits._
+    // same doc content, differing only in the embedded email → after scrub
+    // they are exact duplicates and one is dropped
+    val pair = Seq(
+      (1L, "the quick brown fox contacted a@x.io for details details details"),
+      (2L, "the quick brown fox contacted b@y.org for details details details"))
+      .toDF("doc_id", "text")
+    val noScrub = CurationPipeline.run(pair,
+      cfg.copy(minQuality = 0.0), collectStats = false).curated
+    assert(noScrub.count() == 2)
+    val scrubbed = CurationPipeline.run(pair,
+      cfg.copy(minQuality = 0.0, scrubPii = true), collectStats = false).curated
+    assert(scrubbed.count() == 1)
+    assert(scrubbed.select("doc_id").first().getLong(0) == 1L)  // min id wins
+    assert(!scrubbed.select("text").first().getString(0).contains("@"))
+  }
+
+  test("split annotation labels every curated doc, stable across runs") {
+    val r = CurationPipeline.run(docs, cfg.copy(split = Some((0.8, 0.1))),
+      collectStats = false).curated
+    assert(r.columns.contains("split"))
+    val labels = r.groupBy("split").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(labels.keySet.subsetOf(Set("train", "val", "test")))
+    assert(labels.values.sum == r.count())
+    val again = CurationPipeline.run(docs, cfg.copy(split = Some((0.8, 0.1))),
+      collectStats = false).curated
+    assert(again.select("doc_id", "split").collect().toSet ==
+      r.select("doc_id", "split").collect().toSet)
+  }
 }
