@@ -49,6 +49,7 @@ object SparkEntry {
     "q28_agg_minmax_by" -> (AggQueries.q28_agg_minmax_by _),
     "q29_agg_bool" -> (AggQueries.q29_agg_bool _),
     "q26_agg_stats" -> (AggQueries.q26_agg_stats _),
+    "q76_profile_stats" -> (AggQueries.q76_profile_stats _),
     // D. windows
     "q30_window_rank" -> (WindowSetQueries.q30_window_rank _),
     "q31_window_frame" -> (WindowSetQueries.q31_window_frame _),

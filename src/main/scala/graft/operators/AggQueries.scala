@@ -121,6 +121,35 @@ object AggQueries {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Dataset profiling (round 4): per-column row/null/distinct counts and
+    * min/max over five lineitem measures — the catalog-metadata surface a
+    * user points at an unknown table first.
+    *
+    * Scale shape: ONE scan computes all 5×4 aggregates in a single
+    * two-phase HashAggregate pass (exact countDistinct lowers to Expand —
+    * still one source scan), then a `stack` unpivots the 1-row result to
+    * the per-column report. Profiling 100 TB costs one pass, not one pass
+    * per column.
+    */
+  def q76_profile_stats(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice",
+      "l_orderkey")
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"${c}__n"),
+        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        Det.r2(min(col(c)).cast("double")).as(s"${c}__min"),
+        Det.r2(max(col(c)).cast("double")).as(s"${c}__max"))
+    }
+    val one = Tables.lineitem(spark, sfDir).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__n, ${c}__nulls, ${c}__nd, ${c}__min, ${c}__max")
+      .mkString(", ")
+    one.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_rows, n_null, n_distinct, min_v, max_v)")
+      .orderBy(col("col_name"))
+  }
+
   /** GROUPING SETS — the general form rollup/cube specialize (round 3).
     * Expressed through `spark.sql` over a temp view: Spark lowers it to the
     * same single Expand + HashAggregate as rollup/cube (no N passes).
@@ -169,7 +198,18 @@ object AggQueries {
         count(lit(1)).as("n"))
       .orderBy(col("r_name"))
 
+  private def profileSub(c: String): String =
+    s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+       |  count(*) - count($c) AS n_null,
+       |  count(DISTINCT $c) AS n_distinct,
+       |  round(CAST(min($c) AS DOUBLE), 2) AS min_v,
+       |  round(CAST(max($c) AS DOUBLE), 2) AS max_v FROM lineitem""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q76_profile_stats" ->
+      (Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice",
+        "l_orderkey").map(profileSub).mkString("", "\nUNION ALL\n",
+        "\nORDER BY col_name")),
     "q24_agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  count(*) AS n,
