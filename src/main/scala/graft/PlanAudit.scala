@@ -14,7 +14,9 @@ object PlanAudit extends App {
     "q85_dedup_minhash_lsh", "q86_dedup_ngram", "q16_join_asof",
     "q52_math_funcs", "q58_decimal_money", "q94_dedup_lsh_lang",
     "q96_dedup_simhash", "q97_curation_pipeline", "q98_knn_ivf_cell",
-    "q24_agg_grouping_sets", "q45_pivot", "q46_subquery")
+    "q24_agg_grouping_sets", "q45_pivot", "q46_subquery",
+    "q19_join_asof_generic", "q75_dedup_incremental", "q76_profile_stats",
+    "q99_quality_repetition")
   targets.foreach { q =>
     println(s"\n========== $q ==========")
     println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(
