@@ -128,6 +128,29 @@ object JoinQueries {
       .orderBy(col("event_id"))
   }
 
+  /** MERGE/upsert — the CDC-apply operator ([[Upsert.applyCdc]]) under the
+    * hash gate (round 4): a deterministic change set derived from orders
+    * (keys ≡0 mod 100 → price update, ≡1 → delete, ≡2 → insert as a new
+    * key) is merged into the base snapshot. One shuffle on the key via
+    * union + priority window — no join.
+    */
+  def q77_upsert_merge(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+    val m = col("o_orderkey") % 100
+    val upd = base.filter(m === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 10000.0)
+      .withColumn("op", lit("u"))
+    val del = base.filter(m === 1).withColumn("op", lit("d"))
+    val ins = base.filter(m === 2)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("op", lit("u"))
+    val changes = upd.unionByName(del).unionByName(ins)
+    Upsert.applyCdc(base, changes, keys = Seq("o_orderkey"), opCol = "op")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        Det.r2(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Full outer join with rows unmatched on BOTH sides: negative-balance
     * customers ⟗ customers holding a >490k order.
     */
@@ -226,6 +249,24 @@ object JoinQueries {
     "q17_join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+    "q77_upsert_merge" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_totalprice + 10000.0 AS o_totalprice,
+        |    o_orderstatus, 'u' AS op FROM orders WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus, 'd' FROM orders
+        |  WHERE o_orderkey % 100 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus, 'u'
+        |  FROM orders WHERE o_orderkey % 100 = 2),
+        |merged AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd
+        |  WHERE op = 'u')
+        |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total
+        |FROM merged ORDER BY o_orderkey""".stripMargin,
     "q19_join_asof_generic" ->
       """SELECT p.event_id, c.event_id AS click_event_id,
         |  round(c.value, 2) AS click_value

@@ -49,7 +49,8 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q97_curation_pipeline" -> 421L, "q96_dedup_simhash" -> 1883L,
     "q98_knn_ivf_cell" -> 25L, "q99_quality_repetition" -> 500L,
     "q73_hash_split" -> 500L, "q74_data_recipe" -> 196L,
-    "q75_dedup_incremental" -> 247L, "q76_profile_stats" -> 5L)
+    "q75_dedup_incremental" -> 247L, "q76_profile_stats" -> 5L,
+    "q77_upsert_merge" -> 1500L)
 
   test("every declared query has an oracle and matches its golden sf0.001 count") {
     val qs = SparkEntry.queries
