@@ -104,6 +104,34 @@ class PlanShapeSpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // the 100 TB shape: a selective dim filter should reach the fact scan
+    // as a runtime bloom filter (Spark's runtime row-level filtering), so
+    // the shuffle carries only might-match fact rows. Thresholds lowered so
+    // fixture-scale data trips the same rewrite a real fact table would.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+      val fact = Tables.lineitem(spark, sfDir)
+      val dim = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000)
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("bloom_filter_agg"), opt.take(1500))
+      assert(opt.contains("might_contain"), opt.take(1500))
+      // values unchanged by the filter injection
+      val expected = fact.join(dim.hint("broadcast"),
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(j.count() == expected)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("pre-bucketed documents layout: LSH verify joins go shuffle-free on the tok side") {
     // the 100 TB near-dup layout (SURVEY §7.6): documents bucketed by
     // doc_id pay the exchange ONCE at write time; every verify join after
