@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.expressions.SortedIntersectSize
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{GraftColumn, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types.DoubleType
@@ -102,8 +102,47 @@ object GraftExtensions {
       graft.expressions.WeightedAvgDecl(args(0), args(1))
     })
 
+  /** literal-double extractor for function args that must be constants */
+  private def litDouble(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, DoubleType) => v
+    case Literal(v: java.lang.Number, _) => v.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
+  private val scrubPiiDesc: FunctionDesc = (
+    FunctionIdentifier("scrub_pii"),
+    new ExpressionInfo(GraftExtensions.getClass.getName, "scrub_pii"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, s"scrub_pii(text) takes 1 argument, got ${args.length}")
+      GraftColumn.expr(graft.functions.TextFunctions
+        .scrubPii(GraftColumn(args.head)))
+    })
+
+  private val hashSampleDesc: FunctionDesc = (
+    FunctionIdentifier("hash_sample"),
+    new ExpressionInfo(GraftExtensions.getClass.getName, "hash_sample"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"hash_sample(key, rate) takes 2 arguments, got ${args.length}")
+      GraftColumn.expr(graft.functions.Sampling.hashSample(
+        GraftColumn(args.head), litDouble(args(1), "rate")))
+    })
+
+  private val hashSplitDesc: FunctionDesc = (
+    FunctionIdentifier("hash_split"),
+    new ExpressionInfo(GraftExtensions.getClass.getName, "hash_split"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        s"hash_split(key, trainFrac, valFrac) takes 3 arguments, got ${args.length}")
+      GraftColumn.expr(graft.functions.Sampling.hashSplit(
+        GraftColumn(args.head), litDouble(args(1), "trainFrac"),
+        litDouble(args(2), "valFrac")))
+    })
+
   private val all: Seq[FunctionDesc] = Seq(sortedIntersectSizeDesc,
-    distanceInMetersDesc, withinCircleDesc, withinBoxDesc, weightedAvgDesc)
+    distanceInMetersDesc, withinCircleDesc, withinBoxDesc, weightedAvgDesc,
+    scrubPiiDesc, hashSampleDesc, hashSplitDesc)
 
   /** Register the functions into an already-running session. */
   def register(spark: SparkSession): Unit =

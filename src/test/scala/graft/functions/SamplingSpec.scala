@@ -76,6 +76,27 @@ class SamplingSpec extends SparkSpec {
     assert(routed == direct)
   }
 
+  test("SQL registry: hash_sample / hash_split / scrub_pii usable from $where strings") {
+    graft.plans.GraftExtensions.register(spark)
+    docs.createOrReplaceTempView("sampling_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id FROM sampling_docs WHERE hash_sample(doc_id, 0.3)")
+      .as[Long].collect().toSet
+    val viaCol = docs.filter(Sampling.hashSample(col("doc_id"), 0.3))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaSql == viaCol)
+    val splitSql = spark.sql(
+      "SELECT doc_id, hash_split(doc_id, 0.9, 0.05) AS s FROM sampling_docs")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val splitCol = docs.select(col("doc_id"),
+      Sampling.hashSplit(col("doc_id"), 0.9, 0.05).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(splitSql == splitCol)
+    assert(spark.sql(
+      "SELECT scrub_pii('mail a@b.co now') AS t").first().getString(0) ==
+      "mail [EMAIL] now")
+  }
+
   test("hashSampleSql mirrors hashSample's predicate text") {
     assert(Sampling.hashSampleSql("doc_id", 1.0) == "true")
     assert(Sampling.hashSampleSql("doc_id", 0.0) == "false")
