@@ -25,30 +25,44 @@ object Sampling {
   def hashHex(key: Column, n: Int = 4): Column =
     substring(md5(key.cast("string").cast("binary")), 1, n)
 
-  private def threshold(rate: Double): String =
-    f"${math.round(rate * 65536.0)}%04x"
+  /** rate mapped to integer 1/65536 units; 65536 means "everything" and
+    * must NEVER be hex-formatted — `f"%04x"` renders it as the 5-char
+    * "10000", which compares lexicographically BELOW every 4-hex hash and
+    * silently empties the bucket (rates in [65535.5/65536, 1.0] all round
+    * here)
+    */
+  private def thresholdUnits(rate: Double): Long =
+    math.round(rate * 65536.0)
+
+  private def belowThreshold(h: Column, units: Long): Column =
+    if (units >= 65536L) lit(true)
+    else if (units <= 0L) lit(false)
+    else h < lit(f"$units%04x")
 
   /** deterministic membership test at ≈`rate` (4-hex resolution) */
   def hashSample(key: Column, rate: Double): Column =
-    if (rate >= 1.0) lit(true)
-    else if (rate <= 0.0) lit(false)
-    else hashHex(key) < lit(threshold(rate))
+    belowThreshold(hashHex(key), thresholdUnits(rate))
 
   /** the DuckDB/ANSI twin of [[hashSample]]'s predicate, for oracle SQL */
-  def hashSampleSql(keyExpr: String, rate: Double): String =
-    if (rate >= 1.0) "true"
-    else if (rate <= 0.0) "false"
-    else s"substr(md5(CAST($keyExpr AS VARCHAR)), 1, 4) < '${threshold(rate)}'"
+  def hashSampleSql(keyExpr: String, rate: Double): String = {
+    val units = thresholdUnits(rate)
+    if (units >= 65536L) "true"
+    else if (units <= 0L) "false"
+    else f"substr(md5(CAST($keyExpr AS VARCHAR)), 1, 4) < '$units%04x'"
+  }
 
   /** deterministic train/val/test split label: train gets `trainFrac`,
     * val the next `valFrac`, test the rest — same label for the same key
-    * forever, regardless of corpus growth or layout
+    * forever, regardless of corpus growth or layout. Exhaustive splits
+    * (trainFrac + valFrac == 1.0 ⇒ empty test, e.g. the classic 0.8/0.2)
+    * are legal: the cumulative boundary saturates to always-true instead
+    * of falling through to the next label.
     */
   def hashSplit(key: Column, trainFrac: Double, valFrac: Double): Column = {
     require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0)
     val h = hashHex(key)
-    when(h < lit(threshold(trainFrac)), lit("train"))
-      .when(h < lit(threshold(trainFrac + valFrac)), lit("val"))
+    when(belowThreshold(h, thresholdUnits(trainFrac)), lit("train"))
+      .when(belowThreshold(h, thresholdUnits(trainFrac + valFrac)), lit("val"))
       .otherwise(lit("test"))
   }
 

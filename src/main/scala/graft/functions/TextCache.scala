@@ -37,14 +37,37 @@ import scala.collection.concurrent.TrieMap
 object TextCache {
 
   // keyed by the session object itself (not a UUID) so two sessions never
-  // share a cached plan; the map only ever holds a handful of small frames
+  // share a cached plan; the map only ever holds a handful of small frames.
+  // Entries are evicted automatically when the owning SparkContext ends
+  // (listener below) — without that, a long-lived JVM churning sessions
+  // would pin every dead session's DataFrames (and persisted blocks) via
+  // these strong references unless callers remembered release(spark).
   private val forms =
     TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  private val hookedContexts =
+    TrieMap.empty[org.apache.spark.SparkContext, Unit]
+
+  private def hookCleanup(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    hookedContexts.getOrElseUpdate(sc, {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          forms.keys.filter(_._1.sparkContext eq sc)
+            .foreach(forms.remove)
+          hookedContexts.remove(sc)
+        }
+      })
+    })
+  }
+
   private def getOrPersist(spark: SparkSession, sfDir: String, form: String)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = {
+    hookCleanup(spark)
     forms.getOrElseUpdate((spark, sfDir, form),
       build.persist(StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** The documents table, scanned and decoded once per session+sf. */
   def base(spark: SparkSession, sfDir: String): DataFrame =

@@ -67,7 +67,7 @@ object Asof {
           lit(null).cast(right.schema(c).dataType).as(s"__tb$i") } ++
         Seq(struct(leftCols.map(col): _*).as("__lrow"),
           lit(null).cast(rStructT).as("__rrow")): _*)
-    val rSide = right.select(
+    val rSide = right.filter(col(rightAt).isNotNull).select(
       on.map(col) ++
         Seq(col(rightAt).as("__at"), lit(rTag).as("__tag")) ++
         tieBreak.zipWithIndex.map { case (c, i) => col(c).as(s"__tb$i") } ++
@@ -77,8 +77,15 @@ object Asof {
     // backward scans time ascending (carry the latest earlier right row);
     // forward scans descending (carry the earliest later one). Tags always
     // sort ascending; tie-breaks follow the scan so "last" = the winner.
+    // Null timestamps must be unmatchable on both sides (DuckDB ASOF /
+    // pandas merge_asof semantics): null-at LEFT rows are pinned BEFORE
+    // every right row in scan order (nulls_first in both directions) so
+    // their window holds no right payload; null-at RIGHT rows are dropped
+    // outright below (they precede everything too and would otherwise be
+    // carried into every left row's frame).
     val ordering =
-      (if (backward) Seq(col("__at").asc) else Seq(col("__at").desc)) ++
+      (if (backward) Seq(col("__at").asc_nulls_first)
+       else Seq(col("__at").desc_nulls_first)) ++
         Seq(col("__tag").asc) ++
         tieBreak.indices.map(i =>
           if (backward) col(s"__tb$i").asc else col(s"__tb$i").desc)

@@ -102,9 +102,13 @@ object GraftExtensions {
       graft.expressions.WeightedAvgDecl(args(0), args(1))
     })
 
-  /** literal-double extractor for function args that must be constants */
+  /** literal-double extractor for function args that must be constants
+    * (SQL fractional literals like `0.3` parse as DECIMAL literals wrapping
+    * `o.a.s.sql.types.Decimal`, which is NOT a java.lang.Number)
+    */
   private def litDouble(e: Expression, what: String): Double = e match {
     case Literal(v: Double, DoubleType) => v
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
     case Literal(v: java.lang.Number, _) => v.doubleValue()
     case other => throw new IllegalArgumentException(
       s"$what must be a numeric literal, got $other")

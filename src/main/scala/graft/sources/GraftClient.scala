@@ -28,6 +28,16 @@ case class SoqlParams(
 
 object Soql {
 
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => containsMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        containsMap(a.elementType)
+      case _ => false
+    }
+
   /** Apply SoQL parameter semantics in SODA's evaluation order:
     * q → where → group/select(+having) → order → offset → limit.
     */
@@ -40,13 +50,29 @@ object Soql {
         // ranked $q: all text fields scored as one bag of terms —
         // tf·idf via TextFunctions.fullTextSearchRanked (the q95 path),
         // rows returned in relevance order (a later $order overrides,
-        // matching SODA, where $order beats relevance ranking)
+        // matching SODA, where $order beats relevance ranking).
+        // Row ids must be unique PER PHYSICAL ROW: a pure row-content hash
+        // would merge fully-duplicate rows (and any colliding pair) into
+        // one tf bag, inflating and coupling their scores — so the hash is
+        // disambiguated with a row_number within each hash bucket (buckets
+        // hold only duplicates/collisions, so the window state is tiny).
+        // MapType columns are excluded from the hash (xxhash64 can't
+        // consume them); the row_number still separates any rows made
+        // ambiguous by the exclusion.
+        val hashable = df.schema.fields
+          .filterNot(f => containsMap(f.dataType)).map(f => col(f.name))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__qhash")).orderBy(col("__qrow"))
         val withBag = df
-          .withColumn("__qid", xxhash64(df0.columns.map(col): _*))
+          .withColumn("__qrow", monotonically_increasing_id())
+          .withColumn("__qhash",
+            if (hashable.nonEmpty) xxhash64(hashable: _*) else lit(0L))
+          .withColumn("__qid",
+            concat_ws("_", col("__qhash"), row_number().over(w)))
           .withColumn("__qtext", concat_ws(" ", textCols.map(col): _*))
         df = TextFunctions
           .fullTextSearchRanked(withBag, "__qid", "__qtext", terms)
-          .drop("__qid", "__qtext", "score")
+          .drop("__qid", "__qtext", "score", "__qhash", "__qrow")
       } else {
         // unranked SODA $q: keep rows where ANY string column contains
         // EVERY term (token match, case-sensitive fixture semantics; the

@@ -25,10 +25,25 @@ object IdempotentSink {
 
   /** the foreachBatch function: `stream.writeStream.foreachBatch(
     * IdempotentSink.parquetExactlyOnce(path) _)`
+    *
+    * Replay of an ALREADY-COMMITTED batch (crash after the marker write but
+    * before the checkpoint advanced) is a no-op: once the marker exists the
+    * batch directory is visible to concurrent `committedRead`ers and final
+    * by construction — rewriting it would momentarily expose a half-written
+    * directory the protocol otherwise guarantees can't be observed.
     */
   def parquetExactlyOnce(path: String)(df: DataFrame, batchId: Long): Unit = {
-    df.write.mode(SaveMode.Overwrite).parquet(s"$path/batch=$batchId")
-    commit(df.sparkSession, path, batchId)
+    if (!isCommitted(df.sparkSession, path, batchId)) {
+      df.write.mode(SaveMode.Overwrite).parquet(s"$path/batch=$batchId")
+      commit(df.sparkSession, path, batchId)
+    }
+  }
+
+  private def isCommitted(spark: SparkSession, path: String,
+                          batchId: Long): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$path/_commits/$batchId"))
   }
 
   private def commit(spark: SparkSession, path: String, batchId: Long): Unit = {

@@ -8,5 +8,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object GraftColumn {
   def apply(e: Expression): Column = classic.ExpressionUtils.column(e)
-  def expr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Column → Expression via the EAGER ColumnNode converter.
+    * `ExpressionUtils.expression` merely wraps non-expression nodes in a
+    * lazy `ColumnNodeExpression`, which analysis never unwraps when the
+    * result is embedded from a FunctionRegistry builder (it surfaces as an
+    * unresolvable `columnnodeexpression()` of type VOID). The converter
+    * object resolves the node tree to real catalyst expressions up front.
+    */
+  def expr(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -56,6 +56,32 @@ class SamplingSpec extends SparkSpec {
     assert(small.subsetOf(big))
   }
 
+  test("hashSplit boundary: fractions summing to 1.0 leave test empty, not val") {
+    // regression (round-4 advice): cumulative 0.8+0.2 rounds to 65536 units,
+    // whose 4-hex format overflows to the 5-char "10000" — lexicographically
+    // below every hash, silently emptying 'val'. The boundary must saturate.
+    val out = docs.select(col("doc_id"),
+      Sampling.hashSplit(col("doc_id"), 0.8, 0.2).as("split"))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    assert(!counts.contains("test"), s"test bucket must be empty: $counts")
+    assert(counts.getOrElse("val", 0L) > 0L, s"val bucket vanished: $counts")
+    assert(counts.values.sum == n)
+    // ~80/20 within 5σ binomial noise
+    assert(math.abs(counts("train") - 0.8 * n) <= 5 * math.sqrt(n.toDouble))
+  }
+
+  test("hashSample saturates for rates that round to 65536/65536") {
+    val n = docs.count()
+    // 0.999999 rounds to 65536 units but is < 1.0 — must keep everything
+    assert(docs.filter(Sampling.hashSample(col("doc_id"), 0.999999)).count() == n)
+    val kept = spark.sql(
+      s"SELECT count(*) FROM (SELECT 1 FROM range(100) WHERE ${Sampling.hashSampleSql("id", 0.999999)})")
+      .collect()(0).getLong(0)
+    assert(kept == 100L)
+  }
+
   test("recipeSample applies the per-stratum rate and the default elsewhere") {
     val rates = Map("src0" -> 1.0, "src1" -> 0.0)
     val kept = docs.filter(

@@ -73,6 +73,29 @@ class AsofSpec extends SparkSpec {
       4L -> Some(105L), 5L -> Some(105L), 6L -> None))
   }
 
+  test("null timestamps are unmatched on BOTH sides in BOTH directions") {
+    // DuckDB ASOF and pandas merge_asof: a null ordering key never matches.
+    // Regression (round-4 advice): forward ordered __at plain desc (NULLS
+    // LAST), so a null-leftAt row sorted after every quote and picked up
+    // the globally-earliest one.
+    val tradesN = Seq(
+      (1L, "A", Some(10L), 100.0), (7L, "A", None: Option[Long], 103.0))
+      .toDF("trade_id", "sym", "t", "px")
+    val quotesN = Seq(
+      (101L, "A", Some(10L), 99.5), (107L, "A", None: Option[Long], 98.0))
+      .toDF("quote_id", "sym", "t", "bid")
+    Seq("backward", "forward").foreach { dir =>
+      val out = Asof.join(tradesN, quotesN, on = Seq("sym"),
+        leftAt = "t", rightAt = "t", rightPrefix = "q_",
+        tieBreak = Seq("quote_id"), direction = dir)
+      val m = matches(out)
+      assert(m(7L).isEmpty, s"null left ts must not match ($dir): $m")
+      // the null-ts QUOTE must never be anyone's match either
+      assert(!m.values.flatten.exists(_ == 107L), s"null right ts matched ($dir): $m")
+      assert(m(1L) == Some(101L), s"real ts still matches ($dir): $m")
+    }
+  }
+
   test("row count is exactly |left| — never inflates on duplicate timestamps") {
     val out = Asof.join(trades, quotes, on = Seq("sym"),
       leftAt = "t", rightAt = "t", tieBreak = Seq("quote_id"))

@@ -81,6 +81,23 @@ class GraftClientSpec extends SparkSpec {
       "ranked $q order disagrees with q95 scores")
   }
 
+  test("ranked $q keeps fully-duplicate rows as independent matches") {
+    // regression (round-4 advice): a pure row-content-hash id merged
+    // duplicate rows into one tf bag, inflating their score and collapsing
+    // their multiplicity. Ids are now hash + per-bucket row_number.
+    import spark.implicits._
+    val dup = Seq(
+      (1L, "alpha join filter"), (1L, "alpha join filter"),
+      (2L, "beta join"), (3L, "gamma"))
+      .toDF("id", "text")
+    val got = Soql(dup, SoqlParams(q = Some("join"), qRanked = true))
+    assert(got.count() == 3, "both duplicate rows and the single match survive")
+    assert(got.filter(col("id") === 1L).count() == 2)
+    // duplicates must score like a single copy: they rank together with
+    // rows of identical content, not above them
+    assert(got.filter(col("id") === 3L).count() == 0)
+  }
+
   test("paged fetch loop delivers every row exactly once and terminates") {
     val pages = client.fetchPages("nation",
       SoqlParams(order = Seq("n_nationkey")), pageSize = 7).toSeq

@@ -45,6 +45,18 @@ class IdempotentSinkSpec extends SparkSpec {
     assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("replay of an already-committed batch is a no-op (committed data is final)") {
+    val path = freshDir()
+    IdempotentSink.parquetExactlyOnce(path)(Seq((1L, "a")).toDF("id", "v"), 0L)
+    // crash AFTER the marker write but BEFORE the checkpoint advanced:
+    // the engine re-runs batch 0, possibly with recomputed (different!)
+    // data. The committed directory must not be rewritten — a concurrent
+    // committedRead would otherwise observe a half-rewritten batch.
+    IdempotentSink.parquetExactlyOnce(path)(Seq((99L, "ghost")).toDF("id", "v"), 0L)
+    val out = IdempotentSink.committedRead(spark, path)
+    assert(out.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("a crash between write and commit leaves the batch invisible") {
     val path = freshDir()
     IdempotentSink.parquetExactlyOnce(path)(Seq((1L, "a")).toDF("id", "v"), 0L)
