@@ -111,6 +111,14 @@ object SparkEntry {
     "q74_data_recipe" -> (PipelineQueries.q74_data_recipe _),
     "q97_curation_pipeline" -> (PipelineQueries.q97_curation_pipeline _),
     "q99_quality_repetition" -> (PipelineQueries.q99_quality_repetition _),
+    // K. corpus-preparation tier (round 5): clusters, contamination,
+    //    packing, normalization, sharding, mix report
+    "q100_dedup_components" -> (CorpusQueries.q100_dedup_components _),
+    "q101_contamination" -> (CorpusQueries.q101_contamination _),
+    "q102_seq_pack" -> (CorpusQueries.q102_seq_pack _),
+    "q103_text_normalize" -> (CorpusQueries.q103_text_normalize _),
+    "q104_shard_assign" -> (CorpusQueries.q104_shard_assign _),
+    "q105_domain_mix" -> (CorpusQueries.q105_domain_mix _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -119,5 +127,6 @@ object SparkEntry {
     CoreQueries.oracle ++ JoinQueries.oracle ++ AggQueries.oracle ++
       WindowSetQueries.oracle ++ ScalarQueries.oracle ++
       StreamShapeQueries.oracle ++ UdxQueries.oracle ++
-      NorthStarQueries.oracle ++ PipelineQueries.oracle
+      NorthStarQueries.oracle ++ PipelineQueries.oracle ++
+      CorpusQueries.oracle
 }

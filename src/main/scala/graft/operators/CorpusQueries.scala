@@ -1,0 +1,240 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{Components, Dedup, Sampling}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 corpus-preparation tier: the operations that sit between a
+  * deduplicated corpus and a training run — duplicate clustering,
+  * benchmark-contamination screening, sequence packing, normalization,
+  * deterministic sharding, and the corpus-mix report. All hash-checked
+  * against DuckDB oracles like the rest of the declared surface.
+  */
+object CorpusQueries {
+
+  /** Near-duplicate CLUSTERS: connected components over the q94 capped-LSH
+    * pair graph (the production dedup tier), so a pipeline keeps one
+    * canonical doc per cluster instead of dropping both ends of each pair.
+    * Output: every clustered doc with its component id (= min doc_id in
+    * the cluster — deterministic) and the cluster size.
+    *
+    * Scale: the pair graph is bucket-bounded by construction (q94's
+    * maxBucket cap), and min-label propagation converges in
+    * diameter-many rounds — see [[graft.functions.Components]].
+    */
+  def q100_dedup_components(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = PipelineQueries.q94_dedup_lsh_lang(spark, sfDir)
+      .select(col("id_a"), col("id_b"))
+    val cc = Components.connectedComponents(pairs, "id_a", "id_b")
+    val sizes = cc.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+    cc.join(sizes, "component")
+      .select(col("id").as("doc_id"), col("component"), col("n_members"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark-contamination screen: flag training docs sharing word-3-gram
+    * shingles with a held-out evaluation set (here: doc_id % 97 == 0 — the
+    * fixture stand-in for a benchmark suite). Emits per-doc overlap counts
+    * and the contamination rate in integer basis points (no float
+    * boundary).
+    *
+    * Scale: the eval side is a benchmark suite — thousands of docs, not a
+    * corpus — so its distinct-gram set is broadcast by construction; the
+    * training side streams through one scan + one partial-agg pair. This
+    * is the one join in the pipeline where a forced broadcast is
+    * structurally safe at 100 TB.
+    */
+  def q101_contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val dg = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(Dedup.ngrams(col("text"), 3)).as("gram"))
+    val evalGrams = dg.filter(col("doc_id") % 97 === 0)
+      .select(col("gram")).distinct()
+    val tot = dg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hit = dg.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    hit.join(tot, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        expr("(n_hit * 10000) div n_grams").cast("long").as("contam_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sequence packing (concat-and-chunk): per lang, documents are laid out
+    * in doc_id order and cut into fixed 256-token training sequences; a
+    * doc belongs to the sequence containing its START offset. Emits
+    * per-sequence packing stats. One window (cumulative token count) + one
+    * aggregation — the same single shuffle a sorted write-out already
+    * pays, and the layout is reproducible from the key order alone.
+    */
+  def q102_seq_pack(spark: SparkSession, sfDir: String): DataFrame = {
+    val seqLen = 256L
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id",
+        expr(s"(cum - n_tok) div $seqLen").cast("long"))
+      .groupBy(col("lang"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("seq_id"))
+  }
+
+  /** Text normalization surface: lowercase, non-alphanumerics to spaces,
+    * whitespace collapsed, trimmed — pure codegen'd string expressions at
+    * scan speed (the cheapest stage of a curation funnel, so it runs
+    * first). Patterns stay in the RE2 ∩ java.util.regex common subset so
+    * the oracle replays them byte-identically.
+    */
+  def q103_text_normalize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", " "), " +", " ")).as("norm_text"))
+      .withColumn("n_tok",
+        size(split(col("norm_text"), " ")).cast("long"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic shard assignment for training-data writes: shard =
+    * md5(doc_id) mod 16 (the [[Sampling.hashHex]] unit — engine- and
+    * layout-stable, so re-running the export reproduces byte-identical
+    * shards). Emits per-shard balance stats; the same expression feeds
+    * `DataFrameWriter.partitionBy` for the real write. Content-hash
+    * sharding is also the global-shuffle step of a training pipeline: the
+    * hash order is unrelated to the corpus order, so shards are i.i.d.
+    * samples without a sort.
+    */
+  def q104_shard_assign(spark: SparkSession, sfDir: String): DataFrame = {
+    val shard = (conv(Sampling.hashHex(col("doc_id")), 16, 10)
+      .cast("long") % 16).as("shard")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"), shard)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+  }
+
+  /** Corpus-mix report: per-source volume, token share (integer basis
+    * points), language breadth, mean doc length — the numbers a data
+    * recipe ([[Sampling.recipeSample]], q74) is tuned against. The corpus
+    * total is a 1-row aggregate broadcast into the per-source rollup
+    * (the q92 pattern — never a collect).
+    */
+  def q105_domain_mix(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.documents(spark, sfDir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val tot = t.agg(sum(col("n_tok")).as("all_tok"))
+    t.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens * 10000) div all_tok").cast("long").as("tok_share_bp"),
+        col("n_langs"),
+        expr("sum_chars div n_docs").cast("long").as("avg_chars"))
+      .orderBy(col("source"))
+  }
+
+  private def mh(i: Int) =
+    s"list_aggregate(list_transform(tok, t -> md5('$i|' || t)), 'min')"
+
+  /** the q94 capped-LSH ≥0.8 pair set as DuckDB CTEs (shared with
+    * PipelineQueries' q94 oracle by construction — same bands, same cap,
+    * same verify) */
+  private val q94PairsCtes =
+    s"""d AS (SELECT doc_id, lang,
+       |  list_distinct(string_split(text, ' ')) AS tok FROM documents),
+       |sig AS (SELECT doc_id, lang, tok,
+       |  ['0|' || ${mh(0)} || '|' || ${mh(1)},
+       |   '1|' || ${mh(2)} || '|' || ${mh(3)},
+       |   '2|' || ${mh(4)} || '|' || ${mh(5)},
+       |   '3|' || ${mh(6)} || '|' || ${mh(7)}] AS bands FROM d),
+       |bb0 AS (SELECT doc_id, lang, unnest(bands) AS band FROM sig),
+       |bb AS (SELECT doc_id, lang, band FROM bb0
+       |  QUALIFY count(*) OVER (PARTITION BY lang, band) <= 200),
+       |cand AS (SELECT DISTINCT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bb a JOIN bb b
+       |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT c.id_a, c.id_b FROM cand c
+       |  JOIN d da ON da.doc_id = c.id_a JOIN d db ON db.doc_id = c.id_b
+       |  WHERE CAST(len(list_intersect(da.tok, db.tok)) AS DOUBLE) /
+       |    (len(da.tok) + len(db.tok) - len(list_intersect(da.tok, db.tok))) >= 0.8)""".stripMargin
+
+  private val gramsExpr =
+    "list_distinct(list_transform(" +
+      "range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1), " +
+      "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] " +
+      "|| ' ' || string_split(text, ' ')[i+2]))"
+
+  val oracle: Map[String, String] = Map(
+    "q100_dedup_components" ->
+      s"""WITH RECURSIVE $q94PairsCtes,
+         |e AS (SELECT id_a AS s, id_b AS t FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM e),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.t FROM reach JOIN e ON reach.r = e.s),
+         |cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |sz AS (SELECT component AS c2, count(*) AS n_members FROM cc GROUP BY 1)
+         |SELECT id AS doc_id, component, n_members
+         |FROM cc JOIN sz ON component = c2 ORDER BY doc_id""".stripMargin,
+    "q101_contamination" ->
+      s"""WITH g0 AS (
+         |  SELECT doc_id, unnest($gramsExpr) AS gram FROM documents),
+         |dg AS (SELECT DISTINCT doc_id, gram FROM g0),
+         |ev AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY 1),
+         |hit AS (SELECT dg.doc_id, count(*) AS n_hit FROM dg JOIN ev USING (gram)
+         |  WHERE dg.doc_id % 97 <> 0 GROUP BY dg.doc_id)
+         |SELECT h.doc_id, t.n_grams, h.n_hit,
+         |  CAST((h.n_hit * 10000) // t.n_grams AS BIGINT) AS contam_bp
+         |FROM hit h JOIN tot t USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q102_seq_pack" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |  CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM t),
+        |a AS (SELECT lang, doc_id, n_tok, (cum - n_tok) // 256 AS seq_id FROM c)
+        |SELECT lang, CAST(seq_id AS BIGINT) AS seq_id, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM a GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin,
+    "q103_text_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS norm_text FROM documents)
+        |SELECT doc_id, norm_text,
+        |  CAST(len(string_split(norm_text, ' ')) AS BIGINT) AS n_tok
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "q104_shard_assign" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 16 AS BIGINT) AS shard
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  count(DISTINCT lang) AS n_langs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+    "q105_domain_mix" ->
+      """WITH t AS (SELECT source, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, n_chars FROM documents),
+        |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS all_tok FROM t)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST((CAST(sum(n_tok) AS BIGINT) * 10000) // (SELECT all_tok FROM tot) AS BIGINT) AS tok_share_bp,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(n_chars) // count(*) AS BIGINT) AS avg_chars
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+  )
+}

@@ -50,7 +50,10 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q98_knn_ivf_cell" -> 25L, "q99_quality_repetition" -> 500L,
     "q73_hash_split" -> 500L, "q74_data_recipe" -> 196L,
     "q75_dedup_incremental" -> 247L, "q76_profile_stats" -> 5L,
-    "q77_upsert_merge" -> 1500L)
+    "q77_upsert_merge" -> 1500L, "q100_dedup_components" -> 335L,
+    "q101_contamination" -> 236L, "q102_seq_pack" -> 111L,
+    "q103_text_normalize" -> 500L, "q104_shard_assign" -> 16L,
+    "q105_domain_mix" -> 20L)
 
   test("every declared query has an oracle and matches its golden sf0.001 count") {
     val qs = SparkEntry.queries

@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangle, chain, isolated pair, and singleton-free output") {
+    val got = cc(Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),  // triangle
+      (10L, 11L), (11L, 12L),        // chain
+      (20L, 21L)))                   // isolated pair
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("long chain converges (diameter ≫ 2) and labels by global min") {
+    // a 20-node path: worst case for min propagation — needs ~19 rounds
+    val path = (0L until 19L).map(i => (i, i + 1))
+    val got = cc(path)
+    assert(got.size == 20 && got.values.forall(_ == 0L))
+  }
+
+  test("min label flows AGAINST edge direction too (undirected semantics)") {
+    // edges all point low→high except the bridge (9,0): component min (0)
+    // must still reach every node
+    val got = cc(Seq((5L, 6L), (6L, 7L), (9L, 0L), (7L, 9L)))
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("deterministic under repartitioning") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (3L, 7L), (50L, 60L))
+    val base = cc(pairs)
+    val shuffled = Components.connectedComponents(
+      pairs.toDF("a", "b").repartition(13, col("b")), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled == base)
+  }
+
+  test("non-convergence within maxIter throws rather than returning wrong labels") {
+    val path = (0L until 10L).map(i => (i, i + 1))
+    intercept[IllegalArgumentException] {
+      Components.connectedComponents(path.toDF("a", "b"), "a", "b", maxIter = 3)
+        .collect()
+    }
+  }
+}
