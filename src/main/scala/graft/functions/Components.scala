@@ -1,85 +1,187 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.storage.StorageLevel
+import scala.collection.mutable
 
 /** Connected components over an edge list — the dedup-cluster step that
   * turns pairwise near-duplicate hits (q85/q94/q86 output) into groups, so
   * a pipeline can keep one canonical document per cluster instead of
   * dropping both ends of every pair.
   *
-  * Algorithm: iterative min-label propagation. Every node starts labeled
-  * with itself; each round, every node takes the min of its own label and
-  * its neighbors' labels; stop when a round changes nothing. Rounds needed
-  * = graph diameter. Near-dup clusters are dense (pairs come from shared
-  * shingle buckets, so members connect within 1-2 hops) — diameters stay
-  * single-digit even at corpus scale, which is why production dedup at
-  * 100 TB ships exactly this loop (the log-rounds alternative,
-  * small-star/large-star contraction [Kiveris et al., "Connected
-  * Components in MapReduce and Beyond", SoCC 2014 — public literature],
-  * only pays off on high-diameter graphs like web link paths).
+  * Algorithm (long-typed ids, the production path): contraction by
+  * per-partition union-find — the "filtering" technique of the MPC
+  * literature [Lattanzi et al., "Filtering: a method for solving graph
+  * problems in MapReduce", SPAA 2011; Kiveris et al., SoCC 2014 — public
+  * literature]. Each level hash-partitions the symmetrized edge list by
+  * source and runs an in-memory path-compressed union-find inside every
+  * partition (`mapPartitions` — per-partition imperative state is exactly
+  * what the RDD escape hatch is for), emitting each node's partition-local
+  * min-root. Those (node → root) star edges ARE the contracted graph for
+  * the next level: they preserve connectivity (two partition-local trees
+  * sharing any node are linked through it) and shrink the edge count by
+  * roughly the average degree. When a level fits in one task (≤ ~4M
+  * edges), a single-partition union-find finishes the job exactly, and
+  * labels propagate back down by construction (star roots are component
+  * members, so the final lookup is the last level's labels themselves).
+  * On the local fixtures the first level already fits — the whole
+  * operator is one repartition + one union-find pass; at 100 TB each
+  * level is one shuffle, and the edge count drops geometrically, so 2-3
+  * levels cover any realistic dedup pair graph.
   *
-  * Scale shape per round: one shuffle-join of the edge list against the
-  * label frame on node id plus one groupBy-min — both partition on the
-  * same key, so AQE reuses the exchange. The label frame is
-  * `localCheckpoint`ed every round: persist alone caches DATA but keeps
-  * LINEAGE, and a self-referential iterative plan doubles in size per
-  * round until analysis itself OOMs (observed at ~19 rounds). Checkpoint
-  * truncates the plan to the materialized RDD, so every round re-plans
-  * from a constant-size tree; superseded checkpoint blocks are freed by
-  * the ContextCleaner once the previous round's frame is unreferenced.
-  * (On a cluster where executor loss must not kill the job, swap in
-  * reliable `checkpoint()` with a checkpoint dir — same lineage cut.)
-  * The convergence probe is a `limit(1).count()` on changed labels — a
-  * driver action per round, but O(1) rows collected; the label state
-  * itself never reaches the driver.
+  * Why not iterative min-label propagation (the classic Pregel shape)?
+  * Rounds = how far the min id must TRAVEL along graph edges — the
+  * component diameter. Near-dup pair graphs contain chains (A≈B≈C… with
+  * the ends dissimilar): the sf0.1 fixture's LSH pair graph needs 10
+  * rounds, each a full shuffle barrier. Pointer-jumping compression
+  * doesn't rescue it — with randomly-ordered ids the label forest stays
+  * 1-2 deep (labels point at local minima) while the min value still
+  * crawls one hop per round. A propagation loop with per-round
+  * `localCheckpoint` lineage cuts (persist alone keeps lineage and the
+  * self-referential plan doubles per round until analysis OOMs) is kept
+  * as [[propagationLoop]] for non-long id types; the contraction path is
+  * strictly better whenever ids are integral, which every fixture and
+  * every doc_id-keyed corpus satisfies.
   */
 object Components {
 
-  /** @param pairs edge list; rows are undirected edges
-    * @param aCol   one endpoint column (any orderable type with min)
+  /** Edges (as (s, t) long pairs) that fit one task's memory — the exact
+    * union-find base case. 4M edges ≈ 64 MB of longs plus map overhead. */
+  private val LocalEdgeThreshold = 4000000L
+
+  /** Per-level shuffle sizing: ~2M edges per partition keeps tasks meaty
+    * at any scale (pair graphs are a sliver of the corpus that produced
+    * them — running at the session's corpus-sized width is overhead). */
+  private def width(edgeCount: Long): Int =
+    math.max(1L, math.min(2048L, edgeCount / 2000000L)).toInt
+
+  /** @param pairs edge list; rows are undirected edges (null endpoints
+    *              are dropped — a pair with no id identifies nothing)
+    * @param aCol   one endpoint column
     * @param bCol   other endpoint column (same type)
-    * @param maxIter convergence bound; throws if not converged (a graph
-    *                needing >25 min-propagation rounds has diameter >25 —
-    *                switch to star-contraction before raising this)
+    * @param maxIter contraction-level / propagation-round bound
     * @return (id, component) for every node appearing in `pairs`, where
     *         component = min node id reachable from `id` — deterministic
-    *         regardless of partitioning or iteration order
+    *         regardless of partitioning or evaluation order
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("s"), col(bCol).as("t"))
-      .union(pairs.select(col(bCol).as("s"), col(aCol).as("t")))
+    val longTyped = pairs.schema(aCol).dataType == LongType &&
+      pairs.schema(bCol).dataType == LongType
+    // struct-explode instead of a two-branch union: the input is evaluated
+    // ONCE per row (pairs is typically an expensive LSH/verify pipeline —
+    // a union of two selects would run it twice)
+    val edges0 = pairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(explode(array(
+        struct(col(aCol).as("s"), col(bCol).as("t")),
+        struct(col(bCol).as("s"), col(aCol).as("t")))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("s").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      // neighbor labels flow along edges; each node keeps the min of
-      // (own label, incoming neighbor labels)
-      val msgs = edges
-        .join(labels.withColumnRenamed("id", "s"), "s")
-        .select(col("t").as("id"), col("component"))
-      // eager localCheckpoint = materialize AND cut lineage (see scaladoc)
-      val next = labels.select("id", "component").union(msgs)
-        .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.select(col("id"), col("component").as("old")), "id")
-        .filter(col("component") < col("old"))
-        .limit(1).count()
-      labels = next
-      converged = changed == 0L
-      iter += 1
+    try {
+      val n = edges0.count()
+      if (longTyped) contract(edges0, n, maxIter)
+      else propagationLoop(edges0, n, maxIter)
+    } finally edges0.unpersist(blocking = false)
+  }
+
+  private val edgeEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+
+  /** One contraction level: per-partition union-find → (node, local min
+    * root) star edges. Roots emit themselves, so every node survives. */
+  private def stars(edges: Dataset[(Long, Long)]): Dataset[(Long, Long)] =
+    edges.mapPartitions { it =>
+      val parent = mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        // path compression
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      it.foreach { case (s, t) =>
+        val (rs, rt) = (find(s), find(t))
+        if (rs < rt) parent(rt) = rs
+        else if (rt < rs) parent(rs) = rt
+        else { parent.getOrElseUpdate(s, s); parent.getOrElseUpdate(t, t) }
+      }
+      parent.keys.iterator.map(v => (v, find(v)))
+    }(edgeEnc)
+
+  /** Recursive contraction. The star graph of a level preserves both the
+    * connectivity AND the node set of its input (roots are members, and
+    * every node emits a star edge), so the deeper level's labels ARE the
+    * answer — no join back up. */
+  private def contract(edgesDf: DataFrame, edgeCount: Long,
+                       levelsLeft: Int): DataFrame = {
+    val edges = edgesDf
+      .select(col(edgesDf.columns(0)).cast("long").as("_1"),
+        col(edgesDf.columns(1)).cast("long").as("_2"))
+      .as(edgeEnc)
+    if (edgeCount <= LocalEdgeThreshold) {
+      // base case: exact single-task union-find
+      stars(edges.repartition(1)).toDF("id", "component")
+    } else {
+      require(levelsLeft > 0,
+        "connectedComponents: contraction did not reach the local " +
+          "threshold — raise maxIter")
+      // star edges of this level = the contracted graph of the next;
+      // symmetrized so a root's whole star lands in one partition of the
+      // next level and merges there
+      val s = stars(edges.repartition(width(edgeCount), col("_1")))
+        .toDF("s", "t")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val m = s.count()
+        contract(
+          s.select(col("t").as("s"), col("s").as("t")).union(s).distinct(),
+          m * 2, levelsLeft - 1)
+      } finally s.unpersist(blocking = false)
     }
-    edges.unpersist(blocking = false)
-    require(converged,
-      s"connectedComponents did not converge in $maxIter rounds " +
-        "(graph diameter exceeds the bound — use star contraction)")
-    labels
+  }
+
+  /** Fallback for non-integral id types: Pregel-style min-label
+    * propagation with a changed-node frontier, old-label carry for
+    * join-free change detection, and per-round localCheckpoint lineage
+    * cuts. Rounds = component diameter — fine for the small graphs this
+    * path serves. */
+  private def propagationLoop(edges0: DataFrame, edgeCount: Long,
+                              maxIter: Int): DataFrame = {
+    val p = width(edgeCount)
+    val edges = edges0.repartition(p, col("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("s").as("id")).distinct()
+        .withColumn("component", col("id"))
+        .localCheckpoint()
+      var frontier = labels
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        val msgs = frontier
+          .join(edges, frontier("id") === edges("s"))
+          .select(col("t").as("id"), col("component"), lit(false).as("self"))
+        val next = labels
+          .select(col("id"), col("component"), lit(true).as("self"))
+          .union(msgs)
+          .repartition(p, col("id"))
+          .groupBy("id").agg(
+            min("component").as("component"),
+            max(when(col("self"), col("component"))).as("old"))
+          .localCheckpoint()
+        frontier = next.filter(col("component") < col("old"))
+          .select("id", "component")
+        converged = frontier.limit(1).count() == 0L
+        labels = next.select("id", "component")
+        iter += 1
+      }
+      require(converged,
+        s"connectedComponents did not converge in $maxIter rounds")
+      labels
+    } finally edges.unpersist(blocking = false)
   }
 }

@@ -22,7 +22,8 @@ class ComponentsSpec extends SparkSpec {
   }
 
   test("long chain converges (diameter ≫ 2) and labels by global min") {
-    // a 20-node path: worst case for min propagation — needs ~19 rounds
+    // a 20-node path: worst case for propagation; the union-find
+    // contraction path must still label everything 0 exactly
     val path = (0L until 19L).map(i => (i, i + 1))
     val got = cc(path)
     assert(got.size == 20 && got.values.forall(_ == 0L))
@@ -44,11 +45,32 @@ class ComponentsSpec extends SparkSpec {
     assert(shuffled == base)
   }
 
-  test("non-convergence within maxIter throws rather than returning wrong labels") {
-    val path = (0L until 10L).map(i => (i, i + 1))
+  test("null endpoints are dropped, not clustered") {
+    val df = Seq((Some(1L), Some(2L)), (None: Option[Long], Some(3L)),
+      (Some(4L), None: Option[Long])).toDF("a", "b")
+    val got = Components.connectedComponents(df, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("non-long ids take the propagation path and agree with union-find") {
+    // string ids (zero-padded so lexicographic min == numeric min)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (3L, 7L), (50L, 60L))
+    val strDf = pairs.map { case (x, y) => (f"$x%03d", f"$y%03d") }
+      .toDF("a", "b")
+    val got = Components.connectedComponents(strDf, "a", "b")
+      .collect().map(r => r.getString(0).toLong -> r.getString(1).toLong)
+      .toMap
+    assert(got == cc(pairs))
+  }
+
+  test("propagation fallback: non-convergence within maxIter throws") {
+    // string-typed ids force the propagation loop; a 10-node path cannot
+    // converge in 2 rounds
+    val path = (0L until 9L).map(i => (f"$i%03d", f"${i + 1}%03d"))
     intercept[IllegalArgumentException] {
-      Components.connectedComponents(path.toDF("a", "b"), "a", "b", maxIter = 3)
-        .collect()
+      Components.connectedComponents(path.toDF("a", "b"), "a", "b",
+        maxIter = 2).collect()
     }
   }
 }
