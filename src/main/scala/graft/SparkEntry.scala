@@ -119,6 +119,9 @@ object SparkEntry {
     "q103_text_normalize" -> (CorpusQueries.q103_text_normalize _),
     "q104_shard_assign" -> (CorpusQueries.q104_shard_assign _),
     "q105_domain_mix" -> (CorpusQueries.q105_domain_mix _),
+    "q106_line_dedup" -> (CorpusQueries.q106_line_dedup _),
+    "q107_quality_classifier" -> (CorpusQueries.q107_quality_classifier _),
+    "q108_dedup_canonical" -> (CorpusQueries.q108_dedup_canonical _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -145,6 +145,85 @@ object CorpusQueries {
       .orderBy(col("source"))
   }
 
+  /** Cross-document "line" dedup (boilerplate detection), CCNet/RefinedWeb
+    * style, adapted to the fixture's unpunctuated token streams: a "line"
+    * is a non-overlapping 8-token chunk, and a chunk seen in ≥3 distinct
+    * docs is boilerplate. Emits per-doc chunk counts and the boilerplate
+    * rate in integer basis points.
+    *
+    * Scale: chunk frequencies are an explode → two-phase hash agg (the
+    * fan-out is absorbed map-side), and the boilerplate set joins back on
+    * the chunk key WITHOUT a broadcast hint — like a vocabulary table, its
+    * cardinality grows with the corpus, so AQE decides (the q92 rule).
+    */
+  def q106_line_dedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = Tables.documents(spark, sfDir)
+      .filter(size(split(col("text"), " ")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, int(size(split(text, ' ')) / 8) - 1), " +
+          "i -> array_join(slice(split(text, ' '), i * 8 + 1, 8), ' '))"))
+        .as("chunk"))
+    val boiler = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 3).select(col("chunk"))
+    val n = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    val h = chunks.join(boiler, "chunk")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    n.join(h, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        expr("coalesce(n_boiler, 0L) * 10000 div n_chunks")
+          .cast("long").as("boiler_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Hashed-feature linear text classifier — the fasttext-shaped quality
+    * filter every curation stack runs, with the trained weight vector
+    * replaced by a deterministic stand-in (weight(tok) = md5-derived
+    * integer in [-1000, 1000]) so the PLUMBING is hash-checkable: feature
+    * hashing, per-token weight lookup as a pure expression (no weight
+    * table to join or broadcast), integer accumulation (float sums would
+    * be partition-order-dependent), threshold gate.
+    *
+    * Scale: explode → two-phase hash agg; weights are computed, not
+    * stored, so there is no model-side state to ship except the real
+    * model's weight array (which would ride along as a broadcast var or a
+    * generated expression exactly like this one).
+    */
+  def q107_quality_classifier(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("wt",
+        (conv(Sampling.hashHex(col("tok")), 16, 10).cast("long") % 2001)
+          - 1000)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("wt")).as("score_units"),
+        (sum(col("wt")) > 0).as("keep"))
+      .orderBy(col("doc_id"))
+
+  /** Canonical selection — the step that turns q100's clusters into a
+    * deduplicated corpus: every cluster keeps exactly its min-id member,
+    * unclustered docs pass through. This is the materialization a real
+    * pipeline writes back out, so it's declared end-to-end (LSH pairs →
+    * connected components → anti-join) rather than left implied.
+    *
+    * Scale: the drop list is (cluster members − canonicals) — bounded by
+    * the clustered sliver of the corpus; the anti-join shuffles on doc_id
+    * like any dedup write. See [[graft.functions.Components]] for the
+    * cluster step's shape.
+    */
+  def q108_dedup_canonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = PipelineQueries.q94_dedup_lsh_lang(spark, sfDir)
+      .select(col("id_a"), col("id_b"))
+    val drop = Components.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    Tables.documents(spark, sfDir)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   private def mh(i: Int) =
     s"list_aggregate(list_transform(tok, t -> md5('$i|' || t)), 'min')"
 
@@ -176,20 +255,54 @@ object CorpusQueries {
       "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] " +
       "|| ' ' || string_split(text, ' ')[i+2]))"
 
+  /** the q94 pair graph's connected components (transitive closure) as
+    * DuckDB CTEs — shared by q100 and q108 */
+  private val ccCtes =
+    s"""$q94PairsCtes,
+       |e AS (SELECT id_a AS s, id_b AS t FROM pairs
+       |      UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT s AS id FROM e),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT reach.id, e.t FROM reach JOIN e ON reach.r = e.s),
+       |cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q100_dedup_components" ->
-      s"""WITH RECURSIVE $q94PairsCtes,
-         |e AS (SELECT id_a AS s, id_b AS t FROM pairs
-         |      UNION SELECT id_b, id_a FROM pairs),
-         |nodes AS (SELECT DISTINCT s AS id FROM e),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT reach.id, e.t FROM reach JOIN e ON reach.r = e.s),
-         |cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+      s"""WITH RECURSIVE $ccCtes,
          |sz AS (SELECT component AS c2, count(*) AS n_members FROM cc GROUP BY 1)
          |SELECT id AS doc_id, component, n_members
          |FROM cc JOIN sz ON component = c2 ORDER BY doc_id""".stripMargin,
+    "q106_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |ch AS (SELECT doc_id, unnest(list_transform(
+        |    range(0, CAST(len(tok) // 8 AS INT)),
+        |    i -> array_to_string(tok[i*8+1 : i*8+8], ' '))) AS chunk FROM t),
+        |df AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1),
+        |boiler AS (SELECT chunk FROM df WHERE df >= 3),
+        |n AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY 1),
+        |h AS (SELECT ch.doc_id, count(*) AS n_boiler FROM ch
+        |  JOIN boiler USING (chunk) GROUP BY ch.doc_id)
+        |SELECT n.doc_id, n.n_chunks,
+        |  CAST(COALESCE(h.n_boiler, 0) AS BIGINT) AS n_boiler,
+        |  CAST(COALESCE(h.n_boiler, 0) * 10000 // n.n_chunks AS BIGINT) AS boiler_bp
+        |FROM n LEFT JOIN h ON n.doc_id = h.doc_id ORDER BY n.doc_id""".stripMargin,
+    "q107_quality_classifier" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |w AS (SELECT doc_id, CAST(CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER)
+        |  % 2001 - 1000 AS BIGINT) AS wt FROM tk)
+        |SELECT doc_id, count(*) AS n_tok, CAST(sum(wt) AS BIGINT) AS score_units,
+        |  (sum(wt) > 0) AS keep
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q108_dedup_canonical" ->
+      s"""WITH RECURSIVE $ccCtes
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM cc
+         |  WHERE cc.id = d.doc_id AND cc.id <> cc.component)
+         |ORDER BY d.doc_id""".stripMargin,
     "q101_contamination" ->
       s"""WITH g0 AS (
          |  SELECT doc_id, unnest($gramsExpr) AS gram FROM documents),

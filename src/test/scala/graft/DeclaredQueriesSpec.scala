@@ -53,7 +53,8 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q77_upsert_merge" -> 1500L, "q100_dedup_components" -> 335L,
     "q101_contamination" -> 236L, "q102_seq_pack" -> 111L,
     "q103_text_normalize" -> 500L, "q104_shard_assign" -> 16L,
-    "q105_domain_mix" -> 20L)
+    "q105_domain_mix" -> 20L, "q106_line_dedup" -> 500L,
+    "q107_quality_classifier" -> 500L, "q108_dedup_canonical" -> 174L)
 
   test("every declared query has an oracle and matches its golden sf0.001 count") {
     val qs = SparkEntry.queries
