@@ -38,14 +38,8 @@ object Dedup {
     * tokens yield an EMPTY set (not a truncated shingle) — this matches
     * the q86/q89 oracle SQL, which generates no grams for len < n.
     */
-  def ngrams(text: Column, n: Int): Column = {
-    val tok = split(text, " ")
-    when(size(tok) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(tok) - n),
-        i => concat_ws(" ", slice(tok, i + lit(1), lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def ngrams(text: Column, n: Int): Column =
+    graft.expressions.WordNgrams.wordNgrams(text, n)
 
   /** Jaccard similarity of two array columns (by |∩| / (|A|+|B|-|∩|)). */
   def jaccard(a: Column, b: Column): Column = {

@@ -78,19 +78,23 @@ object MinHashLSH {
                         k: Int = 8, bands: Int = 4,
                         maxBucket: Int = 1000,
                         blockCols: Seq[String] = Nil): DataFrame = {
-    val signed = withSignature(
-      docs.select((idCol +: blockCols).map(col) :+ col(textCol): _*), textCol, k)
-    // band keys join-compressed to xxhash64 longs: the bucket join compares
-    // 8-byte keys instead of 60+-char md5 concatenations (same buckets
-    // w.h.p.; a phantom collision pair is removed by the caller's exact
-    // verify step, which every LSH pipeline has anyway). Block columns are
-    // folded into the hash, so docs only collide within their block — the
-    // blocked-LSH shape (e.g. near-dup within lang) shares this one path.
-    val bandCols = bandKeys(k, bands)
-      .map(bk => xxhash64(blockCols.map(col) :+ bk: _*))
-    val banded = signed
+    // All k minhashes + band strings in ONE codegen'd pass per row
+    // (graft.expressions.MinHashBands — replaces k interpreted
+    // transform/array_min folds; band strings byte-identical to
+    // bandKeys(withSignature(...)), pinned by MinHashLSHSpec).
+    // Band keys are then join-compressed to xxhash64 longs: the bucket
+    // join compares 8-byte keys instead of 60+-char md5 concatenations
+    // (same buckets w.h.p.; a phantom collision pair is removed by the
+    // caller's exact verify step, which every LSH pipeline has anyway).
+    // Block columns are folded into the hash, so docs only collide within
+    // their block — the blocked-LSH shape (e.g. near-dup within lang)
+    // shares this one path.
+    val banded = docs
       .select(col(idCol).as("id") +: blockCols.map(col)
-        :+ explode(array(bandCols: _*)).as("band"): _*)
+        :+ explode(graft.expressions.MinHashBands.bandKeys(
+          col(textCol), k, bands)).as("bandStr"): _*)
+      .select(col("id") +: blockCols.map(col)
+        :+ xxhash64(blockCols.map(col) :+ col("bandStr"): _*).as("band"): _*)
     val pruned = if (maxBucket == Int.MaxValue) banded else banded
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))

@@ -28,13 +28,8 @@ object TextFunctions {
     * variants used for dedup, this keeps duplicates: repetition-quality
     * signals need the full multiset.
     */
-  def wordNgramsAll(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n), i =>
-        concat_ws(" ", (1 to n).map(k => element_at(toks, i + k)): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordNgramsAll(text: Column, n: Int): Column =
+    graft.expressions.WordNgrams.wordNgramsAll(text, n)
 
   /** distinct-token ratio: vocabulary richness in [0,1] */
   def distinctRatio(text: Column): Column = {

@@ -52,11 +52,16 @@ object CorpusQueries {
       .select(col("doc_id"), explode(Dedup.ngrams(col("text"), 3)).as("gram"))
     val evalGrams = dg.filter(col("doc_id") % 97 === 0)
       .select(col("gram")).distinct()
-    val tot = dg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val hit = dg.filter(col("doc_id") % 97 =!= 0)
-      .join(broadcast(evalGrams), "gram")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-    hit.join(tot, "doc_id")
+    // one pass over the training side: a LEFT join against the broadcast
+    // eval-gram set tags hits, so total and hit counts come out of the
+    // same aggregation (the gram explode is evaluated twice — eval set +
+    // main — not three times)
+    dg.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalGrams.withColumn("__hit", lit(1))),
+        Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
+      .filter(col("n_hit") >= 1)
       .select(col("doc_id"), col("n_grams"), col("n_hit"),
         expr("(n_hit * 10000) div n_grams").cast("long").as("contam_bp"))
       .orderBy(col("doc_id"))
@@ -158,11 +163,8 @@ object CorpusQueries {
     */
   def q106_line_dedup(spark: SparkSession, sfDir: String): DataFrame = {
     val chunks = Tables.documents(spark, sfDir)
-      .filter(size(split(col("text"), " ")) >= 8)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, int(size(split(text, ' ')) / 8) - 1), " +
-          "i -> array_join(slice(split(text, ' '), i * 8 + 1, 8), ' '))"))
-        .as("chunk"))
+      .select(col("doc_id"), explode(
+        graft.expressions.WordNgrams.wordChunks(col("text"), 8)).as("chunk"))
     val boiler = chunks.groupBy(col("chunk"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 3).select(col("chunk"))

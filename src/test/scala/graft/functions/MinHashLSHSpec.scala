@@ -91,4 +91,22 @@ class MinHashLSHSpec extends SparkSpec {
       k = 8, bands = 4, maxBucket = 100000).count()
     assert(capped < uncapped)
   }
+
+  test("MinHashBands expression is byte-identical to the Column formulation") {
+    // the codegen'd one-pass expression must reproduce the exact band
+    // strings of bandKeys(withSignature(...)) — the strings the q85/q94
+    // oracles rebuild in SQL — including multi-space/empty-token edges
+    import spark.implicits._
+    val edge = Seq((100001L, "solo"), (100002L, ""), (100003L, "a  b"),
+      (100004L, "dup dup dup tok")).toDF("doc_id", "text")
+    val sample = docs.limit(50).select("doc_id", "text").union(edge)
+    val viaExpr = sample.select(col("doc_id"),
+      explode(graft.expressions.MinHashBands.bandKeys(col("text"), 8, 4))
+        .as("band"))
+    val viaCols = MinHashLSH.withSignature(sample, "text", 8)
+      .select(col("doc_id"),
+        explode(array(MinHashLSH.bandKeys(8, 4): _*)).as("band"))
+    assert(viaExpr.collect().toSet == viaCols.collect().toSet)
+    assert(viaExpr.count() == 54 * 4)
+  }
 }
