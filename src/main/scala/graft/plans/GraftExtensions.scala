@@ -144,9 +144,63 @@ object GraftExtensions {
         litDouble(args(2), "valFrac")))
     })
 
+  /** integer-literal extractor for structural function args */
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: java.lang.Number, _) => v.intValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private val simhash60Desc: FunctionDesc = (
+    FunctionIdentifier("simhash60"),
+    new ExpressionInfo(classOf[graft.expressions.SimHash60].getName,
+      "simhash60"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, s"simhash60(text) takes 1 argument, got ${args.length}")
+      graft.expressions.SimHash60(args.head)
+    })
+
+  private val shingleIdsDesc: FunctionDesc = (
+    FunctionIdentifier("shingle_ids"),
+    new ExpressionInfo(classOf[graft.expressions.ShingleIds].getName,
+      "shingle_ids"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"shingle_ids(text, n) takes 2 arguments, got ${args.length}")
+      graft.expressions.ShingleIds(args.head, litInt(args(1), "n"))
+    })
+
+  private val minhashBandsDesc: FunctionDesc = (
+    FunctionIdentifier("minhash_bands"),
+    new ExpressionInfo(classOf[graft.expressions.MinHashBands].getName,
+      "minhash_bands"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        s"minhash_bands(text, k, bands) takes 3 arguments, got ${args.length}")
+      graft.expressions.MinHashBands(args.head, litInt(args(1), "k"),
+        litInt(args(2), "bands"))
+    })
+
+  private val wordNgramsDesc: FunctionDesc = (
+    FunctionIdentifier("word_ngrams"),
+    new ExpressionInfo(classOf[graft.expressions.WordNgrams].getName,
+      "word_ngrams"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2 || args.length == 3,
+        s"word_ngrams(text, n[, distinct]) takes 2-3 arguments, got ${args.length}")
+      val dist = args.length < 3 || (args(2) match {
+        case Literal(b: java.lang.Boolean, _) => b.booleanValue()
+        case other => throw new IllegalArgumentException(
+          s"distinct must be a boolean literal, got $other")
+      })
+      graft.expressions.WordNgrams(args.head, litInt(args(1), "n"), dist)
+    })
+
   private val all: Seq[FunctionDesc] = Seq(sortedIntersectSizeDesc,
     distanceInMetersDesc, withinCircleDesc, withinBoxDesc, weightedAvgDesc,
-    scrubPiiDesc, hashSampleDesc, hashSplitDesc)
+    scrubPiiDesc, hashSampleDesc, hashSplitDesc, simhash60Desc,
+    shingleIdsDesc, minhashBandsDesc, wordNgramsDesc)
 
   /** Register the functions into an already-running session. */
   def register(spark: SparkSession): Unit =

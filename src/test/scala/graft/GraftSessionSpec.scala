@@ -28,4 +28,24 @@ class GraftSessionSpec extends AnyFunSuite {
       .head().getBoolean(0)
     assert(wb)
   }
+
+  test("round-5 text expressions are SQL-callable and match their Column APIs") {
+    val spark = SparkSpec.session
+    graft.plans.GraftExtensions.register(spark)
+    val row = spark.sql(
+      "SELECT word_ngrams('a b c', 2) AS g, word_ngrams('x x x', 1) AS gd, " +
+        "word_ngrams('x x x', 1, false) AS ga, " +
+        "size(minhash_bands('a b c', 8, 4)) AS nb, simhash60('a b c') AS sh")
+      .head()
+    assert(row.getSeq[String](0) == Seq("a b", "b c"))
+    assert(row.getSeq[String](1) == Seq("x"))
+    assert(row.getSeq[String](2) == Seq("x", "x", "x"))
+    assert(row.getInt(3) == 4)
+    // simhash60 must agree with the Column API on the same literal
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val viaCol = Seq("a b c").toDF("t")
+      .select(graft.expressions.SimHash60.simhash60(col("t"))).head().getLong(0)
+    assert(row.getLong(4) == viaCol)
+  }
 }

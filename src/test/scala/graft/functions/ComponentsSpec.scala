@@ -64,6 +64,22 @@ class ComponentsSpec extends SparkSpec {
     assert(got == cc(pairs))
   }
 
+  test("contraction and propagation implementations agree on a random graph") {
+    // 400 nodes, ~600 random edges (fixed seed): many components of mixed
+    // shapes. The long-typed contraction path and the string-typed
+    // propagation fallback must produce identical clusterings.
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(600)((rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+      .filter { case (a, b) => a != b }
+    val viaContract = cc(pairs)
+    val viaProp = Components.connectedComponents(
+      pairs.map { case (a, b) => (f"$a%04d", f"$b%04d") }.toDF("a", "b"),
+      "a", "b")
+      .collect().map(r => r.getString(0).toLong -> r.getString(1).toLong)
+      .toMap
+    assert(viaProp == viaContract)
+  }
+
   test("propagation fallback: non-convergence within maxIter throws") {
     // string-typed ids force the propagation loop; a 10-node path cannot
     // converge in 2 rounds
