@@ -91,6 +91,72 @@ object Ann {
       .select(col("probe_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
+  /** Deterministic Lloyd k-means over an `Array[Float]` embedding column —
+    * the clustering that backs IVF cell layouts ([[ivfTopK]]) and
+    * semantic dedup ([[graft.functions.Dedup.semanticNearDups]];
+    * SemDeDup, Abbas et al. 2023, arXiv:2303.09540 — public literature).
+    *
+    * Determinism: init centroids = the k rows with the smallest ids (no
+    * random seeds — same clustering for the same input regardless of
+    * partitioning), fixed iteration count (Lloyd monotonically decreases
+    * inertia; a fixed budget is the production norm — convergence checks
+    * cost a driver round-trip per iteration and rarely change the cells).
+    *
+    * Scale shape per iteration: assignment = corpus × broadcast(centroids)
+    * crossJoin (k·n rows, k small) scored by the codegen'd
+    * [[graft.expressions.DotProductD]] (L2² = |a|²+|b|²−2a·b with
+    * per-row norms computed once) + one argmin window; update = posexplode
+    * → per-(cell, dim) avg → reassemble. Centroids are `localCheckpoint`ed
+    * per iteration (k rows — cuts the iterative lineage, never collects
+    * the corpus). NOT hash-checkable cross-engine: float centroid
+    * averaging is partition-order-dependent — same unit-tier status as
+    * IVF routing (SURVEY q98 note).
+    *
+    * @return (idCol, cell) — cell in [0, k); ties on equal distance break
+    *         toward the lower cell id
+    */
+  def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
+             k: Int, iters: Int = 5): DataFrame = {
+    require(k >= 1 && iters >= 1, s"k=$k and iters=$iters must be >= 1")
+    // init = the k smallest ids via TakeOrderedAndProject (distributed
+    // top-k — not a global-window single partition)
+    var centroids = corpus
+      .select(col(idCol), col(vecCol).as("centroid"))
+      .orderBy(col(idCol).asc).limit(k)
+      .select((row_number().over(Window.orderBy(col(idCol).asc)) - 1)
+        .as("cell"), col("centroid"))
+      .localCheckpoint()
+    val body = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      graft.Det.dotD(col(vecCol), col(vecCol)).as("__n2"))
+    var assigned: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      val aw = Window.partitionBy(col("__id"))
+        .orderBy(col("__d2").asc, col("cell").asc)
+      assigned = body.crossJoin(broadcast(centroids))
+        .withColumn("__d2",
+          col("__n2") + graft.Det.dotD(col("centroid"), col("centroid"))
+            - lit(2.0) * graft.Det.dotD(col("__v"), col("centroid")))
+        .withColumn("__rk", row_number().over(aw))
+        .filter(col("__rk") === 1)
+        .select(col("__id"), col("__v"), col("cell"))
+      it += 1
+      if (it < iters) {
+        centroids = assigned
+          .select(col("cell"), posexplode(col("__v")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(avg(col("col")).as("m"))
+          .groupBy(col("cell"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cell"),
+            transform(col("pm"), p => p.getField("m").cast("float"))
+              .as("centroid"))
+          .localCheckpoint()
+      }
+    }
+    assigned.select(col("__id").as(idCol), col("cell"))
+  }
+
   /** IVF-style search: coarse centroids = per-`coarseKey` mean vectors
     * (one aggregation pass; with no labels, any clustering assignment
     * column works). Probes pick their `nprobe` closest centroids, then

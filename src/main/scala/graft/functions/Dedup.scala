@@ -177,6 +177,23 @@ object Dedup {
     * on `blockCol` (e.g. a cluster/label id from a coarse quantizer — the
     * same IVF partitioning [[Ann.ivfTopK]] uses).
     */
+  /** SemDeDup-style semantic near-dedup (Abbas et al. 2023,
+    * arXiv:2303.09540 — public literature): k-means the embedding space
+    * ([[Ann.kmeans]], deterministic init/iterations), then compare
+    * cosines only WITHIN each cluster — the all-pairs blowup of
+    * [[embeddingNearDups]] becomes k independent (n/k)²-bounded blocks,
+    * the same bucket-bounding idea as capped LSH but in embedding space.
+    * Pair recall vs the unblocked oracle is a property of cluster
+    * granularity (tested in AnnSpec on the fixture corpus).
+    */
+  def semanticNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, k: Int,
+                       iters: Int = 5): DataFrame = {
+    val cells = Ann.kmeans(emb, idCol, vecCol, k, iters)
+    embeddingNearDups(emb.join(cells, idCol), idCol, vecCol,
+      blockCol = "cell", threshold = threshold)
+  }
+
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         blockCol: String, threshold: Double): DataFrame = {
     // norms computed once per vector, not once per pair — the pairwise

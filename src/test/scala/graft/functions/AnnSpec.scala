@@ -56,4 +56,76 @@ class AnnSpec extends SparkSpec {
       .collect().map(_.getSeq[Int](1).sorted.toList)
     assert(ranks.forall(_ == List(1, 2, 3, 4, 5)))
   }
+
+  test("kmeans: deterministic under repartitioning, cells in [0,k), total coverage") {
+    val a1 = Ann.kmeans(emb, "vec_id", "embedding", k = 8, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = Ann.kmeans(emb.repartition(17, col("label")), "vec_id",
+        "embedding", k = 8, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a2)
+    assert(a1.size == emb.count())
+    assert(a1.values.forall(c => c >= 0 && c < 8))
+  }
+
+  test("kmeans: more Lloyd iterations never increase inertia") {
+    def inertia(iters: Int): Double = {
+      val cells = Ann.kmeans(emb, "vec_id", "embedding", k = 8, iters = iters)
+      val joined = emb.join(cells, "vec_id")
+      val cents = joined.select(col("cell"), posexplode(col("embedding")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"),
+          transform(col("pm"), p => p.getField("m").cast("float")).as("c"))
+      joined.join(cents, "cell")
+        .select((graft.Det.dotD(col("embedding"), col("embedding"))
+          + graft.Det.dotD(col("c"), col("c"))
+          - lit(2.0) * graft.Det.dotD(col("embedding"), col("c"))).as("d2"))
+        .agg(sum(col("d2"))).head().getDouble(0)
+    }
+    val i1 = inertia(1)
+    val i3 = inertia(3)
+    val i5 = inertia(5)
+    assert(i3 <= i1 + 1e-6 && i5 <= i3 + 1e-6, s"inertia grew: $i1 -> $i3 -> $i5")
+  }
+
+  test("kmeans separates obvious synthetic clusters") {
+    import spark.implicits._
+    // 3 tight groups far apart on distinct axes
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      g <- 0 until 3
+      i <- 0 until 40
+    } yield {
+      val v = Array.fill(8)(rnd.nextFloat() * 0.01f)
+      v(g) = 10f + rnd.nextFloat() * 0.01f
+      ((g * 40 + i).toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cells = Ann.kmeans(df, "vec_id", "embedding", k = 3, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val byGroup = cells.groupBy(_._1 / 40).view.mapValues(_.map(_._2).toSet)
+    // every synthetic group lands in exactly one cell, and the cells differ
+    assert(byGroup.values.forall(_.size == 1))
+    assert(byGroup.values.flatten.toSet.size == 3)
+  }
+
+  test("semantic dedup finds near-identical pairs and keeps useful recall " +
+    "vs the unblocked all-pairs oracle") {
+    val ground = Dedup.embeddingNearDups(
+        emb.withColumn("all", lit(1)), "vec_id", "embedding", "all", 0.95)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Dedup.semanticNearDups(emb, "vec_id", "embedding",
+        threshold = 0.95, k = 8, iters = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(ground), "blocked pairs must be a subset of all-pairs")
+    if (ground.nonEmpty) {
+      val recall = sem.size.toDouble / ground.size
+      assert(recall >= 0.8, s"semantic-dedup recall $recall too low " +
+        s"(${sem.size}/${ground.size})")
+    }
+  }
 }
