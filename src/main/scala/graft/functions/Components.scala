@@ -29,7 +29,11 @@ import scala.collection.mutable
   * On the local fixtures the first level already fits — the whole
   * operator is one repartition + one union-find pass; at 100 TB each
   * level is one shuffle, and the edge count drops geometrically, so 2-3
-  * levels cover any realistic dedup pair graph.
+  * levels cover any realistic dedup pair graph. Contraction only shrinks
+  * dense neighborhoods (a source's edges co-locate), so a level that
+  * stops shrinking (path/tree-like remainder — local structure already
+  * collapsed) hands the contracted graph to the propagation loop, whose
+  * labels are the answer because every level preserves the node set.
   *
   * Why not iterative min-label propagation (the classic Pregel shape)?
   * Rounds = how far the min id must TRAVEL along graph edges — the
@@ -51,44 +55,55 @@ object Components {
     * union-find base case. 4M edges ≈ 64 MB of longs plus map overhead. */
   private val LocalEdgeThreshold = 4000000L
 
-  /** Per-level shuffle sizing: ~2M edges per partition keeps tasks meaty
-    * at any scale (pair graphs are a sliver of the corpus that produced
-    * them — running at the session's corpus-sized width is overhead). */
-  private def width(edgeCount: Long): Int =
-    math.max(1L, math.min(2048L, edgeCount / 2000000L)).toInt
+  /** Per-level shuffle sizing: partitions of ~half the local threshold
+    * (~2M edges at the default) keep tasks meaty at any scale (pair
+    * graphs are a sliver of the corpus that produced them — running at
+    * the session's corpus-sized width is overhead). */
+  private def width(edgeCount: Long, localThreshold: Long): Int =
+    math.max(1L, math.min(2048L,
+      edgeCount / math.max(1L, localThreshold / 2))).toInt
 
   /** @param pairs edge list; rows are undirected edges (null endpoints
     *              are dropped — a pair with no id identifies nothing)
     * @param aCol   one endpoint column
     * @param bCol   other endpoint column (same type)
     * @param maxIter contraction-level / propagation-round bound
+    * @param localEdgeThreshold edge count that fits one task's union-find
+    *         (default [[LocalEdgeThreshold]]; tests lower it to exercise
+    *         the multi-level contraction the 100 TB path relies on)
     * @return (id, component) for every node appearing in `pairs`, where
     *         component = min node id reachable from `id` — deterministic
     *         regardless of partitioning or evaluation order
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          localEdgeThreshold: Long = LocalEdgeThreshold)
+  : DataFrame = {
     val longTyped = pairs.schema(aCol).dataType == LongType &&
       pairs.schema(bCol).dataType == LongType
     // struct-explode instead of a two-branch union: the input is evaluated
     // ONCE per row (pairs is typically an expensive LSH/verify pipeline —
     // a union of two selects would run it twice)
-    val edges0 = pairs
-      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
-      .select(explode(array(
-        struct(col(aCol).as("s"), col(bCol).as("t")),
-        struct(col(bCol).as("s"), col(aCol).as("t")))).as("e"))
-      .select(col("e.s").as("s"), col("e.t").as("t"))
-      .distinct()
+    val edges0 = symmetrize(
+      pairs.filter(col(aCol).isNotNull && col(bCol).isNotNull), aCol, bCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = edges0.count()
-      if (longTyped) contract(edges0, n, maxIter)
+      if (longTyped) contract(edges0, n, maxIter, localEdgeThreshold)
       else propagationLoop(edges0, n, maxIter)
     } finally edges0.unpersist(blocking = false)
   }
 
   private val edgeEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+
+  /** Both directions of every (c1, c2) row as (s, t), input evaluated once
+    * per row, self-dups removed. */
+  private def symmetrize(df: DataFrame, c1: String, c2: String): DataFrame =
+    df.select(explode(array(
+        struct(col(c1).as("s"), col(c2).as("t")),
+        struct(col(c2).as("s"), col(c1).as("t")))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+      .distinct()
 
   /** One contraction level: per-partition union-find → (node, local min
     * root) star edges. Roots emit themselves, so every node survives. */
@@ -117,12 +132,12 @@ object Components {
     * every node emits a star edge), so the deeper level's labels ARE the
     * answer — no join back up. */
   private def contract(edgesDf: DataFrame, edgeCount: Long,
-                       levelsLeft: Int): DataFrame = {
+                       levelsLeft: Int, localThreshold: Long): DataFrame = {
     val edges = edgesDf
       .select(col(edgesDf.columns(0)).cast("long").as("_1"),
         col(edgesDf.columns(1)).cast("long").as("_2"))
       .as(edgeEnc)
-    if (edgeCount <= LocalEdgeThreshold) {
+    if (edgeCount <= localThreshold) {
       // base case: exact single-task union-find
       stars(edges.repartition(1)).toDF("id", "component")
     } else {
@@ -131,16 +146,26 @@ object Components {
           "threshold — raise maxIter")
       // star edges of this level = the contracted graph of the next;
       // symmetrized so a root's whole star lands in one partition of the
-      // next level and merges there
-      val s = stars(edges.repartition(width(edgeCount), col("_1")))
-        .toDF("s", "t")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val m = s.count()
-        contract(
-          s.select(col("t").as("s"), col("s").as("t")).union(s).distinct(),
-          m * 2, levelsLeft - 1)
-      } finally s.unpersist(blocking = false)
+      // next level and merges there. Eager localCheckpoint per level:
+      // nested level plans otherwise stack until plan stringification
+      // itself OOMs (the same lineage disease the propagation loop cuts
+      // per round); superseded checkpoint blocks are freed by the
+      // ContextCleaner.
+      val sym = symmetrize(
+        stars(edges.repartition(
+          width(edgeCount, localThreshold), col("_1"))).toDF("s", "t"),
+        "s", "t")
+        .localCheckpoint()
+      val m = sym.count()
+      if (m >= edgeCount * 9 / 10) {
+        // Stall: contraction only shrinks where a node's neighborhood is
+        // dense (a source's edges all co-locate); a contracted graph that
+        // stopped shrinking is path/tree-like — tiny relative to the
+        // corpus that produced it, with the local structure already
+        // collapsed. Finish it with min-label propagation (node set is
+        // preserved through star levels, so its labels ARE the answer).
+        propagationLoop(sym, m, maxIter = 100)
+      } else contract(sym, m, levelsLeft - 1, localThreshold)
     }
   }
 
@@ -151,7 +176,7 @@ object Components {
     * path serves. */
   private def propagationLoop(edges0: DataFrame, edgeCount: Long,
                               maxIter: Int): DataFrame = {
-    val p = width(edgeCount)
+    val p = width(edgeCount, LocalEdgeThreshold)
     val edges = edges0.repartition(p, col("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {

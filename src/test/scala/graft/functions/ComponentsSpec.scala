@@ -80,6 +80,38 @@ class ComponentsSpec extends SparkSpec {
     assert(viaProp == viaContract)
   }
 
+  test("multi-level contraction (tiny local threshold) matches the base case") {
+    // realistic dedup-cluster topology at forced multi-level scale:
+    // 40 dense clusters of 20 nodes (ring + star around the cluster min);
+    // the first 10 clusters additionally share a hub node, forming one
+    // large component that only merges ACROSS contraction levels
+    val hub = 100000L
+    val pairs = (for (c <- 0 until 40; i <- 0 until 20) yield {
+      val base = c * 100L
+      val node = base + i
+      Seq((base, node), (node, base + (i + 1) % 20)) ++
+        (if (c < 10 && i == 0) Seq((node, hub)) else Nil)
+    }).flatten.filter { case (a, b) => a != b }
+    val df = pairs.toDF("a", "b")
+    val base = Components.connectedComponents(df, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val multi = Components.connectedComponents(df, "a", "b",
+        localEdgeThreshold = 60L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi == base)
+    // hub-linked clusters 0..9 all label 0; isolated clusters keep their min
+    assert(multi(hub) == 0L && multi(901L) == 0L && multi(1503L) == 1500L)
+  }
+
+  test("stall fallback: a sparse path still completes under a tiny threshold") {
+    // a bare path never contracts (every neighborhood is degree-2);
+    // the stall detector must hand the contracted graph to propagation
+    val path = (0L until 15L).map(i => (i, i + 1))
+    val got = Components.connectedComponents(path.toDF("a", "b"), "a", "b",
+      localEdgeThreshold = 5L)
+    assert(got.collect().map(r => r.getLong(1)).forall(_ == 0L))
+  }
+
   test("propagation fallback: non-convergence within maxIter throws") {
     // string-typed ids force the propagation loop; a 10-node path cannot
     // converge in 2 rounds
