@@ -16,7 +16,10 @@ object PlanAudit extends App {
     "q96_dedup_simhash", "q97_curation_pipeline", "q98_knn_ivf_cell",
     "q24_agg_grouping_sets", "q45_pivot", "q46_subquery",
     "q19_join_asof_generic", "q75_dedup_incremental", "q76_profile_stats",
-    "q99_quality_repetition")
+    "q99_quality_repetition", "q100_dedup_components", "q101_contamination",
+    "q102_seq_pack", "q103_text_normalize", "q104_shard_assign",
+    "q105_domain_mix", "q106_line_dedup", "q107_quality_classifier",
+    "q108_dedup_canonical")
   targets.foreach { q =>
     println(s"\n========== $q ==========")
     println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(

@@ -170,4 +170,51 @@ class PlanShapeSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS documents_b")
     }
   }
+
+  test("q101 contamination: eval grams broadcast, training side one agg pass") {
+    val p = plan("q101_contamination")
+    // the eval-set join must be a broadcast (benchmark suites are small by
+    // construction) and total+hit counts come from ONE aggregation pair
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    val finalAggs = "HashAggregate \\(keys=\\[doc_id".r.findAllIn(p).size
+    assert(finalAggs <= 2, s"training side re-aggregated:\n${p.take(1500)}")
+  }
+
+  test("q106 line dedup never force-broadcasts the boilerplate chunk set") {
+    val qe = SparkEntry.queries("q106_line_dedup")(spark, sfDir).queryExecution
+    // boilerplate chunks are vocabulary-cardinality (the q92 rule): no
+    // broadcast hint may be attached to that join input
+    assert(!qe.optimizedPlan.toString.contains("strategy=broadcast"),
+      qe.optimizedPlan.toString.take(1500))
+  }
+
+  test("q103 normalization / q107 classifier stay whole-stage codegen'd " +
+    "scan-side (no CodegenFallback in the projection)") {
+    for (q <- Seq("q103_text_normalize", "q107_quality_classifier")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect() // finalize the adaptive plan so codegen spans are visible
+      val p = df.queryExecution.executedPlan.toString
+      // "*(n)" prefixes mark WholeStageCodegen spans in the final plan
+      assert(p.contains("*("), s"$q lost codegen:\n${p.take(1200)}")
+      assert(!p.contains("CodegenFallback"), s"$q projection fell back:\n" +
+        p.take(1200))
+    }
+  }
+
+  test("q102 sequence packing is a single shuffle (window and agg share the " +
+    "lang partitioning)") {
+    val p = plan("q102_seq_pack")
+    val exchanges = "Exchange hashpartitioning\\(lang".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected one lang exchange reused by window+agg, got $exchanges:\n" +
+        p.take(1500))
+  }
+
+  test("q104/q105 shard + mix reports are two-phase aggregations " +
+    "(map-side partials absorb the token fan-out)") {
+    for (q <- Seq("q104_shard_assign", "q105_domain_mix")) {
+      val p = plan(q)
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q not two-phase")
+    }
+  }
 }
