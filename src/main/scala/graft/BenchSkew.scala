@@ -54,7 +54,8 @@ object BenchSkew {
   }
 
   private val skewQueries = Seq("q80_dedup_exact", "q85_dedup_minhash_lsh",
-    "q94_dedup_lsh_lang", "q96_dedup_simhash", "q97_curation_pipeline")
+    "q94_dedup_lsh_lang", "q96_dedup_simhash", "q97_curation_pipeline",
+    "q100_dedup_components")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

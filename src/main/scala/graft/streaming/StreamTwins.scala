@@ -77,6 +77,21 @@ object StreamTwins {
       .select(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** STREAM-STATIC join (the remaining join mode a live pipeline needs
+    * beside [[intervalJoin]]'s stream-stream): incoming docs checked
+    * against a STATIC benchmark-gram table — the streaming twin of q101's
+    * contamination screen. Stateless (no watermark required): each
+    * micro-batch semi-joins the static side, which Spark re-plans per
+    * batch and typically broadcasts. Emits (doc_id, gram) contamination
+    * hits; a downstream exact screen aggregates per doc like q101.
+    */
+  def contaminationHits(docs: DataFrame, evalGrams: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(graft.functions.Dedup.ngrams(col("text"), 3)).as("gram"))
+      .join(evalGrams.select(col("gram")), Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("gram"))
+
   /** Custom arbitrary state (SURVEY §2.3 "session state"): per-user running
     * totals via `flatMapGroupsWithState` — the escape hatch when built-in
     * windows can't express the state machine. Emits one row per input

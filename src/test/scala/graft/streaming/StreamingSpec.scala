@@ -175,6 +175,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static semi join: contamination hits match the batch twin " +
+    "across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, text: String)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "completely unrelated words here today"),
+      (3L, "a quick brown fox appears again"),
+      (4L, "the quick brown fox jumps high")) // duplicate of 1
+    val evalGrams = Seq("quick brown fox").toDF("gram")
+    val batch = StreamTwins.contaminationHits(
+        docs.toDF("doc_id", "text"), evalGrams)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(batch == Set((1L, "quick brown fox"), (3L, "quick brown fox"),
+      (4L, "quick brown fox")))
+
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamTwins.contaminationHits(
+        mem.toDF().toDF("doc_id", "text"), evalGrams)
+      .writeStream.format("memory").queryName("tcontam")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // static side is re-joined per micro-batch; stateless append
+      mem.addData(docs.take(2)); q.processAllAvailable()
+      mem.addData(docs.drop(2)); q.processAllAvailable()
+      val stream = spark.table("tcontam").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(stream == batch)
+    } finally q.stop()
+  }
+
   test("watermark drops rows later than watermark + delay in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
