@@ -122,6 +122,7 @@ object SparkEntry {
     "q106_line_dedup" -> (CorpusQueries.q106_line_dedup _),
     "q107_quality_classifier" -> (CorpusQueries.q107_quality_classifier _),
     "q108_dedup_canonical" -> (CorpusQueries.q108_dedup_canonical _),
+    "q109_dedup_keep_best" -> (CorpusQueries.q109_dedup_keep_best _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

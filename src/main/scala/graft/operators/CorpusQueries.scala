@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.{Components, Dedup, Sampling}
+import graft.functions.{Components, Dedup, Sampling, TextFunctions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -226,6 +226,36 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-aware canonical selection — q108's refinement: each near-dup
+    * cluster keeps its HIGHEST-QUALITY member (q88's composite score;
+    * doc_id breaks ties), not the arbitrary min id — dedup that preserves
+    * the best copy is what a curation pipeline actually wants. Emits the
+    * surviving (doc_id, lang, quality).
+    *
+    * Scale: clusters + one quality projection + an argmax window per
+    * component (components are bucket-bounded near-dup groups) + the same
+    * anti-join write shape as q108.
+    */
+  def q109_dedup_keep_best(spark: SparkSession, sfDir: String): DataFrame = {
+    val stops = Seq("join", "filter", "scan")
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = PipelineQueries.q94_dedup_lsh_lang(spark, sfDir)
+      .select(col("id_a"), col("id_b"))
+    val cc = Components.connectedComponents(pairs, "id_a", "id_b")
+    val quality = docs.select(col("doc_id"),
+      TextFunctions.qualityScore(col("text"), stops).as("quality"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val losers = cc.join(quality, cc("id") === quality("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1)
+      .select(col("id").as("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text"), stops).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   private def mh(i: Int) =
     s"list_aggregate(list_transform(tok, t -> md5('$i|' || t)), 'min')"
 
@@ -305,6 +335,18 @@ object CorpusQueries {
          |WHERE NOT EXISTS (SELECT 1 FROM cc
          |  WHERE cc.id = d.doc_id AND cc.id <> cc.component)
          |ORDER BY d.doc_id""".stripMargin,
+    "q109_dedup_keep_best" ->
+      s"""WITH RECURSIVE $ccCtes,
+         |q AS (SELECT doc_id, lang, ${PipelineQueries.qualityExpr} AS quality
+         |      FROM documents),
+         |r AS (SELECT cc.id AS lid, row_number() OVER (
+         |        PARTITION BY cc.component
+         |        ORDER BY q.quality DESC, cc.id ASC) AS rk
+         |      FROM cc JOIN q ON q.doc_id = cc.id),
+         |lose AS (SELECT lid FROM r WHERE rk > 1)
+         |SELECT q.doc_id, q.lang, q.quality FROM q
+         |WHERE q.doc_id NOT IN (SELECT lid FROM lose)
+         |ORDER BY q.doc_id""".stripMargin,
     "q101_contamination" ->
       s"""WITH g0 AS (
          |  SELECT doc_id, unnest($gramsExpr) AS gram FROM documents),

@@ -366,7 +366,7 @@ object PipelineQueries {
 
   /** The exact-integer-basis-points quality score of q88/TextFunctions
     * .qualityScore, shared by the q88 and q97 oracles. */
-  private val qualityExpr =
+  private[operators] val qualityExpr =
     """CAST(
       |    CAST(round(least(length(text) / 500.0, 1.0) * 10000) AS BIGINT) * 3 +
       |    CAST(round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /

@@ -54,7 +54,8 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q101_contamination" -> 236L, "q102_seq_pack" -> 111L,
     "q103_text_normalize" -> 500L, "q104_shard_assign" -> 16L,
     "q105_domain_mix" -> 20L, "q106_line_dedup" -> 500L,
-    "q107_quality_classifier" -> 500L, "q108_dedup_canonical" -> 174L)
+    "q107_quality_classifier" -> 500L, "q108_dedup_canonical" -> 174L,
+    "q109_dedup_keep_best" -> 174L)
 
   test("every declared query has an oracle and matches its golden sf0.001 count") {
     val qs = SparkEntry.queries
