@@ -59,8 +59,9 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("dec_width") =!= col("meta.width") ||
         col("dec_height") =!= col("meta.height"))
     assert(joined.count() == 0)
-    // fake video payloads are exactly header+body; real codecs write more
-    assert(dec.filter(col("kind") === "video" && col("n_bytes") =!= 40)
+    // video payloads are real MJPEG containers — far larger than the
+    // 40-byte fake, and dims come from an actual first-frame JPEG decode
+    assert(dec.filter(col("kind") === "video" && col("n_bytes") <= 40)
       .count() == 0)
     assert(dec.filter(col("kind") === "image" && col("n_bytes") <= 40)
       .count() == 0)
@@ -88,14 +89,22 @@ class MultimodalSpec extends SparkSpec {
       .join(audioOrig, "media_id")
       .filter(col("meta") =!= col("meta_orig")).count() == 0)
     // resized images are still decodable PNGs at the new size (checked via
-    // dec above); audio/video payload bodies past byte 8 are unchanged
-    val nonImage = media.filter(col("kind") =!= "image")
-    val origBody = nonImage.select(col("media_id"),
-      expr("substring(payload, 9, 32)").as("body"))
-    val newBody = r.filter(col("kind") =!= "image").select(col("media_id"),
-      expr("substring(payload, 9, 32)").as("body2"))
+    // dec above); audio payload bodies are untouched
+    val origBody = media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("payload").as("body"))
+    val newBody = r.filter(col("kind") === "audio").select(col("media_id"),
+      col("payload").as("body2"))
     assert(origBody.join(newBody, "media_id")
       .filter(col("body") =!= col("body2")).count() == 0)
+    // resized videos are rebuilt MJPEG containers whose frames decode at
+    // the new size
+    val vid = r.filter(col("kind") === "video").select("payload").first()
+      .getAs[Array[Byte]](0)
+    val frames = Multimodal.decodeMjpeg(vid).get
+    assert(frames.nonEmpty && frames.forall { f =>
+      val im = Multimodal.decodeImage(f).get
+      im.getWidth == 224 && im.getHeight == 224
+    })
   }
 
   test("audio feature extraction windows REAL decoded PCM: n_windows/rms/peak") {
@@ -142,5 +151,19 @@ class MultimodalSpec extends SparkSpec {
     // digests deterministic across runs
     val again = Multimodal.sampleFrames(media, stride = 2)
     assert(frames.collect().toSet == again.collect().toSet)
+    // REAL decode evidence: sampled frame dims equal the recorded meta
+    // dims, and the digest matches a driver-side parse of the container
+    val dims = frames.join(media, "media_id")
+      .filter(col("f_width") =!= col("meta.width") ||
+        col("f_height") =!= col("meta.height"))
+    assert(dims.count() == 0)
+    val v = media.filter(col("kind") === "video").orderBy("media_id").first()
+    val vid = v.getAs[Long]("media_id")
+    val parsed = Multimodal.decodeMjpeg(v.getAs[Array[Byte]]("payload")).get
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expDigest = md.digest(parsed(0)).map("%02x".format(_)).mkString
+    val got = frames.filter(col("media_id") === vid && col("frame_idx") === 0)
+      .first().getAs[String]("frame_digest")
+    assert(got == expDigest)
   }
 }
