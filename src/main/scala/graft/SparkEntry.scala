@@ -123,6 +123,7 @@ object SparkEntry {
     "q107_quality_classifier" -> (CorpusQueries.q107_quality_classifier _),
     "q108_dedup_canonical" -> (CorpusQueries.q108_dedup_canonical _),
     "q109_dedup_keep_best" -> (CorpusQueries.q109_dedup_keep_best _),
+    "q110_winnow_fingerprint" -> (CorpusQueries.q110_winnow_fingerprint _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -256,6 +256,27 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
+    * MOSS sketch): 60-bit md5 gram hashes, window-of-4 minima, sorted
+    * distinct selections. Unlike q89's bottom-1 min-shingle, winnowing
+    * guarantees POSITIONAL coverage — any shared run of ≥ n+w−1 = 6
+    * tokens between two docs shares a fingerprint — making it the sketch
+    * for partial-overlap detection (quotation/boilerplate spans). Emits
+    * per-doc fingerprint count + an md5 digest of the sorted fingerprint
+    * list (compact, hash-checkable encoding of the full set).
+    *
+    * Scale: one codegen'd pass per row ([[graft.expressions.WinnowIds]]),
+    * no shuffle before the output sort — scan speed like q89/q103.
+    */
+  def q110_winnow_fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.expressions.WinnowIds.winnowIds(col("text"), 3, 4).as("fp"))
+      .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
+        md5(concat_ws(",",
+          expr("transform(fp, x -> cast(x as string))"))).as("fp_digest"))
+      .orderBy(col("doc_id"))
+
   private def mh(i: Int) =
     s"list_aggregate(list_transform(tok, t -> md5('$i|' || t)), 'min')"
 
@@ -335,6 +356,21 @@ object CorpusQueries {
          |WHERE NOT EXISTS (SELECT 1 FROM cc
          |  WHERE cc.id = d.doc_id AND cc.id <> cc.component)
          |ORDER BY d.doc_id""".stripMargin,
+    "q110_winnow_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(tok) >= 3
+        |  THEN list_transform(range(1, len(tok) - 1),
+        |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
+        |  ELSE CAST([] AS VARCHAR[]) END AS grams FROM t),
+        |h AS (SELECT doc_id, list_transform(grams,
+        |  g2 -> CAST(('0x' || substr(md5(g2), 1, 15)) AS BIGINT)) AS hs FROM g),
+        |s AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[]) ELSE
+        |  list_sort(list_distinct(list_transform(
+        |    range(1, greatest(len(hs) - 3, 1) + 1),
+        |    i -> list_aggregate(hs[i:least(i+3, len(hs))], 'min')))) END AS fp FROM h)
+        |SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+        |  md5(array_to_string(fp, ',')) AS fp_digest
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q109_dedup_keep_best" ->
       s"""WITH RECURSIVE $ccCtes,
          |q AS (SELECT doc_id, lang, ${PipelineQueries.qualityExpr} AS quality

@@ -197,10 +197,21 @@ object GraftExtensions {
       graft.expressions.WordNgrams(args.head, litInt(args(1), "n"), dist)
     })
 
+  private val winnowIdsDesc: FunctionDesc = (
+    FunctionIdentifier("winnow_ids"),
+    new ExpressionInfo(classOf[graft.expressions.WinnowIds].getName,
+      "winnow_ids"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        s"winnow_ids(text, n, w) takes 3 arguments, got ${args.length}")
+      graft.expressions.WinnowIds(args.head, litInt(args(1), "n"),
+        litInt(args(2), "w"))
+    })
+
   private val all: Seq[FunctionDesc] = Seq(sortedIntersectSizeDesc,
     distanceInMetersDesc, withinCircleDesc, withinBoxDesc, weightedAvgDesc,
     scrubPiiDesc, hashSampleDesc, hashSplitDesc, simhash60Desc,
-    shingleIdsDesc, minhashBandsDesc, wordNgramsDesc)
+    shingleIdsDesc, minhashBandsDesc, wordNgramsDesc, winnowIdsDesc)
 
   /** Register the functions into an already-running session. */
   def register(spark: SparkSession): Unit =
