@@ -124,6 +124,7 @@ object SparkEntry {
     "q108_dedup_canonical" -> (CorpusQueries.q108_dedup_canonical _),
     "q109_dedup_keep_best" -> (CorpusQueries.q109_dedup_keep_best _),
     "q110_winnow_fingerprint" -> (CorpusQueries.q110_winnow_fingerprint _),
+    "q111_lm_bigram_score" -> (CorpusQueries.q111_lm_bigram_score _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -277,6 +277,42 @@ object CorpusQueries {
           expr("transform(fp, x -> cast(x as string))"))).as("fp_digest"))
       .orderBy(col("doc_id"))
 
+  /** Bigram language-model fluency score (the CCNet/KenLM-style LM filter
+    * shape, with the model trained on the corpus itself): P(w2|w1) =
+    * C(w1 w2) / C(w1 ·) (MLE over corpus bigram counts — never zero for
+    * a corpus doc's own bigrams, so no smoothing term), and each bigram
+    * contributes round(ln P × 1000) integer MILLI-NATS. The per-doc score
+    * is then an INTEGER sum — partition-order-independent — and the
+    * per-bigram ln is rounded once at quantization (q92's ln already
+    * established cross-engine ln agreement at 6-decimal rounding; this
+    * rounds coarser). Low (very negative) avg milli-nats = surprising,
+    * disfluent text — the filter signal.
+    *
+    * Scale: two count aggregations (two-phase, map-side partials absorb
+    * the fan-out) + two joins keyed on bigram/prefix strings — both
+    * vocabulary-cardinality tables, so NO broadcast hints (the q92 rule;
+    * AQE decides). Output: (doc_id, n_bigrams, sum_mnat, avg_mnat).
+    */
+  def q111_lm_bigram_score(spark: SparkSession, sfDir: String): DataFrame = {
+    val bg = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(
+        graft.expressions.WordNgrams.wordNgramsAll(col("text"), 2)).as("bg"))
+    val cb = bg.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+    val cw = bg.select(substring_index(col("bg"), " ", 1).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c_w1"))
+    bg.join(cb, "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(cw, "w1")
+      .withColumn("mnat",
+        round(log(col("c_bg").cast("double") / col("c_w1").cast("double"))
+          * 1000).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("mnat")).as("sum_mnat"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_mnat"),
+        expr("sum_mnat div n_bigrams").cast("long").as("avg_mnat"))
+      .orderBy(col("doc_id"))
+  }
+
   private def mh(i: Int) =
     s"list_aggregate(list_transform(tok, t -> md5('$i|' || t)), 'min')"
 
@@ -356,6 +392,22 @@ object CorpusQueries {
          |WHERE NOT EXISTS (SELECT 1 FROM cc
          |  WHERE cc.id = d.doc_id AND cc.id <> cc.component)
          |ORDER BY d.doc_id""".stripMargin,
+    "q111_lm_bigram_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |bg0 AS (SELECT doc_id, unnest(CASE WHEN len(tok) >= 2
+        |  THEN list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])
+        |  ELSE CAST([] AS VARCHAR[]) END) AS bg FROM t),
+        |cb AS (SELECT bg, count(*) AS c_bg FROM bg0 GROUP BY 1),
+        |cw AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c_w1
+        |       FROM bg0 GROUP BY 1),
+        |sc AS (SELECT bg0.doc_id,
+        |  CAST(round(ln(CAST(cb.c_bg AS DOUBLE) / cw.c_w1) * 1000) AS BIGINT) AS mnat
+        |  FROM bg0 JOIN cb USING (bg)
+        |  JOIN cw ON cw.w1 = split_part(bg0.bg, ' ', 1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(mnat) AS BIGINT) AS sum_mnat,
+        |  CAST(sum(mnat) // count(*) AS BIGINT) AS avg_mnat
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q110_winnow_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
         |g AS (SELECT doc_id, CASE WHEN len(tok) >= 3
