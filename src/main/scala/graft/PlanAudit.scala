@@ -19,7 +19,8 @@ object PlanAudit extends App {
     "q99_quality_repetition", "q100_dedup_components", "q101_contamination",
     "q102_seq_pack", "q103_text_normalize", "q104_shard_assign",
     "q105_domain_mix", "q106_line_dedup", "q107_quality_classifier",
-    "q108_dedup_canonical")
+    "q108_dedup_canonical", "q109_dedup_keep_best",
+    "q110_winnow_fingerprint", "q111_lm_bigram_score")
   targets.foreach { q =>
     println(s"\n========== $q ==========")
     println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(
