@@ -126,4 +126,25 @@ class GraftClientSpec extends SparkSpec {
       client.dataFor("not_a_table").collect()
     }
   }
+
+  test("graft SQL functions compose with $select/$where strings") {
+    graft.plans.GraftExtensions.register(spark)
+    // a SoQL-style request using graft's registered functions: a stable
+    // content-hash sample in $where and custom sketches in $select
+    val got = client.dataFor("documents", SoqlParams(
+      select = Seq("doc_id", "simhash60(text) as sh",
+        "size(winnow_ids(text, 3, 4)) as n_fp"),
+      where = Some("hash_sample(doc_id, 0.5) and lang = 'es'"),
+      order = Seq("doc_id")))
+    val expected = graft.Tables.documents(spark, sfDir)
+      .filter(graft.functions.Sampling.hashSample(col("doc_id"), 0.5) &&
+        col("lang") === "es")
+      .select(col("doc_id"),
+        graft.expressions.SimHash60.simhash60(col("text")).as("sh"),
+        size(graft.expressions.WinnowIds.winnowIds(col("text"), 3, 4))
+          .as("n_fp"))
+      .orderBy(col("doc_id"))
+    assert(got.collect().toSeq == expected.collect().toSeq)
+    assert(got.count() > 0)
+  }
 }
