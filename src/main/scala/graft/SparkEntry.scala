@@ -125,6 +125,7 @@ object SparkEntry {
     "q109_dedup_keep_best" -> (CorpusQueries.q109_dedup_keep_best _),
     "q110_winnow_fingerprint" -> (CorpusQueries.q110_winnow_fingerprint _),
     "q111_lm_bigram_score" -> (CorpusQueries.q111_lm_bigram_score _),
+    "q112_char_entropy" -> (CorpusQueries.q112_char_entropy _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

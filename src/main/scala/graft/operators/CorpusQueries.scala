@@ -313,6 +313,40 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Character-entropy quality signal (gibberish / base64-blob / repeated-
+    * char detection): Shannon entropy of each doc's character
+    * distribution. The order-hazard-free formulation: entropy =
+    * (Σ_chars contrib) / n with contrib(c) = −count(c)·ln(count(c)/n),
+    * and each per-character contribution is quantized to integer
+    * milli-nats BEFORE the sum — an integer aggregation is
+    * partition-order-independent, the same trick as q107/q111. Emits
+    * (doc_id, n_chars_total, n_distinct_chars, sum_mnat, entropy_mnat =
+    * sum div n). Natural text sits in a band; uniform-random or
+    * single-char docs fall outside it.
+    *
+    * Scale: explode chars → two-phase (doc, char) count agg → two-phase
+    * doc agg. Alphabet-bounded state per doc.
+    */
+  def q112_char_entropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val perChar = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    val perDoc = perChar.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+    perChar.join(perDoc, "doc_id")
+      .withColumn("contrib",
+        round(-col("c").cast("double")
+          * log(col("c").cast("double") / col("n")) * 1000).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_chars_total"),
+        max(col("n_distinct")).as("n_distinct_chars"),
+        sum(col("contrib")).as("sum_mnat"))
+      .select(col("doc_id"), col("n_chars_total"), col("n_distinct_chars"),
+        col("sum_mnat"),
+        expr("sum_mnat div n_chars_total").cast("long").as("entropy_mnat"))
+      .orderBy(col("doc_id"))
+  }
+
   private def mh(i: Int) =
     s"list_aggregate(list_transform(tok, t -> md5('$i|' || t)), 'min')"
 
@@ -392,6 +426,22 @@ object CorpusQueries {
          |WHERE NOT EXISTS (SELECT 1 FROM cc
          |  WHERE cc.id = d.doc_id AND cc.id <> cc.component)
          |ORDER BY d.doc_id""".stripMargin,
+    "q112_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |pc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |  count(*) AS n_distinct FROM pc GROUP BY 1),
+        |ct AS (SELECT pc.doc_id,
+        |  CAST(round(-CAST(pc.c AS DOUBLE)
+        |    * ln(CAST(pc.c AS DOUBLE) / pd.n) * 1000) AS BIGINT) AS contrib,
+        |  pd.n, pd.n_distinct
+        |  FROM pc JOIN pd USING (doc_id))
+        |SELECT doc_id, max(n) AS n_chars_total,
+        |  CAST(max(n_distinct) AS BIGINT) AS n_distinct_chars,
+        |  CAST(sum(contrib) AS BIGINT) AS sum_mnat,
+        |  CAST(sum(contrib) // max(n) AS BIGINT) AS entropy_mnat
+        |FROM ct GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q111_lm_bigram_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
         |bg0 AS (SELECT doc_id, unnest(CASE WHEN len(tok) >= 2
