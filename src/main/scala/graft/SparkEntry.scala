@@ -126,6 +126,7 @@ object SparkEntry {
     "q110_winnow_fingerprint" -> (CorpusQueries.q110_winnow_fingerprint _),
     "q111_lm_bigram_score" -> (CorpusQueries.q111_lm_bigram_score _),
     "q112_char_entropy" -> (CorpusQueries.q112_char_entropy _),
+    "q113_source_divergence" -> (CorpusQueries.q113_source_divergence _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -347,6 +347,39 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source distribution divergence — the domain-shift number a data
+    * recipe (q74/q105) is tuned against: KL(P_source ‖ P_corpus) over
+    * token unigrams, KL = Σ_w (c_sw/n_s)·ln((c_sw·n)/(n_s·c_w)). Every
+    * source token exists in the corpus, so no smoothing term; each
+    * per-token term is quantized to integer MICRO-nats before the sum
+    * (the q107/q111/q112 order-independence trick). Emits per source
+    * (n_tokens, n_vocab, kl_unat); KL = 0 exactly when the source's token
+    * mix matches the corpus.
+    *
+    * Scale: ONE explode scan; the corpus-side counts derive from the
+    * (source, token) counts by re-aggregation (no second scan), totals
+    * ride as a broadcast 1-row aggregate (q105 pattern), and the token
+    * join carries no broadcast hint (vocabulary-cardinality, q92 rule).
+    */
+  def q113_source_divergence(spark: SparkSession, sfDir: String): DataFrame = {
+    val csw = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+    val cw = csw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val ns = csw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+    val n = cw.agg(sum(col("c_w")).as("n"))
+    csw.join(cw, "w").join(ns, "source").crossJoin(broadcast(n))
+      .withColumn("contrib",
+        round(col("c_sw").cast("double")
+          * log((col("c_sw").cast("double") * col("n"))
+            / (col("n_s").cast("double") * col("c_w")))
+          * 1000000.0 / col("n_s")).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"), count(lit(1)).as("n_vocab"),
+        sum(col("contrib")).as("kl_unat"))
+      .orderBy(col("source"))
+  }
+
   private def mh(i: Int) =
     s"list_aggregate(list_transform(tok, t -> md5('$i|' || t)), 'min')"
 
@@ -426,6 +459,21 @@ object CorpusQueries {
          |WHERE NOT EXISTS (SELECT 1 FROM cc
          |  WHERE cc.id = d.doc_id AND cc.id <> cc.component)
          |ORDER BY d.doc_id""".stripMargin,
+    "q113_source_divergence" ->
+      """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |csw AS (SELECT source, w, count(*) AS c_sw FROM tk GROUP BY 1, 2),
+        |cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM csw GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM csw GROUP BY 1),
+        |n AS (SELECT CAST(sum(c_w) AS BIGINT) AS n FROM cw),
+        |ct AS (SELECT csw.source,
+        |  CAST(round(CAST(csw.c_sw AS DOUBLE)
+        |    * ln((CAST(csw.c_sw AS DOUBLE) * n.n) / (CAST(ns.n_s AS DOUBLE) * cw.c_w))
+        |    * 1000000.0 / ns.n_s) AS BIGINT) AS contrib, ns.n_s
+        |  FROM csw JOIN cw USING (w) JOIN ns USING (source) CROSS JOIN n)
+        |SELECT source, max(n_s) AS n_tokens, count(*) AS n_vocab,
+        |  CAST(sum(contrib) AS BIGINT) AS kl_unat
+        |FROM ct GROUP BY source ORDER BY source""".stripMargin,
     "q112_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
         |  FROM documents),
