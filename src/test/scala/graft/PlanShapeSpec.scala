@@ -217,4 +217,20 @@ class PlanShapeSpec extends SparkSpec {
       assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q not two-phase")
     }
   }
+
+  test("q111/q113 model-count joins carry only the 1-row totals broadcast " +
+    "(vocabulary tables stay unhinted)") {
+    // the bigram/unigram count tables grow with the corpus vocabulary —
+    // a forced broadcast there OOMs at web scale (the q92 rule). Only
+    // q113's 1-row corpus-total aggregate may carry a hint.
+    for ((q, allowed) <- Seq("q111_lm_bigram_score" -> 0,
+      "q113_source_divergence" -> 1)) {
+      val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
+      val hints = "strategy=broadcast".r
+        .findAllIn(qe.optimizedPlan.toString).size
+      assert(hints <= allowed,
+        s"$q: $hints forced broadcasts (allowed $allowed):\n" +
+          qe.optimizedPlan.toString.take(1200))
+    }
+  }
 }
