@@ -228,4 +228,34 @@ class StreamingSpec extends SparkSpec {
       assert(out.filter($"event_type" === "click").count() >= 1)
     } finally q.stop()
   }
+
+  test("streaming curation funnel: quality gate + scrub + watermarked dedup " +
+    "matches the batch twin across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox jumps over the lazy dog again and again today" // passes quality
+    val pii = s"$good contact me at alice@example.com for details ok"
+    val docs = Seq(
+      (1L, good, t("2024-01-01 00:01:00")),
+      (2L, good, t("2024-01-01 00:05:00")),          // dup of 1 within watermark
+      (3L, pii, t("2024-01-01 00:10:00")),           // scrubbed, then unique
+      (4L, "join join join !!!", t("2024-01-01 00:12:00")), // fails quality gate
+      (5L, pii, t("2024-01-01 00:20:00")))           // dup of 3 post-scrub
+    val batch = StreamingCuration.run(
+        docs.toDF("doc_id", "text", "ts"))
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(batch.size == 2 && batch.exists(_.contains("[EMAIL]")))
+
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingCuration.run(
+        mem.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("tcur")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(docs.take(3)); q.processAllAvailable()
+      mem.addData(docs.drop(3)); q.processAllAvailable()
+      val stream = spark.table("tcur").collect()
+        .map(_.getAs[String]("text")).toSet
+      assert(stream == batch)
+    } finally q.stop()
+  }
 }
