@@ -127,6 +127,7 @@ object SparkEntry {
     "q111_lm_bigram_score" -> (CorpusQueries.q111_lm_bigram_score _),
     "q112_char_entropy" -> (CorpusQueries.q112_char_entropy _),
     "q113_source_divergence" -> (CorpusQueries.q113_source_divergence _),
+    "q114_stratified_topk" -> (CorpusQueries.q114_stratified_topk _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -380,6 +380,27 @@ object CorpusQueries {
       .orderBy(col("source"))
   }
 
+  /** Deterministic per-stratum EXACT-k subset — the balanced-eval-set /
+    * per-language probe-corpus op that complements the rate-based
+    * samplers (q73/q74): within each lang, keep the k=10 docs with the
+    * smallest md5(doc_id) (content-hash order — layout- and
+    * engine-independent; doc_id tie-break for hash collisions). Unlike
+    * rate sampling, exact-k guarantees stratum size; the tradeoff is that
+    * corpus growth can displace members (inherent to any exact-k rule).
+    *
+    * Scale: one window top-k per stratum — rank over (lang / hash) with
+    * partial top-k pushdown via the filter; no global sort.
+    */
+  def q114_stratified_topk(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(Sampling.hashHex(col("doc_id"), 8).asc, col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .orderBy(col("lang"), col("rk"))
+  }
+
   private def mh(i: Int) =
     s"list_aggregate(list_transform(tok, t -> md5('$i|' || t)), 'min')"
 
@@ -459,6 +480,14 @@ object CorpusQueries {
          |WHERE NOT EXISTS (SELECT 1 FROM cc
          |  WHERE cc.id = d.doc_id AND cc.id <> cc.component)
          |ORDER BY d.doc_id""".stripMargin,
+    "q114_stratified_topk" ->
+      """WITH r AS (SELECT lang, doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+        |    AS BIGINT) AS rk
+        |  FROM documents)
+        |SELECT lang, doc_id, source, rk FROM r WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin,
     "q113_source_divergence" ->
       """WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS w
         |  FROM documents),
