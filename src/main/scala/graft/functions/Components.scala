@@ -106,7 +106,13 @@ object Components {
       .distinct()
 
   /** One contraction level: per-partition union-find → (node, local min
-    * root) star edges. Roots emit themselves, so every node survives. */
+    * root) star edges. Node survival: a node that LOSES anywhere emits
+    * its own (node, root) row; a partition-local WINNER may emit no row
+    * of its own but appears as the root VALUE of its members' rows, and
+    * the caller's symmetrize step re-materializes it as a source — so
+    * the contracted graph's node set always covers the input's. (With
+    * one partition — the base case — twin edges land together and the
+    * equal-roots branch inserts every node explicitly.) */
   private def stars(edges: Dataset[(Long, Long)]): Dataset[(Long, Long)] =
     edges.mapPartitions { it =>
       val parent = mutable.LongMap.empty[Long]
