@@ -326,6 +326,12 @@ object CorpusQueries {
     *
     * Scale: explode chars → two-phase (doc, char) count agg → two-phase
     * doc agg. Alphabet-bounded state per doc.
+    *
+    * Unicode caveat: Spark's `split(text, "")` yields UTF-16 code units,
+    * DuckDB's `string_split(text, '')` code points — identical for BMP
+    * text (all fixtures; supplementary-plane chars would split into
+    * surrogate halves on the Spark side and shift the distribution
+    * slightly, not break the query).
     */
   def q112_char_entropy(spark: SparkSession, sfDir: String): DataFrame = {
     val perChar = Tables.documents(spark, sfDir)
