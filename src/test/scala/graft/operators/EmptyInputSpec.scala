@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.SaveMode
+
+/** Degenerate-input robustness: every corpus-preparation query must
+  * return an EMPTY frame (not throw) on an empty documents table — at
+  * 100 TB, empty partitions, filtered-out strata, and zero-row incremental
+  * batches are routine, and an operator that NPEs or divides by zero on
+  * them kills the job.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    Tables.documents(spark, sfDir).limit(0)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    Tables.embeddings(spark, sfDir).limit(0)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("corpus-preparation queries return empty, not errors, on zero docs") {
+    val qs = Seq(
+      "q100_dedup_components", "q101_contamination", "q102_seq_pack",
+      "q103_text_normalize", "q104_shard_assign", "q105_domain_mix",
+      "q106_line_dedup", "q107_quality_classifier", "q108_dedup_canonical",
+      "q109_dedup_keep_best", "q110_winnow_fingerprint",
+      "q111_lm_bigram_score", "q112_char_entropy", "q113_source_divergence",
+      "q114_stratified_topk")
+    qs.foreach { q =>
+      val n = graft.SparkEntry.queries(q)(spark, emptyDir).count()
+      assert(n == 0, s"$q returned $n rows on an empty corpus")
+    }
+  }
+}
