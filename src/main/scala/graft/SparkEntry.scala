@@ -128,6 +128,7 @@ object SparkEntry {
     "q112_char_entropy" -> (CorpusQueries.q112_char_entropy _),
     "q113_source_divergence" -> (CorpusQueries.q113_source_divergence _),
     "q114_stratified_topk" -> (CorpusQueries.q114_stratified_topk _),
+    "q115_dedup_prefix" -> (CorpusQueries.q115_dedup_prefix _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -407,6 +407,38 @@ object CorpusQueries {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Prefix-duplicate detection — the crawl-truncation artifact class
+    * that exact dedup misses (different digests) and near-dup can miss
+    * (a short prefix of a long doc has low Jaccard): flag docs whose text
+    * is a STRICT prefix of another doc's text. Key insight: in
+    * lexicographic order, A is a prefix of SOME text iff A is a prefix of
+    * its immediate distinct successor (all strings sorted between A and
+    * an extension of A themselves start with A) — so one sorted window
+    * with `lead` replaces an unbounded substring join. The window is
+    * partitioned by the FIRST CHARACTER (an extension always shares it),
+    * keeping the sort partition-parallel instead of a single global
+    * window; for deeper parallelism at 100 TB, range-partition with
+    * boundary stitching — same adjacency argument. Empty texts (prefix
+    * of everything, no first char) don't occur in the fixtures and are
+    * excluded by the length guard.
+    *
+    * Emits the flagged docs (doc_id, lang, n_chars); order by doc_id.
+    */
+  def q115_dedup_prefix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val w = Window.partitionBy(substring(col("t"), 1, 1)).orderBy(col("t"))
+    val flagged = docs.filter(length(col("text")) > 0)
+      .select(col("text").as("t")).distinct()
+      .withColumn("nxt", lead(col("t"), 1).over(w))
+      .filter(col("nxt").isNotNull &&
+        length(col("nxt")) > length(col("t")) &&
+        col("nxt").startsWith(col("t")))
+      .select(col("t").as("text"))
+    docs.join(flagged, "text")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   private def mh(i: Int) =
     s"list_aggregate(list_transform(tok, t -> md5('$i|' || t)), 'min')"
 
@@ -486,6 +518,14 @@ object CorpusQueries {
          |WHERE NOT EXISTS (SELECT 1 FROM cc
          |  WHERE cc.id = d.doc_id AND cc.id <> cc.component)
          |ORDER BY d.doc_id""".stripMargin,
+    "q115_dedup_prefix" ->
+      """WITH t AS (SELECT DISTINCT text AS t FROM documents WHERE len(text) > 0),
+        |s AS (SELECT t, lead(t) OVER (PARTITION BY substr(t, 1, 1) ORDER BY t) AS nxt
+        |      FROM t),
+        |f AS (SELECT t FROM s WHERE nxt IS NOT NULL
+        |      AND len(nxt) > len(t) AND starts_with(nxt, t))
+        |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        |JOIN f ON d.text = f.t ORDER BY d.doc_id""".stripMargin,
     "q114_stratified_topk" ->
       """WITH r AS (SELECT lang, doc_id, source,
         |  CAST(row_number() OVER (PARTITION BY lang
