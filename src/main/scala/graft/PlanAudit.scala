@@ -21,7 +21,8 @@ object PlanAudit extends App {
     "q105_domain_mix", "q106_line_dedup", "q107_quality_classifier",
     "q108_dedup_canonical", "q109_dedup_keep_best",
     "q110_winnow_fingerprint", "q111_lm_bigram_score",
-    "q112_char_entropy", "q113_source_divergence")
+    "q112_char_entropy", "q113_source_divergence", "q114_stratified_topk",
+    "q115_dedup_prefix")
   targets.foreach { q =>
     println(s"\n========== $q ==========")
     println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(
