@@ -25,7 +25,7 @@ object CorpusQueries {
     * diameter-many rounds — see [[graft.functions.Components]].
     */
   def q100_dedup_components(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = PipelineQueries.q94_dedup_lsh_lang(spark, sfDir)
+    val pairs = PipelineQueries.q94Pairs(spark, sfDir)
       .select(col("id_a"), col("id_b"))
     val cc = Components.connectedComponents(pairs, "id_a", "id_b")
     val sizes = cc.groupBy(col("component"))
@@ -215,7 +215,7 @@ object CorpusQueries {
     * cluster step's shape.
     */
   def q108_dedup_canonical(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = PipelineQueries.q94_dedup_lsh_lang(spark, sfDir)
+    val pairs = PipelineQueries.q94Pairs(spark, sfDir)
       .select(col("id_a"), col("id_b"))
     val drop = Components.connectedComponents(pairs, "id_a", "id_b")
       .filter(col("id") =!= col("component"))
@@ -239,7 +239,7 @@ object CorpusQueries {
   def q109_dedup_keep_best(spark: SparkSession, sfDir: String): DataFrame = {
     val stops = Seq("join", "filter", "scan")
     val docs = Tables.documents(spark, sfDir)
-    val pairs = PipelineQueries.q94_dedup_lsh_lang(spark, sfDir)
+    val pairs = PipelineQueries.q94Pairs(spark, sfDir)
       .select(col("id_a"), col("id_b"))
     val cc = Components.connectedComponents(pairs, "id_a", "id_b")
     val quality = docs.select(col("doc_id"),

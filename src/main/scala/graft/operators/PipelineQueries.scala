@@ -59,7 +59,12 @@ object PipelineQueries {
     * exact pairs; unlike q81 its cost is bounded by bucket size, not by
     * block cardinality, so the SAME plan survives a 100× corpus (SCALE.md).
     */
-  def q94_dedup_lsh_lang(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The q94 verified pair set WITHOUT the output rounding/sort — the
+    * form the cluster consumers (q100/q108/q109) feed to connected
+    * components, which re-shuffle immediately (a sort below their
+    * exchange would be wasted work). */
+  private[operators] def q94Pairs(spark: SparkSession,
+                                  sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val cand = MinHashLSH.candidatePairsRaw(docs, "doc_id", "text",
       k = 8, bands = 4, maxBucket = LshMaxBucket, blockCols = Seq("lang"))
@@ -69,11 +74,15 @@ object PipelineQueries {
       .join(tok.select(col("doc_id").as("id_b"), col("tok").as("tok_b")), "id_b")
       .withColumn("jaccard_raw", Dedup.jaccardSortedIds(col("tok_a"), col("tok_b")))
       .filter(col("jaccard_raw") >= 0.8)
+      .select(col("lang"), col("id_a"), col("id_b"), col("jaccard_raw"))
+  }
+
+  def q94_dedup_lsh_lang(spark: SparkSession, sfDir: String): DataFrame =
+    q94Pairs(spark, sfDir)
       .select(col("lang"), col("id_a"), col("id_b"),
         Det.r4(col("jaccard_raw")).as("jaccard"))
       .distinct()
       .orderBy(col("lang"), col("id_a"), col("id_b"))
-  }
 
   /** Word-3-gram Jaccard near-dups within lang — catches local rewordings
     * the token-set measure (q81) scores too high.
