@@ -22,7 +22,7 @@ object PlanAudit extends App {
     "q108_dedup_canonical", "q109_dedup_keep_best",
     "q110_winnow_fingerprint", "q111_lm_bigram_score",
     "q112_char_entropy", "q113_source_divergence", "q114_stratified_topk",
-    "q115_dedup_prefix")
+    "q115_dedup_prefix", "q116_mix_temperature", "q117_span_mask")
   targets.foreach { q =>
     println(s"\n========== $q ==========")
     println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(

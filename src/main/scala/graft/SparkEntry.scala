@@ -129,6 +129,8 @@ object SparkEntry {
     "q113_source_divergence" -> (CorpusQueries.q113_source_divergence _),
     "q114_stratified_topk" -> (CorpusQueries.q114_stratified_topk _),
     "q115_dedup_prefix" -> (CorpusQueries.q115_dedup_prefix _),
+    "q116_mix_temperature" -> (CorpusQueries.q116_mix_temperature _),
+    "q117_span_mask" -> (CorpusQueries.q117_span_mask _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -439,6 +439,76 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-reweighted domain mix (the multilingual-LM / DoReMi-
+    * family α-sampling, α = 0.5): sampling weights w_s ∝ p_s^α flatten
+    * the corpus mix so under-represented sources are up-sampled — the
+    * step that turns q105's mix REPORT into the mix a training run
+    * actually draws from (q74 consumes the resulting rates). Every
+    * cross-engine comparison point is integer-quantized first: the α-
+    * weight as round(√p × 1e9), shares in ppm, the boost in milli-×
+    * (√ and one double division are single IEEE ops — bit-identical in
+    * both engines; the q111/q112 quantize-before-aggregate convention).
+    *
+    * Scale shape: ONE corpus scan — token counts are a two-phase agg
+    * over a scan-speed projection (no explode — `size(split(…))` is one
+    * codegen'd pass); totals come from an UNPARTITIONED window over the
+    * already-aggregated |sources|-row frame (bounded cardinality, so the
+    * single-partition window is safe — unlike the 4-scan shape the naive
+    * crossJoin(agg) formulation re-evaluates into).
+    */
+  def q116_mix_temperature(spark: SparkSession, sfDir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("n_tokens"))
+      .withColumn("total", sum(col("n_tokens")).over(wAll))
+      .withColumn("qs",
+        round(sqrt(col("n_tokens").cast("double") / col("total")) * 1e9)
+          .cast("long"))
+      .withColumn("sumq", sum(col("qs")).over(wAll))
+      .select(col("source"), col("n_tokens"),
+        expr("n_tokens * 1000000L div total").as("share_before_ppm"),
+        expr("qs * 1000000L div sumq").as("share_after_ppm"),
+        expr("((qs * 1000000L div sumq) * 1000L) div " +
+          "(n_tokens * 1000000L div total)").as("boost_milli"))
+      .orderBy(col("source"))
+  }
+
+  /** Deterministic MLM span masking (BERT/T5-style corruption at 15%):
+    * token i of doc d is masked iff md5("d:i") lands in the low 15% of
+    * the hash space — a pure function of (doc_id, position), so the mask
+    * is reproducible across runs, layouts, engines, and corpus growth
+    * (the q73 content-hash-split property applied at token granularity;
+    * `rand(seed)` masking breaks on any repartition). Emits the masked
+    * text plus mask-count stats per doc.
+    *
+    * Scale shape: posexplode → codegen'd hash predicate → ONE groupBy
+    * reassembly, with token order restored by `array_sort` on
+    * (pos, token) structs instead of a second window; per-group state is
+    * bounded by doc length, so there is no skew beyond the corpus's own
+    * longest-doc bound.
+    */
+  def q117_span_mask(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("msk",
+        conv(Sampling.hashHex(
+            concat(col("doc_id").cast("string"), lit(":"),
+              col("pos").cast("string"))), 16, 10)
+          .cast("long") % 100 < 15)
+      .withColumn("out",
+        when(col("msk"), lit("<mask>")).otherwise(col("tok")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("msk"), 1L).otherwise(0L)).as("n_masked"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("out")))),
+            x => x.getField("out"))).as("masked_text"))
+      .orderBy(col("doc_id"))
+
   private def mh(i: Int) =
     s"list_aggregate(list_transform(tok, t -> md5('$i|' || t)), 'min')"
 
@@ -654,5 +724,31 @@ object CorpusQueries {
         |  count(DISTINCT lang) AS n_langs,
         |  CAST(sum(n_chars) // count(*) AS BIGINT) AS avg_chars
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "q116_mix_temperature" ->
+      """WITH per AS (SELECT source,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per),
+        |q AS (SELECT source, n_tokens,
+        |  CAST(round(sqrt(CAST(n_tokens AS DOUBLE) / total) * 1000000000) AS BIGINT) AS qs,
+        |  total FROM per, tot),
+        |sq AS (SELECT CAST(sum(qs) AS BIGINT) AS sumq FROM q)
+        |SELECT source, n_tokens,
+        |  CAST(n_tokens * 1000000 // total AS BIGINT) AS share_before_ppm,
+        |  CAST(qs * 1000000 // sumq AS BIGINT) AS share_after_ppm,
+        |  CAST((qs * 1000000 // sumq) * 1000 // (n_tokens * 1000000 // total) AS BIGINT) AS boost_milli
+        |FROM q, sq ORDER BY source""".stripMargin,
+    "q117_span_mask" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |t AS (SELECT doc_id,
+        |  unnest(list_transform(toks, (x, i) -> {'pos': i - 1, 'tok': x})) AS u
+        |  FROM t0),
+        |m AS (SELECT doc_id, u.pos AS pos, u.tok AS tok,
+        |  (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(u.pos AS VARCHAR)), 1, 4)) AS INTEGER) % 100) < 15 AS msk
+        |  FROM t)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  CAST(sum(CASE WHEN msk THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |  string_agg(CASE WHEN msk THEN '<mask>' ELSE tok END, ' ' ORDER BY pos) AS masked_text
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

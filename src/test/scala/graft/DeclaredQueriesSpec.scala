@@ -58,7 +58,8 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q109_dedup_keep_best" -> 174L, "q110_winnow_fingerprint" -> 500L,
     "q111_lm_bigram_score" -> 500L, "q112_char_entropy" -> 500L,
     "q113_source_divergence" -> 20L, "q114_stratified_topk" -> 50L,
-    "q115_dedup_prefix" -> 24L)
+    "q115_dedup_prefix" -> 24L, "q116_mix_temperature" -> 20L,
+    "q117_span_mask" -> 500L)
 
   test("every declared query has an oracle and matches its golden sf0.001 count") {
     val qs = SparkEntry.queries
