@@ -233,4 +233,20 @@ class PlanShapeSpec extends SparkSpec {
           qe.optimizedPlan.toString.take(1200))
     }
   }
+
+  test("q116 temperature mix scans the corpus exactly once " +
+    "(totals via window over the aggregated frame, not crossJoin re-eval)") {
+    val p = plan("q116_mix_temperature")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1500))
+    assert(!p.contains("NestedLoopJoin"), p.take(1500))
+  }
+
+  test("q117 span masking is one generate + one reassembly aggregation " +
+    "(no second window for token order)") {
+    val p = plan("q117_span_mask")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+    // two-phase: partial collect_list absorbs the token fan-out map-side
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
 }
