@@ -131,6 +131,11 @@ object SparkEntry {
     "q115_dedup_prefix" -> (CorpusQueries.q115_dedup_prefix _),
     "q116_mix_temperature" -> (CorpusQueries.q116_mix_temperature _),
     "q117_span_mask" -> (CorpusQueries.q117_span_mask _),
+    // L. event/product analytics + PII scrubbing
+    "q118_pii_redact" -> (EventQueries.q118_pii_redact _),
+    "q119_event_funnel" -> (EventQueries.q119_event_funnel _),
+    "q120_cohort_retention" -> (EventQueries.q120_cohort_retention _),
+    "q121_event_transitions" -> (EventQueries.q121_event_transitions _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -140,5 +145,5 @@ object SparkEntry {
       WindowSetQueries.oracle ++ ScalarQueries.oracle ++
       StreamShapeQueries.oracle ++ UdxQueries.oracle ++
       NorthStarQueries.oracle ++ PipelineQueries.oracle ++
-      CorpusQueries.oracle
+      CorpusQueries.oracle ++ EventQueries.oracle
 }

@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Pii
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.2.L — event/product analytics + PII scrubbing over the `events`
+  * table: funnel conversion, cohort retention, event-sequence transition
+  * counts, and the C4/Dolma-style PII redaction stage. Hash-checked
+  * against DuckDB oracles like the rest of the declared surface.
+  *
+  * Scale notes (100 TB): every query here shuffles at most on `user_id`
+  * (funnel, retention, transitions — the natural partitioning of an event
+  * log, so a pre-bucketed layout makes them exchange-free) or not at all
+  * (PII redaction is a scan-speed regex projection). No collects, no
+  * cross joins, no unbounded broadcasts.
+  */
+object EventQueries {
+
+  /** PII redaction (q118). The fixture corpus is synthetic word-salad with
+    * no natural PII, so the query first derives a contact-card string from
+    * event columns — the SAME deterministic construction in both engines,
+    * the q101 eval-set stand-in pattern — then scrubs it with
+    * [[graft.functions.Pii]]. Counts vary row-to-row (0-2 emails, 0-1
+    * phone/IP) so the hash check exercises global replacement, word
+    * boundaries, and the email-before-IP ordering, not a constant.
+    */
+  def q118_pii_redact(spark: SparkSession, sfDir: String): DataFrame = {
+    val synth = concat(
+      lit("evt "), col("event_type"),
+      lit(" u"), col("user_id").cast("string"), lit("@mail.example.com"),
+      when(col("event_id") % 3 =!= 0,
+        concat(lit(" call 555-"),
+          lpad((col("event_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit(" no phone")),
+      when(col("user_id") % 2 === 0,
+        concat(lit(" cc admin"), (col("user_id") % 7).cast("string"),
+          lit("@corp.example.org")))
+        .otherwise(lit("")),
+      when(col("event_id") % 5 < 3,
+        concat(lit(" from 10."), (col("user_id") % 256).cast("string"),
+          lit("."), (col("event_id") % 256).cast("string"), lit(".9")))
+        .otherwise(lit(" offline")))
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), synth.as("synth"))
+      .select(col("event_id"),
+        Pii.emailCount(col("synth")).as("n_email"),
+        Pii.phoneCount(col("synth")).as("n_phone"),
+        Pii.ipCount(col("synth")).as("n_ip"),
+        Pii.redact(col("synth")).as("redacted"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Funnel conversion (q119): of users whose first `signup` event exists,
+    * how many made a `purchase` within 3 days of it — reported per
+    * user_id%8 cohort with the conversion rate in integer basis points
+    * (the house no-float-boundary rule).
+    *
+    * One shuffle keyed on user_id for the signup min(); the purchase probe
+    * joins on the same key (AQE broadcasts the 150-row signup side at
+    * fixture scale; at 100 TB both sides hash-partition on user_id — the
+    * event log's natural key, skew-guarded by AQE).
+    */
+  def q119_event_funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_signup"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val converted = signups.join(purchases, Seq("user_id"))
+      .filter(col("p_ts") >= col("first_signup") &&
+        col("p_ts") <= col("first_signup") + expr("INTERVAL 3 DAY"))
+      .select(col("user_id")).distinct()
+      .withColumn("__c", lit(1))
+    signups.join(converted, Seq("user_id"), "left")
+      .groupBy((col("user_id") % 8).as("cohort"))
+      .agg(count(lit(1)).as("n_signed"), count(col("__c")).as("n_converted"))
+      .select(col("cohort"), col("n_signed"), col("n_converted"),
+        expr("n_converted * 10000 div n_signed").as("conv_bp"))
+      .orderBy(col("cohort"))
+  }
+
+  /** Cohort retention (q120): users cohorted by the day of their first
+    * qualifying event (a `purchase` above 150.00 — compared in integer
+    * cents, no float boundary), counted on each later active day k.
+    * Calendar math stays in epoch-day integers (`datediff` vs 1970-01-01)
+    * — engine-stable, no timezone/week-start divergence.
+    *
+    * Two user_id-keyed shuffles (first-day agg + join back) and one on
+    * (cohort_day, k); the distinct-user count partial-aggregates map-side.
+    */
+  def q120_cohort_retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val active = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase" &&
+        round(col("value") * 100).cast("long") > 15000L)
+      .select(col("user_id"),
+        expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')")
+          .cast("long").as("d"))
+    val firsts = active.groupBy(col("user_id"))
+      .agg(min(col("d")).as("cohort_day"))
+    active.join(firsts, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("d") - col("cohort_day")).as("k"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("k"))
+  }
+
+  /** Event-sequence transition matrix (q121): per user, each event's
+    * successor type under (ts, event_id) order — event_id breaks timestamp
+    * ties deterministically — aggregated to (type, next_type) pair counts.
+    * The Markov-chain view of product analytics ("what follows a click").
+    *
+    * One window shuffle on user_id, then a pre-aggregated 25-row result;
+    * at 100 TB the window partition is the per-user event list, which is
+    * exactly how an event store is already laid out.
+    */
+  def q121_event_transitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q118_pii_redact" ->
+      raw"""WITH s AS (
+        |  SELECT event_id,
+        |    'evt ' || event_type || ' u' || CAST(user_id AS VARCHAR) ||
+        |    '@mail.example.com' ||
+        |    CASE WHEN event_id % 3 <> 0
+        |      THEN ' call 555-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE ' no phone' END ||
+        |    CASE WHEN user_id % 2 = 0
+        |      THEN ' cc admin' || CAST(user_id % 7 AS VARCHAR) || '@corp.example.org'
+        |      ELSE '' END ||
+        |    CASE WHEN event_id % 5 < 3
+        |      THEN ' from 10.' || CAST(user_id % 256 AS VARCHAR) || '.' ||
+        |           CAST(event_id % 256 AS VARCHAR) || '.9'
+        |      ELSE ' offline' END AS synth
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(len(regexp_extract_all(synth, '[a-z0-9._%-]+@[a-z0-9.-]+\.[a-z]{2,4}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(synth, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(synth, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS BIGINT) AS n_ip,
+        |  regexp_replace(regexp_replace(regexp_replace(synth,
+        |      '[a-z0-9._%-]+@[a-z0-9.-]+\.[a-z]{2,4}', '[EMAIL]', 'g'),
+        |      '\b555-[0-9]{4}\b', '[PHONE]', 'g'),
+        |      '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '[IP]', 'g') AS redacted
+        |FROM s ORDER BY event_id""".stripMargin,
+    "q119_event_funnel" ->
+      """WITH s AS (SELECT user_id, min(ts) AS first_signup FROM events
+        |           WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT DISTINCT s.user_id FROM s JOIN events e
+        |      ON e.user_id = s.user_id AND e.event_type = 'purchase'
+        |      AND e.ts >= s.first_signup
+        |      AND e.ts <= s.first_signup + INTERVAL 3 DAY)
+        |SELECT s.user_id % 8 AS cohort, count(*) AS n_signed,
+        |  count(c.user_id) AS n_converted,
+        |  CAST(count(c.user_id) * 10000 // count(*) AS BIGINT) AS conv_bp
+        |FROM s LEFT JOIN c ON s.user_id = c.user_id
+        |GROUP BY 1 ORDER BY cohort""".stripMargin,
+    "q120_cohort_retention" ->
+      """WITH w AS (SELECT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND CAST(round(value * 100) AS BIGINT) > 15000),
+        |f AS (SELECT user_id, min(d) AS cohort_day FROM w GROUP BY user_id)
+        |SELECT f.cohort_day, w.d - f.cohort_day AS k,
+        |  count(DISTINCT w.user_id) AS n_users
+        |FROM w JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, k""".stripMargin,
+    "q121_event_transitions" ->
+      """WITH o AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type
+        |  FROM events)
+        |SELECT event_type, next_type, count(*) AS n_pairs FROM o
+        |WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin,
+  )
+}

@@ -59,7 +59,9 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q111_lm_bigram_score" -> 500L, "q112_char_entropy" -> 500L,
     "q113_source_divergence" -> 20L, "q114_stratified_topk" -> 50L,
     "q115_dedup_prefix" -> 24L, "q116_mix_temperature" -> 20L,
-    "q117_span_mask" -> 500L)
+    "q117_span_mask" -> 500L, "q118_pii_redact" -> 1000L,
+    "q119_event_funnel" -> 8L, "q120_cohort_retention" -> 9L,
+    "q121_event_transitions" -> 25L)
 
   test("every declared query has an oracle and matches its golden sf0.001 count") {
     val qs = SparkEntry.queries
