@@ -249,4 +249,28 @@ class PlanShapeSpec extends SparkSpec {
     // two-phase: partial collect_list absorbs the token fan-out map-side
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
   }
+
+  test("q118 PII redaction is a scan-speed projection: one scan, no " +
+    "exchange below the output sort") {
+    val p = plan("q118_pii_redact")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1500))
+    // the only Exchange allowed is the rangepartitioning for ORDER BY
+    assert(!p.contains("hashpartitioning"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("q119/q120 funnel + retention shuffle only on user_id and the " +
+    "final group key — no cartesian, no nested-loop join") {
+    Seq("q119_event_funnel", "q120_cohort_retention").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1200)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(1200)}")
+    }
+  }
+
+  test("q121 transition matrix is one window pass + two-phase agg") {
+    val p = plan("q121_event_transitions")
+    assert("Window".r.findAllIn(p).size == 1, p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
 }
