@@ -333,25 +333,30 @@ object CorpusQueries {
     * surrogate halves on the Spark side and shift the distribution
     * slightly, not break the query).
     */
-  def q112_char_entropy(spark: SparkSession, sfDir: String): DataFrame = {
-    val perChar = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
-    val perDoc = perChar.groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
-    perChar.join(perDoc, "doc_id")
-      .withColumn("contrib",
-        round(-col("c").cast("double")
-          * log(col("c").cast("double") / col("n")) * 1000).cast("long"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("n")).as("n_chars_total"),
-        max(col("n_distinct")).as("n_distinct_chars"),
-        sum(col("contrib")).as("sum_mnat"))
+  def q112_char_entropy(spark: SparkSession, sfDir: String): DataFrame =
+    // One codegen'd histogram pass per doc ([[graft.expressions.CharCounts]],
+    // round 5: replaces explode(split(text,"")) + a (doc,ch) groupBy + a
+    // per-doc join — ~250 rows/doc through the agg hash path and two
+    // shuffles, for a per-row computation). The entropy folds are
+    // higher-order aggregates over the alphabet-bounded histogram; the
+    // double math is term-for-term the expression the oracle replays
+    // (round once per character BEFORE the integer sum — order-independent).
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.expressions.CharCounts.charCounts(col("text")).as("counts"))
+      .select(col("doc_id"),
+        expr("aggregate(counts, 0L, (a, x) -> a + x.c)").as("n_chars_total"),
+        size(col("counts")).cast("long").as("n_distinct_chars"),
+        col("counts"))
+      .select(col("doc_id"), col("n_chars_total"), col("n_distinct_chars"),
+        expr("aggregate(counts, 0L, (a, x) -> a + cast(round(" +
+          "-cast(x.c as double) * ln(cast(x.c as double) / " +
+          "cast(n_chars_total as double)) * 1000) as bigint))")
+          .as("sum_mnat"))
       .select(col("doc_id"), col("n_chars_total"), col("n_distinct_chars"),
         col("sum_mnat"),
         expr("sum_mnat div n_chars_total").cast("long").as("entropy_mnat"))
       .orderBy(col("doc_id"))
-  }
 
   /** Per-source distribution divergence — the domain-shift number a data
     * recipe (q74/q105) is tuned against: KL(P_source ‖ P_corpus) over
