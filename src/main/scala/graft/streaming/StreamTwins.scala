@@ -132,4 +132,54 @@ object StreamTwins {
       }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), enc)
       .toDF()
   }
+
+  /** q119's streaming twin: per-user funnel state machine via
+    * `flatMapGroupsWithState`. State = (first signup µs | MaxValue,
+    * converted 0/1) per user — two longs regardless of event volume. Emits
+    * ONE row per user at the first `purchase` within 3 days of the first
+    * `signup`: (user_id, signup_us, purchase_us, delay_us).
+    *
+    * Rows are processed in (ts, event_id) order within each micro-batch,
+    * so any batch split of an in-order stream yields the batch answer; an
+    * out-of-order purchase-before-signup arrival cannot convert — that is
+    * the streaming semantics (the batch twin q119 sees all history, a
+    * stream sees a prefix). Pair with a watermark-driven state timeout in
+    * production to evict users whose 3-day window has passed.
+    */
+  def funnelConversions(events: DataFrame): DataFrame = {
+    val windowUs = 3L * 24 * 3600 * 1000000
+    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("signup_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("purchase_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("delay_us",
+        org.apache.spark.sql.types.LongType))))
+    val in = events.select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    in.as(Encoders.row(in.schema))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState[(Long, Long), Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Row], state: GroupState[(Long, Long)]) =>
+          var (first, converted) = state.getOption.getOrElse((Long.MaxValue, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          rows.toSeq.sortBy(r => (r.getLong(3), r.getLong(1))).foreach { r =>
+            val ts = r.getLong(3)
+            r.getString(2) match {
+              case "signup" if first == Long.MaxValue => first = ts
+              case "purchase" if converted == 0L && first != Long.MaxValue &&
+                ts >= first && ts <= first + windowUs =>
+                converted = 1L
+                out += Row(user, first, ts, ts - first)
+              case _ => ()
+            }
+          }
+          state.update((first, converted))
+          out.iterator
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), enc)
+      .toDF()
+  }
 }

@@ -73,6 +73,35 @@ class StreamingSpec extends SparkSpec {
     assert(keys.count(_ == (2L, "click")) == 1)
   }
 
+  test("funnel twin: converts once within 3 days of FIRST signup, state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val funnel = Seq(
+      Ev(1, t("2024-01-01 00:00:00"), 1, "signup", 0.0, "{}"),
+      Ev(2, t("2024-01-01 12:00:00"), 1, "purchase", 5.0, "{}"),  // converts
+      Ev(3, t("2024-01-02 00:00:00"), 1, "purchase", 6.0, "{}"),  // ignored (once)
+      Ev(4, t("2024-01-01 00:00:00"), 2, "signup", 0.0, "{}"),
+      Ev(5, t("2024-01-05 00:00:00"), 2, "purchase", 7.0, "{}"),  // > 3 days: no
+      Ev(6, t("2024-01-02 00:00:00"), 3, "purchase", 8.0, "{}"),  // no signup: no
+      Ev(7, t("2024-01-03 00:00:00"), 4, "signup", 0.0, "{}"),
+      Ev(8, t("2024-01-06 00:00:00"), 4, "purchase", 9.0, "{}"))  // exactly +3d: yes
+    val mem = MemoryStream[Ev]
+    val q = StreamTwins.funnelConversions(mem.toDF()).writeStream
+      .format("memory").queryName("tfun").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(funnel.take(3))   // u1 signup+purchase, u1 extra purchase
+      q.processAllAvailable()
+      mem.addData(funnel.drop(3))   // u4's purchase needs u4 signup state
+      q.processAllAvailable()
+      val stream = spark.table("tfun").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      val batch = StreamTwins.funnelConversions(funnel.toDF()).collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(stream == batch)
+      // exactly users 1 and 4 convert; delay is 12h and exactly 3 days
+      assert(stream == Set((1L, 43200000000L), (4L, 259200000000L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals: streaming == batch, state carries across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
