@@ -136,6 +136,8 @@ object SparkEntry {
     "q119_event_funnel" -> (EventQueries.q119_event_funnel _),
     "q120_cohort_retention" -> (EventQueries.q120_cohort_retention _),
     "q121_event_transitions" -> (EventQueries.q121_event_transitions _),
+    "q122_user_rfm" -> (EventQueries.q122_user_rfm _),
+    "q123_scd2_intervals" -> (EventQueries.q123_scd2_intervals _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -126,6 +126,60 @@ object EventQueries {
       .orderBy(col("event_type"), col("next_type"))
   }
 
+  /** RFM segmentation (q122): per user, Recency (days since last event,
+    * relative to the corpus max day — a 1-row broadcast aggregate, q105
+    * pattern), Frequency (event count), Monetary (value summed in integer
+    * cents — rounded per row BEFORE the sum, order-independent), and the
+    * classic quadrant label. Thresholds sit inside the fixture variance so
+    * all four segments materialize.
+    *
+    * One user_id-keyed aggregation + a broadcast 1-row reference date; at
+    * 100 TB this is a scan + one shuffle on the log's natural key.
+    */
+  def q122_user_rfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val ref = ev.agg(max(col("ts").cast("date")).as("ref_day"))
+    ev.groupBy(col("user_id"))
+      .agg(max(col("ts").cast("date")).as("last_day"),
+        count(lit(1)).as("f"),
+        sum(round(col("value") * 100).cast("long")).as("m_cents"))
+      .crossJoin(broadcast(ref))
+      .select(col("user_id"),
+        datediff(col("ref_day"), col("last_day")).cast("long").as("r_days"),
+        col("f"), col("m_cents"))
+      .withColumn("segment",
+        when(col("r_days") <= 0 && col("f") >= 67, "core")
+          .when(col("r_days") <= 0, "active")
+          .when(col("f") >= 67, "whale")
+          .otherwise("casual"))
+      .orderBy(col("user_id"))
+  }
+
+  /** SCD2 interval reconstruction (q123): the event log's `event_type`
+    * stream per user, collapsed to CHANGE rows (consecutive equal states
+    * merge — the lag filter), then versioned validity intervals
+    * [valid_from, valid_to) with an open current row — the
+    * slowly-changing-dimension type-2 table a warehouse materializes from
+    * CDC. (ts, event_id) ordering makes ties deterministic.
+    *
+    * Two window passes over the SAME (user_id) partitioning — one
+    * shuffle; the change filter shrinks the second pass's input.
+    */
+  def q123_scd2_intervals(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type").as("status"), col("ts"),
+        col("event_id"))
+      .withColumn("prev_status", lag(col("status"), 1).over(w))
+      .filter(col("prev_status").isNull || col("prev_status") =!= col("status"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("status"), col("ts").as("valid_from"),
+        col("valid_to"), col("version"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   val oracle: Map[String, String] = Map(
     "q118_pii_redact" ->
       raw"""WITH s AS (
@@ -174,6 +228,36 @@ object EventQueries {
         |  count(DISTINCT w.user_id) AS n_users
         |FROM w JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, k""".stripMargin,
+    "q122_user_rfm" ->
+      """WITH ref AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
+        |u AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+        |  count(*) AS f,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m_cents
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(date_diff('day', last_day, (SELECT ref_day FROM ref)) AS BIGINT)
+        |    AS r_days,
+        |  f, m_cents,
+        |  CASE WHEN date_diff('day', last_day, (SELECT ref_day FROM ref)) <= 0
+        |         AND f >= 67 THEN 'core'
+        |       WHEN date_diff('day', last_day, (SELECT ref_day FROM ref)) <= 0
+        |         THEN 'active'
+        |       WHEN f >= 67 THEN 'whale'
+        |       ELSE 'casual' END AS segment
+        |FROM u ORDER BY user_id""".stripMargin,
+    "q123_scd2_intervals" ->
+      """WITH c AS (SELECT user_id, event_type AS status, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |ch AS (SELECT user_id, status, ts, event_id FROM c
+        |       WHERE prev IS NULL OR prev <> status)
+        |SELECT user_id, status, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS valid_to,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS BIGINT) AS version
+        |FROM ch ORDER BY user_id, version""".stripMargin,
     "q121_event_transitions" ->
       """WITH o AS (SELECT event_type,
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -61,7 +61,8 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q115_dedup_prefix" -> 24L, "q116_mix_temperature" -> 20L,
     "q117_span_mask" -> 500L, "q118_pii_redact" -> 1000L,
     "q119_event_funnel" -> 8L, "q120_cohort_retention" -> 9L,
-    "q121_event_transitions" -> 25L)
+    "q121_event_transitions" -> 25L, "q122_user_rfm" -> 15L,
+    "q123_scd2_intervals" -> 802L)
 
   test("every declared query has an oracle and matches its golden sf0.001 count") {
     val qs = SparkEntry.queries
