@@ -22,7 +22,9 @@ object PlanAudit extends App {
     "q108_dedup_canonical", "q109_dedup_keep_best",
     "q110_winnow_fingerprint", "q111_lm_bigram_score",
     "q112_char_entropy", "q113_source_divergence", "q114_stratified_topk",
-    "q115_dedup_prefix", "q116_mix_temperature", "q117_span_mask")
+    "q115_dedup_prefix", "q116_mix_temperature", "q117_span_mask",
+    "q118_pii_redact", "q119_event_funnel", "q120_cohort_retention",
+    "q121_event_transitions", "q122_user_rfm", "q123_scd2_intervals")
   targets.foreach { q =>
     println(s"\n========== $q ==========")
     println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(
