@@ -138,6 +138,8 @@ object SparkEntry {
     "q121_event_transitions" -> (EventQueries.q121_event_transitions _),
     "q122_user_rfm" -> (EventQueries.q122_user_rfm _),
     "q123_scd2_intervals" -> (EventQueries.q123_scd2_intervals _),
+    "q124_time_weighted_avg" -> (EventQueries.q124_time_weighted_avg _),
+    "q125_dq_checks" -> (DqQueries.q125_dq_checks _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -147,5 +149,5 @@ object SparkEntry {
       WindowSetQueries.oracle ++ ScalarQueries.oracle ++
       StreamShapeQueries.oracle ++ UdxQueries.oracle ++
       NorthStarQueries.oracle ++ PipelineQueries.oracle ++
-      CorpusQueries.oracle ++ EventQueries.oracle
+      CorpusQueries.oracle ++ EventQueries.oracle ++ DqQueries.oracle
 }

@@ -180,6 +180,36 @@ object EventQueries {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** Time-weighted average (q124): per user, the value held over each
+    * inter-event interval weighted by its duration — the irregular-series
+    * mean (sensor/position/price feeds), where a plain avg() overweights
+    * bursts. All math in integers: cents × microseconds summed as BIGINT
+    * (bounded by max_cents × corpus span ≪ 2⁶³), one integer division at
+    * the end. The last event per user carries no interval (lead is null)
+    * and drops out, mirroring the oracle.
+    *
+    * One window + one agg on the same user_id partitioning — single
+    * shuffle at any scale.
+    */
+  def q124_time_weighted_avg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("dt_us",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .filter(col("dt_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt_us")).as("span_us"),
+        sum(col("cents") * col("dt_us")).as("num"))
+      .filter(col("span_us") > 0)  // degenerate all-simultaneous guard
+      .select(col("user_id"), col("n_intervals"), col("span_us"),
+        expr("num div span_us").as("twa_cents"))
+      .orderBy(col("user_id"))
+  }
+
   val oracle: Map[String, String] = Map(
     "q118_pii_redact" ->
       raw"""WITH s AS (
@@ -228,6 +258,19 @@ object EventQueries {
         |  count(DISTINCT w.user_id) AS n_users
         |FROM w JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, k""".stripMargin,
+    "q124_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |      - epoch_us(ts) AS dt_us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  CAST(sum(dt_us) AS BIGINT) AS span_us,
+        |  CAST(CAST(sum(cents * dt_us) AS BIGINT)
+        |    // CAST(sum(dt_us) AS BIGINT) AS BIGINT) AS twa_cents
+        |FROM e WHERE dt_us IS NOT NULL
+        |GROUP BY user_id HAVING sum(dt_us) > 0
+        |ORDER BY user_id""".stripMargin,
     "q122_user_rfm" ->
       """WITH ref AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events),
         |u AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
