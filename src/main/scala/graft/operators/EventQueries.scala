@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.Pii
+import graft.functions.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -19,24 +19,36 @@ import org.apache.spark.sql.functions._
   */
 object EventQueries {
 
-  /** PII redaction (q118). The fixture corpus is synthetic word-salad with
-    * no natural PII, so the query first derives a contact-card string from
+  /** PII redaction (q118): the PRODUCTION scrubber
+    * ([[graft.functions.TextFunctions.scrubPii]] — the same chain
+    * CurationPipeline applies and `scrub_pii` exposes in SQL), declared
+    * and hash-checked. The fixture corpus is synthetic word-salad with no
+    * natural PII, so the query first derives a contact-card string from
     * event columns — the SAME deterministic construction in both engines,
-    * the q101 eval-set stand-in pattern — then scrubs it with
-    * [[graft.functions.Pii]]. Counts vary row-to-row (0-2 emails, 0-1
-    * phone/IP) so the hash check exercises global replacement, word
-    * boundaries, and the email-before-IP ordering, not a constant.
+    * the q101 eval-set stand-in pattern — exercising all five classes
+    * (email/IP/SSN/card/phone) with row-varying presence (1-6 tags/row),
+    * so the hash pins global replacement, word boundaries, and the
+    * precedence order (SSN before the phone heuristic, card before both),
+    * not a constant.
     */
   def q118_pii_redact(spark: SparkSession, sfDir: String): DataFrame = {
     val synth = concat(
       lit("evt "), col("event_type"),
-      lit(" u"), col("user_id").cast("string"), lit("@mail.example.com"),
+      lit(" u"), col("user_id").cast("string"), lit("@Mail.Example.com"),
       when(col("event_id") % 3 =!= 0,
-        concat(lit(" call 555-"),
+        concat(lit(" call +1 (555) 123-"),
           lpad((col("event_id") % 10000).cast("string"), 4, "0")))
         .otherwise(lit(" no phone")),
+      when(col("user_id") % 3 === 0,
+        concat(lit(" ssn 123-45-"),
+          lpad((col("user_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("event_id") % 7 < 2,
+        concat(lit(" card 4111 1111 1111 "),
+          lpad((col("event_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
       when(col("user_id") % 2 === 0,
-        concat(lit(" cc admin"), (col("user_id") % 7).cast("string"),
+        concat(lit(" cc Admin"), (col("user_id") % 7).cast("string"),
           lit("@corp.example.org")))
         .otherwise(lit("")),
       when(col("event_id") % 5 < 3,
@@ -46,10 +58,8 @@ object EventQueries {
     Tables.events(spark, sfDir)
       .select(col("event_id"), synth.as("synth"))
       .select(col("event_id"),
-        Pii.emailCount(col("synth")).as("n_email"),
-        Pii.phoneCount(col("synth")).as("n_phone"),
-        Pii.ipCount(col("synth")).as("n_ip"),
-        Pii.redact(col("synth")).as("redacted"))
+        TextFunctions.piiCount(col("synth")).as("n_pii"),
+        TextFunctions.scrubPii(col("synth")).as("redacted"))
       .orderBy(col("event_id"))
   }
 
@@ -215,27 +225,40 @@ object EventQueries {
       raw"""WITH s AS (
         |  SELECT event_id,
         |    'evt ' || event_type || ' u' || CAST(user_id AS VARCHAR) ||
-        |    '@mail.example.com' ||
+        |    '@Mail.Example.com' ||
         |    CASE WHEN event_id % 3 <> 0
-        |      THEN ' call 555-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+        |      THEN ' call +1 (555) 123-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
         |      ELSE ' no phone' END ||
+        |    CASE WHEN user_id % 3 = 0
+        |      THEN ' ssn 123-45-' || lpad(CAST(user_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END ||
+        |    CASE WHEN event_id % 7 < 2
+        |      THEN ' card 4111 1111 1111 ' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END ||
         |    CASE WHEN user_id % 2 = 0
-        |      THEN ' cc admin' || CAST(user_id % 7 AS VARCHAR) || '@corp.example.org'
+        |      THEN ' cc Admin' || CAST(user_id % 7 AS VARCHAR) || '@corp.example.org'
         |      ELSE '' END ||
         |    CASE WHEN event_id % 5 < 3
         |      THEN ' from 10.' || CAST(user_id % 256 AS VARCHAR) || '.' ||
         |           CAST(event_id % 256 AS VARCHAR) || '.9'
         |      ELSE ' offline' END AS synth
-        |  FROM events)
+        |  FROM events),
+        |r AS (
+        |  SELECT event_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(synth,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        |      '\b(?:\d{4}[ -]){3}\d{4}\b|\b\d{13,16}\b', '[CARD]', 'g'),
+        |      '(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b', '[PHONE]', 'g')
+        |      AS redacted
+        |  FROM s)
         |SELECT event_id,
-        |  CAST(len(regexp_extract_all(synth, '[a-z0-9._%-]+@[a-z0-9.-]+\.[a-z]{2,4}')) AS BIGINT) AS n_email,
-        |  CAST(len(regexp_extract_all(synth, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phone,
-        |  CAST(len(regexp_extract_all(synth, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS BIGINT) AS n_ip,
-        |  regexp_replace(regexp_replace(regexp_replace(synth,
-        |      '[a-z0-9._%-]+@[a-z0-9.-]+\.[a-z]{2,4}', '[EMAIL]', 'g'),
-        |      '\b555-[0-9]{4}\b', '[PHONE]', 'g'),
-        |      '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '[IP]', 'g') AS redacted
-        |FROM s ORDER BY event_id""".stripMargin,
+        |  CAST(len(regexp_extract_all(redacted,
+        |    '\[(EMAIL|IP|SSN|CARD|PHONE)\]')) AS BIGINT) AS n_pii,
+        |  redacted
+        |FROM r ORDER BY event_id""".stripMargin,
     "q119_event_funnel" ->
       """WITH s AS (SELECT user_id, min(ts) AS first_signup FROM events
         |           WHERE event_type = 'signup' GROUP BY user_id),
