@@ -24,7 +24,8 @@ object PlanAudit extends App {
     "q112_char_entropy", "q113_source_divergence", "q114_stratified_topk",
     "q115_dedup_prefix", "q116_mix_temperature", "q117_span_mask",
     "q118_pii_redact", "q119_event_funnel", "q120_cohort_retention",
-    "q121_event_transitions", "q122_user_rfm", "q123_scd2_intervals")
+    "q121_event_transitions", "q122_user_rfm", "q123_scd2_intervals",
+    "q124_time_weighted_avg", "q125_dq_checks", "q126_attribution")
   targets.foreach { q =>
     println(s"\n========== $q ==========")
     println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(

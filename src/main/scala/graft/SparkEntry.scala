@@ -140,6 +140,7 @@ object SparkEntry {
     "q123_scd2_intervals" -> (EventQueries.q123_scd2_intervals _),
     "q124_time_weighted_avg" -> (EventQueries.q124_time_weighted_avg _),
     "q125_dq_checks" -> (DqQueries.q125_dq_checks _),
+    "q126_attribution" -> (EventQueries.q126_attribution _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

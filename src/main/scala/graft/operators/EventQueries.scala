@@ -220,6 +220,40 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Last-touch attribution (q126): each purchase credits the most recent
+    * NON-purchase event by the same user within a 1-day lookback, else
+    * 'none' — the marketing-attribution shape. The carry-forward is a
+    * running `last(..., ignoreNulls)` over rows [start, current-1], the
+    * same union+window trick as the as-of joins (q16/q19): no self-join,
+    * no range explosion. Revenue in per-row-rounded integer cents.
+    */
+  def q126_attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nonPurchase = col("event_type") =!= "purchase"
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      // both carry-forwards in ONE select so they land in one Window
+      // operator (separate withColumns leave a Project between them and
+      // defeat CollapseWindow — plan-pinned)
+      .select(col("*"),
+        last(when(nonPurchase, col("event_type")), ignoreNulls = true)
+          .over(w).as("prev_type"),
+        last(when(nonPurchase, col("ts")), ignoreNulls = true)
+          .over(w).as("prev_ts"))
+      .filter(col("event_type") === "purchase")
+      .withColumn("touch",
+        when(col("prev_ts").isNotNull &&
+          col("prev_ts") >= col("ts") - expr("INTERVAL 1 DAY"),
+          col("prev_type")).otherwise(lit("none")))
+      .groupBy(col("touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("touch"))
+  }
+
   val oracle: Map[String, String] = Map(
     "q118_pii_redact" ->
       raw"""WITH s AS (
@@ -281,6 +315,26 @@ object EventQueries {
         |  count(DISTINCT w.user_id) AS n_users
         |FROM w JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, k""".stripMargin,
+    "q126_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_ts
+        |  FROM events)
+        |SELECT CASE WHEN prev_ts IS NOT NULL AND prev_ts >= ts - INTERVAL 1 DAY
+        |            THEN prev_type ELSE 'none' END AS touch,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM e WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY touch""".stripMargin,
     "q124_time_weighted_avg" ->
       """WITH e AS (SELECT user_id, event_id, ts,
         |    CAST(round(value * 100) AS BIGINT) AS cents,

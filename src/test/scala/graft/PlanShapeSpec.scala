@@ -273,4 +273,19 @@ class PlanShapeSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size == 1, p.take(1500))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
   }
+
+  test("q124/q126 sequence analytics: one window pass, no self-join") {
+    Seq("q124_time_weighted_avg", "q126_attribution").foreach { q =>
+      val p = plan(q)
+      assert("Window".r.findAllIn(p).size == 1, s"$q: ${p.take(1200)}")
+      assert(!p.contains("Join"), s"$q must not self-join: ${p.take(1200)}")
+    }
+  }
+
+  test("q125 DQ screen: same-table rules fuse — exactly one scan per table") {
+    val p = plan("q125_dq_checks")
+    // 6 scans: lineitem, orders x2 (pk + fk sides), customer, events, documents
+    assert("Scan parquet".r.findAllIn(p).size == 6, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
 }
