@@ -141,6 +141,7 @@ object SparkEntry {
     "q124_time_weighted_avg" -> (EventQueries.q124_time_weighted_avg _),
     "q125_dq_checks" -> (DqQueries.q125_dq_checks _),
     "q126_attribution" -> (EventQueries.q126_attribution _),
+    "q127_window_funnel" -> (EventQueries.q127_window_funnel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

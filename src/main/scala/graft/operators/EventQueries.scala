@@ -254,7 +254,57 @@ object EventQueries {
       .orderBy(col("touch"))
   }
 
+  /** Ordered multi-step window funnel (q127, the ClickHouse
+    * `windowFunnel` shape): users completing signup → click → purchase in
+    * STRICT order, every step inside 7 days of the first signup, each
+    * step's timestamp the EARLIEST one after its predecessor (min-chain —
+    * deterministic, and the optimal greedy choice: an earliest-possible
+    * step never forecloses a later one). Emits per-cohort step counts.
+    *
+    * Three min-aggregations chained by same-key joins — every shuffle on
+    * user_id, so the whole funnel is one partitioning; step k's input
+    * shrinks monotonically. The 2-step special case collapses to q119.
+    */
+  def q127_window_funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 7 DAY"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t2") &&
+        col("ts") <= col("t1") + expr("INTERVAL 7 DAY"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s1.join(s2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .groupBy((col("user_id") % 4).as("cohort"))
+      .agg(count(lit(1)).as("n_step1"), count(col("t2")).as("n_step2"),
+        count(col("t3")).as("n_step3"))
+      .orderBy(col("cohort"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q127_window_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+        |       FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |         AND e.ts <= s2.t1 + INTERVAL 7 DAY GROUP BY e.user_id)
+        |SELECT s1.user_id % 4 AS cohort, count(*) AS n_step1,
+        |  count(s2.t2) AS n_step2, count(s3.t3) AS n_step3
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |GROUP BY 1 ORDER BY cohort""".stripMargin,
     "q118_pii_redact" ->
       raw"""WITH s AS (
         |  SELECT event_id,
