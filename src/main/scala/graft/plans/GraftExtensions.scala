@@ -20,9 +20,13 @@ import org.apache.spark.sql.types.DoubleType
   *    (the standard `SparkSessionExtensions` injection path);
   *  - per-session: `GraftExtensions.register(spark)` on a live session.
   *
-  * No custom optimizer `Rule` or `SparkStrategy` is injected — SURVEY §7.3:
-  * Catalyst's built-ins cover every declared query; the only custom pieces
-  * that earn their keep are expressions.
+  * No custom optimizer `Rule` is injected — SURVEY §7.3: Catalyst's
+  * built-ins cover every declared query. One custom `SparkStrategy` exists
+  * where a whole OPERATOR (not a rewrite) earns its keep:
+  * [[graft.plans.TopKStrategy]] plans per-key top-k as partial/final
+  * bounded heaps (map-side combine the Window formulation cannot do); it
+  * registers on `spark.experimental.extraStrategies` via `TopK.perKey`
+  * rather than here, so plain sessions keep stock planning.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
