@@ -24,6 +24,7 @@ object SparkEntry {
     "q03_project_arith" -> (CoreQueries.q03_project_arith _),
     "q04_sort_multi" -> (CoreQueries.q04_sort_multi _),
     "q05_topk_global" -> (CoreQueries.q05_topk_global _),
+    "q128_topk_per_key" -> (CoreQueries.q128_topk_per_key _),
     // B. joins
     "q10_join_inner" -> (JoinQueries.q10_join_inner _),
     "q11_join_multiway" -> (JoinQueries.q11_join_multiway _),

@@ -58,7 +58,29 @@ object CoreQueries {
         Det.r2(col("o_totalprice")).as("o_totalprice"))
       .limit(50)
 
+  /** Per-key top-k through the custom [[graft.plans.TopKPerKey]] operator
+    * (partial/final bounded heaps, no Window, no sort, keys×k-bounded
+    * shuffle) — the declared, driver-hash-checked exercise of the
+    * extension ladder's whole-operator rung. Total order (price desc,
+    * orderkey asc) makes boundary ties deterministic; the oracle is the
+    * classic row_number formulation the operator replaces.
+    */
+  def q128_topk_per_key(spark: SparkSession, sfDir: String): DataFrame =
+    graft.plans.TopK.perKey(Tables.orders(spark, sfDir), Seq("o_custkey"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .select(col("o_orderkey"), col("o_custkey"),
+        Det.r2(col("o_totalprice")).as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+
   val oracle: Map[String, String] = Map(
+    "q128_topk_per_key" ->
+      """WITH r AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM r WHERE rn <= 3
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q01_scan_project" ->
       """SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS l_quantity
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100""".stripMargin,
