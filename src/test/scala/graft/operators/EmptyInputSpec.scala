@@ -34,4 +34,26 @@ class EmptyInputSpec extends SparkSpec {
       assert(n == 0, s"$q returned $n rows on an empty corpus")
     }
   }
+
+  private lazy val emptyEventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-ev").toString
+    // write zero rows under the RAW events schema (ts as int64 nanos) so
+    // Tables.events' nanosAsLong read path sees the shape it expects
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Tables.eventsRawSchema)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("event-analytics queries return empty, not errors, on zero events") {
+    val qs = Seq(
+      "q118_pii_redact", "q119_event_funnel", "q120_cohort_retention",
+      "q121_event_transitions", "q122_user_rfm", "q123_scd2_intervals",
+      "q124_time_weighted_avg", "q126_attribution", "q127_window_funnel")
+    qs.foreach { q =>
+      val n = graft.SparkEntry.queries(q)(spark, emptyEventsDir).count()
+      assert(n == 0, s"$q returned $n rows on an empty event log")
+    }
+  }
 }
