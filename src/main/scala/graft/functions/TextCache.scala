@@ -89,6 +89,19 @@ object TextCache {
       base(spark, sfDir).select(col("doc_id"), col("lang"),
         Dedup.gramIds(col("text"), n).as("g")))
 
+  /** Generic memoized form for derivations whose cost dwarfs their
+    * cached-read cost — the documented crossover case above. The pair /
+    * cluster tier is the canonical example: an LSH+verify+connected-
+    * components pass over the whole corpus reduces to a few thousand
+    * (id, component) rows, so every consumer after the first reads a tiny
+    * cached table instead of re-running the most expensive pipeline in the
+    * engine. Names share the namespace of the built-in forms — pick unique
+    * ones.
+    */
+  def form(spark: SparkSession, sfDir: String, name: String)(
+      build: => DataFrame): DataFrame =
+    getOrPersist(spark, sfDir, name)(build)
+
   /** Unpersist and forget every cached form belonging to `spark`. */
   def release(spark: SparkSession): Unit =
     forms.keys.filter(_._1 eq spark).foreach { k =>

@@ -14,6 +14,24 @@ import org.apache.spark.sql.functions._
   */
 object CorpusQueries {
 
+  /** The q94 cluster assignment (LSH pairs → connected components),
+    * computed ONCE per (session, sf dir) and memoized via
+    * [[graft.functions.TextCache.form]]: q100/q108/q109 all start from this
+    * exact frame, and the LSH+verify+CC pass is the most expensive
+    * derivation in the engine while its output is a few thousand
+    * (id, component) rows — the documented cache crossover case. At 100 TB
+    * this is the standard materialize-the-cluster-map step: a real
+    * pipeline writes the assignment to columnar storage once and every
+    * dedup consumer (cluster report, canonical write, keep-best write)
+    * reads the map instead of re-clustering the corpus.
+    */
+  private def q94Clusters(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.TextCache.form(spark, sfDir, "cc94")(
+      Components.connectedComponents(
+        PipelineQueries.q94Pairs(spark, sfDir)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b"))
+
   /** Near-duplicate CLUSTERS: connected components over the q94 capped-LSH
     * pair graph (the production dedup tier), so a pipeline keeps one
     * canonical doc per cluster instead of dropping both ends of each pair.
@@ -25,9 +43,7 @@ object CorpusQueries {
     * diameter-many rounds — see [[graft.functions.Components]].
     */
   def q100_dedup_components(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = PipelineQueries.q94Pairs(spark, sfDir)
-      .select(col("id_a"), col("id_b"))
-    val cc = Components.connectedComponents(pairs, "id_a", "id_b")
+    val cc = q94Clusters(spark, sfDir)
     val sizes = cc.groupBy(col("component"))
       .agg(count(lit(1)).as("n_members"))
     cc.join(sizes, "component")
@@ -215,9 +231,7 @@ object CorpusQueries {
     * cluster step's shape.
     */
   def q108_dedup_canonical(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = PipelineQueries.q94Pairs(spark, sfDir)
-      .select(col("id_a"), col("id_b"))
-    val drop = Components.connectedComponents(pairs, "id_a", "id_b")
+    val drop = q94Clusters(spark, sfDir)
       .filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id"))
     Tables.documents(spark, sfDir)
@@ -239,9 +253,7 @@ object CorpusQueries {
   def q109_dedup_keep_best(spark: SparkSession, sfDir: String): DataFrame = {
     val stops = Seq("join", "filter", "scan")
     val docs = Tables.documents(spark, sfDir)
-    val pairs = PipelineQueries.q94Pairs(spark, sfDir)
-      .select(col("id_a"), col("id_b"))
-    val cc = Components.connectedComponents(pairs, "id_a", "id_b")
+    val cc = q94Clusters(spark, sfDir)
     val quality = docs.select(col("doc_id"),
       TextFunctions.qualityScore(col("text"), stops).as("quality"))
     val w = Window.partitionBy(col("component"))
