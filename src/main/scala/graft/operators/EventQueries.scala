@@ -289,7 +289,55 @@ object EventQueries {
       .orderBy(col("cohort"))
   }
 
+  /** Point-in-interval range join (q129): every activity event joined to
+    * the per-user PURCHASE REGIME active at its timestamp — regimes run
+    * half-open from each purchase to the user's next one (the last,
+    * open-ended regime is excluded, so both engines see identical finite
+    * intervals). The "which version/owning record was live at event time"
+    * shape — fact-to-SCD2 point-in-time lookups, price-at-trade-time,
+    * config-at-request-time — declared through the generic
+    * [[RangeJoin.pointInInterval]] operator with a 1-day bin.
+    *
+    * Scale: see [[RangeJoin]] — the binned rewrite plans a plain shuffled
+    * equi-join on (user_id, bin) with the range check as a residual
+    * (plan-pinned: no nested-loop, no cartesian), instead of the
+    * per-key-quadratic sort-merge a raw BETWEEN predicate gets.
+    */
+  def q129_interval_join(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val wIv = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("purchase_id"))
+    val intervals = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wIv))
+      .filter(col("valid_to").isNotNull)
+    val points = ev.filter(col("event_type").isin("click", "view", "error"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("at_us"))
+    RangeJoin.pointInInterval(points, intervals, Seq("user_id"),
+        at = "at_us", from = "valid_from", to = "valid_to",
+        binWidth = 86400L * 1000000L)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("purchase_id"), (col("at_us") - col("valid_from")).as("since_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q129_interval_join" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS valid_from,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS valid_to
+        |  FROM events WHERE event_type = 'purchase'),
+        |pt AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS at_us
+        |  FROM events WHERE event_type IN ('click', 'view', 'error'))
+        |SELECT p.user_id, p.event_id, p.event_type, i.purchase_id,
+        |  CAST(p.at_us - i.valid_from AS BIGINT) AS since_us
+        |FROM pt p JOIN iv i ON p.user_id = i.user_id
+        |  AND p.at_us >= i.valid_from AND p.at_us < i.valid_to
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
     "q127_window_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'signup' GROUP BY user_id),

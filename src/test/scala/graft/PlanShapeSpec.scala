@@ -33,6 +33,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1000))
   }
 
+  test("q129 binned range join plans as an equi-join, not a nested loop") {
+    val p = plan("q129_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("q82 KNN broadcasts the probe side") {
     val p = plan("q82_knn_cosine")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The binned point-in-interval join must (1) agree exactly with the naive
+  * inequality join it replaces, for every bin width, (2) keep unmatched
+  * points under how="left" even when a bin collision fails the exact range
+  * check, and (3) plan as a shuffled equi-join — no nested-loop fallback.
+  */
+class RangeJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // deterministic pseudo-random fixture: 3 keys, overlapping + empty +
+  // null-bounded intervals, points on bin boundaries and far outside
+  private def fixture: (DataFrame, DataFrame) = {
+    val points = Seq(
+      (1L, 0L), (1L, 9L), (1L, 10L), (1L, 11L), (1L, 99L), (1L, 100L),
+      (2L, 10L), (2L, 50L), (2L, 1000L),
+      (3L, 7L), (3L, -13L), (3L, -1L))
+      .toDF("k", "at")
+      .withColumn("pid", monotonically_increasing_id())
+    val intervals = Seq(
+      (1L, Some(0L), Some(10L)),    // [0,10) — catches 0,9 not 10
+      (1L, Some(10L), Some(100L)),  // adjacent regime
+      (1L, Some(5L), Some(5L)),     // empty — matches nothing
+      (1L, Some(50L), Some(40L)),   // inverted — matches nothing
+      (2L, Some(0L), Some(2000L)),  // long interval, many bins
+      (2L, None, Some(100L)),       // null from — matches nothing
+      (3L, Some(-20L), Some(0L)))   // negative instants
+      .toDF("k", "from", "to")
+      .withColumn("iid", monotonically_increasing_id())
+    (points, intervals)
+  }
+
+  private def naive(points: DataFrame, intervals: DataFrame): Set[(Long, Long)] =
+    points.join(intervals.filter(col("to") > col("from")),
+        points("k") === intervals("k") &&
+          points("at") >= intervals("from") && points("at") < intervals("to"))
+      .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSet
+
+  test("binned join = naive inequality join for every bin width") {
+    val (points, intervals) = fixture
+    val expected = naive(points, intervals)
+    for (w <- Seq(1L, 3L, 10L, 64L, 100000L)) {
+      val got = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+          "at", "from", "to", binWidth = w)
+        .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSet
+      assert(got == expected, s"binWidth=$w")
+    }
+  }
+
+  test("each point matches a containing interval exactly once (no bin dup)") {
+    val (points, intervals) = fixture
+    val dup = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+        "at", "from", "to", binWidth = 3)
+      .groupBy(col("pid"), col("iid")).count().filter(col("count") > 1)
+    assert(dup.isEmpty)
+  }
+
+  test("left join keeps unmatched points; bin-collide-but-miss still kept") {
+    val (points, intervals) = fixture
+    val left = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+      "at", "from", "to", binWidth = 1000, how = "left")
+    // binWidth=1000 puts point (1, 100) in bin 0 with intervals it does
+    // NOT fall in — it must survive with a null interval side
+    assert(left.count() >= points.count())
+    val unmatched = left.filter(col("iid").isNull)
+      .select(col("k"), col("at")).as[(Long, Long)].collect().toSet
+    assert(unmatched.contains((1L, 100L)))    // past every k=1 interval
+    assert(!unmatched.contains((2L, 1000L)))  // inside [0, 2000) — matched
+    assert(unmatched.contains((3L, 7L)))      // after [-20, 0)
+  }
+
+  test("plans a shuffled equi-join on (key, bin), not a nested loop") {
+    val (points, intervals) = fixture
+    val plan = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+        "at", "from", "to", binWidth = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("rejects nonpositive bin widths and unknown join types") {
+    val (points, intervals) = fixture
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, intervals, Seq("k"),
+        "at", "from", "to", binWidth = 0)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, intervals, Seq("k"),
+        "at", "from", "to", binWidth = 10, how = "full")
+    }
+  }
+}
