@@ -107,6 +107,7 @@ object SparkEntry {
     "q93_text_cooccur" -> (PipelineQueries.q93_text_cooccur _),
     "q94_dedup_lsh_lang" -> (PipelineQueries.q94_dedup_lsh_lang _),
     "q95_fulltext_ranked" -> (PipelineQueries.q95_fulltext_ranked _),
+    "q130_bm25_ranked" -> (PipelineQueries.q130_bm25_ranked _),
     "q96_dedup_simhash" -> (PipelineQueries.q96_dedup_simhash _),
     "q73_hash_split" -> (PipelineQueries.q73_hash_split _),
     "q75_dedup_incremental" -> (PipelineQueries.q75_dedup_incremental _),

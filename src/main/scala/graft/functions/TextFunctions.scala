@@ -167,6 +167,52 @@ object TextFunctions {
       .orderBy(col("score").desc, col(idCol).asc)
   }
 
+  /** BM25-ranked full-text search (Robertson–Spärck Jones probabilistic
+    * weighting, the Okapi/Lucene default): the conjunctive match of
+    * [[fullTextSearch]] ordered by
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with the
+    * always-positive idf form `ln(1 + (N−df+0.5)/(df+0.5))`. Unlike the
+    * TF-IDF ranking of [[fullTextSearchRanked]], BM25 saturates term
+    * frequency (a 100-hit doc doesn't score 100×) and normalizes for
+    * document length — the ranking shape retrieval stacks actually ship.
+    *
+    * Scale shape identical to [[fullTextSearchRanked]]: corpus stats (N,
+    * avgdl) are a 1-row aggregate, per-term document frequencies a ≤|query|
+    * row broadcast, term frequencies computed only over matched docs.
+    */
+  def bm25Ranked(docs: DataFrame, idCol: String, textCol: String,
+                 query: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = query.trim.split("\\s+").toSeq.distinct
+    val matched = fullTextSearch(docs, textCol, query)
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("__n"),
+      avg(size(split(col(textCol), " ")).cast("double")).as("__avgdl"))
+    val dfPerTerm = docs
+      .select(explode(array_distinct(split(col(textCol), " "))).as("__term"))
+      .filter(col("__term").isInCollection(terms))
+      .groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val tf = matched
+      .select(col(idCol),
+        size(split(col(textCol), " ")).cast("double").as("__dl"),
+        explode(split(col(textCol), " ")).as("__term"))
+      .filter(col("__term").isInCollection(terms))
+      .groupBy(col(idCol), col("__term"))
+      .agg(count(lit(1)).cast("double").as("__tf"), max(col("__dl")).as("__dl"))
+    val scores = tf
+      .join(broadcast(dfPerTerm), "__term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5))))
+      .withColumn("__w",
+        col("__idf") * (col("__tf") * lit(k1 + 1.0)) /
+          (col("__tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col(idCol)).agg(sum(col("__w")).as("score"))
+    matched.join(scores, idCol)
+      .orderBy(col("score").desc, col(idCol).asc)
+  }
+
   /** Language ID via n-gram/vocabulary profiles: build a top-`profileSize`
     * term profile per language from a labeled corpus (one agg pass, tiny
     * result, broadcast), then score each doc by profile overlap; predicted

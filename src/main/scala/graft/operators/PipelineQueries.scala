@@ -286,6 +286,23 @@ object PipelineQueries {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** BM25-ranked retrieval (q130): [[graft.functions.TextFunctions.bm25Ranked]]
+    * declared over the documents corpus — term-frequency saturation +
+    * length normalization, the ranking production search actually uses
+    * (q95's plain TF-IDF is the comparison point). Two query terms keep
+    * the per-doc score a ≤2-addend sum, so double addition order cannot
+    * diverge between engines; corpus avgdl is a sum of integer token
+    * counts (exact in doubles) over a count — both engines derive
+    * bit-identical stats, and the r6 rounding + (score, doc_id) sort make
+    * the output hash-stable, the q95 discipline.
+    */
+  def q130_bm25_ranked(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    TextFunctions.bm25Ranked(docs, "doc_id", "text", "scan merge")
+      .select(col("doc_id"), col("lang"), Det.r6(col("score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** Language ID, fully hash-checked: vocabulary profiles (top-20 terms per
     * lang by (count desc, term asc)) built from the corpus in one pass and
     * broadcast; each doc scored by profile overlap; argmax with (overlap
@@ -582,6 +599,30 @@ object PipelineQueries {
         |WHERE list_contains(string_split(text, ' '), 'join')
         |  AND list_contains(string_split(text, ' '), 'filter')
         |ORDER BY doc_id""".stripMargin,
+    "q130_bm25_ranked" ->
+      """WITH m AS (SELECT doc_id, lang, text FROM documents
+        |    WHERE list_contains(string_split(text, ' '), 'scan')
+        |      AND list_contains(string_split(text, ' '), 'merge')),
+        |  st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |      avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+        |    FROM documents),
+        |  dfx AS (SELECT term, count(*) AS df FROM (
+        |      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        |      FROM documents)
+        |    WHERE term IN ('scan', 'merge') GROUP BY term),
+        |  tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+        |      max(dl) AS dl FROM (
+        |      SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+        |        unnest(string_split(text, ' ')) AS term FROM m)
+        |    WHERE term IN ('scan', 'merge') GROUP BY 1, 2),
+        |  sc AS (SELECT tf.doc_id,
+        |      sum((ln(1 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5))
+        |          * (tf.tf * 2.2))
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))) AS score
+        |    FROM tf JOIN dfx USING (term) CROSS JOIN st GROUP BY 1)
+        |SELECT m.doc_id, m.lang, round(sc.score, 6) AS score
+        |FROM m JOIN sc ON m.doc_id = sc.doc_id
+        |ORDER BY round(sc.score, 6) DESC, m.doc_id""".stripMargin,
     "q95_fulltext_ranked" ->
       """WITH m AS (SELECT doc_id, lang, text FROM documents
         |    WHERE list_contains(string_split(text, ' '), 'join')

@@ -78,6 +78,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(t == Seq(3L, 9L))
   }
 
+  test("bm25 saturates term frequency and normalizes for document length") {
+    // 4 docs, query 'scan rare'; doc 3 has no 'rare' → filtered; doc 4 is
+    // doc 2's text padded to 2x length (same tf) → must score LOWER
+    val docs = Seq(
+      (1L, "scan rare rare other"),
+      (2L, "scan rare other other"),
+      (3L, "scan scan other other"),
+      (4L, "scan rare other other pad pad pad pad")).toDF("doc_id", "text")
+    val out = TextFunctions.bm25Ranked(docs, "doc_id", "text", "scan rare")
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 4L))
+    assert(out(1L) > out(2L), "higher tf(rare) must rank higher")
+    assert(out(2L) > out(4L), "same tf in a longer doc must rank lower")
+    // saturation: doubling tf(rare) (doc1 vs doc2) must gain LESS than the
+    // raw-tf doubling a linear TF-IDF would give
+    val tfidf = TextFunctions
+      .fullTextSearchRanked(docs, "doc_id", "text", "scan rare")
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) / out(2L) < tfidf(1L) / tfidf(2L),
+      "bm25 must saturate tf relative to linear tf-idf")
+  }
+
   test("langId without an id column is deterministic across partitionings " +
     "(no monotonically_increasing_id)") {
     val docs = Tables.documents(spark, sfDir)
