@@ -35,6 +35,7 @@ object SparkEntry {
     "q16_join_asof" -> (JoinQueries.q16_join_asof _),
     "q19_join_asof_generic" -> (JoinQueries.q19_join_asof_generic _),
     "q129_interval_join" -> (EventQueries.q129_interval_join _),
+    "q131_sessionize" -> (EventQueries.q131_sessionize _),
     "q77_upsert_merge" -> (JoinQueries.q77_upsert_merge _),
     "q17_join_cross" -> (JoinQueries.q17_join_cross _),
     "q18_join_full_outer" -> (JoinQueries.q18_join_full_outer _),

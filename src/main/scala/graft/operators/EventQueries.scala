@@ -323,7 +323,47 @@ object EventQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Per-event sessionization (q131): [[Sessionize.assign]] declared over
+    * the event log, rolled up to per-session stats so the output is
+    * hash-compact. Same 30-minute strictly-greater gap rule as q62's
+    * `session_window` — but the assignment form keeps the event→session
+    * mapping (q62's aggregate form cannot), which is what funnels,
+    * attribution, and session-scoped sequence features consume.
+    *
+    * One window + one agg on the same user_id partitioning — single
+    * shuffle, exchange-free on a user-bucketed layout.
+    */
+  def q131_sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    Sessionize.assign(Tables.events(spark, sfDir), Seq("user_id"), "ts",
+        gap = "30 MINUTE", tieBreak = Seq("event_id"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        unix_micros(min(col("ts"))).as("start_us"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("dur_us"))
+      .orderBy(col("user_id"), col("session_seq"))
+
   val oracle: Map[String, String] = Map(
+    "q131_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |s AS (SELECT user_id, event_type, ts,
+        |    sum(CASE WHEN prev_ts IS NULL
+        |          OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM e)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  count(*) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchases,
+        |  epoch_us(min(ts)) AS start_us,
+        |  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_us
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
     "q129_interval_join" ->
       """WITH iv AS (
         |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS valid_from,
