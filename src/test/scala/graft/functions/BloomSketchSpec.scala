@@ -1,0 +1,59 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BloomSketchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val keys = (0 until 2000).map(i => s"key_$i")
+  private val (m, k) = BloomSketch.sizing(2000, 0.01)
+
+  private def build(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+    df.agg(BloomSketch.sketch(col("key"), m, k).as("f"))
+      .head().getAs[Array[Byte]]("f")
+
+  test("no false negatives, ever") {
+    val f = build(keys.toDF("key"))
+    assert(keys.forall(BloomSketch.mightContain(f, m, k, _)))
+  }
+
+  test("false-positive rate stays near the sized target") {
+    val f = build(keys.toDF("key"))
+    val absent = (0 until 10000).map(i => s"absent_$i")
+    val fp = absent.count(BloomSketch.mightContain(f, m, k, _))
+    // sized for 1%; allow generous slack for hash variance
+    assert(fp < 300, s"fp=$fp of 10000 — far above the 1% design point")
+  }
+
+  test("filter bytes are identical under any partition layout") {
+    val df = keys.toDF("key")
+    val base = build(df)
+    assert(java.util.Arrays.equals(base, build(df.repartition(32))))
+    assert(java.util.Arrays.equals(base,
+      build(df.repartition(7, col("key")))))
+    assert(java.util.Arrays.equals(base, build(df.coalesce(1))))
+    // idempotent under duplicate inserts too
+    assert(java.util.Arrays.equals(base, build(df.union(df))))
+  }
+
+  test("bloom pre-filter keeps every true member of the authoritative set") {
+    // the 100 TB shape: filter built over the seen-side, probed on the
+    // incoming side; survivors go to the exact join — the filter may pass
+    // extras (false positives) but must never drop a real member
+    val seen = (0 until 1000 by 2).map(i => s"key_$i") // evens
+    val f = build(seen.toDF("key"))
+    val incoming = (0 until 1000).map(i => s"key_$i")
+    val survivors = incoming.filter(BloomSketch.mightContain(f, m, k, _))
+    assert(seen.forall(survivors.contains(_)))
+  }
+
+  test("sizing follows the textbook optimum") {
+    val (m1, k1) = BloomSketch.sizing(1000, 0.01)
+    assert(m1 >= 9000 && m1 <= 10000, s"m=$m1") // ~9585 bits
+    assert(k1 >= 6 && k1 <= 8, s"k=$k1")        // ~6.6 hashes
+    intercept[IllegalArgumentException](BloomSketch.sizing(0, 0.01))
+    intercept[IllegalArgumentException](BloomSketch.sizing(10, 1.5))
+  }
+}
