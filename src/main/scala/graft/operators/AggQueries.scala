@@ -134,19 +134,22 @@ object AggQueries {
   def q76_profile_stats(spark: SparkSession, sfDir: String): DataFrame = {
     val cols = Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice",
       "l_orderkey")
-    val aggs = cols.flatMap { c =>
-      Seq(count(lit(1)).as(s"${c}__n"),
-        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__nd"),
-        Det.r2(min(col(c)).cast("double")).as(s"${c}__min"),
-        Det.r2(max(col(c)).cast("double")).as(s"${c}__max"))
-    }
-    val one = Tables.lineitem(spark, sfDir).agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', ${c}__n, ${c}__nulls, ${c}__nd, ${c}__min, ${c}__max")
-      .mkString(", ")
-    one.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
-        "(col_name, n_rows, n_null, n_distinct, min_v, max_v)")
+    // unpivot FIRST (stack to (col_name, v)), aggregate once: with a single
+    // DISTINCT column Spark plans a plain two-phase distinct aggregate —
+    // partial distinct collapses (col_name, v) per partition before the
+    // exchange. The previous form (5 countDistincts in one agg) planned an
+    // Expand that shipped 6x the table through the shuffle; the double
+    // cast is injective for every profiled column (ints < 2^53, decimals
+    // with exact double forms), so n_distinct/min/max are unchanged.
+    val stackArgs = cols.map(c => s"'$c', CAST($c AS DOUBLE)").mkString(", ")
+    Tables.lineitem(spark, sfDir)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, v)")
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("v"))).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"),
+        Det.r2(min(col("v"))).as("min_v"),
+        Det.r2(max(col("v"))).as("max_v"))
       .orderBy(col("col_name"))
   }
 
