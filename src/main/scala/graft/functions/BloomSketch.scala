@@ -83,8 +83,16 @@ object BloomSketch {
 
   /** Driver/executor-side membership probe against the aggregated bytes. */
   def mightContain(filter: Array[Byte], numBits: Int, numHashes: Int,
-                   item: String): Boolean = {
-    val h = hash64(item)
+                   item: String): Boolean =
+    mightContainU(filter, numBits, numHashes, UTF8String.fromString(item))
+
+  /** UTF8String form — the interpreted path of
+    * [[graft.expressions.BloomMightContain]] (codegen inlines the same
+    * loop); identical bytes hash identically on build and probe sides.
+    */
+  def mightContainU(filter: Array[Byte], numBits: Int, numHashes: Int,
+                    item: UTF8String): Boolean = {
+    val h = XXH64.hashUTF8String(item, 42L)
     val h1 = (h >>> 32).toInt
     val h2 = h.toInt | 1
     var i = 0

@@ -212,10 +212,23 @@ object GraftExtensions {
         litInt(args(2), "w"))
     })
 
+  private val bloomMightContainDesc: FunctionDesc = (
+    FunctionIdentifier("bloom_might_contain"),
+    new ExpressionInfo(classOf[graft.expressions.BloomMightContain].getName,
+      "bloom_might_contain"),
+    (args: Seq[Expression]) => {
+      require(args.length == 4,
+        s"bloom_might_contain(filter, key, num_bits, num_hashes) takes 4 " +
+          s"arguments, got ${args.length}")
+      graft.expressions.BloomMightContain(args.head, args(1),
+        litInt(args(2), "num_bits"), litInt(args(3), "num_hashes"))
+    })
+
   private val all: Seq[FunctionDesc] = Seq(sortedIntersectSizeDesc,
     distanceInMetersDesc, withinCircleDesc, withinBoxDesc, weightedAvgDesc,
     scrubPiiDesc, hashSampleDesc, hashSplitDesc, simhash60Desc,
-    shingleIdsDesc, minhashBandsDesc, wordNgramsDesc, winnowIdsDesc)
+    shingleIdsDesc, minhashBandsDesc, wordNgramsDesc, winnowIdsDesc,
+    bloomMightContainDesc)
 
   /** Register the functions into an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -49,6 +49,40 @@ class BloomSketchSpec extends SparkSpec {
     assert(seen.forall(survivors.contains(_)))
   }
 
+  test("column-side probe expression agrees with the driver-side probe") {
+    val f = build(keys.toDF("key"))
+    val probes = (0 until 500).map(i => s"key_${i * 7}") ++
+      (0 until 500).map(i => s"absent_$i")
+    val got = probes.toDF("key")
+      .withColumn("hit", graft.expressions.BloomMightContain.mightContain(
+        lit(f), col("key"), m, k))
+      .select("key", "hit").as[(String, Boolean)].collect().toMap
+    probes.foreach { p =>
+      assert(got(p) == BloomSketch.mightContain(f, m, k, p), p)
+    }
+  }
+
+  test("bloom pre-filter runs as a plan: broadcast bytes, scan-speed probe") {
+    graft.plans.GraftExtensions.register(spark)
+    val seenDf = (0 until 1000 by 2).map(i => s"key_$i").toDF("key")
+    val incoming = (0 until 1000).map(i => s"key_$i").toDF("key")
+    val filterBytes = build(seenDf)
+    val survivors = incoming
+      .filter(graft.expressions.BloomMightContain.mightContain(
+        lit(filterBytes), col("key"), m, k))
+    // every true member survives; the probe is a scan-side Filter (no
+    // join, no shuffle before it)
+    assert(survivors.count() >= 500)
+    val plan = survivors.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+    // SQL surface drives the same expression
+    incoming.createOrReplaceTempView("bloom_incoming")
+    val hex = filterBytes.map("%02X".format(_)).mkString
+    val viaSql = spark.sql("SELECT * FROM bloom_incoming " +
+      s"WHERE bloom_might_contain(X'$hex', key, $m, $k)").count()
+    assert(viaSql == survivors.count())
+  }
+
   test("sizing follows the textbook optimum") {
     val (m1, k1) = BloomSketch.sizing(1000, 0.01)
     assert(m1 >= 9000 && m1 <= 10000, s"m=$m1") // ~9585 bits
