@@ -36,6 +36,8 @@ object SparkEntry {
     "q19_join_asof_generic" -> (JoinQueries.q19_join_asof_generic _),
     "q129_interval_join" -> (EventQueries.q129_interval_join _),
     "q131_sessionize" -> (EventQueries.q131_sessionize _),
+    "q132_value_histogram" -> (EventQueries.q132_value_histogram _),
+    "q133_rolling_zscore" -> (EventQueries.q133_rolling_zscore _),
     "q77_upsert_merge" -> (JoinQueries.q77_upsert_merge _),
     "q17_join_cross" -> (JoinQueries.q17_join_cross _),
     "q18_join_full_outer" -> (JoinQueries.q18_join_full_outer _),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{Det, Tables}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -345,7 +345,82 @@ object EventQueries {
           .as("dur_us"))
       .orderBy(col("user_id"), col("session_seq"))
 
+  /** Fixed-bucket value histogram per event type (q132): the distribution
+    * report every metrics pipeline emits. Bucket ids are exact double
+    * arithmetic (`floor(value/50)` clamped to [0,9] — same literal ops in
+    * both engines), shares in integer basis points off window-summed
+    * counts. One agg + one window on the agg's tiny output; a scan-speed
+    * single shuffle at any scale.
+    */
+  def q132_value_histogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = least(greatest(floor(col("value") / 50.0), lit(0.0)),
+      lit(9.0)).cast("long")
+    val wT = Window.partitionBy(col("event_type"))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), bucket.as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_bp",
+        expr("(n * 10000) div sum(n) over (partition by event_type)"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  /** Rolling z-score anomalies (q133): each event scored against its
+    * user's trailing 20-event window — the streaming-friendly outlier
+    * screen (fraud, sensor glitches, bot bursts). All moments in exact
+    * integers (cents, cents², window sums ≤ 1e12 ≪ 2⁶³);
+    * `z = (20·x − Σx) / √(20·Σx² − (Σx)²)` does ONE double sqrt+divide on
+    * those exact integers, so both engines compute bit-identical doubles
+    * — the q111/q112 integer-quantization discipline applied to variance.
+    * Partial windows (first 19 events) and zero-variance windows are
+    * excluded on both sides.
+    *
+    * One window + one filter on the user_id partitioning — single shuffle.
+    */
+  def q133_rolling_zscore(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("cents")).over(w))
+      .withColumn("s2", sum(col("cents") * col("cents")).over(w))
+      .filter(col("n") === 20 &&
+        col("n") * col("s2") - col("s1") * col("s1") > 0)
+      .withColumn("z", Det.r4((col("cents") * col("n") - col("s1")) /
+        sqrt(col("n") * col("s2") - col("s1") * col("s1"))))
+      .filter(abs(col("z")) > lit(2.5))
+      .select(col("user_id"), col("event_id"), col("cents"), col("z"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q132_value_histogram" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(least(greatest(floor(value / 50.0), 0.0), 9.0) AS BIGINT)
+        |      AS bucket
+        |  FROM events),
+        |g AS (SELECT event_type, bucket, count(*) AS n
+        |  FROM b GROUP BY 1, 2)
+        |SELECT event_type, bucket, n,
+        |  CAST((n * 10000) // sum(n) OVER (PARTITION BY event_type)
+        |    AS BIGINT) AS share_bp
+        |FROM g ORDER BY event_type, bucket""".stripMargin,
+    "q133_rolling_zscore" ->
+      """WITH c AS (SELECT user_id, event_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (SELECT user_id, event_id, cents,
+        |    count(*) OVER w AS n, sum(cents) OVER w AS s1,
+        |    sum(cents * cents) OVER w AS s2
+        |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |z AS (SELECT user_id, event_id, cents,
+        |    round((cents * n - s1) / sqrt(n * s2 - s1 * s1), 4) AS z
+        |  FROM m WHERE n = 20 AND n * s2 - s1 * s1 > 0)
+        |SELECT user_id, event_id, cents, z FROM z WHERE abs(z) > 2.5
+        |ORDER BY user_id, event_id""".stripMargin,
     "q131_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, event_type, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
