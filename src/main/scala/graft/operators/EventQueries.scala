@@ -395,7 +395,72 @@ object EventQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** A/B experiment readout (q134): users assigned to arms by the
+    * engine's own deterministic [[graft.functions.Sampling.hashSample]]
+    * (md5 bucketing — the q73 split machinery, so assignment is
+    * reproducible across runs, engines, and layouts), compared with the
+    * two-proportion z-test. The fixture metric is "first event is a
+    * purchase" (~20% — every-user metrics like "any purchase" saturate at
+    * p=1 on this corpus and make the pooled variance a 0/0). Counts are
+    * exact integers from one agg pass; the z formula does its double
+    * divisions/sqrt on those exact integers in the same literal order in
+    * both engines (q133 discipline), rounded r4.
+    *
+    * One window + two aggs (per-user, then 1-row conditional rollup) —
+    * everything after the first agg is |users| rows; no joins.
+    */
+  def q134_ab_test(spark: SparkSession, sfDir: String): DataFrame = {
+    val wFirst = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val perUser = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(wFirst))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("rn") === 1 && col("event_type") === "purchase", 1L)
+        .otherwise(0L)).as("converted"))
+      .withColumn("arm",
+        when(graft.functions.Sampling.hashSample(col("user_id"), 0.5), "A")
+          .otherwise("B"))
+    val s = perUser.agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === "A", col("converted")).otherwise(0L)).as("x_a"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === "B", col("converted")).otherwise(0L)).as("x_b"))
+    val p = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val z = (col("x_a").cast("double") / col("n_a") -
+      col("x_b").cast("double") / col("n_b")) /
+      sqrt((p * (lit(1.0) - p)) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    s.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      Det.r4(z).as("z"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q134_ab_test" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events),
+        |u AS (SELECT user_id,
+        |    max(CASE WHEN rn = 1 AND event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS converted,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 4) < '8000'
+        |      THEN 'A' ELSE 'B' END AS arm
+        |  FROM r GROUP BY user_id),
+        |s AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT)
+        |      AS x_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT)
+        |      AS x_b
+        |  FROM u)
+        |SELECT n_a, x_a, n_b, x_b,
+        |  round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b) /
+        |    sqrt(((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+        |        * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)))
+        |      * (1.0 / n_a + 1.0 / n_b)), 4) AS z
+        |FROM s""".stripMargin,
     "q132_value_histogram" ->
       """WITH b AS (SELECT event_type,
         |    CAST(least(greatest(floor(value / 50.0), 0.0), 9.0) AS BIGINT)
