@@ -25,7 +25,10 @@ object PlanAudit extends App {
     "q115_dedup_prefix", "q116_mix_temperature", "q117_span_mask",
     "q118_pii_redact", "q119_event_funnel", "q120_cohort_retention",
     "q121_event_transitions", "q122_user_rfm", "q123_scd2_intervals",
-    "q124_time_weighted_avg", "q125_dq_checks", "q126_attribution")
+    "q124_time_weighted_avg", "q125_dq_checks", "q126_attribution",
+    "q127_window_funnel", "q128_topk_per_key", "q129_interval_join",
+    "q130_bm25_ranked", "q131_sessionize", "q132_value_histogram",
+    "q133_rolling_zscore", "q134_ab_test")
   targets.foreach { q =>
     println(s"\n========== $q ==========")
     println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(

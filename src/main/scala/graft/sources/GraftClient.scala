@@ -24,7 +24,8 @@ case class SoqlParams(
     limit: Option[Int] = None,        // "$limit"
     offset: Option[Int] = None,       // "$offset"
     q: Option[String] = None,         // "$q" — full-text over text columns
-    qRanked: Boolean = false)         // rank $q matches by tf-idf relevance
+    qRanked: Boolean = false,         // rank $q matches by relevance
+    qScorer: String = "tfidf")        // ranked-$q scorer: tfidf | bm25
 
 object Soql {
 
@@ -70,9 +71,16 @@ object Soql {
           .withColumn("__qid",
             concat_ws("_", col("__qhash"), row_number().over(w)))
           .withColumn("__qtext", concat_ws(" ", textCols.map(col): _*))
-        df = TextFunctions
-          .fullTextSearchRanked(withBag, "__qid", "__qtext", terms)
-          .drop("__qid", "__qtext", "score", "__qhash", "__qrow")
+        val ranked = p.qScorer match {
+          case "bm25" =>
+            TextFunctions.bm25Ranked(withBag, "__qid", "__qtext", terms)
+          case "tfidf" =>
+            TextFunctions.fullTextSearchRanked(withBag, "__qid", "__qtext",
+              terms)
+          case other => throw new IllegalArgumentException(
+            s"unknown qScorer '$other' (expected tfidf or bm25)")
+        }
+        df = ranked.drop("__qid", "__qtext", "score", "__qhash", "__qrow")
       } else {
         // unranked SODA $q: keep rows where ANY string column contains
         // EVERY term (token match, case-sensitive fixture semantics; the

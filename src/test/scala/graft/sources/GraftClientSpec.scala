@@ -81,6 +81,31 @@ class GraftClientSpec extends SparkSpec {
       "ranked $q order disagrees with q95 scores")
   }
 
+  test("$q with qScorer=bm25 returns matches in q130's BM25 order") {
+    // project to the text column first: the client scores the CONCATENATED
+    // bag of all string columns, and BM25 (unlike tf-idf) is
+    // length-normalized, so lang/source tokens would legitimately shift
+    // scores relative to the text-only q130
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val got = Soql(docs,
+      SoqlParams(q = Some("scan merge"), qRanked = true, qScorer = "bm25"))
+    assert(got.schema == docs.schema)
+    val gotIds = got.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val q130 = graft.operators.PipelineQueries
+      .q130_bm25_ranked(spark, sfDir)
+      .select(col("doc_id"), col("score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(gotIds.toSet == q130.map(_._1).toSet, "match sets differ")
+    val scoreOf = q130.toMap
+    val scores = gotIds.map(scoreOf)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "bm25 $q order disagrees with q130 scores")
+    intercept[IllegalArgumentException] {
+      Soql(Tables.documents(spark, sfDir),
+        SoqlParams(q = Some("scan"), qRanked = true, qScorer = "pagerank"))
+    }
+  }
+
   test("ranked $q keeps fully-duplicate rows as independent matches") {
     // regression (round-4 advice): a pure row-content-hash id merged
     // duplicate rows into one tf bag, inflating their score and collapsing
