@@ -39,6 +39,7 @@ object SparkEntry {
     "q132_value_histogram" -> (EventQueries.q132_value_histogram _),
     "q133_rolling_zscore" -> (EventQueries.q133_rolling_zscore _),
     "q134_ab_test" -> (EventQueries.q134_ab_test _),
+    "q135_trend_slope" -> (EventQueries.q135_trend_slope _),
     "q77_upsert_merge" -> (JoinQueries.q77_upsert_merge _),
     "q17_join_cross" -> (JoinQueries.q17_join_cross _),
     "q18_join_full_outer" -> (JoinQueries.q18_join_full_outer _),

@@ -435,7 +435,57 @@ object EventQueries {
       Det.r4(z).as("z"))
   }
 
+  /** Per-user value trend (q135): OLS slope of spend over time — the
+    * grouped-regression operator (user trajectories, sensor drift,
+    * per-entity forecasting features). x = whole seconds since the user's
+    * first event, y = integer cents; all five moments (n, Σx, Σy, Σxy,
+    * Σx²) are EXACT integer sums (bounds: x ≤ 2.6e6 s, Σxy ≤ 1e13,
+    * n·Σx² ≤ 3e16 ≪ 2⁶³), so the slope's one double divide+scale is
+    * bit-identical across engines (q133 discipline). Degenerate users
+    * (all events in one second) drop out via the zero-variance guard.
+    *
+    * One min-window + one agg on the same user_id partitioning — single
+    * shuffle; moments combine associatively, so partials collapse
+    * map-side at any scale.
+    */
+  def q135_trend_slope(spark: SparkSession, sfDir: String): DataFrame = {
+    val wU = Window.partitionBy(col("user_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("at_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("min_us", min(col("at_us")).over(wU))
+      .withColumn("x", expr("(at_us - min_us) div 1000000"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("cents")).as("sy"),
+        sum(col("x") * col("cents")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0)
+      .select(col("user_id"), col("n"),
+        Det.r4(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * lit(86400.0))
+          .as("slope_cents_day"))
+      .orderBy(col("user_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q135_trend_slope" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS at_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (SELECT user_id,
+        |    (at_us - min(at_us) OVER (PARTITION BY user_id)) // 1000000 AS x,
+        |    cents
+        |  FROM c),
+        |m AS (SELECT user_id, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(cents) AS BIGINT) AS sy,
+        |    CAST(sum(x * cents) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM b GROUP BY 1)
+        |SELECT user_id, n,
+        |  round((CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (n * sxx - sx * sx)) * 86400.0, 4) AS slope_cents_day
+        |FROM m WHERE n * sxx - sx * sx > 0 ORDER BY user_id""".stripMargin,
     "q134_ab_test" ->
       """WITH r AS (SELECT user_id, event_type,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
