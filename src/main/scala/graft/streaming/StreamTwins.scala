@@ -133,6 +133,50 @@ object StreamTwins {
       .toDF()
   }
 
+  /** q131's streaming twin: per-event session assignment via
+    * `flatMapGroupsWithState` — the canonical stateful-streaming operator.
+    * State = (last event µs, session ordinal) per user — two longs
+    * regardless of stream length. Each event is emitted immediately with
+    * its session id: a new session starts when the gap since the previous
+    * event is STRICTLY greater than `gapUs` (the batch `Sessionize.assign`
+    * / `session_window` merge rule).
+    *
+    * Rows are processed in (ts, event_id) order within each micro-batch,
+    * so any batch split of a per-user in-order stream reproduces the
+    * batch assignment exactly (spec-pinned). Out-of-order arrivals get
+    * the prefix semantics every gap-based streaming sessionizer has; pair
+    * with a watermark-driven state timeout in production to evict idle
+    * users (state is then bounded by ACTIVE users, not all-time users).
+    */
+  def sessionAssign(events: DataFrame, gapUs: Long): DataFrame = {
+    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("session_seq",
+        org.apache.spark.sql.types.LongType))))
+    val in = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    in.as(Encoders.row(in.schema))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState[(Long, Long), Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Row], state: GroupState[(Long, Long)]) =>
+          var (lastUs, seq) = state.getOption.getOrElse((Long.MinValue, 0L))
+          val out = rows.toSeq.sortBy(r => (r.getLong(2), r.getLong(1)))
+            .map { r =>
+              val ts = r.getLong(2)
+              if (seq == 0L || ts > lastUs + gapUs) seq += 1
+              lastUs = ts
+              Row(user, r.getLong(1), seq)
+            }
+          state.update((lastUs, seq))
+          out.iterator
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), enc)
+      .toDF()
+  }
+
   /** q119's streaming twin: per-user funnel state machine via
     * `flatMapGroupsWithState`. State = (first signup µs | MaxValue,
     * converted 0/1) per user — two longs regardless of event volume. Emits

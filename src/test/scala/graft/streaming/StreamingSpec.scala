@@ -73,6 +73,34 @@ class StreamingSpec extends SparkSpec {
     assert(keys.count(_ == (2L, "click")) == 1)
   }
 
+  test("session-assign twin: streaming session ids == batch Sessionize, " +
+    "state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 30L * 60 * 1000000
+    val mem = MemoryStream[Ev]
+    val q = StreamTwins.sessionAssign(mem.toDF(), gapUs).writeStream
+      .format("memory").queryName("tsess").outputMode(OutputMode.Append())
+      .start()
+    try {
+      // split MID-SESSION for user 1: events 1,2 then 3 — the ordinal and
+      // the gap anchor must survive the batch boundary in state
+      mem.addData(rows.take(2))
+      q.processAllAvailable()
+      mem.addData(rows.drop(2))
+      q.processAllAvailable()
+      val stream = spark.table("tsess").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toMap
+      val batch = graft.operators.Sessionize
+        .assign(rows.toDF(), Seq("user_id"), "ts", "30 MINUTE",
+          Seq("event_id"))
+        .select("event_id", "session_seq")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(stream == batch)
+      // the >30min gap really split: user 1 has two sessions
+      assert(stream(1L) == 1L && stream(2L) == 1L && stream(3L) == 2L)
+    } finally q.stop()
+  }
+
   test("funnel twin: converts once within 3 days of FIRST signup, state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val funnel = Seq(
