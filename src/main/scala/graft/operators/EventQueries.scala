@@ -468,7 +468,63 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Robust statistics per event type (q136): median, MAD (median absolute
+    * deviation), and the 5/95-winsorized mean — the outlier-resistant
+    * summary trio (q26's moment stats break under heavy tails; q133 flags
+    * outliers, this one summarizes robustly despite them). Percentile
+    * parity with the oracle is the q27 precedent (identical interpolated
+    * doubles, r4); the winsorized mean stays deterministic by quantizing
+    * each clamped value to integer milli-cent units BEFORE summing (one
+    * double clamp+round per row — engine-identical; a raw double sum
+    * would be partition-order-dependent).
+    *
+    * Two aggs + one broadcast join of the |types|-row quantile frame
+    * (bounded by construction — the q101 rule, not the q92 one).
+    */
+  def q136_robust_stats(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val qs = cents.groupBy(col("event_type")).agg(
+      expr("percentile(cents, 0.05)").as("p05"),
+      expr("percentile(cents, 0.5)").as("p50"),
+      expr("percentile(cents, 0.95)").as("p95"))
+    cents.join(broadcast(qs), "event_type")
+      .withColumn("w_units",
+        round(least(greatest(col("cents").cast("double"), col("p05")),
+          col("p95")) * 1000).cast("long"))
+      .withColumn("absdev", abs(col("cents").cast("double") - col("p50")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Det.r4(min(col("p50"))).as("median_cents"),
+        Det.r4(expr("percentile(absdev, 0.5)")).as("mad_cents"),
+        Det.r4(sum(col("w_units")).cast("double") /
+          (count(lit(1)) * lit(1000))).as("wins_mean_cents"))
+      .orderBy(col("event_type"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q136_robust_stats" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |q AS (SELECT event_type,
+        |    percentile_cont(0.05) WITHIN GROUP (ORDER BY cents) AS p05,
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY cents) AS p50,
+        |    percentile_cont(0.95) WITHIN GROUP (ORDER BY cents) AS p95
+        |  FROM c GROUP BY 1),
+        |j AS (SELECT c.event_type,
+        |    CAST(round(least(greatest(CAST(cents AS DOUBLE), p05), p95)
+        |      * 1000) AS BIGINT) AS w_units,
+        |    abs(CAST(cents AS DOUBLE) - p50) AS absdev, p50
+        |  FROM c JOIN q USING (event_type))
+        |SELECT event_type, count(*) AS n,
+        |  round(min(p50), 4) AS median_cents,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY absdev), 4)
+        |    AS mad_cents,
+        |  round(CAST(sum(w_units) AS DOUBLE) / (count(*) * 1000), 4)
+        |    AS wins_mean_cents
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q135_trend_slope" ->
       """WITH c AS (SELECT user_id, epoch_us(ts) AS at_us,
         |    CAST(round(value * 100) AS BIGINT) AS cents
