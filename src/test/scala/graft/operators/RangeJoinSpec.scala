@@ -83,6 +83,23 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("hot key: one user holding half the points still matches exactly") {
+    // the skew shape AQE must be able to split: key 1 carries 5000 points
+    // and 50 long overlapping intervals, 50 cold keys carry 100 each
+    val points = ((1 to 5000).map(i => (1L, i.toLong * 7 % 10000)) ++
+      (2 to 51).flatMap(k => (1 to 100).map(i => (k.toLong, i.toLong * 13))))
+      .toDF("k", "at").withColumn("pid", monotonically_increasing_id())
+    val intervals = ((1 to 50).map(i =>
+      (1L, i.toLong * 100, i.toLong * 100 + 500)) ++
+      (2 to 51).map(k => (k.toLong, 0L, 700L)))
+      .toDF("k", "from", "to").withColumn("iid", monotonically_increasing_id())
+    val got = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+        "at", "from", "to", binWidth = 250)
+      .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSet
+    assert(got == naive(points, intervals))
+    assert(got.size > 10000, s"fixture too sparse: ${got.size}")
+  }
+
   test("rejects nonpositive bin widths and unknown join types") {
     val (points, intervals) = fixture
     intercept[IllegalArgumentException] {
