@@ -431,8 +431,14 @@ object EventQueries {
       col("x_b").cast("double") / col("n_b")) /
       sqrt((p * (lit(1.0) - p)) *
         (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
-    s.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
-      Det.r4(z).as("z"))
+    // degenerate readouts (an empty arm, or 0%/100% pooled conversion)
+    // have no defined z — and under ANSI semantics the division would
+    // THROW, not NaN, so the guard precedes the formula on both engines
+    s.filter(col("n_a") > 0 && col("n_b") > 0 &&
+        col("x_a") + col("x_b") > 0 &&
+        col("x_a") + col("x_b") < col("n_a") + col("n_b"))
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        Det.r4(z).as("z"))
   }
 
   /** Per-user value trend (q135): OLS slope of spend over time — the
@@ -566,7 +572,8 @@ object EventQueries {
         |    sqrt(((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
         |        * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)))
         |      * (1.0 / n_a + 1.0 / n_b)), 4) AS z
-        |FROM s""".stripMargin,
+        |FROM s WHERE n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+        |  AND x_a + x_b < n_a + n_b""".stripMargin,
     "q132_value_histogram" ->
       """WITH b AS (SELECT event_type,
         |    CAST(least(greatest(floor(value / 50.0), 0.0), 9.0) AS BIGINT)

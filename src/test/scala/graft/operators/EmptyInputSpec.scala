@@ -28,7 +28,7 @@ class EmptyInputSpec extends SparkSpec {
       "q109_dedup_keep_best", "q110_winnow_fingerprint",
       "q111_lm_bigram_score", "q112_char_entropy", "q113_source_divergence",
       "q114_stratified_topk", "q115_dedup_prefix", "q116_mix_temperature",
-      "q117_span_mask")
+      "q117_span_mask", "q130_bm25_ranked")
     qs.foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, emptyDir).count()
       assert(n == 0, s"$q returned $n rows on an empty corpus")
@@ -50,7 +50,10 @@ class EmptyInputSpec extends SparkSpec {
     val qs = Seq(
       "q118_pii_redact", "q119_event_funnel", "q120_cohort_retention",
       "q121_event_transitions", "q122_user_rfm", "q123_scd2_intervals",
-      "q124_time_weighted_avg", "q126_attribution", "q127_window_funnel")
+      "q124_time_weighted_avg", "q126_attribution", "q127_window_funnel",
+      "q129_interval_join", "q131_sessionize", "q132_value_histogram",
+      "q133_rolling_zscore", "q134_ab_test", "q135_trend_slope",
+      "q136_robust_stats")
     qs.foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, emptyEventsDir).count()
       assert(n == 0, s"$q returned $n rows on an empty event log")
