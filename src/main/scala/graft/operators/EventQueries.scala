@@ -509,7 +509,32 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Running DISTINCT count over a window (q137): how many distinct event
+    * types each user has produced so far — the engagement-breadth signal.
+    * Spark has no `count(DISTINCT)` over windows; the standard rewrite is
+    * `size(collect_set(...))`, whose set state is bounded by the type
+    * alphabet (NOT by history length), making it safe at any scale. The
+    * oracle runs DuckDB's native distinct window aggregate — the rewrite
+    * is hash-checked against the real semantics, not against itself.
+    */
+  def q137_window_distinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("n_types_seen",
+        size(collect_set(col("event_type")).over(w)).cast("long"))
+      .select(col("user_id"), col("event_id"), col("n_types_seen"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q137_window_distinct" ->
+      """SELECT user_id, event_id,
+        |  count(DISTINCT event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS n_types_seen
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q136_robust_stats" ->
       """WITH c AS (SELECT event_type,
         |    CAST(round(value * 100) AS BIGINT) AS cents

@@ -80,4 +80,34 @@ object Sources {
     writeParquet(df, path)
     spark.read.parquet(path)
   }
+
+  /** Small-file compaction — the maintenance pass every long-lived table
+    * needs: streaming sinks, per-batch writers, and fine-grained
+    * partitionBy layouts accrete files far smaller than a parquet row
+    * group, and at 100 TB the scan's task-scheduling overhead (one task
+    * per tiny file, footer reads, no vectorized run length) comes to
+    * dominate. Rewrites `path` to `ceil(bytes / targetBytes)` files via
+    * `coalesce` (no shuffle — compaction repacks, it does not
+    * repartition), staging to a sibling directory first so a crash
+    * mid-compact never leaves the table half-rewritten, then swapping
+    * atomically via rename.
+    */
+  def compactParquet(spark: SparkSession, path: String,
+                     targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val files = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val staging = new org.apache.hadoop.fs.Path(
+      hPath.getParent, s".${hPath.getName}.compacting")
+    spark.read.parquet(path).coalesce(files)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val old = new org.apache.hadoop.fs.Path(
+      hPath.getParent, s".${hPath.getName}.old")
+    fs.rename(hPath, old)
+    fs.rename(staging, hPath)
+    fs.delete(old, true)
+    files.toLong
+  }
 }

@@ -141,6 +141,21 @@ class SourcesSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("compaction repacks a many-small-files table, values unchanged") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    val src = Tables.orders(spark, sfDir)
+    src.repartition(32).write.parquet(dir) // 32 tiny files
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles >= 32)
+    val before = spark.read.parquet(dir).orderBy("o_orderkey").collect()
+    val n = Sources.compactParquet(spark, dir, targetBytes = 64L * 1024 * 1024)
+    assert(parquetFiles == n, s"expected $n files after compaction")
+    assert(parquetFiles < 32)
+    val after = spark.read.parquet(dir).orderBy("o_orderkey").collect()
+    assert(after.sameElements(before), "compaction changed the data")
+  }
+
   test("cached result equals uncached result") {
     val q = Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag").agg(round(sum("l_quantity"), 2).as("s"))
