@@ -42,6 +42,7 @@ object SparkEntry {
     "q135_trend_slope" -> (EventQueries.q135_trend_slope _),
     "q136_robust_stats" -> (EventQueries.q136_robust_stats _),
     "q137_window_distinct" -> (EventQueries.q137_window_distinct _),
+    "q138_dau_wau" -> (EventQueries.q138_dau_wau _),
     "q77_upsert_merge" -> (JoinQueries.q77_upsert_merge _),
     "q17_join_cross" -> (JoinQueries.q17_join_cross _),
     "q18_join_full_outer" -> (JoinQueries.q18_join_full_outer _),

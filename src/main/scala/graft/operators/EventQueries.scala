@@ -529,7 +529,45 @@ object EventQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** DAU/WAU stickiness (q138): per day, distinct active users that day
+    * over distinct users in the trailing 7 days — the engagement ratio
+    * every product dashboard carries. Trailing-window DISTINCT counts
+    * don't compose from daily partials, so the standard rewrite scatters
+    * each (day, user) pair onto the 7 future days it supports (the q129
+    * binning idea applied to a sliding frame: |pairs|×7 rows, linear),
+    * then counts distinct per day. Epoch-day integer math (q120 rule);
+    * ratio in integer basis points; report days are those with activity.
+    */
+  def q138_dau_wau(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.events(spark, sfDir)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"), col("user_id"))
+      .distinct()
+    val dau = pairs.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = pairs
+      .withColumn("rday", explode(sequence(col("day"), col("day") + 6)))
+      .groupBy(col("rday"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, dau("day") === wau("rday"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("(dau * 10000) div wau").as("stickiness_bp"))
+      .orderBy(col("day"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q138_dau_wau" ->
+      """WITH p AS (SELECT DISTINCT
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    user_id
+        |  FROM events),
+        |d AS (SELECT day, count(DISTINCT user_id) AS dau FROM p GROUP BY 1),
+        |w AS (SELECT rday, count(DISTINCT user_id) AS wau FROM (
+        |    SELECT unnest(generate_series(day, day + 6)) AS rday, user_id
+        |    FROM p) GROUP BY 1)
+        |SELECT CAST(d.day AS BIGINT) AS day, d.dau,
+        |  w.wau, CAST((d.dau * 10000) // w.wau AS BIGINT) AS stickiness_bp
+        |FROM d JOIN w ON d.day = w.rday ORDER BY day""".stripMargin,
     "q137_window_distinct" ->
       """SELECT user_id, event_id,
         |  count(DISTINCT event_type) OVER (PARTITION BY user_id
