@@ -39,4 +39,40 @@ object Geo {
   def withinCircle(loc: Column, centerLat: Double, centerLon: Double,
                    radiusM: Double): Column =
     distanceInMeters(loc, location(lit(centerLat), lit(centerLon))) <= radiusM
+
+  // --- spatial cell bucketing: the 2-D analog of RangeJoin's binning ---
+  // A radius join written as `dist(a, b) <= R` gives Catalyst nothing to
+  // hash on (cartesian). Quantize each point to an integer grid cell and
+  // equi-join one side's cell against the other side's 3x3 neighborhood:
+  // any pair within R meets in exactly ONE (cell, replica) bucket when
+  // cellDeg >= R expressed in degrees at the data's latitudes — linear
+  // fan-out (x9), per-bucket cost bounded by cell occupancy (the
+  // maxBucket analog), exact haversine as the residual.
+
+  private val CellStride = 100000L // > 360/minCellDeg; keeps ids collision-free
+
+  private def latCell(loc: Column, cellDeg: Double): Column =
+    floor((loc.getField("lat") + lit(90.0)) / lit(cellDeg)).cast("long")
+  private def lonCell(loc: Column, cellDeg: Double): Column =
+    floor((loc.getField("lon") + lit(180.0)) / lit(cellDeg)).cast("long")
+
+  /** The single containing grid cell of a location, as one long id. */
+  def cellId(loc: Column, cellDeg: Double): Column = {
+    require(cellDeg >= 0.005, s"cellDeg=$cellDeg under the id-stride floor")
+    latCell(loc, cellDeg) * lit(CellStride) + lonCell(loc, cellDeg)
+  }
+
+  /** The 3x3 cell neighborhood of a location (its cell + 8 surrounding) —
+    * explode this on ONE side of a radius join; the other side keeps
+    * [[cellId]]. The 9 ids are distinct, so each candidate pair meets in
+    * at most one bucket and the join needs no dedup pass.
+    */
+  def neighborCells(loc: Column, cellDeg: Double): Column = {
+    require(cellDeg >= 0.005, s"cellDeg=$cellDeg under the id-stride floor")
+    val la = latCell(loc, cellDeg)
+    val lo = lonCell(loc, cellDeg)
+    val ids = for (i <- -1 to 1; j <- -1 to 1)
+      yield (la + lit(i.toLong)) * lit(CellStride) + (lo + lit(j.toLong))
+    array(ids: _*)
+  }
 }

@@ -135,6 +135,40 @@ object ScalarQueries {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Spatial radius self-join via grid cells (q139): all customer pairs
+    * within 10 km — written as [[graft.functions.Geo.cellId]] against a
+    * 3×3 [[graft.functions.Geo.neighborCells]] explode, equi-joined on
+    * the cell id with exact haversine as the residual (the RangeJoin
+    * binning idea in two dimensions; a raw `dist <= R` predicate is a
+    * cartesian). cellDeg = 0.1° ≥ 10 km at these latitudes, so the
+    * neighborhood provably covers the radius, and the ORACLE RUNS THE
+    * BLOCKING-FREE QUADRATIC JOIN — the hash check proves the cell join
+    * loses nothing. Distances in whole meters (q59's trig-parity
+    * rounding); id_a < id_b orders each pair once.
+    *
+    * Scale: fan-out ×9 on one side, per-bucket cost bounded by cell
+    * occupancy — the maxBucket analog; never all-pairs.
+    */
+  def q139_geo_cell_join(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Geo
+    val cellDeg = 0.1
+    val pts = Tables.customer(spark, sfDir).select(
+      col("c_custkey").as("id"),
+      Geo.location((col("c_custkey") % 100).cast("double") * lit(0.05),
+        (col("c_custkey") % 97).cast("double") * lit(0.05)).as("loc"))
+    val a = pts.select(col("id").as("id_a"), col("loc").as("loc_a"),
+      Geo.cellId(col("loc"), cellDeg).as("cell"))
+    val b = pts.select(col("id").as("id_b"), col("loc").as("loc_b"),
+      explode(Geo.neighborCells(col("loc"), cellDeg)).as("cell"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist_m",
+        round(Geo.distanceInMeters(col("loc_a"), col("loc_b"))).cast("long"))
+      .filter(col("dist_m") <= 10000L)
+      .select(col("id_a"), col("id_b"), col("dist_m"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def q53_case_coalesce(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .select(
@@ -205,6 +239,19 @@ object ScalarQueries {
         |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_money,
         |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_money
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "q139_geo_cell_join" ->
+      """WITH p AS (SELECT c_custkey AS id,
+        |    CAST(c_custkey % 100 AS DOUBLE) * 0.05 AS lat,
+        |    CAST(c_custkey % 97 AS DOUBLE) * 0.05 AS lon
+        |  FROM customer),
+        |j AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(round(2 * 6371000.0 * asin(sqrt(
+        |      pow(sin(radians(b.lat - a.lat) / 2), 2) +
+        |      cos(radians(a.lat)) * cos(radians(b.lat)) *
+        |      pow(sin(radians(b.lon - a.lon) / 2), 2)))) AS BIGINT) AS dist_m
+        |  FROM p a JOIN p b ON a.id < b.id)
+        |SELECT id_a, id_b, dist_m FROM j WHERE dist_m <= 10000
+        |ORDER BY id_a, id_b""".stripMargin,
     "q59_geo_distance" ->
       """WITH s AS (SELECT s_suppkey,
         |    CAST(s_nationkey AS DOUBLE) * 3.0 - 36.0 AS lat,

@@ -62,4 +62,39 @@ class GeoSpec extends SparkSpec {
       Geo.withinCircle($"loc", honolulu._1, honolulu._2, 400000))
     assert(wide.count() == 2)
   }
+
+  test("cell neighborhood covers every pair within the radius (no false negatives)") {
+    // deterministic pseudo-random points in a 1-degree box; every pair
+    // within 10 km must share a (cellId, neighborCells) bucket when
+    // cellDeg = 0.1 (>= 10 km at these latitudes)
+    val pts = (1 to 400).map { i =>
+      (i.toLong, 20.0 + (i * 37 % 100) / 100.0, -157.0 + (i * 73 % 100) / 100.0)
+    }.toDF("id", "lat", "lon").withColumn("loc", Geo.location(col("lat"), col("lon")))
+    val naive = pts.as("a").join(pts.as("b"),
+        col("a.id") < col("b.id") &&
+          Geo.distanceInMeters(col("a.loc"), col("b.loc")) <= 10000.0)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    val a = pts.select(col("id").as("id_a"), col("loc").as("loc_a"),
+      Geo.cellId(col("loc"), 0.1).as("cell"))
+    val b = pts.select(col("id").as("id_b"), col("loc").as("loc_b"),
+      explode(Geo.neighborCells(col("loc"), 0.1)).as("cell"))
+    val celled = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b") &&
+        Geo.distanceInMeters(col("loc_a"), col("loc_b")) <= 10000.0)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
+    assert(celled.toSet == naive)
+    assert(celled.length == celled.toSet.size, "pair matched in >1 bucket")
+  }
+
+  test("the 9 neighbor cell ids are distinct and include the own cell") {
+    val one = Seq((21.3069, -157.8583)).toDF("lat", "lon")
+      .withColumn("loc", Geo.location(col("lat"), col("lon")))
+      .select(Geo.cellId(col("loc"), 0.1).as("own"),
+        Geo.neighborCells(col("loc"), 0.1).as("nbrs"))
+      .head()
+    val own = one.getLong(0)
+    val nbrs = one.getAs[scala.collection.Seq[Long]]("nbrs")
+    assert(nbrs.size == 9 && nbrs.distinct.size == 9)
+    assert(nbrs.contains(own))
+  }
 }
