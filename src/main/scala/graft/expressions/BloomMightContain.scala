@@ -23,6 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class BloomMightContain(filter: Expression, key: Expression,
                              numBits: Int, numHashes: Int)
   extends BinaryExpression {
+  // the SQL surface (`bloom_might_contain(f, k, m, h)`) reaches this
+  // constructor with user-typed sizing — reject it at analysis time, not
+  // as an executor ArithmeticException/ArrayIndexOutOfBounds mid-query
+  require(numBits >= 8, s"numBits=$numBits must be >= 8 (build-side rule)")
+  require(numHashes >= 1, s"numHashes=$numHashes must be >= 1")
 
   override def left: Expression = filter
   override def right: Expression = key
@@ -48,6 +53,11 @@ case class BloomMightContain(filter: Expression, key: Expression,
       val i = ctx.freshName("i"); val bit = ctx.freshName("bit")
       val res = ctx.freshName("res")
       s"""
+         |if ($f.length < ${(numBits + 7) / 8}) {
+         |  throw new IllegalArgumentException(
+         |    "bloom filter has " + $f.length + " bytes but numBits=" +
+         |    $numBits + " needs ${(numBits + 7) / 8} — sizing mismatch");
+         |}
          |final long $h = org.apache.spark.sql.catalyst.expressions.XXH64
          |  .hashUTF8String($k, 42L);
          |final int $h1 = (int) ($h >>> 32);

@@ -89,9 +89,16 @@ object BloomSketch {
   /** UTF8String form — the interpreted path of
     * [[graft.expressions.BloomMightContain]] (codegen inlines the same
     * loop); identical bytes hash identically on build and probe sides.
+    * Fails loudly when the filter bytes are shorter than the declared
+    * sizing (a build/probe mismatch would otherwise read out of bounds
+    * mid-query).
     */
   def mightContainU(filter: Array[Byte], numBits: Int, numHashes: Int,
                     item: UTF8String): Boolean = {
+    if (filter.length < (numBits + 7) / 8)
+      throw new IllegalArgumentException(
+        s"bloom filter has ${filter.length} bytes but numBits=$numBits " +
+          s"needs ${(numBits + 7) / 8} — build/probe sizing mismatch")
     val h = XXH64.hashUTF8String(item, 42L)
     val h1 = (h >>> 32).toInt
     val h2 = h.toInt | 1
@@ -106,11 +113,20 @@ object BloomSketch {
 
   /** (m, k) for an expected `capacity` distinct keys at false-positive
     * rate `p`: the textbook optimum, rounded up / clamped to >= 1.
+    * REJECTS capacities whose optimal bit count exceeds a single array
+    * (~268 MB of filter) — a silent `.toInt` saturation there would hand
+    * back a "valid" sizing whose real FP rate is orders of magnitude
+    * above the request; shard the key space across several filters
+    * instead.
     */
   def sizing(capacity: Long, p: Double): (Int, Int) = {
     require(capacity > 0 && p > 0 && p < 1, s"bad sizing ($capacity, $p)")
     val ln2 = math.log(2.0)
-    val m = math.ceil(-capacity * math.log(p) / (ln2 * ln2)).toInt.max(8)
+    val mReal = math.ceil(-capacity * math.log(p) / (ln2 * ln2))
+    require(mReal <= Int.MaxValue.toDouble,
+      f"optimal filter needs $mReal%.3g bits (> Int.MaxValue) for " +
+        s"capacity=$capacity at p=$p — shard the key space across filters")
+    val m = mReal.toInt.max(8)
     val k = math.round(m.toDouble / capacity * ln2).toInt.max(1)
     (m, k)
   }

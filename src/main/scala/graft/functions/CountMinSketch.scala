@@ -35,6 +35,8 @@ class CountMinSketch(depth: Int, width: Int)
   extends Aggregator[String, Array[Long], Array[Long]] {
   require(depth >= 1 && depth <= 16, s"depth=$depth out of [1,16]")
   require(width >= 2, s"width=$width must be >= 2")
+  require(depth.toLong * width <= Int.MaxValue,
+    s"matrix ${depth}x$width overflows a single array — lower eps or shard")
 
   override def zero: Array[Long] = new Array[Long](depth * width)
 
@@ -91,7 +93,11 @@ object CountMinSketch {
     require(eps > 0 && eps < 1 && delta > 0 && delta < 1,
       s"bad sizing ($eps, $delta)")
     val d = math.ceil(math.log(1.0 / delta)).toInt.max(1)
-    val w = math.ceil(math.E / eps).toInt.max(2)
+    val wReal = math.ceil(math.E / eps)
+    require(d * wReal <= Int.MaxValue.toDouble,
+      f"matrix ${d}x$wReal%.0f overflows a single array for eps=$eps — " +
+        "a silent saturation would blow the error bound; raise eps or shard")
+    val w = wReal.toInt.max(2)
     (d, w)
   }
 

@@ -51,10 +51,24 @@ object Geo {
 
   private val CellStride = 100000L // > 360/minCellDeg; keeps ids collision-free
 
+  /** longitude cells per ring; cellDeg must tile 360° exactly so the
+    * modular wrap at the antimeridian is seamless
+    */
+  private def lonRing(cellDeg: Double): Long = {
+    val n = math.round(360.0 / cellDeg)
+    require(math.abs(n * cellDeg - 360.0) < 1e-9,
+      s"cellDeg=$cellDeg must divide 360 evenly (antimeridian wrap)")
+    n
+  }
+
   private def latCell(loc: Column, cellDeg: Double): Column =
     floor((loc.getField("lat") + lit(90.0)) / lit(cellDeg)).cast("long")
+  // pmod by the ring size: lon = +180.0 folds onto cell 0 (same physical
+  // meridian as -180.0), and neighbor offsets wrap across the
+  // antimeridian instead of walking off the grid
   private def lonCell(loc: Column, cellDeg: Double): Column =
-    floor((loc.getField("lon") + lit(180.0)) / lit(cellDeg)).cast("long")
+    pmod(floor((loc.getField("lon") + lit(180.0)) / lit(cellDeg)).cast("long"),
+      lit(lonRing(cellDeg)))
 
   /** The single containing grid cell of a location, as one long id. */
   def cellId(loc: Column, cellDeg: Double): Column = {
@@ -65,14 +79,19 @@ object Geo {
   /** The 3x3 cell neighborhood of a location (its cell + 8 surrounding) —
     * explode this on ONE side of a radius join; the other side keeps
     * [[cellId]]. The 9 ids are distinct, so each candidate pair meets in
-    * at most one bucket and the join needs no dedup pass.
+    * at most one bucket and the join needs no dedup pass. Longitude
+    * neighbors wrap modularly at the antimeridian (a pair straddling
+    * lon=±180 still meets); latitude does not wrap — radius semantics
+    * within ~1 cell of the poles need a dedicated polar cap cell.
     */
   def neighborCells(loc: Column, cellDeg: Double): Column = {
     require(cellDeg >= 0.005, s"cellDeg=$cellDeg under the id-stride floor")
+    val ring = lonRing(cellDeg)
     val la = latCell(loc, cellDeg)
     val lo = lonCell(loc, cellDeg)
     val ids = for (i <- -1 to 1; j <- -1 to 1)
-      yield (la + lit(i.toLong)) * lit(CellStride) + (lo + lit(j.toLong))
+      yield (la + lit(i.toLong)) * lit(CellStride) +
+        pmod(lo + lit(j.toLong), lit(ring))
     array(ids: _*)
   }
 }

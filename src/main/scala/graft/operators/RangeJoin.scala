@@ -44,8 +44,12 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  // exact floor division: (c - pmod) is an exact multiple of w, and the
+  // `div` operator divides it integrally — a double-division form would
+  // misbin instants >= 2^53 (epoch NANOseconds land there) by one bin and
+  // silently drop their matches
   private def floorDiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+    call_function("div", c - pmod(c, lit(w)), lit(w))
 
   /** Join `points` to the `intervals` rows of the same `keys` whose
     * `[from, to)` contains `at`. Output carries every column of both

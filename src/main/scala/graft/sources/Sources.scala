@@ -88,26 +88,46 @@ object Sources {
     * per tiny file, footer reads, no vectorized run length) comes to
     * dominate. Rewrites `path` to `ceil(bytes / targetBytes)` files via
     * `coalesce` (no shuffle — compaction repacks, it does not
-    * repartition), staging to a sibling directory first so a crash
-    * mid-compact never leaves the table half-rewritten, then swapping
-    * atomically via rename.
+    * repartition).
+    *
+    * Crash contract (generic Hadoop FS has no multi-path atomic op, so
+    * the swap is RECOVERABLE rather than atomic): the rewrite lands in a
+    * staging dir; the swap parks the original at `.<name>.old`, promotes
+    * the staging dir, then drops the parked copy. Every rename's return
+    * value is CHECKED (HDFS reports failure by returning false, not by
+    * throwing) — a failed step aborts with the data still intact in
+    * exactly one of the two named locations, and the next call
+    * self-heals: a parked `.old` with no live table is restored before
+    * compacting; stale staging/`.old` leftovers from an abort after
+    * promotion are cleared.
     */
   def compactParquet(spark: SparkSession, path: String,
                      targetBytes: Long = 128L * 1024 * 1024): Long = {
     require(targetBytes > 0, s"targetBytes must be positive")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(hPath).getLength
-    val files = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val staging = new org.apache.hadoop.fs.Path(
       hPath.getParent, s".${hPath.getName}.compacting")
-    spark.read.parquet(path).coalesce(files)
-      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
     val old = new org.apache.hadoop.fs.Path(
       hPath.getParent, s".${hPath.getName}.old")
-    fs.rename(hPath, old)
-    fs.rename(staging, hPath)
-    fs.delete(old, true)
+    def step(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(
+        s"compactParquet: $what failed; data intact at " +
+          (if (fs.exists(hPath)) path else old.toString))
+    // recover from a previous crash between park and promote
+    if (fs.exists(old) && !fs.exists(hPath))
+      step(fs.rename(old, hPath), s"restore of parked $old")
+    // clear stale leftovers from an abort after promotion
+    if (fs.exists(old)) step(fs.delete(old, true), s"cleanup of stale $old")
+    if (fs.exists(staging))
+      step(fs.delete(staging, true), s"cleanup of stale $staging")
+    val bytes = fs.getContentSummary(hPath).getLength
+    val files = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(path).coalesce(files)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    step(fs.rename(hPath, old), s"park of $path")
+    step(fs.rename(staging, hPath), s"promote of $staging")
+    fs.delete(old, true) // best-effort; next call clears a leftover
     files.toLong
   }
 }

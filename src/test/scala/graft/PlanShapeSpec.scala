@@ -39,6 +39,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("q139 spatial cell join plans as an equi-join, not a cartesian") {
+    val p = plan("q139_geo_cell_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("q82 KNN broadcasts the probe side") {
     val p = plan("q82_knn_cosine")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))

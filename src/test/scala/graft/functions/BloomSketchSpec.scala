@@ -89,5 +89,20 @@ class BloomSketchSpec extends SparkSpec {
     assert(k1 >= 6 && k1 <= 8, s"k=$k1")        // ~6.6 hashes
     intercept[IllegalArgumentException](BloomSketch.sizing(0, 0.01))
     intercept[IllegalArgumentException](BloomSketch.sizing(10, 1.5))
+    // silent Int saturation would hand back a filter with ~37% FPR
+    intercept[IllegalArgumentException](
+      BloomSketch.sizing(1000000000L, 0.01))
+  }
+
+  test("probe fails loudly on a build/probe sizing mismatch") {
+    val f = build(keys.toDF("key"))
+    intercept[IllegalArgumentException] {
+      BloomSketch.mightContain(f, numBits = m * 64, numHashes = k, "x")
+    }
+    intercept[IllegalArgumentException] {
+      graft.expressions.BloomMightContain(
+        org.apache.spark.sql.GraftColumn.expr(lit(f)),
+        org.apache.spark.sql.GraftColumn.expr(lit("x")), 4, 1)
+    }
   }
 }

@@ -51,5 +51,8 @@ class CountMinSketchSpec extends SparkSpec {
     assert(w1 >= 270 && w1 <= 280, s"w=$w1") // ceil(e/0.01) = 272
     assert(d1 == 5, s"d=$d1")                // ceil(ln 100) = 5
     intercept[IllegalArgumentException](CountMinSketch.sizing(0.0, 0.5))
+    // silent width saturation would overflow depth*width to a negative
+    // array size at aggregation time, far from the sizing call
+    intercept[IllegalArgumentException](CountMinSketch.sizing(1e-9, 0.01))
   }
 }

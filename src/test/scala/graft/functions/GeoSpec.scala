@@ -86,6 +86,25 @@ class GeoSpec extends SparkSpec {
     assert(celled.length == celled.toSet.size, "pair matched in >1 bucket")
   }
 
+  test("a pair straddling the antimeridian still meets in a bucket") {
+    val pts = Seq((1L, 0.0, 179.99), (2L, 0.0, -179.99), (3L, 0.0, 180.0))
+      .toDF("id", "lat", "lon")
+      .withColumn("loc", Geo.location(col("lat"), col("lon")))
+    val a = pts.select(col("id").as("id_a"), col("loc").as("loc_a"),
+      Geo.cellId(col("loc"), 0.1).as("cell"))
+    val b = pts.select(col("id").as("id_b"), col("loc").as("loc_b"),
+      explode(Geo.neighborCells(col("loc"), 0.1)).as("cell"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b") &&
+        Geo.distanceInMeters(col("loc_a"), col("loc_b")) <= 10000.0)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    // ~2.2 km apart across lon=180; and +180.0 folds onto the -180 cell
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs.toString)
+    intercept[IllegalArgumentException] {
+      Geo.cellId(col("loc"), 0.07) // does not tile 360 evenly
+    }
+  }
+
   test("the 9 neighbor cell ids are distinct and include the own cell") {
     val one = Seq((21.3069, -157.8583)).toDF("lat", "lon")
       .withColumn("loc", Geo.location(col("lat"), col("lon")))

@@ -100,6 +100,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.size > 10000, s"fixture too sparse: ${got.size}")
   }
 
+  test("instants beyond 2^53 (epoch nanos) bin exactly — no double rounding") {
+    // 1.8e18 is representable as long but not exactly as double; a
+    // double-division floorDiv misbins some of these by one and silently
+    // drops true matches
+    val base = 1800000000000000000L
+    val pts = (0 until 1000).map(i => (1L, base + i * 997L))
+      .toDF("k", "at").withColumn("pid", monotonically_increasing_id())
+    val ivs = (0 until 200).map(i =>
+      (1L, base + i * 5003L, base + i * 5003L + 1000L))
+      .toDF("k", "from", "to").withColumn("iid", monotonically_increasing_id())
+    for (w <- Seq(1000L, 4096L, 1000000000L)) {
+      val got = RangeJoin.pointInInterval(pts, ivs, Seq("k"),
+          "at", "from", "to", binWidth = w)
+        .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSet
+      assert(got == naive(pts, ivs), s"binWidth=$w")
+    }
+  }
+
   test("rejects nonpositive bin widths and unknown join types") {
     val (points, intervals) = fixture
     intercept[IllegalArgumentException] {
