@@ -555,7 +555,29 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** Top-2 purchases per user (q140): the custom TopKPerKey operator
+    * (q128) exercised on the EVENT log with a filter below it — the
+    * strategy plans over a filtered child, the heap orders by a double
+    * with an id tie-break, and the shuffle stays bounded at users×2 rows
+    * however long the log grows (the Window form ships every purchase).
+    */
+  def q140_topk_events(spark: SparkSession, sfDir: String): DataFrame =
+    graft.plans.TopK.perKey(
+        Tables.events(spark, sfDir).filter(col("event_type") === "purchase"),
+        Seq("user_id"), Seq(col("value").desc, col("event_id").asc), 2)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .orderBy(col("user_id"), col("event_id"))
+
   val oracle: Map[String, String] = Map(
+    "q140_topk_events" ->
+      """WITH r AS (SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        |FROM r WHERE rn <= 2 ORDER BY user_id, event_id""".stripMargin,
     "q138_dau_wau" ->
       """WITH p AS (SELECT DISTINCT
         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
