@@ -60,6 +60,56 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("range join == naive inequality join on generated interval sets") {
+    import graft.operators.RangeJoin
+    val ptGen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(-50L, 150L)))
+    val ivGen = Gen.listOfN(25, Gen.zip(Gen.chooseNum(1L, 4L),
+      Gen.chooseNum(-60L, 140L), Gen.chooseNum(0L, 40L)))
+    samples(Gen.zip(ptGen, ivGen), 4).zipWithIndex.foreach {
+      case ((ps, ivs), caseIdx) =>
+        val points = ps.zipWithIndex
+          .map { case ((k, at), i) => (i.toLong, k, at) }
+          .toDF("pid", "k", "at")
+        val intervals = ivs.zipWithIndex
+          .map { case ((k, from, len), i) => (i.toLong, k, from, from + len) }
+          .toDF("iid", "k", "from", "to") // len=0 ⇒ empty interval
+        val naive = points.join(intervals.filter(col("to") > col("from")),
+            points("k") === intervals("k") &&
+              points("at") >= intervals("from") && points("at") < intervals("to"))
+          .select(col("pid"), col("iid")).as[(Long, Long)].collect().toSet
+        for (w <- Seq(7L, 32L)) {
+          val got = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+              "at", "from", "to", binWidth = w)
+            .select(col("pid"), col("iid")).as[(Long, Long)].collect()
+          assert(got.length == got.toSet.size, s"case $caseIdx w=$w: dup pair")
+          assert(got.toSet == naive, s"case $caseIdx w=$w")
+        }
+    }
+  }
+
+  test("sessionize: session count = gap crossings + 1 (generated event times)") {
+    import graft.operators.Sessionize
+    val gapS = 600L
+    val tsGen = Gen.listOfN(40, Gen.chooseNum(0L, 20000L))
+    samples(tsGen, 5).foreach { offsets =>
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val ev = offsets.zipWithIndex
+        .map { case (s, i) =>
+          (1L, i.toLong, new java.sql.Timestamp(base + s * 1000)) }
+        .toDF("user_id", "event_id", "ts")
+      val maxSeq = Sessionize.assign(ev, Seq("user_id"), "ts",
+          s"$gapS SECOND", Seq("event_id"))
+        .agg(max(col("session_seq"))).head().getLong(0)
+      // ground truth from the sorted offsets: a session starts at every
+      // STRICTLY-greater-than-gap jump
+      val sorted = offsets.sorted
+      val expected = 1 + sorted.zip(sorted.tail).count {
+        case (a, b) => b - a > gapS }
+      assert(maxSeq == expected, s"offsets=$sorted")
+    }
+  }
+
   test("cosine self-similarity is exactly 1 after rounding (all fixture vectors)") {
     val emb = Tables.embeddings(spark, sfDir = "/root/testdata/sf0.001")
     val self = emb.select(
