@@ -45,6 +45,7 @@ object SparkEntry {
     "q138_dau_wau" -> (EventQueries.q138_dau_wau _),
     "q139_geo_cell_join" -> (ScalarQueries.q139_geo_cell_join _),
     "q140_topk_events" -> (EventQueries.q140_topk_events _),
+    "q141_inverted_index" -> (PipelineQueries.q141_inverted_index _),
     "q77_upsert_merge" -> (JoinQueries.q77_upsert_merge _),
     "q17_join_cross" -> (JoinQueries.q17_join_cross _),
     "q18_join_full_outer" -> (JoinQueries.q18_join_full_outer _),

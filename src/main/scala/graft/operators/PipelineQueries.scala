@@ -303,6 +303,30 @@ object PipelineQueries {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** Inverted-index materialization (q141): per query term, its document
+    * frequency and an md5 digest of the SORTED posting list — the index
+    * structure q90/q95/q130 would consult instead of re-scanning text at
+    * query time. The digest is the hash-check ENCODING of the full
+    * posting set (q110's compact-set pattern); a production build writes
+    * the postings themselves, bucketed by term, so lookups are
+    * partition-pruned point reads. Distinct (term, doc) dedup happens in
+    * the same two-phase agg as the df count — one scan, one shuffle on
+    * term.
+    */
+  def q141_inverted_index(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = Seq("batch", "filter", "join", "merge", "scan")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .filter(col("term").isInCollection(terms))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        md5(concat_ws(",", expr(
+          "transform(sort_array(collect_list(doc_id)), x -> cast(x AS string))")))
+          .as("posting_digest"))
+      .orderBy(col("term"))
+  }
+
   /** Language ID, fully hash-checked: vocabulary profiles (top-20 terms per
     * lang by (count desc, term asc)) built from the corpus in one pass and
     * broadcast; each doc scored by profile overlap; argmax with (overlap
@@ -599,6 +623,14 @@ object PipelineQueries {
         |WHERE list_contains(string_split(text, ' '), 'join')
         |  AND list_contains(string_split(text, ' '), 'filter')
         |ORDER BY doc_id""".stripMargin,
+    "q141_inverted_index" ->
+      """SELECT term, count(*) AS df,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+        |    AS posting_digest
+        |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+        |    AS term FROM documents)
+        |WHERE term IN ('batch', 'filter', 'join', 'merge', 'scan')
+        |GROUP BY term ORDER BY term""".stripMargin,
     "q130_bm25_ranked" ->
       """WITH m AS (SELECT doc_id, lang, text FROM documents
         |    WHERE list_contains(string_split(text, ' '), 'scan')
