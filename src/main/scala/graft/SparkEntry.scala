@@ -46,6 +46,7 @@ object SparkEntry {
     "q139_geo_cell_join" -> (ScalarQueries.q139_geo_cell_join _),
     "q140_topk_events" -> (EventQueries.q140_topk_events _),
     "q141_inverted_index" -> (PipelineQueries.q141_inverted_index _),
+    "q142_correlation" -> (EventQueries.q142_correlation _),
     "q77_upsert_merge" -> (JoinQueries.q77_upsert_merge _),
     "q17_join_cross" -> (JoinQueries.q17_join_cross _),
     "q18_join_full_outer" -> (JoinQueries.q18_join_full_outer _),

@@ -569,7 +569,61 @@ object EventQueries {
         round(col("value") * 100).cast("long").as("cents"))
       .orderBy(col("user_id"), col("event_id"))
 
+  /** Grouped Pearson correlation (q142): r between time-of-day and spend
+    * per event type — the bivariate analog of q135, on the same exact-
+    * integer-moment discipline. The BUILT-IN `corr` is Welford-based and
+    * partition-order-dependent in its last bits (never hash-stable);
+    * here all six moments are exact integer sums (each ≪ 2⁶³), cast to
+    * double once, and combined in the same literal order in both engines
+    * — products like n·Σx² exceed 2⁶³ but are IEEE-identical doubles of
+    * identical exact operands. Zero-variance groups drop; r4.
+    */
+  def q142_correlation(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) % 86400000000) div 1000000").as("x"),
+        round(col("value") * 100).cast("long").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val nd = col("n").cast("double")
+    val vx = nd * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nd * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val num = nd * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    s.filter(col("n") > 1)
+      .withColumn("vx", vx).withColumn("vy", vy)
+      .filter(col("vx") > 0 && col("vy") > 0)
+      .select(col("event_type"), col("n"),
+        Det.r4(num / (sqrt(col("vx")) * sqrt(col("vy")))).as("r"))
+      .orderBy(col("event_type"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q142_correlation" ->
+      """WITH m AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM (SELECT event_type,
+        |      (epoch_us(ts) % 86400000000) // 1000000 AS x,
+        |      CAST(round(value * 100) AS BIGINT) AS y
+        |    FROM events) GROUP BY 1),
+        |v AS (SELECT event_type, n,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num
+        |  FROM m WHERE n > 1)
+        |SELECT event_type, n, round(num / (sqrt(vx) * sqrt(vy)), 4) AS r
+        |FROM v WHERE vx > 0 AND vy > 0 ORDER BY event_type""".stripMargin,
     "q140_topk_events" ->
       """WITH r AS (SELECT user_id, event_id, value,
         |    row_number() OVER (PARTITION BY user_id
