@@ -47,6 +47,7 @@ object SparkEntry {
     "q140_topk_events" -> (EventQueries.q140_topk_events _),
     "q141_inverted_index" -> (PipelineQueries.q141_inverted_index _),
     "q142_correlation" -> (EventQueries.q142_correlation _),
+    "q143_hierarchy_flatten" -> (Hierarchy.q143_hierarchy_flatten _),
     "q77_upsert_merge" -> (JoinQueries.q77_upsert_merge _),
     "q17_join_cross" -> (JoinQueries.q17_join_cross _),
     "q18_join_full_outer" -> (JoinQueries.q18_join_full_outer _),
@@ -166,5 +167,6 @@ object SparkEntry {
       WindowSetQueries.oracle ++ ScalarQueries.oracle ++
       StreamShapeQueries.oracle ++ UdxQueries.oracle ++
       NorthStarQueries.oracle ++ PipelineQueries.oracle ++
-      CorpusQueries.oracle ++ EventQueries.oracle ++ DqQueries.oracle
+      CorpusQueries.oracle ++ EventQueries.oracle ++ DqQueries.oracle ++
+      Hierarchy.oracle
 }
