@@ -603,7 +603,62 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Daily resample + LOCF gap-fill (q144): the time-series
+    * regularization step every forecasting / feature pipeline runs —
+    * per-user purchase value carried forward over a dense daily grid
+    * from that user's first to last purchase day. Three stages, ALL
+    * keyed on user_id (one partitioning reused end to end; exchange-free
+    * on a user-bucketed layout): (1) daily last-value pick via
+    * row_number over (day, ts desc, event_id desc) — deterministic under
+    * ts ties; (2) grid = explode(sequence(min_day, max_day)) — linear in
+    * output rows, no cross join; (3) LOCF = last(cents, ignoreNulls)
+    * over a running row frame. Values in integer cents (house rule);
+    * days as epoch-day integers. The leading row is never null by
+    * construction (min_day is a purchase day). The `% 3` user subset is
+    * a fixture-size bound, not semantics. Emit (user_id, day, cents);
+    * order by (user_id, day).
+    */
+  def q144_resample_locf(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase" && col("user_id") % 3 === 0)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("day", expr("us div 86400000000"))
+    val wPick = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val daily = p.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1).select("user_id", "day", "cents")
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wFill = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("cents"), ignoreNulls = true).over(wFill).as("cents"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q144_resample_locf" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         row_number() OVER (
+        |           PARTITION BY user_id, epoch_us(ts) // 86400000000
+        |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0),
+        |d AS (SELECT user_id, day, cents FROM p WHERE rn = 1),
+        |g AS (SELECT user_id, unnest(range(min(day), max(day) + 1)) AS day
+        |      FROM d GROUP BY user_id),
+        |j AS (SELECT g.user_id, g.day, d.cents
+        |      FROM g LEFT JOIN d USING (user_id, day))
+        |SELECT user_id, day, last_value(cents IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents
+        |FROM j ORDER BY user_id, day""".stripMargin,
     "q142_correlation" ->
       """WITH m AS (SELECT event_type, count(*) AS n,
         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,

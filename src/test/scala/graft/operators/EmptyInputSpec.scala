@@ -53,18 +53,21 @@ class EmptyInputSpec extends SparkSpec {
       "q124_time_weighted_avg", "q126_attribution", "q127_window_funnel",
       "q129_interval_join", "q131_sessionize", "q132_value_histogram",
       "q133_rolling_zscore", "q134_ab_test", "q135_trend_slope",
-      "q136_robust_stats", "q137_window_distinct", "q138_dau_wau")
+      "q136_robust_stats", "q137_window_distinct", "q138_dau_wau",
+      "q144_resample_locf")
     qs.foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, emptyEventsDir).count()
       assert(n == 0, s"$q returned $n rows on an empty event log")
     }
   }
 
-  test("q139 returns empty, not errors, on zero customers") {
+  test("q139/q143 return empty, not errors, on zero customers") {
     val dir = java.nio.file.Files.createTempDirectory("graft-empty-cu").toString
     Tables.customer(spark, sfDir).limit(0)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/customer.parquet")
-    val n = graft.SparkEntry.queries("q139_geo_cell_join")(spark, dir).count()
-    assert(n == 0, s"q139 returned $n rows on an empty customer table")
+    Seq("q139_geo_cell_join", "q143_hierarchy_flatten").foreach { q =>
+      val n = graft.SparkEntry.queries(q)(spark, dir).count()
+      assert(n == 0, s"$q returned $n rows on an empty customer table")
+    }
   }
 }
