@@ -65,7 +65,8 @@ class EmptyInputSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-empty-cu").toString
     Tables.customer(spark, sfDir).limit(0)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/customer.parquet")
-    Seq("q139_geo_cell_join", "q143_hierarchy_flatten").foreach { q =>
+    Seq("q139_geo_cell_join", "q143_hierarchy_flatten",
+        "q145_fuzzy_match").foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       assert(n == 0, s"$q returned $n rows on an empty customer table")
     }
