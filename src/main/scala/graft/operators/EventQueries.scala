@@ -641,7 +641,76 @@ object EventQueries {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Interval-overlap join (q146): user sessions (the q131 gap-merge,
+    * closed intervals [first,last] in µs) against 40 deterministic
+    * campaign windows anchored at the global min event time (md5-jittered
+    * starts/lengths — the q101 stand-in pattern, as the fixtures carry no
+    * campaign table), reporting per-campaign session counts and total
+    * overlap. Overlap predicate `s0 ≤ c1 AND c0 ≤ s1`, overlap length
+    * `least(s1,c1) − greatest(s0,c0)` — exact integer µs, summed as
+    * BIGINT. Plan shape: the campaign side is 40 rows ⇒ BROADCAST nested
+    * loop is the right physical join (each session row tests 40
+    * intervals in codegen — no shuffle of the session side at all);
+    * when BOTH interval sets are large this degenerates to a cartesian
+    * and the binned equi-join rewrite takes over
+    * ([[RangeJoin.pointInInterval]], q129 — same algebra, bins on both
+    * sides). Emit (campaign_id, n_sessions, overlap_us); order by
+    * campaign_id.
+    */
+  def q146_interval_overlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val sess = Sessionize.assign(Tables.events(spark, sfDir),
+        Seq("user_id"), "ts", gap = "30 MINUTE", tieBreak = Seq("event_id"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(unix_micros(min(col("ts"))).as("s0"),
+        unix_micros(max(col("ts"))).as("s1"))
+    val base = Tables.events(spark, sfDir)
+      .agg(min(unix_micros(col("ts"))).as("b"))
+    val hc = md5(col("id").cast("string"))
+    val camp = spark.range(40).crossJoin(broadcast(base))
+      .withColumn("c0", col("b") + col("id") * 21600000000L +
+        conv(substring(hc, 1, 12), 16, 10).cast("long") % 10800000000L)
+      .withColumn("c1", col("c0") + 7200000000L +
+        conv(substring(hc, 13, 12), 16, 10).cast("long") % 14400000000L)
+      .select(col("id").as("campaign_id"), col("c0"), col("c1"))
+    sess.join(broadcast(camp),
+        col("s0") <= col("c1") && col("c0") <= col("s1"))
+      .groupBy(col("campaign_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(least(col("s1"), col("c1")) - greatest(col("s0"), col("c0")))
+          .as("overlap_us"))
+      .orderBy(col("campaign_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q146_interval_overlap" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |    sum(CASE WHEN prev_ts IS NULL
+        |          OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM e),
+        |sess AS (SELECT user_id, session_seq,
+        |    epoch_us(min(ts)) AS s0, epoch_us(max(ts)) AS s1
+        |  FROM s GROUP BY 1, 2),
+        |base AS (SELECT min(epoch_us(ts)) AS b FROM events),
+        |camp AS (SELECT i AS campaign_id,
+        |    b + i * 21600000000
+        |      + CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 12))
+        |             AS BIGINT) % 10800000000 AS c0
+        |  FROM range(40) t(i), base),
+        |camp2 AS (SELECT campaign_id, c0,
+        |    c0 + 7200000000
+        |      + CAST(('0x' || substr(md5(CAST(campaign_id AS VARCHAR)), 13, 12))
+        |             AS BIGINT) % 14400000000 AS c1
+        |  FROM camp)
+        |SELECT campaign_id, count(*) AS n_sessions,
+        |  CAST(sum(least(s1, c1) - greatest(s0, c0)) AS BIGINT) AS overlap_us
+        |FROM sess JOIN camp2 ON s0 <= c1 AND c0 <= s1
+        |GROUP BY 1 ORDER BY campaign_id""".stripMargin,
     "q144_resample_locf" ->
       """WITH p AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
