@@ -53,9 +53,43 @@ object BenchSkew {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
   }
 
+  /** Deterministic skewed event log under `dir` (raw fixture schema, ts
+    * as int64 nanos): user 1 holds `hotFrac` of all events — the one-key
+    * concentration AQE's skew split handles on shuffle joins and that
+    * [[graft.operators.RangeJoin]]'s (key, bin) bucketing must keep
+    * bounded (q129's join key includes the bin, so even the hot user's
+    * probes spread across day bins instead of one monster partition).
+    */
+  def writeSkewedEvents(spark: SparkSession, dir: String, n: Int,
+                        hotFrac: Double): Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val types = Array("purchase", "click", "view", "error", "signup")
+    val nHot = (n * hotFrac).toInt
+    val base = 1735689600L * 1000000000L // 2025-01-01 UTC
+    val span = 14L * 86400L * 1000000000L
+    val rows = (0 until n).map { i =>
+      val user = if (i < nHot) 1L else 2L + rnd.nextInt(math.max(1, n / 200))
+      val tsNs = base + math.floorMod(rnd.nextLong(), span)
+      (i.toLong, tsNs, user, types(rnd.nextInt(types.length)),
+        rnd.nextDouble() * 500.0, """{"k":1}""")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(8)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+  }
+
   private val skewQueries = Seq("q80_dedup_exact", "q85_dedup_minhash_lsh",
     "q94_dedup_lsh_lang", "q96_dedup_simhash", "q97_curation_pipeline",
     "q100_dedup_components")
+
+  /** Event-tier skew targets: the binned range join (the measured claim:
+    * (key, bin) bucketing keeps the hot user's candidate pairs linear in
+    * its events-per-day, not quadratic in its total events), plus the
+    * per-user window queries whose hot-key cost is INHERENT (a window
+    * partition cannot split — the number to watch, not to fix). */
+  private val skewEventQueries =
+    Seq("q129_interval_join", "q131_sessionize", "q146_interval_overlap")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -69,15 +103,16 @@ object BenchSkew {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     writeSkewedDocs(spark, dir, n, hotFrac)
+    writeSkewedEvents(spark, dir, n * 4, hotFrac)
     // steady-state warm-up at the small uniform fixture (same methodology
     // as Bench: timed numbers measure throughput, not JIT)
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      skewQueries.foreach { q =>
+      (skewQueries ++ skewEventQueries).foreach { q =>
         try SparkEntry.queries(q)(spark, warmDir).count()
         catch { case _: Throwable => () }
       }
-    val results = skewQueries.map { name =>
+    val results = (skewQueries ++ skewEventQueries).map { name =>
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, dir).count(); true }
         catch { case e: Throwable =>
