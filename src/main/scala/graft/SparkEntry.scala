@@ -51,6 +51,7 @@ object SparkEntry {
     "q144_resample_locf" -> (EventQueries.q144_resample_locf _),
     "q145_fuzzy_match" -> (JoinQueries.q145_fuzzy_match _),
     "q146_interval_overlap" -> (EventQueries.q146_interval_overlap _),
+    "q147_pareto" -> (AggQueries.q147_pareto _),
     "q77_upsert_merge" -> (JoinQueries.q77_upsert_merge _),
     "q17_join_cross" -> (JoinQueries.q17_join_cross _),
     "q18_join_full_outer" -> (JoinQueries.q18_join_full_outer _),

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Det, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.2.C — aggregation (SoQL `$group`/`$having` + aggregate functions).
@@ -208,7 +209,66 @@ object AggQueries {
        |  round(CAST(min($c) AS DOUBLE), 2) AS min_v,
        |  round(CAST(max($c) AS DOUBLE), 2) AS max_v FROM lineitem""".stripMargin
 
+  /** Pareto / ABC analysis (q147): per supplier nation, how many parts
+    * cover 80% of revenue — the cumulative-share threshold selection
+    * behind inventory ABC classes, "head vs tail" corpus curation cuts,
+    * and top-sellers dashboards. Revenue quantized to integer cents
+    * per ROW (one double product, same literal order both engines), then
+    * everything downstream is exact integer arithmetic — the 80% test is
+    * `cum_before × 5 < total × 4`, no float division anywhere. Ordering
+    * (cents desc, partkey) is a total order per nation, so the running
+    * sum is layout-independent. Shape: one broadcast dim join + one
+    * (nation, part) agg + windows over that agg's bounded output (rows
+    * per nation ≤ |part|); the final rollup is 25 rows.
+    */
+  def q147_pareto(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_suppkey"),
+      col("l_partkey"),
+      round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long").as("cents"))
+    val sup = broadcast(Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("nation")))
+    val pp = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), col("l_partkey"))
+      .agg(sum(col("cents")).as("cents"))
+    val wOrd = Window.partitionBy(col("nation"))
+      .orderBy(col("cents").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col("nation"))
+    pp.withColumn("cum_before",
+        coalesce(sum(col("cents")).over(wOrd), lit(0L)))
+      .withColumn("total", sum(col("cents")).over(wTot))
+      .withColumn("is_top", col("cum_before") * 5 < col("total") * 4)
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when(col("is_top"), 1L).otherwise(0L)).as("n_top"))
+      .select(col("nation"), col("n_parts"), col("n_top"),
+        expr("n_top * 10000 div n_parts").as("top_bp"))
+      .orderBy(col("nation"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q147_pareto" ->
+      """WITH li AS (
+        |  SELECT l.l_partkey, CAST(s.s_nationkey AS BIGINT) AS nation,
+        |    CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+        |         AS BIGINT) AS cents
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |pp AS (SELECT nation, l_partkey, CAST(sum(cents) AS BIGINT) AS cents
+        |       FROM li GROUP BY 1, 2),
+        |w AS (SELECT nation, l_partkey, cents,
+        |    coalesce(sum(cents) OVER (PARTITION BY nation
+        |      ORDER BY cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before,
+        |    sum(cents) OVER (PARTITION BY nation) AS total
+        |  FROM pp)
+        |SELECT nation, count(*) AS n_parts,
+        |  CAST(sum(CASE WHEN cum_before * 5 < total * 4 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_top,
+        |  CAST(sum(CASE WHEN cum_before * 5 < total * 4 THEN 1 ELSE 0 END)
+        |       * 10000 // count(*) AS BIGINT) AS top_bp
+        |FROM w GROUP BY 1 ORDER BY nation""".stripMargin,
     "q76_profile_stats" ->
       (Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice",
         "l_orderkey").map(profileSub).mkString("", "\nUNION ALL\n",
