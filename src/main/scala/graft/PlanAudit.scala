@@ -32,7 +32,8 @@ object PlanAudit extends App {
     "q136_robust_stats", "q137_window_distinct", "q138_dau_wau",
     "q139_geo_cell_join", "q140_topk_events", "q141_inverted_index",
     "q142_correlation", "q143_hierarchy_flatten", "q144_resample_locf",
-    "q145_fuzzy_match", "q146_interval_overlap", "q147_pareto")
+    "q145_fuzzy_match", "q146_interval_overlap", "q147_pareto",
+    "q148_subtree_rollup")
   targets.foreach { q =>
     println(s"\n========== $q ==========")
     println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(

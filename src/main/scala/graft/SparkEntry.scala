@@ -52,6 +52,7 @@ object SparkEntry {
     "q145_fuzzy_match" -> (JoinQueries.q145_fuzzy_match _),
     "q146_interval_overlap" -> (EventQueries.q146_interval_overlap _),
     "q147_pareto" -> (AggQueries.q147_pareto _),
+    "q148_subtree_rollup" -> (Hierarchy.q148_subtree_rollup _),
     "q77_upsert_merge" -> (JoinQueries.q77_upsert_merge _),
     "q17_join_cross" -> (JoinQueries.q17_join_cross _),
     "q18_join_full_outer" -> (JoinQueries.q18_join_full_outer _),

@@ -90,6 +90,64 @@ object Hierarchy {
     out
   }
 
+  /** Ancestor transitive closure — every (descendant, ancestor) pair
+    * including self-pairs, by recursive doubling: starting from the ≤1-hop
+    * closure, each round composes the relation with itself (`C ∘ C` via a
+    * self-join on the midpoint, then distinct), doubling the covered path
+    * length — ⌈log₂ depth⌉ + 1 rounds where the recursive CTE's own plan
+    * walks one level per pass. On a TREE the closure is the union of
+    * ancestor CHAINS, so its size is exactly Σ(depth+1) ≈ n·avg_depth —
+    * there is no quadratic blowup for the composition to amplify, and
+    * each round's join is bounded by the final closure size. Self-pairs
+    * make the union step implicit (composing with a self-pair reproduces
+    * every existing pair), so each round is one join + one distinct.
+    * Cycles cannot diverge either: a cycle's closure is finite, the
+    * row count stabilizes, and the loop exits on the fixpoint check.
+    *
+    * This is the relation subtree rollups (q148), "all reports of this
+    * manager" filters, and BOM cost explosions consume.
+    */
+  def ancestorClosure(nodes: DataFrame, idCol: String, parentCol: String,
+                      maxIter: Int = 32): DataFrame = {
+    val self = nodes.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("descd"), col(idCol).as("anc"))
+    val step = nodes.filter(col(idCol).isNotNull && col(parentCol).isNotNull)
+      .select(col(idCol).as("descd"), col(parentCol).as("anc"))
+    var cl = self.unionByName(step).distinct().localCheckpoint(true)
+    var size = cl.count()
+    var grown = true
+    var iter = 0
+    while (grown && iter < maxIter) {
+      val a = cl.select(col("descd"), col("anc").as("mid"))
+      val b = cl.select(col("descd").as("mid"), col("anc"))
+      val next = a.join(b, "mid").select(col("descd"), col("anc"))
+        .distinct()
+      val prev = cl
+      cl = next.localCheckpoint(true)
+      prev.unpersist(false)
+      val n = cl.count()
+      grown = n > size
+      size = n
+      iter += 1
+    }
+    cl
+  }
+
+  /** The deterministic customer referral forest both declared hierarchy
+    * queries run on: parent(k) = 1 + (md5-int(k) mod (k−1)) for k > 5 —
+    * always a smaller key, so acyclic by construction; keys ≤ 5 are
+    * roots. `cents` carries the account balance for rollups.
+    */
+  private def referralForest(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = conv(substring(md5(col("c_custkey").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    Tables.customer(spark, sfDir).select(
+      col("c_custkey").as("id"),
+      when(col("c_custkey") <= 5, lit(null).cast("long"))
+        .otherwise(lit(1L) + h % (col("c_custkey") - 1)).as("parent"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"))
+  }
+
   /** q143: flatten a deterministic customer referral forest — parent(k) =
     * 1 + (md5-int(k) mod (k−1)) for k > 5 (always a smaller key ⇒ acyclic
     * by construction), keys ≤ 5 are roots. The oracle replays the SAME
@@ -98,14 +156,27 @@ object Hierarchy {
     * doubling computes exactly what the linear-round recursive CTE
     * semantics define, on every row. Emit (id, root, depth); order by id.
     */
-  def q143_hierarchy_flatten(spark: SparkSession, sfDir: String): DataFrame = {
-    val h = conv(substring(md5(col("c_custkey").cast("string")), 1, 8), 16, 10)
-      .cast("long")
-    val nodes = Tables.customer(spark, sfDir).select(
-      col("c_custkey").as("id"),
-      when(col("c_custkey") <= 5, lit(null).cast("long"))
-        .otherwise(lit(1L) + h % (col("c_custkey") - 1)).as("parent"))
-    flatten(nodes, "id", "parent").orderBy(col("id"))
+  def q143_hierarchy_flatten(spark: SparkSession, sfDir: String): DataFrame =
+    flatten(referralForest(spark, sfDir), "id", "parent").orderBy(col("id"))
+
+  /** q148: subtree rollup over the same forest — for EVERY node, the size
+    * and summed account balance (integer cents) of its subtree, self
+    * included: the BOM cost-explosion / org-headcount shape. Closure via
+    * [[ancestorClosure]] (log-round doubling), then one join to the node
+    * values and one agg on the ancestor key. Closure size is n·avg_depth
+    * (≈ 10 n on the md5 forest — ln n expected depth), so the rollup
+    * costs a small constant factor over the node count at any scale.
+    * Oracle: DuckDB WITH RECURSIVE closure + the same join/agg. Emit
+    * (id, n_subtree, cents); order by id.
+    */
+  def q148_subtree_rollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val nodes = referralForest(spark, sfDir)
+    ancestorClosure(nodes, "id", "parent")
+      .join(nodes.select(col("id").as("descd"), col("cents")), "descd")
+      .groupBy(col("anc"))
+      .agg(count(lit(1)).as("n_subtree"), sum(col("cents")).as("cents"))
+      .select(col("anc").as("id"), col("n_subtree"), col("cents"))
+      .orderBy(col("id"))
   }
 
   val oracle: Map[String, String] = Map(
@@ -122,5 +193,22 @@ object Hierarchy {
         |  UNION ALL
         |  SELECT n.id, r.root, r.depth + 1
         |  FROM nodes n JOIN r ON n.parent = r.id)
-        |SELECT id, root, depth FROM r ORDER BY id""".stripMargin)
+        |SELECT id, root, depth FROM r ORDER BY id""".stripMargin,
+    "q148_subtree_rollup" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT c_custkey AS id,
+        |    CASE WHEN c_custkey <= 5 THEN NULL
+        |      ELSE 1 + CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+        |                    AS BIGINT) % (c_custkey - 1) END AS parent,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |cl AS (
+        |  SELECT id AS descd, id AS anc FROM nodes
+        |  UNION ALL
+        |  SELECT cl.descd, n.parent FROM cl JOIN nodes n ON cl.anc = n.id
+        |  WHERE n.parent IS NOT NULL)
+        |SELECT cl.anc AS id, count(*) AS n_subtree,
+        |  CAST(sum(n2.cents) AS BIGINT) AS cents
+        |FROM cl JOIN nodes n2 ON cl.descd = n2.id
+        |GROUP BY 1 ORDER BY id""".stripMargin)
 }

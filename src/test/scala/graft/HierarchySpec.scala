@@ -79,6 +79,67 @@ class HierarchySpec extends SparkSpec {
     }
   }
 
+  test("ancestor closure on a chain is exactly the triangular pair set") {
+    // 0 <- 1 <- 2 <- 3: closure = all (descd, anc) with anc on descd's path
+    val nodes = Seq((0L, None), (1L, Some(0L)), (2L, Some(1L)),
+      (3L, Some(2L))).toDF("id", "parent")
+    val got = Hierarchy.ancestorClosure(nodes, "id", "parent")
+      .as[(Long, Long)].collect().toSet
+    val want = (for { d <- 0L to 3L; a <- 0L to d } yield (d, a)).toSet
+    assert(got === want)
+  }
+
+  test("ancestor closure on a forest keeps trees separate and self-pairs") {
+    val nodes = Seq((1L, None), (2L, Some(1L)), (3L, Some(2L)),
+      (10L, None), (11L, Some(10L))).toDF("id", "parent")
+    val got = Hierarchy.ancestorClosure(nodes, "id", "parent")
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L), (2L, 2L), (2L, 1L), (3L, 3L), (3L, 2L),
+      (3L, 1L), (10L, 10L), (11L, 11L), (11L, 10L)))
+  }
+
+  test("closure terminates on a cycle (finite fixpoint, no divergence)") {
+    val nodes = Seq((5L, Some(6L)), (6L, Some(5L))).toDF("id", "parent")
+    val got = Hierarchy.ancestorClosure(nodes, "id", "parent", maxIter = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((5L, 5L), (5L, 6L), (6L, 6L), (6L, 5L)))
+  }
+
+  test("q148 subtree rollup matches a brute-force reference") {
+    // replay the md5 parent derivation in the JVM and fold subtree
+    // sizes bottom-up over all 150 customers
+    def mdParent(k: Long): Option[Long] =
+      if (k <= 5) None
+      else {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(k.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 8)
+        Some(1L + java.lang.Long.parseLong(hex, 16) % (k - 1))
+      }
+    val cents = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), round(col("c_acctbal") * 100).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val ids = cents.keys.toSeq
+    val sizeRef = scala.collection.mutable.Map[Long, Long]()
+    val centsRef = scala.collection.mutable.Map[Long, Long]()
+    ids.foreach { k =>
+      var cur: Option[Long] = Some(k)
+      while (cur.isDefined) {
+        val c = cur.get
+        sizeRef(c) = sizeRef.getOrElse(c, 0L) + 1L
+        centsRef(c) = centsRef.getOrElse(c, 0L) + cents(k)
+        cur = mdParent(c)
+      }
+    }
+    val got = Hierarchy.q148_subtree_rollup(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === 150)
+    got.foreach { case (id, n, c) =>
+      assert(n === sizeRef(id), s"subtree size of $id")
+      assert(c === centsRef(id), s"subtree cents of $id")
+    }
+  }
+
   test("q143 smoke: every customer resolves to a root key <= 5") {
     val got = Hierarchy.q143_hierarchy_flatten(spark, sfDir)
       .as[(Long, Long, Long)].collect()
