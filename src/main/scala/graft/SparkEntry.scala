@@ -53,6 +53,7 @@ object SparkEntry {
     "q146_interval_overlap" -> (EventQueries.q146_interval_overlap _),
     "q147_pareto" -> (AggQueries.q147_pareto _),
     "q148_subtree_rollup" -> (Hierarchy.q148_subtree_rollup _),
+    "q149_chi_square" -> (EventQueries.q149_chi_square _),
     "q77_upsert_merge" -> (JoinQueries.q77_upsert_merge _),
     "q17_join_cross" -> (JoinQueries.q17_join_cross _),
     "q18_join_full_outer" -> (JoinQueries.q18_join_full_outer _),

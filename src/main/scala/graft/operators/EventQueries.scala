@@ -681,7 +681,60 @@ object EventQueries {
       .orderBy(col("campaign_id"))
   }
 
+  /** Chi-square independence test (q149): event_type × day-of-week —
+    * the categorical-association screen (is traffic shape independent of
+    * weekday?) behind seasonality checks and drift monitors. Counts are
+    * exact integers; expected values rt·ct/N are exact-integer-operand
+    * doubles (products ≤ n² ≪ 2⁵³); each cell's (o−e)²/e term is
+    * computed in one literal order and quantized to INTEGER micro-units
+    * BEFORE summing (the house float-boundary rule — a 7-addend double
+    * sum would be partition-order-dependent), so the per-type χ²
+    * contribution is bit-exact in both engines. Cells with zero count
+    * simply don't exist (no 0/0 arm — ANSI-safe). The contingency table
+    * is |types|×7 rows, so every window after the first agg is over a
+    * bounded frame. Emit (event_type, n_type, chi2_micro); order by
+    * event_type.
+    */
+  def q149_chi_square(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+    val cell = c
+      .withColumn("rt", sum(col("o")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("ct", sum(col("o")).over(Window.partitionBy(col("dow"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      .withColumn("e", col("rt").cast("double") * col("ct").cast("double")
+        / col("n").cast("double"))
+    cell
+      .withColumn("term",
+        round((col("o").cast("double") - col("e"))
+          * (col("o").cast("double") - col("e")) / col("e") * 1000000)
+          .cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("o")).as("n_type"), sum(col("term")).as("chi2_micro"))
+      .orderBy(col("event_type"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q149_chi_square" ->
+      """WITH c AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, dow, o,
+        |    sum(o) OVER (PARTITION BY event_type) AS rt,
+        |    sum(o) OVER (PARTITION BY dow) AS ct,
+        |    sum(o) OVER () AS n
+        |  FROM c),
+        |cell AS (SELECT event_type, dow, o, rt, ct, n,
+        |    CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS e
+        |  FROM t)
+        |SELECT event_type, CAST(sum(o) AS BIGINT) AS n_type,
+        |  CAST(sum(CAST(round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+        |    / e * 1000000) AS BIGINT)) AS BIGINT) AS chi2_micro
+        |FROM cell GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q146_interval_overlap" ->
       """WITH e AS (SELECT user_id, event_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
