@@ -171,7 +171,53 @@ object WindowSetQueries {
       .orderBy(col("c_mktsegment"), col("c_custkey"))
   }
 
+  /** 2-D skyline / Pareto frontier (q150): orders no other order
+    * dominates on (earlier-or-equal date, higher-or-equal price, one
+    * strict) — the multi-objective "best trade-offs" operator (price vs
+    * recency, quality vs length, cost vs latency). The 2-D case reduces
+    * to a running max over the date order: keep a row iff its price
+    * strictly beats every strictly-earlier day's max AND it is its own
+    * day's max (same-day same-price duplicates are mutually
+    * non-dominating and all kept).
+    *
+    * Scale shape — the naive form is a GLOBAL window over all orders
+    * (one task holds the corpus: wrong). Here the running max runs over
+    * the per-day AGGREGATE (|days| rows, bounded by the calendar, not
+    * the order count), and a broadcast join on (day, cents) recovers
+    * the winning order rows — the standard local-skyline-then-merge
+    * decomposition with the day aggregate as the local phase. Emit
+    * (o_orderkey, day, cents); order by o_orderkey.
+    */
+  def q150_skyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"),
+      expr("unix_micros(o_orderdate) div 86400000000").as("day"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val daily = o.groupBy(col("day")).agg(max(col("cents")).as("m_day"))
+    val wPrev = Window.orderBy(col("day"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val skyDays = daily
+      .withColumn("m_prev", max(col("m_day")).over(wPrev))
+      .filter(col("m_prev").isNull || col("m_day") > col("m_prev"))
+      .select(col("day"), col("m_day").as("cents"))
+    o.join(broadcast(skyDays), Seq("day", "cents"))
+      .select(col("o_orderkey"), col("day"), col("cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q150_skyline" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |w AS (SELECT o_orderkey, day, cents,
+        |    max(cents) OVER (ORDER BY day
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_prev,
+        |    max(cents) OVER (PARTITION BY day) AS m_day
+        |  FROM o)
+        |SELECT o_orderkey, day, cents FROM w
+        |WHERE (m_prev IS NULL OR cents > m_prev) AND cents = m_day
+        |ORDER BY o_orderkey""".stripMargin,
     "q36_window_distribution" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal,
         |  percent_rank() OVER w AS pr,
