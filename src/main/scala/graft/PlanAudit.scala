@@ -33,7 +33,8 @@ object PlanAudit extends App {
     "q139_geo_cell_join", "q140_topk_events", "q141_inverted_index",
     "q142_correlation", "q143_hierarchy_flatten", "q144_resample_locf",
     "q145_fuzzy_match", "q146_interval_overlap", "q147_pareto",
-    "q148_subtree_rollup", "q149_chi_square", "q150_skyline")
+    "q148_subtree_rollup", "q149_chi_square", "q150_skyline",
+    "q151_triangle_count")
   targets.foreach { q =>
     println(s"\n========== $q ==========")
     println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(

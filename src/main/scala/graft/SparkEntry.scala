@@ -55,6 +55,7 @@ object SparkEntry {
     "q148_subtree_rollup" -> (Hierarchy.q148_subtree_rollup _),
     "q149_chi_square" -> (EventQueries.q149_chi_square _),
     "q150_skyline" -> (WindowSetQueries.q150_skyline _),
+    "q151_triangle_count" -> (ScalarQueries.q151_triangle_count _),
     "q77_upsert_merge" -> (JoinQueries.q77_upsert_merge _),
     "q17_join_cross" -> (JoinQueries.q17_join_cross _),
     "q18_join_full_outer" -> (JoinQueries.q18_join_full_outer _),

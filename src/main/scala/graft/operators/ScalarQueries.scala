@@ -149,13 +149,14 @@ object ScalarQueries {
     * Scale: fan-out ×9 on one side, per-bucket cost bounded by cell
     * occupancy — the maxBucket analog; never all-pairs.
     */
-  def q139_geo_cell_join(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Grid-cell-blocked proximity pairs (id_a < id_b) within `radiusM` of
+    * a point set ("id", "loc") — the q139/q151 join core: equi-join on
+    * cell (3×3 neighbor explode on one side), exact haversine residual.
+    * Requires cellDeg·111 km ≥ radiusM at the data's latitudes (q139's
+    * provable-coverage rule). */
+  private def geoPairs(pts: DataFrame, radiusM: Long): DataFrame = {
     import graft.functions.Geo
     val cellDeg = 0.1
-    val pts = Tables.customer(spark, sfDir).select(
-      col("c_custkey").as("id"),
-      Geo.location((col("c_custkey") % 100).cast("double") * lit(0.05),
-        (col("c_custkey") % 97).cast("double") * lit(0.05)).as("loc"))
     val a = pts.select(col("id").as("id_a"), col("loc").as("loc_a"),
       Geo.cellId(col("loc"), cellDeg).as("cell"))
     val b = pts.select(col("id").as("id_b"), col("loc").as("loc_b"),
@@ -164,9 +165,57 @@ object ScalarQueries {
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist_m",
         round(Geo.distanceInMeters(col("loc_a"), col("loc_b"))).cast("long"))
-      .filter(col("dist_m") <= 10000L)
+      .filter(col("dist_m") <= radiusM)
       .select(col("id_a"), col("id_b"), col("dist_m"))
-      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def q139_geo_cell_join(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Geo
+    val pts = Tables.customer(spark, sfDir).select(
+      col("c_custkey").as("id"),
+      Geo.location((col("c_custkey") % 100).cast("double") * lit(0.05),
+        (col("c_custkey") % 97).cast("double") * lit(0.05)).as("loc"))
+    geoPairs(pts, 10000L).orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Per-vertex triangle counting (q151): how many triangles each
+    * customer participates in on the 10 km proximity graph — the local
+    * clustering-coefficient numerator, the standard community-density
+    * signal (and the classic distributed-graph benchmark op). Edges are
+    * id-oriented (a < b), so each triangle is enumerated exactly once as
+    * the wedge a<b<c closed by edge (a,c): one self-join on the wedge
+    * midpoint + one closure join — shuffled equi-joins, no cartesian.
+    * Wedge volume is Σdeg², bounded here by grid-cell occupancy; on
+    * skewed graphs the production refinement orders edges by DEGREE
+    * instead of id (Suri–Vassilvitskii's MapReduce triangle trick —
+    * public literature), which this shape accepts by swapping the
+    * orientation comparator. The vertex set is a grid-WALK layout
+    * (q139's diagonal lattice is triangle-free below coincidence scale —
+    * a vacuous gate; the % 10 subset keeps fixture density bounded so
+    * the triangle count stays graph-sized, not clique-combinatorial).
+    * Emit (id, n_tri) for vertices in ≥1 triangle; order by id.
+    */
+  def q151_triangle_count(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Geo
+    val pts = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").as("id"),
+        Geo.location(
+          expr("cast(((c_custkey div 10) div 50) % 30 as double)") * lit(0.03),
+          expr("cast((c_custkey div 10) % 50 as double)") * lit(0.03))
+          .as("loc"))
+    val e = geoPairs(pts, 8000L).select(col("id_a").as("a"),
+      col("id_b").as("b"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(col("x").as("id"))
+      .unionByName(tri.select(col("y").as("id")))
+      .unionByName(tri.select(col("z").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("id"))
   }
 
   def q53_case_coalesce(spark: SparkSession, sfDir: String): DataFrame =
@@ -239,6 +288,26 @@ object ScalarQueries {
         |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_money,
         |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_money
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "q151_triangle_count" ->
+      """WITH p AS (SELECT c_custkey AS id,
+        |    CAST(((c_custkey // 10) // 50) % 30 AS DOUBLE) * 0.03 AS lat,
+        |    CAST((c_custkey // 10) % 50 AS DOUBLE) * 0.03 AS lon
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |j AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(round(2 * 6371000.0 * asin(sqrt(
+        |      pow(sin(radians(b.lat - a.lat) / 2), 2) +
+        |      cos(radians(a.lat)) * cos(radians(b.lat)) *
+        |      pow(sin(radians(b.lon - a.lon) / 2), 2)))) AS BIGINT) AS dist_m
+        |  FROM p a JOIN p b ON a.id < b.id),
+        |e AS (SELECT id_a AS a, id_b AS b FROM j WHERE dist_m <= 8000),
+        |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |      FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT id, count(*) AS n_tri FROM (
+        |  SELECT x AS id FROM t
+        |  UNION ALL SELECT y FROM t
+        |  UNION ALL SELECT z FROM t)
+        |GROUP BY 1 ORDER BY id""".stripMargin,
     "q139_geo_cell_join" ->
       """WITH p AS (SELECT c_custkey AS id,
         |    CAST(c_custkey % 100 AS DOUBLE) * 0.05 AS lat,

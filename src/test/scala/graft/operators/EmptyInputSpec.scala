@@ -66,7 +66,8 @@ class EmptyInputSpec extends SparkSpec {
     Tables.customer(spark, sfDir).limit(0)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/customer.parquet")
     Seq("q139_geo_cell_join", "q143_hierarchy_flatten",
-        "q145_fuzzy_match", "q148_subtree_rollup").foreach { q =>
+        "q145_fuzzy_match", "q148_subtree_rollup",
+        "q151_triangle_count").foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       assert(n == 0, s"$q returned $n rows on an empty customer table")
     }
