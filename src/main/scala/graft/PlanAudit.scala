@@ -34,7 +34,7 @@ object PlanAudit extends App {
     "q142_correlation", "q143_hierarchy_flatten", "q144_resample_locf",
     "q145_fuzzy_match", "q146_interval_overlap", "q147_pareto",
     "q148_subtree_rollup", "q149_chi_square", "q150_skyline",
-    "q151_triangle_count")
+    "q151_triangle_count", "q152_weighted_median", "q153_day_streaks")
   targets.foreach { q =>
     println(s"\n========== $q ==========")
     println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(

@@ -56,6 +56,8 @@ object SparkEntry {
     "q149_chi_square" -> (EventQueries.q149_chi_square _),
     "q150_skyline" -> (WindowSetQueries.q150_skyline _),
     "q151_triangle_count" -> (ScalarQueries.q151_triangle_count _),
+    "q152_weighted_median" -> (AggQueries.q152_weighted_median _),
+    "q153_day_streaks" -> (EventQueries.q153_day_streaks _),
     "q77_upsert_merge" -> (JoinQueries.q77_upsert_merge _),
     "q17_join_cross" -> (JoinQueries.q17_join_cross _),
     "q18_join_full_outer" -> (JoinQueries.q18_join_full_outer _),

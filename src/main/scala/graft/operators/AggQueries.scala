@@ -247,7 +247,55 @@ object AggQueries {
       .orderBy(col("nation"))
   }
 
+  /** Weighted median (q152): the quantity-weighted median line price per
+    * supplier nation — the weighted-quantile family (q27/q136 are the
+    * unweighted tier). Lower weighted median: the smallest value whose
+    * cumulative weight reaches half the total. All integer arithmetic
+    * (cents, integral quantities — cast parity holds because every
+    * l_quantity is exactly integral; the 2·cumw ≥ totw test needs no
+    * division). Tied values are safe by construction: rows sharing a
+    * cents value may order arbitrarily among themselves, but the
+    * SELECTED value is the tie block's shared value wherever the
+    * crossing lands inside it, so the output is layout-independent.
+    * Shape: broadcast dim join + one per-nation window + one rollup —
+    * window input is lineitem-sized but partitioned on nation (AQE
+    * skew-splittable ordering sort, bounded state). Emit (nation,
+    * wmedian_cents, tot_qty); order by nation.
+    */
+  def q152_weighted_median(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_suppkey"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"),
+      col("l_quantity").cast("long").as("w"))
+    val sup = broadcast(Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("nation")))
+    val wCum = Window.partitionBy(col("nation")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("nation"))
+    li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .withColumn("cumw", sum(col("w")).over(wCum))
+      .withColumn("totw", sum(col("w")).over(wTot))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("nation"))
+      .agg(min(col("cents")).as("wmedian_cents"),
+        min(col("totw")).as("tot_qty"))
+      .orderBy(col("nation"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q152_weighted_median" ->
+      """WITH li AS (
+        |  SELECT CAST(s.s_nationkey AS BIGINT) AS nation,
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(l.l_quantity AS BIGINT) AS w
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |c AS (SELECT nation, cents, w,
+        |    sum(w) OVER (PARTITION BY nation ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(w) OVER (PARTITION BY nation) AS totw
+        |  FROM li)
+        |SELECT nation, min(cents) AS wmedian_cents,
+        |  CAST(min(totw) AS BIGINT) AS tot_qty
+        |FROM c WHERE 2 * cumw >= totw GROUP BY 1 ORDER BY nation""".stripMargin,
     "q147_pareto" ->
       """WITH li AS (
         |  SELECT l.l_partkey, CAST(s.s_nationkey AS BIGINT) AS nation,

@@ -717,7 +717,44 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Longest active-day streak (q153): gaps-and-islands on the INTEGER
+    * day axis — q131's sessionize handles time-gap islands; this is the
+    * calendar variant (consecutive-day runs) behind habit/retention
+    * streaks. The island key is `day − row_number()` over each user's
+    * distinct days (consecutive days share it — the classic islands
+    * identity), then two rollups. Pure integer arithmetic end to end;
+    * every stage keyed on user_id (one partitioning, exchange-free on a
+    * user-bucketed layout). Emit (user_id, n_days, max_streak); order by
+    * user_id.
+    */
+  def q153_day_streaks(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    d.withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("streak"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("streak")).as("n_days"),
+        max(col("streak")).as("max_streak"))
+      .orderBy(col("user_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q153_day_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |i AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS island
+        |  FROM d),
+        |s AS (SELECT user_id, island, count(*) AS streak FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(streak) AS BIGINT) AS n_days,
+        |  CAST(max(streak) AS BIGINT) AS max_streak
+        |FROM s GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q149_chi_square" ->
       """WITH c AS (
         |  SELECT event_type, (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
