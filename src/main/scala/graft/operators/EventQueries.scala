@@ -742,7 +742,61 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Market-basket lift (q154): association strength between heavy
+    * usage of event-type pairs — lift = P(a∧b)/(P(a)·P(b)) over users,
+    * the co-occurrence × independence-baseline readout behind
+    * recommendation and cross-sell analyses (q93's doc-term co-occurrence
+    * re-expressed on behavioral baskets). "In basket" = the user fired
+    * that type ≥ 12 times (the raw any-occurrence basket is vacuous on
+    * the dense fixture — every user does everything). Lift reported in
+    * integer micro-units via BIGINT floor division (no float anywhere).
+    * Shape: one (user,type) agg, a per-user self-join bounded by
+    * |types|² per user, then |types|²-row joins — the pair table never
+    * exceeds the type-alphabet square regardless of log size. Emit
+    * (type_a, type_b, n_ab, lift_micro); order by (type_a, type_b).
+    */
+  def q154_basket_lift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val ut = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 12)
+      .select(col("user_id"), col("event_type"))
+    val nUsers = ev.agg(countDistinct(col("user_id")).as("n_users"))
+    val t = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val p = ut.as("a")
+      .join(ut.as("b"), col("a.user_id") === col("b.user_id")
+        && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    p.crossJoin(broadcast(nUsers))
+      .join(broadcast(t.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), Seq("type_a"))
+      .join(broadcast(t.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        expr("n_ab * n_users * 1000000 div (n_a * n_b)").as("lift_micro"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q154_basket_lift" ->
+      """WITH ut AS (
+        |  SELECT user_id, event_type FROM events
+        |  GROUP BY 1, 2 HAVING count(*) >= 12),
+        |n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+        |t AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_ab
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+        |  CAST(p.n_ab * n.n_users * 1000000 // (ta.n_t * tb.n_t) AS BIGINT)
+        |    AS lift_micro
+        |FROM p, n
+        |JOIN t ta ON ta.event_type = p.type_a
+        |JOIN t tb ON tb.event_type = p.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
     "q153_day_streaks" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day

@@ -55,7 +55,7 @@ class EmptyInputSpec extends SparkSpec {
       "q133_rolling_zscore", "q134_ab_test", "q135_trend_slope",
       "q136_robust_stats", "q137_window_distinct", "q138_dau_wau",
       "q144_resample_locf", "q146_interval_overlap", "q149_chi_square",
-      "q153_day_streaks")
+      "q153_day_streaks", "q154_basket_lift")
     qs.foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, emptyEventsDir).count()
       assert(n == 0, s"$q returned $n rows on an empty event log")
