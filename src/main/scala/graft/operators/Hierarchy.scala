@@ -64,7 +64,8 @@ object Hierarchy {
     var state = init.localCheckpoint(true)
     var frontier = state.filter(!col("settled")).count()
     var iter = 0
-    while (frontier > 0 && iter < maxIter) {
+    var progressing = true
+    while (frontier > 0 && progressing && iter < maxIter) {
       // compose pointers: s.anc -> t means s's new ancestor is t.anc at
       // distance s.depth + t.depth. Only the unsettled frontier joins
       // (the left side shrinks every round); the lookup side must be the
@@ -81,7 +82,12 @@ object Hierarchy {
       state = state.filter(col("settled")).unionByName(jumped)
         .localCheckpoint(true)
       prev.unpersist(false)
-      frontier = state.filter(!col("settled")).count()
+      val next = state.filter(!col("settled")).count()
+      // the settled set is monotone (depth ≤ 2^k resolves by round k), so
+      // an unchanged frontier means only cycle/dangling rows remain —
+      // stop now instead of burning the remaining maxIter rounds
+      progressing = next < frontier
+      frontier = next
       iter += 1
     }
     if (frontier > 0) onUnresolved(frontier)
