@@ -762,11 +762,15 @@ object EventQueries {
       .select(col("user_id"), col("event_type"))
     val nUsers = ev.agg(countDistinct(col("user_id")).as("n_users"))
     val t = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
-    val p = ut.as("a")
-      .join(ut.as("b"), col("a.user_id") === col("b.user_id")
-        && col("a.event_type") < col("b.event_type"))
-      .groupBy(col("a.event_type").as("type_a"),
-        col("b.event_type").as("type_b"))
+    // explicit renames on the right side: self-join column references to
+    // identical attribute ids otherwise lean on Spark's ambiguity
+    // resolution (the trivially-true-predicate trap)
+    val utB = ut.select(col("user_id").as("user_id_b"),
+      col("event_type").as("type_b"))
+    val p = ut
+      .join(utB, col("user_id") === col("user_id_b")
+        && col("event_type") < col("type_b"))
+      .groupBy(col("event_type").as("type_a"), col("type_b"))
       .agg(count(lit(1)).as("n_ab"))
     p.crossJoin(broadcast(nUsers))
       .join(broadcast(t.select(col("event_type").as("type_a"),

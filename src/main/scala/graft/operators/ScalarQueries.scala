@@ -206,11 +206,14 @@ object ScalarQueries {
           .as("loc"))
     val e = geoPairs(pts, 8000L).select(col("id_a").as("a"),
       col("id_b").as("b"))
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .join(e.as("e3"),
-        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    // renamed projections per join role — self-join references to shared
+    // attribute ids otherwise depend on Spark's ambiguity resolution
+    val e2 = e.select(col("a").as("m"), col("b").as("c"))
+    val e3 = e.select(col("a").as("x3"), col("b").as("z3"))
+    val tri = e
+      .join(e2, col("b") === col("m"))
+      .join(e3, col("a") === col("x3") && col("c") === col("z3"))
+      .select(col("a").as("x"), col("b").as("y"), col("c").as("z"))
     tri.select(col("x").as("id"))
       .unionByName(tri.select(col("y").as("id")))
       .unionByName(tri.select(col("z").as("id")))
