@@ -663,8 +663,10 @@ object EventQueries {
       .groupBy(col("user_id"), col("session_seq"))
       .agg(unix_micros(min(col("ts"))).as("s0"),
         unix_micros(max(col("ts"))).as("s1"))
-    val base = Tables.events(spark, sfDir)
-      .agg(min(unix_micros(col("ts"))).as("b"))
+    // every event belongs to a session and a session starts at its min
+    // event ts, so min(s0) IS the global min event time — derived from
+    // the session frame instead of a second full scan of the event log
+    val base = sess.agg(min(col("s0")).as("b"))
     val hc = md5(col("id").cast("string"))
     val camp = spark.range(40).crossJoin(broadcast(base))
       .withColumn("c0", col("b") + col("id") * 21600000000L +
@@ -778,7 +780,11 @@ object EventQueries {
       .join(broadcast(t.select(col("event_type").as("type_b"),
         col("n_t").as("n_b"))), Seq("type_b"))
       .select(col("type_a"), col("type_b"), col("n_ab"),
-        expr("n_ab * n_users * 1000000 div (n_a * n_b)").as("lift_micro"))
+        // staged floor divisions keep every intermediate ≤ max(n·10⁶,
+        // 10⁶·n): the single-expression form n_ab·N·10⁶ overflows BIGINT
+        // (ANSI throw) near 3M distinct users — inside the scale envelope
+        expr("(n_ab * 1000000 div n_a) * n_users div n_b")
+          .as("lift_micro"))
       .orderBy(col("type_a"), col("type_b"))
   }
 
@@ -795,7 +801,7 @@ object EventQueries {
         |    AND a.event_type < b.event_type
         |  GROUP BY 1, 2)
         |SELECT p.type_a, p.type_b, CAST(p.n_ab AS BIGINT) AS n_ab,
-        |  CAST(p.n_ab * n.n_users * 1000000 // (ta.n_t * tb.n_t) AS BIGINT)
+        |  CAST((p.n_ab * 1000000 // ta.n_t) * n.n_users // tb.n_t AS BIGINT)
         |    AS lift_micro
         |FROM p, n
         |JOIN t ta ON ta.event_type = p.type_a

@@ -3,7 +3,6 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Hierarchy flattening — the recursive-CTE workload (org charts, category
   * trees, thread/reply chains, BOM explosions) Spark has no native
