@@ -59,6 +59,7 @@ object SparkEntry {
     "q152_weighted_median" -> (AggQueries.q152_weighted_median _),
     "q153_day_streaks" -> (EventQueries.q153_day_streaks _),
     "q154_basket_lift" -> (EventQueries.q154_basket_lift _),
+    "q155_kmeans_assign" -> (NorthStarQueries.q155_kmeans_assign _),
     "q77_upsert_merge" -> (JoinQueries.q77_upsert_merge _),
     "q17_join_cross" -> (JoinQueries.q17_join_cross _),
     "q18_join_full_outer" -> (JoinQueries.q18_join_full_outer _),

@@ -117,6 +117,49 @@ object NorthStarQueries {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** K-means ASSIGNMENT step (q155) — the inner loop of Lloyd's algorithm
+    * and of SemDeDup-style embedding clustering: score every vector
+    * against k=8 fixed centroids (the embeddings of vec_id 0..7 — a
+    * deterministic seed choice, replayed identically in the oracle) and
+    * assign to the nearest by squared L2, ties to the lower centroid id.
+    *
+    * Determinism: ‖v−c‖² expands to dot(v,v) − 2·dot(v,c) + dot(c,c) with
+    * every dot product accumulated left-to-right in double ([[Det.dotD]] ≡
+    * DuckDB `list_dot_product` on double-cast lists), the identical
+    * literal op order on both engines, then 6-dp rounding. The argmin is a
+    * `min(struct(d2, cid))` hash aggregate — NOT a window — so the
+    * partial min combines map-side and the corpus never shuffles by
+    * vec_id; per-cluster avg distance is summed in integer micro-units.
+    *
+    * Scale shape: centroids broadcast (k rows), corpus streams map-side
+    * through the cross join + partial min/agg — zero corpus shuffle; the
+    * only exchange carries k·partitions partial rows. This is exactly the
+    * 100 TB k-means step: iterate by re-deriving centroids from the
+    * 8-row output and re-broadcasting.
+    */
+  def q155_kmeans_assign(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cent = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val corpus = emb.select(col("vec_id"), col("embedding").as("v"))
+    val d2 = Det.r6(
+      Det.dotD(col("v"), col("v"))
+        - lit(2.0) * Det.dotD(col("v"), col("cv"))
+        + Det.dotD(col("cv"), col("cv")))
+    corpus.crossJoin(broadcast(cent))
+      .withColumn("d2", d2)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
+      .groupBy(col("cid"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("vec_id")).as("sum_ids"),
+        Det.r6((sum(round(col("d2") * lit(1000000.0)).cast("long"))
+          .cast("double") / count(lit(1))) / lit(1000000.0)).as("avg_d2"))
+      .orderBy(col("cid"))
+  }
+
   def q84_text_langstats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .groupBy(col("lang"), col("source"))
@@ -172,6 +215,22 @@ object NorthStarQueries {
         |    FROM sims)
         |SELECT probe_id, label, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "q155_kmeans_assign" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, c.cid,
+        |    round(list_dot_product(e.v, e.v)
+        |      - 2.0 * list_dot_product(e.v, c.cv)
+        |      + list_dot_product(c.cv, c.cv), 6) AS d2
+        |  FROM e CROSS JOIN c),
+        |a AS (SELECT vec_id, cid, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk
+        |  FROM d)
+        |SELECT cid, count(*) AS n_vecs, CAST(sum(vec_id) AS BIGINT) AS sum_ids,
+        |  round((CAST(sum(CAST(round(d2 * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |    / count(*)) / 1000000.0, 6) AS avg_d2
+        |FROM a WHERE rk = 1 GROUP BY cid ORDER BY cid""".stripMargin,
     "q83_text_topterms" ->
       """SELECT lang, term, cnt, rank FROM (
         |  SELECT lang, term, cnt,

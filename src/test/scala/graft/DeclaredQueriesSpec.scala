@@ -77,7 +77,8 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q147_pareto" -> 10L, "q148_subtree_rollup" -> 150L,
     "q149_chi_square" -> 5L, "q150_skyline" -> 5L,
     "q151_triangle_count" -> 15L, "q152_weighted_median" -> 10L,
-    "q153_day_streaks" -> 15L, "q154_basket_lift" -> 10L)
+    "q153_day_streaks" -> 15L, "q154_basket_lift" -> 10L,
+    "q155_kmeans_assign" -> 8L)
 
   test("every declared query has an oracle and matches its golden sf0.001 count") {
     val qs = SparkEntry.queries
