@@ -60,6 +60,7 @@ object SparkEntry {
     "q153_day_streaks" -> (EventQueries.q153_day_streaks _),
     "q154_basket_lift" -> (EventQueries.q154_basket_lift _),
     "q155_kmeans_assign" -> (NorthStarQueries.q155_kmeans_assign _),
+    "q156_skyline3d" -> (Skyline.q156_skyline3d _),
     "q77_upsert_merge" -> (JoinQueries.q77_upsert_merge _),
     "q17_join_cross" -> (JoinQueries.q17_join_cross _),
     "q18_join_full_outer" -> (JoinQueries.q18_join_full_outer _),
@@ -180,5 +181,5 @@ object SparkEntry {
       StreamShapeQueries.oracle ++ UdxQueries.oracle ++
       NorthStarQueries.oracle ++ PipelineQueries.oracle ++
       CorpusQueries.oracle ++ EventQueries.oracle ++ DqQueries.oracle ++
-      Hierarchy.oracle
+      Hierarchy.oracle ++ Skyline.oracle
 }
