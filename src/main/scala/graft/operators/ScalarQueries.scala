@@ -221,6 +221,31 @@ object ScalarQueries {
       .orderBy(col("id"))
   }
 
+  /** PageRank on the proximity graph (q157): 5 damped rounds of
+    * [[PageRank.ranks]] over the same grid-walk 8 km graph as q151,
+    * undirected (each pair contributes both directed edges). The oracle
+    * replays the 5 rounds as unrolled CTEs — integer micro-unit
+    * arithmetic makes every intermediate rank bit-identical between the
+    * engines (see PageRank's scaladoc). Emit (id, pr_micro) for every
+    * vertex (isolated ones settle at the 150000 damping floor); order
+    * by id.
+    */
+  def q157_pagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Geo
+    val pts = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").as("id"),
+        Geo.location(
+          expr("cast(((c_custkey div 10) div 50) % 30 as double)") * lit(0.03),
+          expr("cast((c_custkey div 10) % 50 as double)") * lit(0.03))
+          .as("loc"))
+    val und = geoPairs(pts, 8000L)
+    val edges = und.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(und.select(col("id_b").as("src"), col("id_a").as("dst")))
+    PageRank.ranks(pts.select(col("id")), edges, iters = 5)
+      .orderBy(col("id"))
+  }
+
   def q53_case_coalesce(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .select(
@@ -311,6 +336,38 @@ object ScalarQueries {
         |  UNION ALL SELECT y FROM t
         |  UNION ALL SELECT z FROM t)
         |GROUP BY 1 ORDER BY id""".stripMargin,
+    "q157_pagerank" ->
+      """WITH p AS (SELECT c_custkey AS id,
+        |    CAST(((c_custkey // 10) // 50) % 30 AS DOUBLE) * 0.03 AS lat,
+        |    CAST((c_custkey // 10) % 50 AS DOUBLE) * 0.03 AS lon
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |j AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(round(2 * 6371000.0 * asin(sqrt(
+        |      pow(sin(radians(b.lat - a.lat) / 2), 2) +
+        |      cos(radians(a.lat)) * cos(radians(b.lat)) *
+        |      pow(sin(radians(b.lon - a.lon) / 2), 2)))) AS BIGINT) AS dist_m
+        |  FROM p a JOIN p b ON a.id < b.id),
+        |e0 AS (SELECT id_a AS src, id_b AS dst FROM j WHERE dist_m <= 8000),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN d USING (src)),
+        |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM p),
+        |p1 AS (SELECT p.id, CAST(150000 + (85 * COALESCE(s.insum, 0)) // 100 AS BIGINT) AS pr
+        |  FROM p LEFT JOIN (SELECT ed.dst AS id, sum(p0.pr // ed.deg) AS insum
+        |    FROM ed JOIN p0 ON ed.src = p0.id GROUP BY 1) s USING (id)),
+        |p2 AS (SELECT p.id, CAST(150000 + (85 * COALESCE(s.insum, 0)) // 100 AS BIGINT) AS pr
+        |  FROM p LEFT JOIN (SELECT ed.dst AS id, sum(p1.pr // ed.deg) AS insum
+        |    FROM ed JOIN p1 ON ed.src = p1.id GROUP BY 1) s USING (id)),
+        |p3 AS (SELECT p.id, CAST(150000 + (85 * COALESCE(s.insum, 0)) // 100 AS BIGINT) AS pr
+        |  FROM p LEFT JOIN (SELECT ed.dst AS id, sum(p2.pr // ed.deg) AS insum
+        |    FROM ed JOIN p2 ON ed.src = p2.id GROUP BY 1) s USING (id)),
+        |p4 AS (SELECT p.id, CAST(150000 + (85 * COALESCE(s.insum, 0)) // 100 AS BIGINT) AS pr
+        |  FROM p LEFT JOIN (SELECT ed.dst AS id, sum(p3.pr // ed.deg) AS insum
+        |    FROM ed JOIN p3 ON ed.src = p3.id GROUP BY 1) s USING (id)),
+        |p5 AS (SELECT p.id, CAST(150000 + (85 * COALESCE(s.insum, 0)) // 100 AS BIGINT) AS pr
+        |  FROM p LEFT JOIN (SELECT ed.dst AS id, sum(p4.pr // ed.deg) AS insum
+        |    FROM ed JOIN p4 ON ed.src = p4.id GROUP BY 1) s USING (id))
+        |SELECT id, pr AS pr_micro FROM p5 ORDER BY id""".stripMargin,
     "q139_geo_cell_join" ->
       """WITH p AS (SELECT c_custkey AS id,
         |    CAST(c_custkey % 100 AS DOUBLE) * 0.05 AS lat,
