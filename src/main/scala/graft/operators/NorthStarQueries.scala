@@ -137,7 +137,11 @@ object NorthStarQueries {
     * 100 TB k-means step: iterate by re-deriving centroids from the
     * 8-row output and re-broadcasting.
     */
-  def q155_kmeans_assign(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Lloyd-step cluster assignment shared by q155/q158: (vec_id, cid, d2)
+    * with cid = nearest of the k=8 fixed centroids by r6-rounded squared
+    * L2, ties to the lower cid (see q155's scaladoc for the determinism
+    * and zero-corpus-shuffle argument). */
+  private def clusterAssignments(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val cent = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
@@ -151,6 +155,10 @@ object NorthStarQueries {
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d2"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
+  }
+
+  def q155_kmeans_assign(spark: SparkSession, sfDir: String): DataFrame =
+    clusterAssignments(spark, sfDir)
       .groupBy(col("cid"))
       .agg(
         count(lit(1)).as("n_vecs"),
@@ -158,6 +166,51 @@ object NorthStarQueries {
         Det.r6((sum(round(col("d2") * lit(1000000.0)).cast("long"))
           .cast("double") / count(lit(1))) / lit(1000000.0)).as("avg_d2"))
       .orderBy(col("cid"))
+
+  /** SemDeDup (q158) — semantic near-dedup over embeddings (Abbas et al.
+    * 2023, the LLM-curation op): cluster-BLOCK the corpus with the q155
+    * Lloyd step, then compare pairs only WITHIN a cluster and drop every
+    * vector whose cosine to a LOWER-id cluster-mate reaches the
+    * threshold (keep-lowest-id greedy, the q108/q109 canonical-keeper
+    * rule). Emits the dropped side: (vec_id, cid, n_dups = how many
+    * smaller-id near-dups dominate it, max_cos_micro) — exactly what a
+    * curation pipeline subtracts from the corpus.
+    *
+    * Determinism: cosine = dot/(‖a‖·‖b‖) with [[Det.dotD]] dots and the
+    * identical literal op order in the oracle, quantized to integer
+    * micro-units BEFORE the threshold compare and the max (integer
+    * compare/agg — layout-safe); τ = 0.40 sits in the live range of the
+    * fixture (19 within-cluster pairs at sf0.01) — 0.9-style thresholds
+    * are vacuous on this corpus (max pairwise cosine 0.479).
+    *
+    * Scale shape: the pair join is cluster-blocked — SemDeDup's whole
+    * point is k grows with the corpus so per-cluster occupancy stays
+    * bounded (the n²/k trade, same family as q81's lang blocks and
+    * q145's name blocks); the assignment+norm frame is localCheckpoint'd
+    * once because it feeds BOTH sides of the pair join.
+    */
+  def q158_semdedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").as("v"),
+        Det.l2norm(col("embedding")).as("nrm"))
+    val base = clusterAssignments(spark, sfDir)
+      .select(col("vec_id"), col("cid"))
+      .join(e, "vec_id")
+      .localCheckpoint(true)
+    val x = base.select(col("cid"), col("vec_id").as("ia"),
+      col("v").as("va"), col("nrm").as("na"))
+    val y = base.select(col("cid").as("cid_b"), col("vec_id").as("ib"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    x.join(y, col("cid") === col("cid_b") && col("ia") < col("ib"))
+      .withColumn("cos_micro",
+        round(Det.dotD(col("va"), col("vb")) / (col("na") * col("nb"))
+          * lit(1000000.0)).cast("long"))
+      .filter(col("cos_micro") >= 400000L)
+      .groupBy(col("ib"), col("cid"))
+      .agg(count(lit(1)).as("n_dups"), max(col("cos_micro")).as("max_cos_micro"))
+      .select(col("ib").as("vec_id"), col("cid"), col("n_dups"),
+        col("max_cos_micro"))
+      .orderBy(col("vec_id"))
   }
 
   def q84_text_langstats(spark: SparkSession, sfDir: String): DataFrame =
@@ -231,6 +284,29 @@ object NorthStarQueries {
         |  round((CAST(sum(CAST(round(d2 * 1000000.0) AS BIGINT)) AS DOUBLE)
         |    / count(*)) / 1000000.0, 6) AS avg_d2
         |FROM a WHERE rk = 1 GROUP BY cid ORDER BY cid""".stripMargin,
+    "q158_semdedup" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, c.cid,
+        |    round(list_dot_product(e.v, e.v)
+        |      - 2.0 * list_dot_product(e.v, c.cv)
+        |      + list_dot_product(c.cv, c.cv), 6) AS d2
+        |  FROM e CROSS JOIN c),
+        |a0 AS (SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk
+        |  FROM d),
+        |a AS (SELECT vec_id, cid FROM a0 WHERE rk = 1),
+        |p AS (SELECT ax.cid, ax.vec_id AS ia, ay.vec_id AS ib,
+        |    CAST(round(list_dot_product(x.v, y.v)
+        |      / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+        |      * 1000000.0) AS BIGINT) AS cos_micro
+        |  FROM a ax JOIN a ay ON ay.cid = ax.cid AND ax.vec_id < ay.vec_id
+        |  JOIN e x ON x.vec_id = ax.vec_id
+        |  JOIN e y ON y.vec_id = ay.vec_id)
+        |SELECT ib AS vec_id, cid, count(*) AS n_dups, max(cos_micro) AS max_cos_micro
+        |FROM p WHERE cos_micro >= 400000
+        |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
     "q83_text_topterms" ->
       """SELECT lang, term, cnt, rank FROM (
         |  SELECT lang, term, cnt,
