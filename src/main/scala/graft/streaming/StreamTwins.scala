@@ -226,4 +226,100 @@ object StreamTwins {
       }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), enc)
       .toDF()
   }
+
+  /** q144's streaming twin: last-observation-carried-forward onto the
+    * dense daily grid via `flatMapGroupsWithState`. State = the PENDING
+    * (still-open) day's (day, cents) per user — two longs regardless of
+    * stream length. A grid row is emitted only once its day SETTLES (an
+    * event from a later day arrives): first the pending day with its
+    * final value — later (ts, event_id) within a day wins, the q144 pick
+    * rule — then one carried row per gap day. The trailing day never
+    * settles (a stream cannot know the last observation has happened);
+    * batch q144 closes it because it sees all history — the spec pins
+    * exactly that one-row-per-user difference. Late arrivals for
+    * already-settled days are dropped: their fill was already emitted in
+    * append mode (the same prefix semantics as [[sessionAssign]]).
+    */
+  def locfFill(events: DataFrame): DataFrame = {
+    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cents",
+        org.apache.spark.sql.types.LongType))))
+    val in = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"),
+      round(col("value") * 100).cast("long").as("cents"))
+    in.as(Encoders.row(in.schema))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState[(Long, Long), Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Row], state: GroupState[(Long, Long)]) =>
+          var (pd, pc) = state.getOption.getOrElse((Long.MinValue, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          rows.toSeq.sortBy(r => (r.getLong(2), r.getLong(1))).foreach { r =>
+            val day = Math.floorDiv(r.getLong(2), 86400000000L)
+            val c = r.getLong(3)
+            if (pd == Long.MinValue) { pd = day; pc = c }
+            else if (day == pd) pc = c
+            else if (day > pd) {
+              out += Row(user, pd, pc)
+              var d = pd + 1
+              while (d < day) { out += Row(user, d, pc); d += 1 }
+              pd = day; pc = c
+            } // day < pd: late for a settled day — dropped
+          }
+          state.update((pd, pc))
+          out.iterator
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), enc)
+      .toDF()
+  }
+
+  /** q128's streaming twin: a running per-key top-k leaderboard via
+    * `flatMapGroupsWithState`. State = the current top-k of
+    * (cents desc, event_id asc) per event_type — AT MOST k entries, the
+    * whole point versus buffering the stream. An arriving event is
+    * emitted exactly when it ENTERS the current top-k (leaderboard
+    * history in append mode). Rows are processed in event_id order
+    * within each micro-batch, so entry depends only on the stream
+    * prefix — the emitted set is identical however the stream is split
+    * into micro-batches (spec-pinned), and the final state is the exact
+    * batch top-k of everything seen.
+    */
+  def topKEntries(events: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cents",
+        org.apache.spark.sql.types.LongType))))
+    val in = events.select(col("event_type"), col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    // (cents desc, event_id asc) total order, as a max-first sort key
+    def beats(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    in.as(Encoders.row(in.schema))
+      .groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
+      .flatMapGroupsWithState[List[(Long, Long)], Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Row],
+         state: GroupState[List[(Long, Long)]]) =>
+          var top = state.getOption.getOrElse(Nil) // sorted best-first
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          rows.toSeq.sortBy(_.getLong(1)).foreach { r =>
+            val e = (r.getLong(2), r.getLong(1))
+            if (top.size < k || beats(e, top.last)) {
+              val (better, worse) = top.partition(beats(_, e))
+              top = (better ::: e :: worse).take(k)
+              out += Row(key, e._2, e._1)
+            }
+          }
+          state.update(top)
+          out.iterator
+      }(Encoders.kryo[List[(Long, Long)]], enc)
+      .toDF()
+  }
 }

@@ -315,4 +315,70 @@ class StreamingSpec extends SparkSpec {
       assert(stream == batch)
     } finally q.stop()
   }
+
+  test("LOCF twin: settled grid rows match the batch fill minus the open day, " +
+    "state across batches, same-day overwrite, late rows dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    // day numbers are relative to 2024-01-01 = day d0
+    val locf = Seq(
+      Ev(1, t("2024-01-01 08:00:00"), 1, "purchase", 1.00, "{}"),
+      Ev(2, t("2024-01-01 18:00:00"), 1, "purchase", 2.00, "{}"),  // same day: wins
+      Ev(3, t("2024-01-04 00:00:00"), 1, "purchase", 9.00, "{}"),  // settles d0, carries d0+1,d0+2
+      Ev(4, t("2024-01-02 00:00:00"), 2, "purchase", 3.00, "{}"),
+      Ev(5, t("2024-01-03 00:00:00"), 2, "purchase", 4.00, "{}"),  // settles u2 day1
+      Ev(6, t("2024-01-01 00:00:00"), 2, "purchase", 8.00, "{}"))  // LATE (< settled): dropped
+    val d0 = Math.floorDiv(t("2024-01-01 00:00:00").getTime, 86400000L)
+    val mem = MemoryStream[Ev]
+    val q = StreamTwins.locfFill(mem.toDF()).writeStream
+      .format("memory").queryName("tlocf").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(locf.take(2))   // u1 day 0 still open — nothing emitted yet
+      q.processAllAvailable()
+      assert(spark.table("tlocf").isEmpty)
+      mem.addData(locf.slice(2, 5)) // settling events arrive in a later batch
+      q.processAllAvailable()
+      mem.addData(locf.drop(5))   // ev6 is late ONLY if it arrives after u2
+      q.processAllAvailable()     // settled day 1 (in-batch rows get sorted)
+      val got = spark.table("tlocf").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = Set(
+        (1L, d0, 200L), (1L, d0 + 1, 200L), (1L, d0 + 2, 200L), // settled + carried
+        (2L, d0 + 1, 300L))                                     // u2 day1 settled
+      assert(got == want)
+      // open days (u1 day3, u2 day2) are pending in state, not emitted —
+      // they are exactly what batch q144's full-history grid adds
+    } finally q.stop()
+  }
+
+  test("top-k twin: emitted entries are batch-split invariant and contain the final top-k") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      Ev(1, t("2024-01-01 00:00:00"), 1, "click", 5.00, "{}"),
+      Ev(2, t("2024-01-01 00:01:00"), 1, "click", 3.00, "{}"),
+      Ev(3, t("2024-01-01 00:02:00"), 1, "click", 7.00, "{}"),  // enters, evicts 3.00
+      Ev(4, t("2024-01-01 00:03:00"), 1, "click", 1.00, "{}"),  // below kth: not emitted
+      Ev(5, t("2024-01-01 00:04:00"), 1, "click", 6.00, "{}"),  // enters, evicts 5.00
+      Ev(6, t("2024-01-01 00:05:00"), 1, "view", 2.00, "{}"),   // other key: enters
+      Ev(7, t("2024-01-01 00:06:00"), 1, "click", 7.00, "{}"))  // ties cents w/ 3; id 7 > 3 loses to it but beats 6.00
+    def runSplit(chunks: Seq[Seq[Ev]], name: String): Set[(String, Long, Long)] = {
+      val mem = MemoryStream[Ev]
+      val q = StreamTwins.topKEntries(mem.toDF(), 2).writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+      try {
+        chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      } finally q.stop()
+    }
+    val oneBatch = runSplit(Seq(evs), "tk1")
+    val threeBatches = runSplit(Seq(evs.take(3), evs.slice(3, 5), evs.drop(5)), "tk3")
+    assert(oneBatch == threeBatches)
+    // entry history: 5.00 and 3.00 enter first, then 7.00(id3), 6.00, view, 7.00(id7)
+    assert(oneBatch == Set(
+      ("click", 1L, 500L), ("click", 2L, 300L), ("click", 3L, 700L),
+      ("click", 5L, 600L), ("view", 6L, 200L), ("click", 7L, 700L)))
+    // the final top-2 per key is contained in the emitted history
+    val finalTop = Set(("click", 3L, 700L), ("click", 7L, 700L), ("view", 6L, 200L))
+    assert(finalTop.subsetOf(oneBatch))
+  }
 }
