@@ -36,7 +36,7 @@ object PlanAudit extends App {
     "q148_subtree_rollup", "q149_chi_square", "q150_skyline",
     "q151_triangle_count", "q152_weighted_median", "q153_day_streaks",
     "q154_basket_lift", "q155_kmeans_assign", "q156_skyline3d",
-    "q157_pagerank", "q158_semdedup")
+    "q157_pagerank", "q158_semdedup", "q159_bfs_hops")
   targets.foreach { q =>
     println(s"\n========== $q ==========")
     println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(

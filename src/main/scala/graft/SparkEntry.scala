@@ -63,6 +63,7 @@ object SparkEntry {
     "q156_skyline3d" -> (Skyline.q156_skyline3d _),
     "q157_pagerank" -> (ScalarQueries.q157_pagerank _),
     "q158_semdedup" -> (NorthStarQueries.q158_semdedup _),
+    "q159_bfs_hops" -> (ScalarQueries.q159_bfs_hops _),
     "q77_upsert_merge" -> (JoinQueries.q77_upsert_merge _),
     "q17_join_cross" -> (JoinQueries.q17_join_cross _),
     "q18_join_full_outer" -> (JoinQueries.q18_join_full_outer _),

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded multi-source BFS (k-hop distance labeling) as a deterministic
+  * distributed operator — the reachability/distance member of the graph
+  * tier next to components (q100), closure (q148), triangles (q151),
+  * and PageRank (q157).
+  *
+  * Each round relaxes one hop: dist'(v) = min(dist(v), 1 + min over
+  * in-neighbors u of dist(u)). Distances are small integers and min is
+  * idempotent/commutative, so the result is exact and independent of
+  * partition layout and merge order — no quantization needed (contrast
+  * q157's damped float recurrence). After k rounds the frame holds the
+  * exact hop distance for every vertex within k hops of a seed, which a
+  * SQL engine replays as k unrolled UNION+min CTEs.
+  *
+  * Scale shape: the edge frame is repartitioned by src once and
+  * localCheckpoint'd; each round shuffles only the reached-set frame
+  * (≤ |V| rows) to the edge partitioning and min-combines map-side.
+  * Lineage is cut per round (the q143/q148 rule). Unreached vertices
+  * simply never enter the frame — no sentinel distances to carry.
+  */
+object Bfs {
+
+  /** Hop distances after `rounds` relaxations from `seeds` (column id)
+    * over directed `edges` (src, dst). Returns (id, hops) for vertices
+    * reached within `rounds` hops; seeds are hops=0.
+    */
+  def hops(seeds: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("id"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val step = e.join(dist, col("src") === col("id"))
+        .select(col("dst").as("id"), (col("hops") + lit(1L)).as("hops"))
+      dist = dist.unionByName(step)
+        .groupBy(col("id")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+}

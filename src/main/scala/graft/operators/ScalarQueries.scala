@@ -246,6 +246,29 @@ object ScalarQueries {
       .orderBy(col("id"))
   }
 
+  /** Multi-source BFS (q159): exact hop distance (≤ 5) from the seed set
+    * `id % 100 = 0` over the same undirected grid-walk 8 km graph as
+    * q151/q157. Integer min-relaxation is idempotent and layout-free —
+    * see [[Bfs]] — and the oracle replays the 5 rounds as unrolled
+    * UNION+min CTEs. Emit (id, hops) for reached vertices only; order
+    * by id.
+    */
+  def q159_bfs_hops(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Geo
+    val pts = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").as("id"),
+        Geo.location(
+          expr("cast(((c_custkey div 10) div 50) % 30 as double)") * lit(0.03),
+          expr("cast((c_custkey div 10) % 50 as double)") * lit(0.03))
+          .as("loc"))
+    val und = geoPairs(pts, 8000L)
+    val edges = und.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(und.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val seeds = pts.select(col("id")).filter(col("id") % 100 === 0)
+    Bfs.hops(seeds, edges, rounds = 5).orderBy(col("id"))
+  }
+
   def q53_case_coalesce(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .select(
@@ -368,6 +391,36 @@ object ScalarQueries {
         |  FROM p LEFT JOIN (SELECT ed.dst AS id, sum(p4.pr // ed.deg) AS insum
         |    FROM ed JOIN p4 ON ed.src = p4.id GROUP BY 1) s USING (id))
         |SELECT id, pr AS pr_micro FROM p5 ORDER BY id""".stripMargin,
+    "q159_bfs_hops" ->
+      """WITH p AS (SELECT c_custkey AS id,
+        |    CAST(((c_custkey // 10) // 50) % 30 AS DOUBLE) * 0.03 AS lat,
+        |    CAST((c_custkey // 10) % 50 AS DOUBLE) * 0.03 AS lon
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |j AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(round(2 * 6371000.0 * asin(sqrt(
+        |      pow(sin(radians(b.lat - a.lat) / 2), 2) +
+        |      cos(radians(a.lat)) * cos(radians(b.lat)) *
+        |      pow(sin(radians(b.lon - a.lon) / 2), 2)))) AS BIGINT) AS dist_m
+        |  FROM p a JOIN p b ON a.id < b.id),
+        |e0 AS (SELECT id_a AS src, id_b AS dst FROM j WHERE dist_m <= 8000),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |d0 AS (SELECT id, CAST(0 AS BIGINT) AS hops FROM p WHERE id % 100 = 0),
+        |d1 AS (SELECT id, min(h) AS hops FROM (
+        |  SELECT id, hops AS h FROM d0
+        |  UNION ALL SELECT e.dst, d0.hops + 1 FROM e JOIN d0 ON e.src = d0.id) GROUP BY 1),
+        |d2 AS (SELECT id, min(h) AS hops FROM (
+        |  SELECT id, hops AS h FROM d1
+        |  UNION ALL SELECT e.dst, d1.hops + 1 FROM e JOIN d1 ON e.src = d1.id) GROUP BY 1),
+        |d3 AS (SELECT id, min(h) AS hops FROM (
+        |  SELECT id, hops AS h FROM d2
+        |  UNION ALL SELECT e.dst, d2.hops + 1 FROM e JOIN d2 ON e.src = d2.id) GROUP BY 1),
+        |d4 AS (SELECT id, min(h) AS hops FROM (
+        |  SELECT id, hops AS h FROM d3
+        |  UNION ALL SELECT e.dst, d3.hops + 1 FROM e JOIN d3 ON e.src = d3.id) GROUP BY 1),
+        |d5 AS (SELECT id, min(h) AS hops FROM (
+        |  SELECT id, hops AS h FROM d4
+        |  UNION ALL SELECT e.dst, d4.hops + 1 FROM e JOIN d4 ON e.src = d4.id) GROUP BY 1)
+        |SELECT id, hops FROM d5 ORDER BY id""".stripMargin,
     "q139_geo_cell_join" ->
       """WITH p AS (SELECT c_custkey AS id,
         |    CAST(c_custkey % 100 AS DOUBLE) * 0.05 AS lat,

@@ -79,7 +79,8 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q151_triangle_count" -> 15L, "q152_weighted_median" -> 10L,
     "q153_day_streaks" -> 15L, "q154_basket_lift" -> 10L,
     "q155_kmeans_assign" -> 8L, "q156_skyline3d" -> 9L,
-    "q157_pagerank" -> 15L, "q158_semdedup" -> 18L)
+    "q157_pagerank" -> 15L, "q158_semdedup" -> 18L,
+    "q159_bfs_hops" -> 15L)
 
   test("every declared query has an oracle and matches its golden sf0.001 count") {
     val qs = SparkEntry.queries
