@@ -60,8 +60,10 @@ object Bench {
     // anyone reading complete logs.
     val sfNum = """sf([0-9.]+)""".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
+    // Centisecond precision: 142 keys at %.3f is ~1.83 KB — too close to
+    // the 2000-char tail window. %.2f buys ~20 more queries of headroom.
     val compactQs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f"
     }.mkString("{", ",", "}")
     println(fullLine)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$compactQs,"sf":$sfNum}""")

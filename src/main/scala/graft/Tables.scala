@@ -65,13 +65,24 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** On-disk schema: `ts` is parquet TIMESTAMP(NANOS), which Spark 4 cannot
-    * map to TimestampType (µs) — it is read as epoch-nanos long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and converted below.
+  /** Raw schema for fixture generations whose `ts` is parquet
+    * TIMESTAMP(NANOS), which Spark 4 cannot map to TimestampType (µs) — it
+    * is read as epoch-nanos long (`spark.sql.legacy.parquet.nanosAsLong`)
+    * and converted in [[events]]. Later fixture generations write
+    * TIMESTAMP(MICROS) and use [[eventsSchema]] directly; [[events]]
+    * detects which encoding is on disk from the parquet footer.
     */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -107,9 +118,13 @@ object Tables {
     read(spark, sfDir, "orders", ordersSchema)
   def lineitem(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "lineitem", lineitemSchema)
-  /** `ts` lands as TimestampType (µs). Nanos truncate toward zero via
-    * integer `DIV 1000` — bit-identical to DuckDB's ns→µs truncation when
-    * it reads the same file, so timestamps hash-match across engines.
+  /** `ts` lands as TimestampType (µs) under EITHER fixture encoding.
+    * TIMESTAMP(MICROS) files are read directly; TIMESTAMP(NANOS) files
+    * (earlier fixture generations) are read as epoch-nanos longs and
+    * truncated toward zero via integer `DIV 1000` — bit-identical to
+    * DuckDB's ns→µs truncation when it reads the same file, so timestamps
+    * hash-match across engines either way. The footer decides, cached
+    * per path (one driver-side footer read per fixture dir).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // flip nanosAsLong only for this read, then restore — the flag is
@@ -119,14 +134,22 @@ object Tables {
     val prior = spark.conf.getOption(key)
     spark.conf.set(key, "true")
     try {
-      read(spark, sfDir, "events", eventsRawSchema)
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val nanosOnDisk = tsEncodingCache.getOrElseUpdate(s"$sfDir/events.parquet",
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+      if (nanosOnDisk)
+        read(spark, sfDir, "events", eventsRawSchema)
+          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      else
+        read(spark, sfDir, "events", eventsSchema)
     } finally prior match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
   }
+  private val tsEncodingCache =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "documents", documentsSchema)
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =

