@@ -96,18 +96,27 @@ object Hierarchy {
   }
 
   /** Ancestor transitive closure — every (descendant, ancestor) pair
-    * including self-pairs, by recursive doubling: starting from the ≤1-hop
-    * closure, each round composes the relation with itself (`C ∘ C` via a
-    * self-join on the midpoint, then distinct), doubling the covered path
-    * length — ⌈log₂ depth⌉ + 1 rounds where the recursive CTE's own plan
-    * walks one level per pass. On a TREE the closure is the union of
-    * ancestor CHAINS, so its size is exactly Σ(depth+1) ≈ n·avg_depth —
-    * there is no quadratic blowup for the composition to amplify, and
-    * each round's join is bounded by the final closure size. Self-pairs
-    * make the union step implicit (composing with a self-pair reproduces
-    * every existing pair), so each round is one join + one distinct.
-    * Cycles cannot diverge either: a cycle's closure is finite, the
-    * row count stabilizes, and the loop exits on the fixpoint check.
+    * including self-pairs, by binary lifting: maintain `P` = the exact
+    * 2^k-step jump pointer per node and `A` = all pairs at distance
+    * < 2^k. One round composes `A ∪ (P ∘ A)` (covering [0, 2^{k+1})) and
+    * `P ∘ P` (the 2^{k+1} pointer) — ⌈log₂ depth⌉ rounds where the
+    * recursive CTE's own plan walks one level per pass. The binary
+    * decomposition of each path length is UNIQUE (largest jump first), so
+    * every closure pair is produced exactly once: no `distinct`, no
+    * duplicate amplification — the naive `C ∘ C` doubling regenerates
+    * each pair once per midpoint on its path, paying an avg_depth-sized
+    * duplicate factor into a full dedup shuffle every round. Join work
+    * per round is bounded by the FINAL closure size (on a tree,
+    * Σ(depth+1) ≈ n·avg_depth), and `P` only holds nodes of depth ≥ 2^k,
+    * so late rounds touch the deep sliver of the forest. That is the
+    * 100 TB argument: total traffic O(closure · log depth), with the
+    * per-round lookup side shrinking geometrically.
+    *
+    * Cycle safety: on a parent cycle `P` never empties (the cycle jumps
+    * forever); the `maxIter` bound (default 2³² levels) terminates the
+    * loop with the cycle's finite reachable closure already in `A` —
+    * pairs stay exact and duplicate-free because lifting only ever adds
+    * distances not yet covered.
     *
     * This is the relation subtree rollups (q148), "all reports of this
     * manager" filters, and BOM cost explosions consume.
@@ -118,24 +127,31 @@ object Hierarchy {
       .select(col(idCol).as("descd"), col(idCol).as("anc"))
     val step = nodes.filter(col(idCol).isNotNull && col(parentCol).isNotNull)
       .select(col(idCol).as("descd"), col(parentCol).as("anc"))
-    var cl = self.unionByName(step).distinct().localCheckpoint(true)
-    var size = cl.count()
-    var grown = true
+    // invariant entering each round: A = all dists in [0, 2^k),
+    // P = the exact 2^k-step pointer. k = 0 ⇒ A holds self-pairs only.
+    var a = self.localCheckpoint(true)
+    var p = step.localCheckpoint(true)
+    var pSize = p.count()
     var iter = 0
-    while (grown && iter < maxIter) {
-      val a = cl.select(col("descd"), col("anc").as("mid"))
-      val b = cl.select(col("descd").as("mid"), col("anc"))
-      val next = a.join(b, "mid").select(col("descd"), col("anc"))
-        .distinct()
-      val prev = cl
-      cl = next.localCheckpoint(true)
-      prev.unpersist(false)
-      val n = cl.count()
-      grown = n > size
-      size = n
+    while (pSize > 0 && iter < maxIter) {
+      // v -(2^k)-> mid -(d < 2^k)-> anc  ⇒  v -(2^k + d)-> anc, covering
+      // exactly the new distance block [2^k, 2^{k+1}) once per pair (the
+      // d = 0 self-pair contributes the bare 2^k jump itself)
+      val lifted = p.select(col("descd"), col("anc").as("mid"))
+        .join(a.select(col("descd").as("mid"), col("anc")), "mid")
+        .select(col("descd"), col("anc"))
+      val p2 = p.select(col("descd"), col("anc").as("mid"))
+        .join(p.select(col("descd").as("mid"), col("anc")), "mid")
+        .select(col("descd"), col("anc"))
+      val (prevA, prevP) = (a, p)
+      a = a.unionByName(lifted).localCheckpoint(true)
+      p = p2.localCheckpoint(true)
+      pSize = p.count()
+      prevA.unpersist(false)
+      prevP.unpersist(false)
       iter += 1
     }
-    cl
+    a
   }
 
   /** The deterministic customer referral forest both declared hierarchy
