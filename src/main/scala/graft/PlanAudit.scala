@@ -36,7 +36,10 @@ object PlanAudit extends App {
     "q148_subtree_rollup", "q149_chi_square", "q150_skyline",
     "q151_triangle_count", "q152_weighted_median", "q153_day_streaks",
     "q154_basket_lift", "q155_kmeans_assign", "q156_skyline3d",
-    "q157_pagerank", "q158_semdedup", "q159_bfs_hops")
+    "q157_pagerank", "q158_semdedup", "q159_bfs_hops",
+    "q160_item_cooccur_sim", "q161_path_trigrams", "q162_ewma",
+    "q163_entity_clusters", "q164_knn_label_vote", "q165_grid_density",
+    "q166_time_to_convert", "q167_mutual_info")
   targets.foreach { q =>
     println(s"\n========== $q ==========")
     println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(

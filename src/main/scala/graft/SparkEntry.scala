@@ -174,6 +174,15 @@ object SparkEntry {
     "q125_dq_checks" -> (DqQueries.q125_dq_checks _),
     "q126_attribution" -> (EventQueries.q126_attribution _),
     "q127_window_funnel" -> (EventQueries.q127_window_funnel _),
+    // M. pattern mining / applied analytics (round 5 cont. 5)
+    "q160_item_cooccur_sim" -> (MiningQueries.q160_item_cooccur_sim _),
+    "q161_path_trigrams" -> (MiningQueries.q161_path_trigrams _),
+    "q162_ewma" -> (MiningQueries.q162_ewma _),
+    "q163_entity_clusters" -> (MiningQueries.q163_entity_clusters _),
+    "q164_knn_label_vote" -> (MiningQueries.q164_knn_label_vote _),
+    "q165_grid_density" -> (MiningQueries.q165_grid_density _),
+    "q166_time_to_convert" -> (MiningQueries.q166_time_to_convert _),
+    "q167_mutual_info" -> (MiningQueries.q167_mutual_info _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -184,5 +193,5 @@ object SparkEntry {
       StreamShapeQueries.oracle ++ UdxQueries.oracle ++
       NorthStarQueries.oracle ++ PipelineQueries.oracle ++
       CorpusQueries.oracle ++ EventQueries.oracle ++ DqQueries.oracle ++
-      Hierarchy.oracle ++ Skyline.oracle
+      Hierarchy.oracle ++ Skyline.oracle ++ MiningQueries.oracle
 }

@@ -1,0 +1,492 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import graft.functions.Components
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pattern-mining / applied-analytics tier (round 5 cont. 5): the query
+  * families a production analytics engine serves beyond plain OLAP —
+  * collaborative-filtering item similarity, sequential path mining,
+  * exponential smoothing, entity-resolution clustering, kNN
+  * classification, spatial density stencils, funnel-latency percentiles,
+  * and information-theoretic dependence. All hash-checked against the
+  * DuckDB oracle like every other declared tier (SURVEY §2.2.M);
+  * determinism discipline per §7.2 (integer/micro-unit arithmetic,
+  * r6-rounded similarity surfaces, explicit tie-breaks, total order).
+  */
+object MiningQueries {
+
+  /** q160: item-item co-occurrence similarity (the collaborative-filtering
+    * "customers who bought X also bought Y" primitive) over order baskets.
+    * Distinct (order, part) pairs co-occurring in an order; similarity =
+    * cooc / √(freq_a·freq_b) (cosine on binary incidence vectors — exact
+    * integers until the final rounded surface). Query items = parts with
+    * key % 100 == 0; top-3 neighbors each by (sim desc, part id).
+    *
+    * Scale: the pair join is pruned to query-relevant pairs BEFORE the
+    * aggregation (predicate inside the self-join), so cost is
+    * |query items| × basket fanout, not all-pairs; baskets bound the
+    * per-order explosion at (lines/order choose 2) ≈ 21. The full-matrix
+    * variant at 100 TB is DIMSUM sampling territory — documented, not
+    * declared; the query-driven form IS the production shape (real CF
+    * serving scores a candidate set, never the n² matrix).
+    */
+  def q160_item_cooccur_sim(spark: SparkSession, sfDir: String): DataFrame = {
+    val lp = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val freq = lp.groupBy(col("p")).agg(count(lit(1)).as("f"))
+    val pr = lp.as("a")
+      .join(lp.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p") &&
+          (col("a.p") % 100 === 0 || col("b.p") % 100 === 0))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("cooc"))
+    val sym = pr.select(col("pa").as("part_a"), col("pb").as("part_b"), col("cooc"))
+      .unionByName(
+        pr.select(col("pb").as("part_a"), col("pa").as("part_b"), col("cooc")))
+      .filter(col("part_a") % 100 === 0)
+    val scored = sym
+      .join(freq.select(col("p").as("part_a"), col("f").as("fa")), "part_a")
+      .join(freq.select(col("p").as("part_b"), col("f").as("fb")), "part_b")
+      .withColumn("sim", Det.r6(col("cooc").cast("double") /
+        sqrt(col("fa").cast("double") * col("fb").cast("double"))))
+    val w = Window.partitionBy(col("part_a"))
+      .orderBy(col("sim").desc, col("part_b").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("part_a"), col("part_b"), col("cooc"), col("sim"), col("rank"))
+      .orderBy(col("part_a"), col("rank"))
+  }
+
+  /** q161: top event-type trigram paths across 30-minute sessions — the
+    * sequential-pattern / user-journey ("Sankey") mining primitive.
+    * Sessions via [[Sessionize.assign]] (q131's operator); consecutive
+    * event triples within a session by (ts, event_id) order; global top-10
+    * paths by (count desc, path asc).
+    *
+    * Scale: two windows on one (user, session) partitioning, then an agg
+    * whose key space is the event-type alphabet cubed (bounded); the final
+    * top-10 window runs over ≤|alphabet|³ rows, never the log.
+    */
+  def q161_path_trigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Sessionize.assign(Tables.events(spark, sfDir), Seq("user_id"),
+      "ts", gap = "30 MINUTE", tieBreak = Seq("event_id"))
+    val w = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    val paths = s
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+    val wTop = Window.orderBy(col("n").desc, col("path").asc)
+    paths.withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy(col("rank"))
+  }
+
+  /** q162: exponentially weighted moving average (α = 1/2) of each user's
+    * daily spend, EXACT in integers: daily sums in micro-units, the EWMA
+    * numerator folded as Σ vᵢ·2^(k−1−lag) over the last ≤16 observed days
+    * (newest weight 2^(k−1) — `aggregate(reverse(window list), acc·2+x)`,
+    * a codegen-safe integer Horner scheme), denominator 2^k − 1, floored
+    * integer division. α = 1/2 makes every weight a power of two, so the
+    * smoothing that is normally float-recurrence territory (and therefore
+    * partition-order-dependent) becomes exact, layout-independent integer
+    * arithmetic — the §7.2 determinism discipline applied to time-series
+    * smoothing. Emits each user's 3 most recent smoothed days.
+    *
+    * Scale: one (user, day) agg + windows on one user partitioning;
+    * window state is a ≤16-element list regardless of history length.
+    */
+  def q162_ewma(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 1e6).cast("long")).as("micro"))
+    val wList = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(-15, 0)
+    val wLast = Window.partitionBy(col("user_id")).orderBy(col("day").desc)
+    daily
+      .withColumn("lst", collect_list(col("micro")).over(wList))
+      .withColumn("k", size(col("lst")))
+      .withColumn("num", aggregate(reverse(col("lst")), lit(0L),
+        (acc, x) => acc * 2 + x))
+      .withColumn("denom",
+        expr("shiftleft(CAST(1 AS BIGINT), k) - CAST(1 AS BIGINT)"))
+      .withColumn("ewma_micro", expr("num DIV denom"))
+      .withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("day"), col("k").cast("long").as("n_obs"),
+        col("ewma_micro"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** q163: entity-resolution clustering — q145's fuzzy best-match pairs
+    * become an undirected graph, connected components
+    * ([[Components.connectedComponents]], the q100 operator on a second
+    * graph family) give each customer a canonical entity id (= min member
+    * key) and entity size. The end-to-end ER pipeline: block → match →
+    * cluster → canonicalize.
+    *
+    * Scale: match edges are ≤1 per dirty record by construction, so the
+    * graph is vertex-linear; components converge in diameter rounds
+    * (collision chains are short) — same argument as q100.
+    */
+  def q163_entity_clusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = JoinQueries.q145_fuzzy_match(spark, sfDir)
+      .select(col("dirty_id").as("a"), col("match_id").as("b"))
+    val cc = Components.connectedComponents(edges, "a", "b")
+    val sizes = cc.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+    cc.join(sizes, "component")
+      .select(col("id"), col("component").as("entity_id"), col("n_members"))
+      .orderBy(col("id"))
+  }
+
+  /** q164: kNN majority-vote classification over the embedding corpus —
+    * the label-propagation / weak-supervision primitive: probes
+    * (vec_id % 50 == 0) take the majority label of their 5 nearest
+    * cosine neighbors (ties → smaller label id). Emits predicted vs
+    * stored label per probe.
+    *
+    * Scale: probe side broadcast (bounded candidate set — the q82
+    * argument); at corpus-×-corpus scale the neighbor search swaps to
+    * the IVF/SRP paths in [[graft.functions.Ann]] unchanged, because
+    * the vote is a plain agg over whatever pair stream the ANN tier
+    * emits.
+    */
+  def q164_knn_label_vote(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
+        col("embedding").as("pv"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"),
+      col("label").as("nl"), col("embedding").as("cv"))
+    val wK = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val top5 = broadcast(probes).crossJoin(corpus)
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", Det.r6(Det.dotD(col("pv"), col("cv")) /
+        (Det.l2norm(col("pv")) * Det.l2norm(col("cv")))))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= 5)
+    val wVote = Window.partitionBy(col("probe_id"))
+      .orderBy(col("votes").desc, col("pred_label").asc)
+    top5.groupBy(col("probe_id"), col("true_label"),
+        col("nl").as("pred_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("probe_id"), col("true_label").cast("long").as("true_label"),
+        col("pred_label").cast("long").as("pred_label"), col("votes"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** q165: spatial density stencil — supplier locations (q59's
+    * deterministic lat/lon derivation) binned to 1°×1° grid cells, each
+    * cell's density smoothed by summing its 3×3 neighborhood (the
+    * scatter-to-neighbors form of a convolution stencil: every cell
+    * scatters its count through a broadcast 9-row offset table, then one
+    * re-agg). Top-20 hottest smoothed cells by (density desc, cx, cy).
+    *
+    * Scale: the stencil multiplies data volume by the fixed kernel size
+    * (9), shuffles on cell key only, and never materializes the dense
+    * grid — the sparse-heatmap shape that works identically at any
+    * resolution. Pure integer counts.
+    */
+  def q165_grid_density(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val lat = col("s_nationkey").cast("double") * 3.0 - 36.0
+    val lon = (col("s_suppkey") % 360).cast("double") - 180.0 +
+      col("s_nationkey").cast("double") / 50.0
+    val cells = Tables.supplier(spark, sfDir)
+      .select(floor(lon).cast("long").as("cx"), floor(lat).cast("long").as("cy"))
+      .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
+    val offs = Seq(-1L, 0L, 1L).flatMap(dx => Seq(-1L, 0L, 1L).map(dy => (dx, dy)))
+      .toDF("dx", "dy")
+    val sm = cells.crossJoin(broadcast(offs))
+      .groupBy((col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+      .agg(sum(col("n")).as("sm"))
+    val wTop = Window.orderBy(col("sm").desc, col("cx").asc, col("cy").asc)
+    cells.join(sm, Seq("cx", "cy"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 20)
+      .select(col("cx"), col("cy"), col("n"), col("sm"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  /** q166: funnel latency percentiles — per ISO weekday of the first view,
+    * the p50/p90 of seconds from each user's FIRST view to their first
+    * LATER purchase. Percentiles via the integer crossing rule
+    * (min value with 10·rank ≥ q·n — the q152 weighted-median discipline:
+    * ties share a value, so the selected percentile is layout-independent
+    * and no float interpolation exists to diverge).
+    *
+    * Scale: two per-user min-aggs + one bounded-alphabet grouping; the
+    * percentile windows run per weekday over user-count rows.
+    */
+  def q166_time_to_convert(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("vus"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id").filter(col("us") > col("vus"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("pus"))
+    val lat = p.join(v, "user_id")
+      .select(col("user_id"),
+        expr("weekday(timestamp_micros(vus)) + 1").cast("long").as("wday"),
+        expr("(pus - vus) DIV 1000000").as("lat_s"))
+    val wOrd = Window.partitionBy(col("wday"))
+      .orderBy(col("lat_s").asc, col("user_id").asc)
+    val wAll = Window.partitionBy(col("wday"))
+    lat.withColumn("rn", row_number().over(wOrd))
+      .withColumn("nw", count(lit(1)).over(wAll))
+      .groupBy(col("wday"))
+      .agg(count(lit(1)).as("n_users"),
+        min(when(col("rn") * 10 >= col("nw") * 5, col("lat_s"))).as("p50_s"),
+        min(when(col("rn") * 10 >= col("nw") * 9, col("lat_s"))).as("p90_s"))
+      .orderBy(col("wday"))
+  }
+
+  /** q167: mutual information between event type and ISO weekday, in
+    * integer micro-nats — the dependence screen feature pipelines run
+    * next to q149's χ² (χ² weights large cells, MI weights information).
+    * Each cell's term (p·ln(p/(pᵢpⱼ))) is computed from exact integer
+    * counts in identical double operations on both engines, quantized to
+    * micro-nats per cell, then integer-summed per event type — the q149
+    * per-cell-quantization discipline applied to a log-family statistic.
+    *
+    * Scale: one agg to a |types|×7 contingency table; windows over that
+    * bounded table; the log never sees corpus-sized input.
+    */
+  def q167_mutual_info(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("weekday(ts) + 1").cast("long").as("wday"))
+      .agg(count(lit(1)).as("nij"))
+    val wi = Window.partitionBy(col("event_type"))
+    val wj = Window.partitionBy(col("wday"))
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("ni", sum(col("nij")).over(wi))
+      .withColumn("nj", sum(col("nij")).over(wj))
+      .withColumn("n", sum(col("nij")).over(wAll))
+      .withColumn("term_micro",
+        round(lit(1000000.0) * ((col("nij").cast("double") / col("n").cast("double")) *
+          log((col("nij").cast("double") * col("n").cast("double")) /
+            (col("ni").cast("double") * col("nj").cast("double")))))
+          .cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("term_micro")).as("mi_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q160_item_cooccur_sim" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |freq AS (SELECT p, count(*) AS f FROM lp GROUP BY 1),
+        |pr AS (
+        |  SELECT a.p AS pa, b.p AS pb, count(*) AS cooc
+        |  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+        |  WHERE a.p % 100 = 0 OR b.p % 100 = 0
+        |  GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT pa AS part_a, pb AS part_b, cooc FROM pr
+        |  UNION ALL
+        |  SELECT pb, pa, cooc FROM pr),
+        |scored AS (
+        |  SELECT s.part_a, s.part_b, s.cooc,
+        |    round(CAST(s.cooc AS DOUBLE) /
+        |      sqrt(CAST(fa.f AS DOUBLE) * CAST(fb.f AS DOUBLE)), 6) AS sim
+        |  FROM sym s
+        |  JOIN freq fa ON s.part_a = fa.p
+        |  JOIN freq fb ON s.part_b = fb.p
+        |  WHERE s.part_a % 100 = 0),
+        |ranked AS (
+        |  SELECT part_a, part_b, cooc, sim,
+        |    row_number() OVER (PARTITION BY part_a
+        |      ORDER BY sim DESC, part_b ASC) AS rank
+        |  FROM scored)
+        |SELECT part_a, part_b, cooc, sim, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY part_a, rank""".stripMargin,
+    "q161_path_trigrams" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, event_type, ts,
+        |    sum(CASE WHEN prev_ts IS NULL
+        |          OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM e),
+        |t AS (SELECT event_type,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM s
+        |  WINDOW w AS (PARTITION BY user_id, session_seq
+        |    ORDER BY ts, event_id)),
+        |p AS (SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+        |  FROM t WHERE e3 IS NOT NULL GROUP BY 1),
+        |r AS (SELECT path, n,
+        |    row_number() OVER (ORDER BY n DESC, path ASC) AS rank
+        |  FROM p)
+        |SELECT path, n, CAST(rank AS BIGINT) AS rank FROM r
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    "q162_ewma" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS micro
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT user_id, day, micro,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        |  FROM daily),
+        |ew AS (
+        |  SELECT a.user_id, a.day,
+        |    CAST(least(a.rn, 16) AS BIGINT) AS n_obs,
+        |    CAST(sum(b.micro * (CAST(1 AS BIGINT) <<
+        |        CAST(least(a.rn, 16) - 1 - (a.rn - b.rn) AS INTEGER)))
+        |      AS BIGINT) AS num
+        |  FROM idx a JOIN idx b
+        |    ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 15 AND a.rn
+        |  GROUP BY a.user_id, a.day, a.rn),
+        |lastd AS (SELECT user_id, day, n_obs,
+        |    num // ((CAST(1 AS BIGINT) << CAST(n_obs AS INTEGER)) - 1)
+        |      AS ewma_micro,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rd
+        |  FROM ew)
+        |SELECT user_id, day, n_obs, CAST(ewma_micro AS BIGINT) AS ewma_micro
+        |FROM lastd WHERE rd <= 3 ORDER BY user_id, day""".stripMargin,
+    "q163_entity_clusters" ->
+      """WITH RECURSIVE c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        |d AS (
+        |  SELECT id,
+        |    CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 6 AS p,
+        |    CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 9, 8)) AS BIGINT)
+        |      % 9 AS off,
+        |    substr(name, 10, 9) AS sfx
+        |  FROM c),
+        |dirty AS (
+        |  SELECT id AS dirty_id,
+        |    'Customer#' || substr(sfx, 1, CAST(p AS INTEGER)) ||
+        |    CAST((CAST(substr(sfx, CAST(p + 1 AS INTEGER), 1) AS BIGINT)
+        |          + 1 + off) % 10 AS VARCHAR) ||
+        |    substr(sfx, CAST(p + 2 AS INTEGER)) AS dname,
+        |    substr(sfx, 7, 3) AS blk
+        |  FROM d),
+        |cand AS (
+        |  SELECT dirty_id, c.id AS match_id, levenshtein(dname, c.name) AS dist
+        |  FROM dirty JOIN c ON substr(c.name, 16, 3) = dirty.blk
+        |  WHERE levenshtein(dname, c.name) <= 1),
+        |best AS (
+        |  SELECT dirty_id, match_id,
+        |         row_number() OVER (PARTITION BY dirty_id
+        |                            ORDER BY dist, match_id) AS rn
+        |  FROM cand),
+        |e AS (SELECT dirty_id AS s, match_id AS t FROM best WHERE rn = 1
+        |      UNION SELECT match_id, dirty_id FROM best WHERE rn = 1),
+        |nodes AS (SELECT DISTINCT s AS id FROM e),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT reach.id, e.t FROM reach JOIN e ON reach.r = e.s),
+        |cc AS (SELECT id, min(r) AS entity_id FROM reach GROUP BY id),
+        |sz AS (SELECT entity_id AS e2, count(*) AS n_members FROM cc GROUP BY 1)
+        |SELECT id, entity_id, n_members
+        |FROM cc JOIN sz ON entity_id = e2 ORDER BY id""".stripMargin,
+    "q164_knn_label_vote" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sims AS (
+        |  SELECT p.vec_id AS probe_id, p.label AS true_label,
+        |    c.vec_id AS neighbor_id, c.label AS nl,
+        |    round(list_dot_product(p.v, c.v) /
+        |      (sqrt(list_dot_product(p.v, p.v)) *
+        |       sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+        |  FROM e p JOIN e c ON p.vec_id % 50 = 0 AND p.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT probe_id, true_label, nl,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        |  FROM sims),
+        |votes AS (
+        |  SELECT probe_id, true_label, nl AS pred_label, count(*) AS votes
+        |  FROM ranked WHERE rank <= 5 GROUP BY 1, 2, 3),
+        |win AS (
+        |  SELECT probe_id, true_label, pred_label, votes,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY votes DESC, pred_label ASC) AS vr
+        |  FROM votes)
+        |SELECT probe_id, CAST(true_label AS BIGINT) AS true_label,
+        |  CAST(pred_label AS BIGINT) AS pred_label, votes
+        |FROM win WHERE vr = 1 ORDER BY probe_id""".stripMargin,
+    "q165_grid_density" ->
+      """WITH s AS (
+        |  SELECT CAST(floor((s_suppkey % 360) - 180.0 +
+        |      CAST(s_nationkey AS DOUBLE) / 50.0) AS BIGINT) AS cx,
+        |    CAST(floor(CAST(s_nationkey AS DOUBLE) * 3.0 - 36.0) AS BIGINT) AS cy
+        |  FROM supplier),
+        |cells AS (SELECT cx, cy, count(*) AS n FROM s GROUP BY 1, 2),
+        |offs AS (SELECT dx.dx, dy.dy
+        |  FROM (SELECT unnest([-1, 0, 1]) AS dx) dx,
+        |       (SELECT unnest([-1, 0, 1]) AS dy) dy),
+        |sm AS (
+        |  SELECT cx + dx AS cx, cy + dy AS cy, CAST(sum(n) AS BIGINT) AS sm
+        |  FROM cells CROSS JOIN offs GROUP BY 1, 2),
+        |r AS (
+        |  SELECT cells.cx, cells.cy, cells.n, sm.sm,
+        |    row_number() OVER (ORDER BY sm.sm DESC, cells.cx, cells.cy) AS rank
+        |  FROM cells JOIN sm ON cells.cx = sm.cx AND cells.cy = sm.cy)
+        |SELECT cx, cy, n, sm, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "q166_time_to_convert" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, ts
+        |  FROM events),
+        |v AS (SELECT user_id, min(us) AS vus FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT ev.user_id, min(ev.us) AS pus
+        |  FROM ev JOIN v ON ev.user_id = v.user_id
+        |  WHERE ev.event_type = 'purchase' AND ev.us > v.vus GROUP BY 1),
+        |lat AS (
+        |  SELECT p.user_id,
+        |    CAST(isodow(make_timestamp(v.vus)) AS BIGINT) AS wday,
+        |    (p.pus - v.vus) // 1000000 AS lat_s
+        |  FROM p JOIN v ON p.user_id = v.user_id),
+        |r AS (SELECT wday, user_id, lat_s,
+        |    row_number() OVER (PARTITION BY wday
+        |      ORDER BY lat_s ASC, user_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY wday) AS nw
+        |  FROM lat)
+        |SELECT wday, count(*) AS n_users,
+        |  min(CASE WHEN rn * 10 >= nw * 5 THEN lat_s END) AS p50_s,
+        |  min(CASE WHEN rn * 10 >= nw * 9 THEN lat_s END) AS p90_s
+        |FROM r GROUP BY wday ORDER BY wday""".stripMargin,
+    "q167_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS wday,
+        |    count(*) AS nij
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, wday, nij,
+        |    sum(nij) OVER (PARTITION BY event_type) AS ni,
+        |    sum(nij) OVER (PARTITION BY wday) AS nj,
+        |    sum(nij) OVER () AS n
+        |  FROM cells),
+        |terms AS (
+        |  SELECT event_type,
+        |    CAST(round(1000000.0 * ((CAST(nij AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      ln((CAST(nij AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |         (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE))))) AS BIGINT)
+        |      AS term_micro
+        |  FROM t)
+        |SELECT event_type, count(*) AS n_cells,
+        |  CAST(sum(term_micro) AS BIGINT) AS mi_micro
+        |FROM terms GROUP BY 1 ORDER BY event_type""".stripMargin)
+}

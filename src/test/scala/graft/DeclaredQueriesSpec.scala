@@ -80,7 +80,11 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q153_day_streaks" -> 15L, "q154_basket_lift" -> 10L,
     "q155_kmeans_assign" -> 8L, "q156_skyline3d" -> 9L,
     "q157_pagerank" -> 15L, "q158_semdedup" -> 18L,
-    "q159_bfs_hops" -> 15L)
+    "q159_bfs_hops" -> 15L, "q160_item_cooccur_sim" -> 6L,
+    "q161_path_trigrams" -> 2L, "q162_ewma" -> 45L,
+    "q163_entity_clusters" -> 150L, "q164_knn_label_vote" -> 10L,
+    "q165_grid_density" -> 10L, "q166_time_to_convert" -> 4L,
+    "q167_mutual_info" -> 5L)
 
   test("every declared query has an oracle and matches its golden sf0.001 count") {
     val qs = SparkEntry.queries
