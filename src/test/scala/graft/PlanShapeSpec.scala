@@ -300,4 +300,36 @@ class PlanShapeSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 6, p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
+
+  test("q160 item similarity: the basket self-join is an equi-join with " +
+    "the query-item predicate inside it — no cartesian") {
+    val p = plan("q160_item_cooccur_sim")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("q164 kNN vote: probe side broadcast, cosine through the codegen " +
+    "dot product") {
+    val p = plan("q164_knn_label_vote")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1500))
+    assert(p.contains("dot_product_d"), p.take(1500))
+  }
+
+  test("q165 grid stencil: the 9-offset kernel joins broadcast, the " +
+    "smoothed re-agg is two-phase") {
+    val p = plan("q165_grid_density")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(1500))
+  }
+
+  test("q161/q162 path + EWMA mining stay self-join-free on the log " +
+    "(windows on one partitioning, bounded final state)") {
+    Seq("q161_path_trigrams", "q162_ewma").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1200)}")
+      assert(!p.contains("SortMergeJoin"), s"$q must not self-join the log: ${p.take(1200)}")
+    }
+  }
 }
