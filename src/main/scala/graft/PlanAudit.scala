@@ -39,7 +39,8 @@ object PlanAudit extends App {
     "q157_pagerank", "q158_semdedup", "q159_bfs_hops",
     "q160_item_cooccur_sim", "q161_path_trigrams", "q162_ewma",
     "q163_entity_clusters", "q164_knn_label_vote", "q165_grid_density",
-    "q166_time_to_convert", "q167_mutual_info")
+    "q166_time_to_convert", "q167_mutual_info", "q168_seasonal_index",
+    "q169_changepoint", "q170_cohort_ltv", "q171_lag_autocorr")
   targets.foreach { q =>
     println(s"\n========== $q ==========")
     println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(

@@ -183,6 +183,10 @@ object SparkEntry {
     "q165_grid_density" -> (MiningQueries.q165_grid_density _),
     "q166_time_to_convert" -> (MiningQueries.q166_time_to_convert _),
     "q167_mutual_info" -> (MiningQueries.q167_mutual_info _),
+    "q168_seasonal_index" -> (MiningQueries.q168_seasonal_index _),
+    "q169_changepoint" -> (MiningQueries.q169_changepoint _),
+    "q170_cohort_ltv" -> (MiningQueries.q170_cohort_ltv _),
+    "q171_lag_autocorr" -> (MiningQueries.q171_lag_autocorr _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

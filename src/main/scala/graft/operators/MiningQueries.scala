@@ -286,7 +286,238 @@ object MiningQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q168: weekday seasonal index per event type, exact to the basis
+    * point: index_bp = 10000 · (weekday mean / overall mean) computed as
+    * one integer expression 10000·Σ_tw·n_t DIV (Σ_t·n_tw) over cent sums
+    * — no float means, no division until the final integer DIV, so the
+    * result is layout-independent (the q149/q167 bounded-table family,
+    * rational arithmetic instead of logs). At sums beyond ~10¹⁴ cents the
+    * numerator needs the decimal widening q58 documents; the shape is
+    * unchanged.
+    *
+    * Scale: one agg to the |types|×7 table, windows over it.
+    */
+  def q168_seasonal_index(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("weekday(ts) + 1").cast("long").as("wday"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("wday"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val wi = Window.partitionBy(col("event_type"))
+    cells
+      .withColumn("nt", sum(col("n")).over(wi))
+      .withColumn("st", sum(col("s")).over(wi))
+      .withColumn("seasonal_bp",
+        expr("(10000 * s * nt) DIV (st * n)"))
+      .select(col("event_type"), col("wday"), col("n"), col("seasonal_bp"))
+      .orderBy(col("event_type"), col("wday"))
+  }
+
+  /** q169: change-point detection per event type — the split day
+    * maximizing the prefix-vs-suffix mean shift of daily spend (the
+    * CUSUM-style screen monitoring pipelines run). Daily cent sums and
+    * counts, running prefix via one window, shift = pre-mean − post-mean
+    * in micro-cents (identical double ops on exact integers, rounded per
+    * candidate before the argmax — so the chosen day is tie-broken
+    * deterministically on the quantized score).
+    *
+    * Scale: the log collapses to |types|×|days| once; windows over that
+    * bounded table.
+    */
+  def q169_changepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("dn"),
+        sum(round(col("value") * 100).cast("long")).as("dc"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val scored = daily
+      .withColumn("cn", sum(col("dn")).over(wCum))
+      .withColumn("cc", sum(col("dc")).over(wCum))
+      .withColumn("tn", sum(col("dn")).over(wAll))
+      .withColumn("tc", sum(col("dc")).over(wAll))
+      .filter(col("cn") > 0 && col("tn") > col("cn"))
+      .withColumn("shift_micro",
+        round(lit(1000000.0) *
+          (col("cc").cast("double") / col("cn").cast("double") -
+            (col("tc") - col("cc")).cast("double") /
+              (col("tn") - col("cn")).cast("double"))).cast("long"))
+    val wBest = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("shift_micro")).desc, col("day").asc)
+    scored.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("change_day"),
+        col("shift_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q170: cohort lifetime value — users cohorted by first-seen epoch
+    * week, purchase revenue accumulated by weeks-since-cohort: the
+    * (cohort, age) → cumulative-revenue triangle every growth dashboard
+    * draws. Exact integer cents; epoch-week arithmetic (days DIV 7) is
+    * identical integer math in both engines.
+    *
+    * Scale: one per-user min, one join back to purchases on user_id, one
+    * (cohort, age) agg, a window over the bounded cohort×age triangle.
+    */
+  def q170_cohort_ltv(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+      .select(col("user_id"),
+        expr("CAST(datediff(first_day, DATE '1970-01-01') AS BIGINT) DIV 7")
+          .as("cohort_wk"))
+    val sizes = cohort.groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).as("n_users"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .withColumn("age_wk",
+        expr("CAST(datediff(day, DATE '1970-01-01') AS BIGINT) DIV 7") -
+          col("cohort_wk"))
+      .groupBy(col("cohort_wk"), col("age_wk"))
+      .agg(sum(col("cents")).as("wk_cents"))
+    val wCum = Window.partitionBy(col("cohort_wk")).orderBy(col("age_wk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.withColumn("cum_cents", sum(col("wk_cents")).over(wCum))
+      .join(sizes, "cohort_wk")
+      .select(col("cohort_wk"), col("age_wk"), col("n_users"),
+        col("cum_cents"))
+      .orderBy(col("cohort_wk"), col("age_wk"))
+  }
+
+  /** q171: lag-7 autocorrelation of total daily spend — the weekly-
+    * periodicity screen (is there a 7-day cycle worth modeling?). Pearson
+    * r between (xₜ, xₜ₋₇) on q142's exact-integer-moment discipline: six
+    * integer sums over cent-valued daily totals, cast to double once,
+    * combined in the same literal order in both engines, r4. The
+    * single-series window runs over the |days| aggregate (a comment-worthy
+    * single partition — its input is calendar-bounded, never the log).
+    * Σxy stays under 2⁶³ through ~3·10³ days at 10⁸ cents/day; longer
+    * series re-quantize to dollars (shape unchanged).
+    */
+  def q171_lag_autocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+    val wLag = Window.orderBy(col("day"))
+    val pairs = daily
+      .withColumn("y", lag(col("x"), 7).over(wLag))
+      .filter(col("y").isNotNull)
+    val m = pairs.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val nd = col("n").cast("double")
+    val vx = nd * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nd * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val num = nd * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    m.filter(col("n") > 1)
+      .withColumn("vx", vx).withColumn("vy", vy)
+      .filter(col("vx") > 0 && col("vy") > 0)
+      .select(col("n"),
+        Det.r4(num / (sqrt(col("vx")) * sqrt(col("vy")))).as("r7"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q168_seasonal_index" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS wday,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, wday, n, s,
+        |    sum(n) OVER (PARTITION BY event_type) AS nt,
+        |    sum(s) OVER (PARTITION BY event_type) AS st
+        |  FROM cells)
+        |SELECT event_type, wday, n,
+        |  CAST((10000 * s * nt) // (st * n) AS BIGINT) AS seasonal_bp
+        |FROM t ORDER BY event_type, wday""".stripMargin,
+    "q169_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS dn,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS dc
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, day,
+        |    sum(dn) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS cn,
+        |    sum(dc) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS cc,
+        |    sum(dn) OVER (PARTITION BY event_type) AS tn,
+        |    sum(dc) OVER (PARTITION BY event_type) AS tc
+        |  FROM daily),
+        |s AS (
+        |  SELECT event_type, day,
+        |    CAST(round(1000000.0 *
+        |      (CAST(cc AS DOUBLE) / CAST(cn AS DOUBLE) -
+        |       CAST(tc - cc AS DOUBLE) / CAST(tn - cn AS DOUBLE)))
+        |      AS BIGINT) AS shift_micro
+        |  FROM c WHERE cn > 0 AND tn > cn),
+        |r AS (
+        |  SELECT event_type, day, shift_micro,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(shift_micro) DESC, day ASC) AS rn
+        |  FROM s)
+        |SELECT event_type, day AS change_day, shift_micro
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "q170_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id,
+        |    (min(day) - DATE '1970-01-01') // 7 AS cohort_wk
+        |  FROM ev GROUP BY 1),
+        |sizes AS (SELECT cohort_wk, count(*) AS n_users
+        |  FROM cohort GROUP BY 1),
+        |rev AS (
+        |  SELECT c.cohort_wk,
+        |    (e.day - DATE '1970-01-01') // 7 - c.cohort_wk AS age_wk,
+        |    CAST(sum(e.cents) AS BIGINT) AS wk_cents
+        |  FROM ev e JOIN cohort c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort_wk, age_wk,
+        |    CAST(sum(wk_cents) OVER (PARTITION BY cohort_wk ORDER BY age_wk
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        |  FROM rev)
+        |SELECT cum.cohort_wk AS cohort_wk, CAST(cum.age_wk AS BIGINT) AS age_wk,
+        |  sizes.n_users, cum.cum_cents
+        |FROM cum JOIN sizes ON cum.cohort_wk = sizes.cohort_wk
+        |ORDER BY cum.cohort_wk, age_wk""".stripMargin,
+    "q171_lag_autocorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT x, lag(x, 7) OVER (ORDER BY day) AS y FROM daily),
+        |m AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM p WHERE y IS NOT NULL)
+        |SELECT n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |         CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |        (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |         sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |              CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS r7
+        |FROM m
+        |WHERE n > 1
+        |  AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |  AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0""".stripMargin,
     "q160_item_cooccur_sim" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |freq AS (SELECT p, count(*) AS f FROM lp GROUP BY 1),

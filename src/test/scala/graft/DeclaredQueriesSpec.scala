@@ -84,7 +84,9 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q161_path_trigrams" -> 2L, "q162_ewma" -> 45L,
     "q163_entity_clusters" -> 150L, "q164_knn_label_vote" -> 10L,
     "q165_grid_density" -> 10L, "q166_time_to_convert" -> 4L,
-    "q167_mutual_info" -> 5L)
+    "q167_mutual_info" -> 5L, "q168_seasonal_index" -> 35L,
+    "q169_changepoint" -> 5L, "q170_cohort_ltv" -> 5L,
+    "q171_lag_autocorr" -> 1L)
 
   test("every declared query has an oracle and matches its golden sf0.001 count") {
     val qs = SparkEntry.queries
