@@ -34,19 +34,22 @@ object MiningQueries {
     * serving scores a candidate set, never the n² matrix).
     */
   def q160_item_cooccur_sim(spark: SparkSession, sfDir: String): DataFrame = {
+    // (order, part) incidence feeds the join sides and the freq agg —
+    // materialize the scan+distinct once instead of three times
     val lp = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint(true)
     val freq = lp.groupBy(col("p")).agg(count(lit(1)).as("f"))
-    val pr = lp.as("a")
-      .join(lp.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p") &&
-          (col("a.p") % 100 === 0 || col("b.p") % 100 === 0))
-      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+    // query-item incidence is 1% of lp — joining IT against the baskets
+    // yields every (query, neighbor) pair in both directions directly
+    // (no a<b + symmetrize pass) and lets the query predicate prune
+    // BEFORE the join: the corpus side never self-joins
+    val qa = lp.filter(col("p") % 100 === 0)
+      .select(col("o"), col("p").as("part_a"))
+    val sym = qa.join(lp.select(col("o"), col("p").as("part_b")), "o")
+      .filter(col("part_a") =!= col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("cooc"))
-    val sym = pr.select(col("pa").as("part_a"), col("pb").as("part_b"), col("cooc"))
-      .unionByName(
-        pr.select(col("pb").as("part_a"), col("pa").as("part_b"), col("cooc")))
-      .filter(col("part_a") % 100 === 0)
     val scored = sym
       .join(freq.select(col("p").as("part_a"), col("f").as("fa")), "part_a")
       .join(freq.select(col("p").as("part_b"), col("f").as("fb")), "part_b")
@@ -136,9 +139,15 @@ object MiningQueries {
     * (collision chains are short) — same argument as q100.
     */
   def q163_entity_clusters(spark: SparkSession, sfDir: String): DataFrame = {
+    // the match pipeline is the expensive side and Components' internal
+    // edge cache is released before the lazy result is consumed — cut the
+    // lineage HERE so the blocked levenshtein join runs once, not once per
+    // downstream consumption (the component map is consumed twice below)
     val edges = JoinQueries.q145_fuzzy_match(spark, sfDir)
       .select(col("dirty_id").as("a"), col("match_id").as("b"))
+      .localCheckpoint(true)
     val cc = Components.connectedComponents(edges, "a", "b")
+      .localCheckpoint(true)
     val sizes = cc.groupBy(col("component"))
       .agg(count(lit(1)).as("n_members"))
     cc.join(sizes, "component")
