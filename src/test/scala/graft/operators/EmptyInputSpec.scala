@@ -55,10 +55,29 @@ class EmptyInputSpec extends SparkSpec {
       "q133_rolling_zscore", "q134_ab_test", "q135_trend_slope",
       "q136_robust_stats", "q137_window_distinct", "q138_dau_wau",
       "q144_resample_locf", "q146_interval_overlap", "q149_chi_square",
-      "q153_day_streaks", "q154_basket_lift")
+      "q153_day_streaks", "q154_basket_lift",
+      // round-5 cont. 5 mining/time-series tier
+      "q161_path_trigrams", "q162_ewma", "q166_time_to_convert",
+      "q167_mutual_info", "q168_seasonal_index", "q169_changepoint",
+      "q170_cohort_ltv", "q171_lag_autocorr")
     qs.foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, emptyEventsDir).count()
       assert(n == 0, s"$q returned $n rows on an empty event log")
+    }
+  }
+
+  test("q163/q164 mining queries return empty on empty customers/embeddings") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-m").toString
+    Tables.customer(spark, sfDir).limit(0)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/customer.parquet")
+    Tables.embeddings(spark, sfDir).limit(0)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    Tables.lineitem(spark, sfDir).limit(0)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/lineitem.parquet")
+    Seq("q163_entity_clusters", "q164_knn_label_vote",
+        "q160_item_cooccur_sim").foreach { q =>
+      val n = graft.SparkEntry.queries(q)(spark, dir).count()
+      assert(n == 0, s"$q returned $n rows on empty inputs")
     }
   }
 
