@@ -322,4 +322,66 @@ object StreamTwins {
       }(Encoders.kryo[List[(Long, Long)]], enc)
       .toDF()
   }
+
+  /** q162's streaming twin: exact integer α=½ EWMA of daily user spend via
+    * `flatMapGroupsWithState`. State per user = the ≤16 most recent
+    * SETTLED (day, micro) observations plus the open day's running sum —
+    * bounded at 17 pairs regardless of stream length (the q162 window
+    * constant). A day's EWMA is emitted when the day SETTLES (an event
+    * from a later day arrives): the settled daily sum joins the history,
+    * and the emitted value is the identical integer Horner fold batch
+    * q162 computes — newest weight 2^(k−1), denominator 2^k−1, floored
+    * division. The trailing day never settles (a stream cannot know the
+    * day is over); batch q162 includes it because it sees all history —
+    * the spec pins exactly that per-user difference. Late rows for
+    * settled days are dropped (their EWMA was already emitted in append
+    * mode — the [[locfFill]] prefix discipline).
+    */
+  def ewmaDaily(events: DataFrame): DataFrame = {
+    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_obs",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ewma_micro",
+        org.apache.spark.sql.types.LongType))))
+    // state: (history oldest-first ≤16 of (day, micro), pendingDay,
+    // pendingSum); pendingDay = Long.MinValue marks "no day open yet"
+    type S = (List[(Long, Long)], Long, Long)
+    val in = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"),
+      round(col("value") * 1e6).cast("long").as("micro"))
+    in.as(Encoders.row(in.schema))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState[S, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Row], state: GroupState[S]) =>
+          var (hist, pd, ps) = state.getOption.getOrElse(
+            (List.empty[(Long, Long)], Long.MinValue, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          def settle(): Unit = {
+            hist = (hist :+ (pd, ps)).takeRight(16)
+            val k = hist.size
+            // newest gets 2^(k-1): fold newest-first, acc*2 + x — the
+            // exact q162 integer Horner scheme
+            val num = hist.reverseIterator.foldLeft(0L)((acc, e) => acc * 2 + e._2)
+            val denom = (1L << k) - 1L
+            // truncating division, matching batch q162's `DIV` exactly
+            out += Row(user, pd, k.toLong, num / denom)
+          }
+          rows.toSeq.sortBy(r => (r.getLong(2), r.getLong(1))).foreach { r =>
+            val day = Math.floorDiv(r.getLong(2), 86400000000L)
+            val m = r.getLong(3)
+            if (pd == Long.MinValue) { pd = day; ps = m }
+            else if (day == pd) ps += m
+            else if (day > pd) { settle(); pd = day; ps = m }
+            // day < pd: late for a settled day — dropped
+          }
+          state.update((hist, pd, ps))
+          out.iterator
+      }(Encoders.kryo[S], enc)
+      .toDF()
+  }
 }
