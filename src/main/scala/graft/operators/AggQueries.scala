@@ -76,16 +76,25 @@ object AggQueries {
       .orderBy(col("o_custkey"))
 
   /** Exact interpolated percentiles (SoQL/`Enumerable` stats surface):
-    * Spark's `percentile` and DuckDB's `percentile_cont` share the linear-
-    * interpolation-at-rank definition; 4-dp rounding absorbs ulp drift.
+    * DuckDB's `percentile_cont` and the histogram + crossing-rule rewrite
+    * share the linear-interpolation-at-rank definition; 4-dp rounding
+    * absorbs ulp drift.
+    *
+    * NOT `percentile()`: that aggregate's ObjectAggregation buffer holds
+    * every distinct value of a group in one in-memory map on one executor
+    * — an OOM at 100 TB with alphabet-bounded groups. The rewrite
+    * ([[graft.functions.ExactPercentile]]) builds a spillable two-phase
+    * (event_type, value) count histogram and runs the rank selection over
+    * the bounded histogram, reproducing `Percentile`'s interpolation
+    * doubles bit-for-bit (same IEEE ops, same order → same hashes).
     */
   def q27_agg_percentile(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
-      .groupBy(col("event_type"))
-      .agg(
-        Det.r4(expr("percentile(value, 0.5)")).as("p50"),
-        Det.r4(expr("percentile(value, 0.9)")).as("p90"),
-        Det.r4(expr("percentile(value, 0.99)")).as("p99"))
+    graft.functions.ExactPercentile.of(
+        Tables.events(spark, sfDir).select(col("event_type"), col("value")),
+        Seq("event_type"), "value",
+        Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
+      .select(col("event_type"), Det.r4(col("p50")).as("p50"),
+        Det.r4(col("p90")).as("p90"), Det.r4(col("p99")).as("p99"))
       .orderBy(col("event_type"))
 
   /** max_by/min_by with an explicit lexicographic (value, id) tie-break —

@@ -481,31 +481,49 @@ object EventQueries {
     * parity with the oracle is the q27 precedent (identical interpolated
     * doubles, r4); the winsorized mean stays deterministic by quantizing
     * each clamped value to integer milli-cent units BEFORE summing (one
-    * double clamp+round per row — engine-identical; a raw double sum
-    * would be partition-order-dependent).
+    * double clamp+round per distinct cents value — engine-identical; a
+    * raw double sum would be partition-order-dependent).
     *
-    * Two aggs + one broadcast join of the |types|-row quantile frame
-    * (bounded by construction — the q101 rule, not the q92 one).
+    * Scale shape: one spillable two-phase histogram agg over the corpus;
+    * percentiles, winsorization, and MAD all run over the bounded cents
+    * alphabet ([[graft.functions.ExactPercentile]]) — the per-group
+    * `percentile()` object buffer this replaced held every value of a
+    * group on one executor. |types|-row quantile frames broadcast (the
+    * q101 rule, not the q92 one).
     */
   def q136_robust_stats(spark: SparkSession, sfDir: String): DataFrame = {
-    val cents = Tables.events(spark, sfDir)
+    import graft.functions.ExactPercentile
+    // ONE corpus scan → (event_type, cents) count histogram. Winsorized
+    // units and absolute deviations are pure functions of (type, cents),
+    // so every stage below runs over the bounded cents alphabet — no
+    // percentile() object buffer, no second pass over raw events.
+    val hist = Tables.events(spark, sfDir)
       .select(col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
-    val qs = cents.groupBy(col("event_type")).agg(
-      expr("percentile(cents, 0.05)").as("p05"),
-      expr("percentile(cents, 0.5)").as("p50"),
-      expr("percentile(cents, 0.95)").as("p95"))
-    cents.join(broadcast(qs), "event_type")
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val qs = ExactPercentile.fromHistogram(hist, Seq("event_type"),
+      "cents", "cnt", Seq(0.05 -> "p05", 0.5 -> "p50", 0.95 -> "p95"))
+    val enriched = hist.join(broadcast(qs), "event_type")
       .withColumn("w_units",
         round(least(greatest(col("cents").cast("double"), col("p05")),
           col("p95")) * 1000).cast("long"))
       .withColumn("absdev", abs(col("cents").cast("double") - col("p50")))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
+    val base = enriched.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n"),
         Det.r4(min(col("p50"))).as("median_cents"),
-        Det.r4(expr("percentile(absdev, 0.5)")).as("mad_cents"),
-        Det.r4(sum(col("w_units")).cast("double") /
-          (count(lit(1)) * lit(1000))).as("wins_mean_cents"))
+        sum(col("w_units") * col("cnt")).as("w_units_sum"))
+    // distinct cents equidistant from p50 collide on absdev → re-aggregate
+    // the deviation histogram before the crossing rule
+    val madHist = enriched.groupBy(col("event_type"), col("absdev"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = ExactPercentile.fromHistogram(madHist, Seq("event_type"),
+      "absdev", "cnt", Seq(0.5 -> "mad_raw"))
+    base.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("n"), col("median_cents"),
+        Det.r4(col("mad_raw")).as("mad_cents"),
+        Det.r4(col("w_units_sum").cast("double") /
+          (col("n") * lit(1000))).as("wins_mean_cents"))
       .orderBy(col("event_type"))
   }
 

@@ -324,6 +324,21 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(1500))
   }
 
+  test("q27/q136 exact percentiles carry no ObjectHashAggregate buffer " +
+    "(histogram + crossing rule, two-phase hash agg only)") {
+    // percentile()'s ObjectAggregation buffer holds every distinct value of
+    // a group on one executor — the rewrite must keep both plans on
+    // spillable HashAggregates over the (group, value) histogram.
+    Seq("q27_agg_percentile", "q136_robust_stats").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("ObjectHashAggregate"),
+        s"$q regressed to an object aggregation buffer: ${p.take(1500)}")
+      assert(!p.contains("SortAggregate"),
+        s"$q fell back to SortAggregate: ${p.take(1500)}")
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q: ${p.take(1200)}")
+    }
+  }
+
   test("q161/q162 path + EWMA mining stay self-join-free on the log " +
     "(windows on one partitioning, bounded final state)") {
     Seq("q161_path_trigrams", "q162_ewma").foreach { q =>
