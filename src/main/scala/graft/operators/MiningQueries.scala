@@ -34,11 +34,18 @@ object MiningQueries {
     * serving scores a candidate set, never the n² matrix).
     */
   def q160_item_cooccur_sim(spark: SparkSession, sfDir: String): DataFrame = {
-    // (order, part) incidence feeds the join sides and the freq agg —
-    // materialize the scan+distinct once instead of three times
+    // (order, part) incidence, deliberately NOT materialized: a
+    // localCheckpoint here (round 5) serialized the full incidence before
+    // any downstream work AND blocked the query-item predicate from
+    // reaching the scan. Unmaterialized, Catalyst pushes `p % 100 = 0`
+    // into the qa branch's parquet scan (1% of rows ever shuffle) and the
+    // basket join builds its hash relation on that filtered side — both
+    // pinned in PlanShapeSpec. Price: the 2-column scan+distinct is
+    // re-derived per branch; at warehouse scale that's the cheaper side of
+    // the trade (a real deployment materializes incidence as a bucketed
+    // table — sources/Sources.writeBucketed — and pays the shuffle once).
     val lp = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      .localCheckpoint(true)
     val freq = lp.groupBy(col("p")).agg(count(lit(1)).as("f"))
     // query-item incidence is 1% of lp — joining IT against the baskets
     // yields every (query, neighbor) pair in both directions directly
@@ -95,8 +102,14 @@ object MiningQueries {
     * daily spend, EXACT in integers: daily sums in micro-units, the EWMA
     * numerator folded as Σ vᵢ·2^(k−1−lag) over the last ≤16 observed days
     * (newest weight 2^(k−1) — `aggregate(reverse(window list), acc·2+x)`,
-    * a codegen-safe integer Horner scheme), denominator 2^k − 1, floored
-    * integer division. α = 1/2 makes every weight a power of two, so the
+    * a codegen-safe integer Horner scheme), denominator 2^k − 1, integer
+    * division. NOTE on division semantics: Spark's `DIV` (and the
+    * streaming twin's Java `/`) truncate toward zero while DuckDB's `//`
+    * floors — identical only for nonnegative numerators. The fixture
+    * guarantees this (event values are 0.01..490, so every daily micro
+    * sum is positive); a deployment with refunds/negative amounts must
+    * replace `DIV` with an explicit floor-div on both engines.
+    * α = 1/2 makes every weight a power of two, so the
     * smoothing that is normally float-recurrence territory (and therefore
     * partition-order-dependent) becomes exact, layout-independent integer
     * arithmetic — the §7.2 determinism discipline applied to time-series
@@ -302,7 +315,10 @@ object MiningQueries {
     * result is layout-independent (the q149/q167 bounded-table family,
     * rational arithmetic instead of logs). At sums beyond ~10¹⁴ cents the
     * numerator needs the decimal widening q58 documents; the shape is
-    * unchanged.
+    * unchanged. Division semantics: `DIV` truncates toward zero vs
+    * DuckDB `//`'s floor — identical here because cent sums are positive
+    * by fixture contract (the q162 note); negative-amount deployments
+    * need an explicit floor-div on both engines.
     *
     * Scale: one agg to the |types|×7 table, windows over it.
     */

@@ -308,6 +308,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
+  test("q160 query-item predicate reaches the scan and the basket join " +
+    "builds on the filtered query side") {
+    val df = SparkEntry.queries("q160_item_cooccur_sim")(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // the % 100 filter must be a scan-level DataFilter (a materialization
+    // barrier above the scan would swallow it — the round-5 regression)
+    assert("DataFilters: \\[[^\\]]*% 100\\) = 0".r.findFirstIn(p).isDefined,
+      s"query-item filter not pushed to the scan:\n${p.take(2000)}")
+    // the order-key basket join must build its hash relation on the
+    // filtered (1%) side, never the full corpus incidence
+    val basketJoin =
+      "BroadcastHashJoin \\[o#\\d+L\\], \\[o#\\d+L\\], Inner, Build(Left|Right)".r
+    basketJoin.findFirstMatchIn(p) match {
+      case Some(m) => assert(m.group(1) == "Left",
+        s"basket join builds on the corpus side:\n${p.take(2000)}")
+      case None => // AQE picked a shuffle join — fine, no build side to pin
+    }
+  }
+
   test("q164 kNN vote: probe side broadcast, cosine through the codegen " +
     "dot product") {
     val p = plan("q164_knn_label_vote")
