@@ -112,11 +112,14 @@ object Hierarchy {
     * 100 TB argument: total traffic O(closure · log depth), with the
     * per-round lookup side shrinking geometrically.
     *
-    * Cycle safety: on a parent cycle `P` never empties (the cycle jumps
-    * forever); the `maxIter` bound (default 2³² levels) terminates the
-    * loop with the cycle's finite reachable closure already in `A` —
-    * pairs stay exact and duplicate-free because lifting only ever adds
-    * distances not yet covered.
+    * Input contract: ACYCLIC parent pointers (a forest). On a cycle `P`
+    * never empties and lifted distances wrap the cycle, so `A` would
+    * accumulate duplicate (descd, anc) rows round over round — instead of
+    * silently amplifying, the loop FAILS FAST: on acyclic input |P|
+    * strictly shrinks every round while nonempty (a node of depth ≥ 2^k+1
+    * always has an ancestor of depth in [2^k, 2^k+1) that leaves `P`), so
+    * a non-decreasing |P| proves a cycle and raises
+    * `IllegalArgumentException` before any duplicate row is unioned.
     *
     * This is the relation subtree rollups (q148), "all reports of this
     * manager" filters, and BOM cost explosions consume.
@@ -144,9 +147,16 @@ object Hierarchy {
         .join(p.select(col("descd").as("mid"), col("anc")), "mid")
         .select(col("descd"), col("anc"))
       val (prevA, prevP) = (a, p)
-      a = a.unionByName(lifted).localCheckpoint(true)
       p = p2.localCheckpoint(true)
-      pSize = p.count()
+      val pNext = p.count()
+      // acyclic input ⇒ |P| strictly shrinks while nonempty (see scaladoc);
+      // a plateau is a parent cycle — stop BEFORE unioning wrapped pairs
+      if (pNext >= pSize)
+        throw new IllegalArgumentException(
+          s"ancestorClosure: parent cycle detected (2^$iter-step pointer " +
+            s"count $pSize -> $pNext did not shrink); input must be acyclic")
+      a = a.unionByName(lifted).localCheckpoint(true)
+      pSize = pNext
       prevA.unpersist(false)
       prevP.unpersist(false)
       iter += 1

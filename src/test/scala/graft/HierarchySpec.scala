@@ -98,11 +98,25 @@ class HierarchySpec extends SparkSpec {
       (3L, 1L), (10L, 10L), (11L, 11L), (11L, 10L)))
   }
 
-  test("closure terminates on a cycle (finite fixpoint, no divergence)") {
+  test("closure fails fast on a cycle instead of amplifying duplicates") {
+    // on a cycle the 2^k pointer never empties and lifted distances wrap,
+    // so every further round would re-add existing (descd, anc) pairs —
+    // the guard must raise before any duplicate row is unioned
     val nodes = Seq((5L, Some(6L)), (6L, Some(5L))).toDF("id", "parent")
-    val got = Hierarchy.ancestorClosure(nodes, "id", "parent", maxIter = 8)
-      .as[(Long, Long)].collect().toSet
-    assert(got === Set((5L, 5L), (5L, 6L), (6L, 6L), (6L, 5L)))
+    val e = intercept[IllegalArgumentException] {
+      Hierarchy.ancestorClosure(nodes, "id", "parent", maxIter = 8).count()
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("closure emits each pair exactly once (no duplicate rows) on a " +
+    "deep chain") {
+    val chain = ((0L to 40L).map(k =>
+      (k, if (k == 0) None else Some(k - 1)))).toDF("id", "parent")
+    val rows = Hierarchy.ancestorClosure(chain, "id", "parent")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows.length === rows.distinct.length, "duplicate closure pairs")
+    assert(rows.length === (41 * 42) / 2)
   }
 
   test("q148 subtree rollup matches a brute-force reference") {
