@@ -59,16 +59,57 @@ object WindowSetQueries {
   /** Distribution window functions: ntile quartiles, percent_rank and
     * cume_dist — all rank-derived rationals, deterministic under the
     * unique (price, orderkey) sort.
+    *
+    * NOT `ntile(4).over(partitionBy(priority))`: o_orderpriority has 5
+    * values, so the naive window sorts 20% of ALL orders in one task at
+    * any scale. Two-phase rewrite instead: (1) range-bucket the rounded
+    * price (fixed $25k-wide buckets — boundaries only steer parallelism,
+    * never values), count rows per (priority, bucket) and turn the
+    * bounded count table into broadcast cumulative offsets; (2) the only
+    * corpus-sized window partitions by (priority, bucket) — parallelism
+    * |priorities|×|buckets| — and the exact per-priority row number is
+    * offset + within-bucket row_number. ntile/percent_rank/cume_dist are
+    * then pure arithmetic in (rn, n), replicating Spark's own
+    * definitions bit-for-bit: larger-buckets-first ntile; (rn−1)/(n−1)
+    * and rn/n as double divisions (rank = rn under the unique sort).
     */
   def q33_window_ntile(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    Tables.orders(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_orderpriority"),
         Det.r2(col("o_totalprice")).as("o_totalprice"))
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
-      .withColumn("pr", Det.r6(percent_rank().over(w)))
-      .withColumn("cd", Det.r6(cume_dist().over(w)))
+      .withColumn("bkt",
+        floor(col("o_totalprice") / lit(25000.0)).cast("long"))
+    // bounded count table: ≤ |priorities| × |price range / 25k| rows
+    val counts = o.groupBy(col("o_orderpriority"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val wOff = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col("o_orderpriority"))
+    val offs = counts
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("c")).over(wTot))
+      .select(col("o_orderpriority"), col("bkt"), col("off"), col("n"))
+    val wIn = Window.partitionBy(col("o_orderpriority"), col("bkt"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.join(broadcast(offs), Seq("o_orderpriority", "bkt"))
+      .withColumn("rn", col("off") + row_number().over(wIn))
+      // Spark's NTile with k=4: n div 4 rows per bucket, the first
+      // n mod 4 buckets take one extra (larger-buckets-first); the ELSE
+      // branch is unreachable when n div 4 = 0, so its DIV never sees 0
+      .withColumn("quartile", expr(
+        """CASE WHEN rn <= (n DIV 4 + 1) * (n % 4)
+          |  THEN (rn + n DIV 4) DIV (n DIV 4 + 1)
+          |  ELSE n % 4 + (rn - (n DIV 4 + 1) * (n % 4) + n DIV 4 - 1)
+          |       DIV (n DIV 4)
+          |END""".stripMargin).cast("long"))
+      .withColumn("pr", Det.r6(when(col("n") > 1,
+        (col("rn") - 1).cast("double") / (col("n") - 1).cast("double"))
+        .otherwise(lit(0.0))))
+      .withColumn("cd",
+        Det.r6(col("rn").cast("double") / col("n").cast("double")))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"), col("quartile"), col("pr"), col("cd"))
       .orderBy(col("o_orderpriority"), col("o_orderkey"))
   }
 

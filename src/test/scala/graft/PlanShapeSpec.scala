@@ -344,6 +344,21 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(1500))
   }
 
+  test("q33 distribution window partitions the corpus by (priority, price " +
+    "bucket), never by the 5-value priority alone") {
+    val p = plan("q33_window_ntile")
+    // the corpus-sized row_number window must carry the bucket key — a
+    // priority-only partitioning sorts 20% of all orders in one task
+    assert(
+      "windowspecdefinition\\(o_orderpriority#\\d+, bkt#\\d+L".r
+        .findFirstIn(p).isDefined,
+      s"corpus window lost the bucket key:\n${p.take(1500)}")
+    // ntile/percent_rank/cume_dist must be arithmetic, not window funcs
+    assert(!p.contains("ntile("), p.take(1500))
+    assert(!p.contains("percent_rank("), p.take(1500))
+    assert(!p.contains("cume_dist("), p.take(1500))
+  }
+
   test("q27/q136 exact percentiles carry no ObjectHashAggregate buffer " +
     "(histogram + crossing rule, two-phase hash agg only)") {
     // percentile()'s ObjectAggregation buffer holds every distinct value of
