@@ -46,6 +46,7 @@ object SparkEntry {
     "q139_geo_cell_join" -> (ScalarQueries.q139_geo_cell_join _),
     "q140_topk_events" -> (EventQueries.q140_topk_events _),
     "q141_inverted_index" -> (PipelineQueries.q141_inverted_index _),
+    "q172_bpe_token_stats" -> (PipelineQueries.q172_bpe_token_stats _),
     "q142_correlation" -> (EventQueries.q142_correlation _),
     "q143_hierarchy_flatten" -> (Hierarchy.q143_hierarchy_flatten _),
     "q144_resample_locf" -> (EventQueries.q144_resample_locf _),

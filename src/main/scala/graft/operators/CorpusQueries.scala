@@ -89,6 +89,12 @@ object CorpusQueries {
     * per-sequence packing stats. One window (cumulative token count) + one
     * aggregation — the same single shuffle a sorted write-out already
     * pays, and the layout is reproducible from the key order alone.
+    *
+    * Round 6: token counts are SUBWORD counts
+    * ([[graft.expressions.BpeTokenCount]], the q172 unit) — packing math
+    * runs on the model's token unit, not whitespace words; the oracle
+    * replays the segmentation via the shared recursive CTE
+    * (PipelineQueries.bpeCtes).
     */
   def q102_seq_pack(spark: SparkSession, sfDir: String): DataFrame = {
     val seqLen = 256L
@@ -96,7 +102,7 @@ object CorpusQueries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
+        graft.expressions.BpeTokenCount.bpeTokenCount(col("text")).as("n_tok"))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("seq_id",
         expr(s"(cum - n_tok) div $seqLen").cast("long"))
@@ -707,8 +713,12 @@ object CorpusQueries {
          |  CAST((h.n_hit * 10000) // t.n_grams AS BIGINT) AS contam_bp
          |FROM hit h JOIN tot t USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q102_seq_pack" ->
-      """WITH t AS (SELECT doc_id, lang,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+      s"""WITH RECURSIVE ${PipelineQueries.bpeCtes("doc_id")},
+        |dt AS (SELECT i.doc_id, CAST(sum(t.ntok) AS BIGINT) AS btok
+        |  FROM inst i JOIN tok t USING (word) GROUP BY i.doc_id),
+        |t AS (SELECT d.doc_id, d.lang,
+        |  CAST(coalesce(dt.btok, 0) AS BIGINT) AS n_tok
+        |  FROM documents d LEFT JOIN dt USING (doc_id)),
         |c AS (SELECT doc_id, lang, n_tok,
         |  CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM t),

@@ -327,6 +327,34 @@ object PipelineQueries {
       .orderBy(col("term"))
   }
 
+  /** q172: subword (BPE-style) token statistics per language — the unit
+    * real packing/mix math runs on. Whitespace words undercount model
+    * tokens and skew per language; [[graft.expressions.BpeTokenCount]]
+    * counts greedy longest-prefix subword segments over a fixed shipped
+    * merge vocabulary (deterministic tokenizer inference, no training
+    * step). The oracle replays the identical segmentation with a
+    * recursive CTE over the DISTINCT word list (tokenization is a pure
+    * function of the word, so the recursion is vocabulary-sized, not
+    * corpus-sized) from the same vocab literal — single source of truth.
+    * Emits per lang: docs, subword tokens, whitespace tokens, and the
+    * subword/whitespace ratio in integer basis points.
+    *
+    * Scale: one codegen'd scan-speed pass + a |langs|-row two-phase agg —
+    * token counting adds zero shuffles to the corpus.
+    */
+  def q172_bpe_token_stats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        graft.expressions.BpeTokenCount.bpeTokenCount(col("text")).as("btok"),
+        size(split(col("text"), " ")).cast("long").as("wtok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("btok")).as("bpe_tokens"),
+        sum(col("wtok")).as("ws_tokens"))
+      .select(col("lang"), col("n_docs"), col("bpe_tokens"), col("ws_tokens"),
+        expr("bpe_tokens * 10000 div ws_tokens").as("ratio_bp"))
+      .orderBy(col("lang"))
+
   /** Language ID, fully hash-checked: vocabulary profiles (top-20 terms per
     * lang by (count desc, term asc)) built from the corpus in one pass and
     * broadcast; each doc scored by profile overlap; argmax with (overlap
@@ -434,7 +462,43 @@ object PipelineQueries {
       "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] " +
       "|| ' ' || string_split(text, ' ')[i+2]))"
 
+  /** Shared DuckDB CTE chain replaying [[graft.expressions.BpeTokenCount]]:
+    * the fixed vocab as VALUES, word instances (`instCols` picks the
+    * carried columns), then greedy longest-prefix segmentation as a
+    * recursive CTE over the DISTINCT word list — `tok(word, ntok)` at the
+    * end. Tokenization is a pure function of the word, so the recursion
+    * is vocabulary-sized. Callers open with `WITH RECURSIVE` and join
+    * `inst`×`tok` on word. Used by q172 here and q102 in CorpusQueries.
+    */
+  private[operators] def bpeCtes(instCols: String): String =
+    s"""vocab(v) AS (VALUES ${graft.expressions.BpeTokenCount.oracleVocabValues}),
+       |inst AS (
+       |  SELECT $instCols, lower(w) AS word
+       |  FROM (SELECT *, unnest(regexp_split_to_array(text, '[^A-Za-z0-9]+')) AS w
+       |        FROM documents) WHERE w <> ''),
+       |words AS (SELECT word FROM inst GROUP BY word),
+       |seg AS (
+       |  SELECT word, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cnt
+       |  FROM words
+       |  UNION ALL
+       |  SELECT s.word,
+       |    s.pos + coalesce((SELECT max(length(v.v)) FROM vocab v
+       |      WHERE substr(s.word, CAST(s.pos AS INT), length(v.v)) = v.v), 1),
+       |    s.cnt + 1
+       |  FROM seg s WHERE s.pos <= length(s.word)),
+       |tok AS (SELECT word, cnt AS ntok FROM seg WHERE pos > length(word))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q172_bpe_token_stats" ->
+      s"""WITH RECURSIVE ${bpeCtes("lang")},
+         |bpe AS (SELECT i.lang, CAST(sum(t.ntok) AS BIGINT) AS bpe_tokens
+         |  FROM inst i JOIN tok t USING (word) GROUP BY i.lang),
+         |base AS (SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens
+         |  FROM documents GROUP BY lang)
+         |SELECT b.lang, b.n_docs, p.bpe_tokens, b.ws_tokens,
+         |  CAST(p.bpe_tokens * 10000 // b.ws_tokens AS BIGINT) AS ratio_bp
+         |FROM base b JOIN bpe p USING (lang) ORDER BY lang""".stripMargin,
     "q85_dedup_minhash_lsh" ->
       s"""WITH d AS ($tokCte),
          |sig AS (SELECT doc_id, tok,
