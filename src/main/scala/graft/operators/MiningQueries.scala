@@ -29,9 +29,11 @@ object MiningQueries {
     * aggregation (predicate inside the self-join), so cost is
     * |query items| × basket fanout, not all-pairs; baskets bound the
     * per-order explosion at (lines/order choose 2) ≈ 21. The full-matrix
-    * variant at 100 TB is DIMSUM sampling territory — documented, not
-    * declared; the query-driven form IS the production shape (real CF
-    * serving scores a candidate set, never the n² matrix).
+    * variant at 100 TB is DIMSUM sampling territory — SHIPPED as
+    * [[graft.functions.Dimsum.itemCosine]] (unit tier, DimsumSpec pins
+    * recall/MSE vs this query's exact formula); the query-driven form IS
+    * the production shape (real CF serving scores a candidate set, never
+    * the n² matrix).
     */
   def q160_item_cooccur_sim(spark: SparkSession, sfDir: String): DataFrame = {
     // (order, part) incidence, deliberately NOT materialized: a
