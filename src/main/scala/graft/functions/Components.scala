@@ -94,6 +94,38 @@ object Components {
     } finally edges0.unpersist(blocking = false)
   }
 
+  /** Incremental cluster maintenance — the nightly-crawl shape (q75's
+    * incremental discipline applied to q100's clusters): fold a batch of
+    * NEW near-dup pairs into an existing (id, component) assignment
+    * without re-deriving the historical pair graph.
+    *
+    * Correctness: an assignment row (id → component) is a star edge, and
+    * the star set preserves the old graph's connectivity exactly (every
+    * member connects to its root; roots are members). So components of
+    * (assignment-as-edges ∪ new pairs) = components of (old graph ∪ new
+    * pairs) — including singleton clusters, whose (x, x) self-row
+    * survives as a self-edge. Cost scales with |assignment| + |batch|,
+    * never with the corpus-history pair graph; labels stay the min member
+    * id, so ids are stable across updates (a cluster's label only changes
+    * if a batch MERGES it with a lower-labeled one).
+    *
+    * @param assignment prior (id, component) frame — e.g. the output of
+    *                   [[connectedComponents]] or a previous [[update]]
+    * @param newPairs   new undirected edges (same id type)
+    * @return updated (id, component) covering every node in either input
+    */
+  def update(assignment: DataFrame, idCol: String, componentCol: String,
+             newPairs: DataFrame, aCol: String, bCol: String,
+             maxIter: Int = 25,
+             localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame = {
+    val oldEdges = assignment
+      .select(col(idCol).as("__ua"), col(componentCol).as("__ub"))
+    val newEdges = newPairs
+      .select(col(aCol).as("__ua"), col(bCol).as("__ub"))
+    connectedComponents(oldEdges.unionByName(newEdges), "__ua", "__ub",
+      maxIter, localEdgeThreshold)
+  }
+
   private val edgeEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
 
   /** Both directions of every (c1, c2) row as (s, t), input evaluated once

@@ -112,6 +112,63 @@ class ComponentsSpec extends SparkSpec {
     assert(got.collect().map(r => r.getLong(1)).forall(_ == 0L))
   }
 
+  private def update(assign: Map[Long, Long],
+                     batch: Seq[(Long, Long)],
+                     threshold: Long = 4000000L): Map[Long, Long] =
+    Components.update(assign.toSeq.toDF("id", "component"), "id", "component",
+        batch.toDF("a", "b"), "a", "b", localEdgeThreshold = threshold)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("incremental update equals full recompute on a random edge split") {
+    // 300 nodes, ~500 edges, fixed seed, split 60/40 into history + batch:
+    // update(cc(history), batch) must equal cc(history ++ batch)
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(500)(
+      (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+    val (hist, batch) = edges.splitAt(300)
+    val full = cc(edges)
+    val incr = update(cc(hist), batch)
+    assert(incr == full)
+  }
+
+  test("incremental update: merges relabel to the lower cluster id, " +
+    "untouched and singleton clusters survive, new nodes join") {
+    val assign = Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L, 42L -> 42L)
+    // batch bridges cluster 10 into cluster 1 and adds a brand-new pair
+    val got = update(assign, Seq((2L, 11L), (70L, 71L)))
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L,  // merged, min label wins
+      42L -> 42L,                                 // singleton untouched
+      70L -> 70L, 71L -> 70L))                    // new arrivals
+  }
+
+  test("incremental update with an empty batch is the identity") {
+    val assign = Map(1L -> 1L, 2L -> 1L, 42L -> 42L)
+    val got = update(assign, Seq.empty)
+    assert(got == assign)
+  }
+
+  test("incremental update matches full recompute under 1/4/32 layouts " +
+    "and forced multi-level contraction") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(400)(
+      (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    val (hist, batch) = edges.splitAt(250)
+    val full = cc(edges)
+    val prior = cc(hist)
+    for (parts <- Seq(1, 4, 32)) {
+      val got = Components.update(
+          prior.toSeq.toDF("id", "component").repartition(parts),
+          "id", "component",
+          batch.toDF("a", "b").repartition(parts), "a", "b",
+          localEdgeThreshold = 50L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == full, s"layout $parts diverged")
+    }
+  }
+
   test("propagation fallback: non-convergence within maxIter throws") {
     // string-typed ids force the propagation loop; a 10-node path cannot
     // converge in 2 rounds
