@@ -18,13 +18,16 @@ import org.apache.spark.sql.types._
   * `AudioSystem.getAudioInputStream` parse and window the decoded PCM
   * samples.
   *
-  * VIDEO decode is REAL as of round 5: payloads are Motion-JPEG
-  * containers (length-prefixed genuine JPEG frames — the format simple
-  * capture pipelines ship, every frame independently decodable), and
-  * `sampleFrames`/`resize` run actual per-frame `ImageIO` JPEG
-  * decodes/re-encodes. Inter-frame codecs (H.264 etc.) stay out of scope
-  * — no JDK codec exists — but the fallback fake-header branch keeps
-  * every operator total over unknown payloads.
+  * VIDEO decode is REAL: payloads are standard MJPEG-in-AVI (RIFF)
+  * containers (round 6 — genuine JPEG frames in `00dc` chunks behind
+  * proper `avih`/`strh`/`strf` headers, the file layout capture pipelines
+  * actually ship), parsed by the standard RIFF chunk walk
+  * (`decodeAvi`); `sampleFrames`/`resize` run actual per-frame `ImageIO`
+  * JPEG decodes/re-encodes. The round-5 length-prefixed MJPG container
+  * stays accepted as a legacy format (`videoFrames` tries both).
+  * Inter-frame codecs (H.264 etc.) stay out of scope — no JDK codec
+  * exists — but the fallback fake-header branch keeps every operator
+  * total over unknown payloads.
   *
   * Scale notes: payloads stay opaque bytes end-to-end (no driver collect,
   * no base64 inflation); per-partition processing amortizes decoder init
@@ -43,39 +46,155 @@ object Multimodal {
       StructField("n_frames", IntegerType),
       StructField("format", StringType))))))
 
-  /** A REAL video payload: Motion-JPEG — `nFrames` genuine JPEG frames
-    * (encoded by the JDK's `javax.imageio` JPEG codec) in a minimal
-    * length-prefixed container: magic "MJPG", int nFrames, then per frame
-    * int byteLength + JPEG bytes. MJPEG is what simple capture pipelines
-    * actually ship (each frame independently decodable — the property
-    * frame-sampling at scale wants, no inter-frame state).
+  /** One deterministic genuine JPEG frame (JDK `javax.imageio` codec). */
+  private def jpegFrame(id: Long, f: Int, width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = (id * 31 + f) * 0x9E3779B97F4A7C15L + 1
+    var py = 0
+    while (py < height) {
+      var px = 0
+      while (px < width) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        img.setRGB(px, py, (x & 0xFFFFFF).toInt)
+        px += 1
+      }
+      py += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** A REAL legacy video payload: Motion-JPEG — `nFrames` genuine JPEG
+    * frames in a minimal length-prefixed container: magic "MJPG", int
+    * nFrames, then per frame int byteLength + JPEG bytes. Kept as the
+    * second accepted container ([[videoFrames]]); the PRIMARY synthetic
+    * format is the standard RIFF/AVI ([[encodeAvi]]).
     */
   def encodeMjpeg(id: Long, width: Int, height: Int,
                   nFrames: Int): Array[Byte] = {
-    val frames = (0 until nFrames).map { f =>
-      val img = new java.awt.image.BufferedImage(width, height,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var x = (id * 31 + f) * 0x9E3779B97F4A7C15L + 1
-      var py = 0
-      while (py < height) {
-        var px = 0
-        while (px < width) {
-          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
-          img.setRGB(px, py, (x & 0xFFFFFF).toInt)
-          px += 1
-        }
-        py += 1
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
-      bos.toByteArray
-    }
+    val frames = (0 until nFrames).map(jpegFrame(id, _, width, height))
     val bb = java.nio.ByteBuffer.allocate(
       8 + frames.map(_.length + 4).sum)
     bb.put("MJPG".getBytes("US-ASCII")).putInt(nFrames)
     frames.foreach { f => bb.putInt(f.length); bb.put(f) }
     bb.array()
   }
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** Assemble genuine JPEG frames into a standard MJPEG-in-AVI (RIFF)
+    * container: `RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+    * LIST('movi' 00dc…))` — all little-endian, word-aligned chunks, the
+    * layout every AVI reader walks. 25 fps, 'MJPG' fourcc, BI dims in
+    * both avih and strf like real capture output.
+    */
+  def aviContainer(width: Int, height: Int,
+                   frames: Seq[Array[Byte]]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length % 2
+      val bb = ByteBuffer.allocate(8 + body.length + pad)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc(id)).putInt(body.length).put(body)
+      bb.array() // trailing pad byte (if any) stays zero
+    }
+    def list(typ: String, bodies: Seq[Array[Byte]]): Array[Byte] = {
+      val inner = bodies.map(_.length).sum
+      val bb = ByteBuffer.allocate(12 + inner).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(fourcc("LIST")).putInt(4 + inner).put(fourcc(typ))
+      bodies.foreach(bb.put)
+      bb.array()
+    }
+    val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(40000)                    // dwMicroSecPerFrame (25 fps)
+      .putInt(0).putInt(0).putInt(0)      // maxBytesPerSec, padding, flags
+      .putInt(frames.length)              // dwTotalFrames
+      .putInt(0).putInt(1).putInt(0)      // initialFrames, streams, sugBuf
+      .putInt(width).putInt(height)       // dwWidth, dwHeight
+    val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    strh.put(fourcc("vids")).put(fourcc("MJPG"))
+      .putInt(0).putInt(0).putInt(0)      // flags, prio+lang, initialFrames
+      .putInt(1).putInt(25)               // dwScale, dwRate (25 fps)
+      .putInt(0).putInt(frames.length)    // dwStart, dwLength
+      .putInt(0).putInt(-1).putInt(0)     // sugBuf, quality, sampleSize
+      .putShort(0).putShort(0)
+      .putShort(width.toShort).putShort(height.toShort) // rcFrame
+    val strf = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+    strf.putInt(40).putInt(width).putInt(height) // biSize, biWidth, biHeight
+      .putShort(1).putShort(24)           // biPlanes, biBitCount
+      .put(fourcc("MJPG"))                // biCompression
+      .putInt(width * height * 3)         // biSizeImage
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    val hdrl = list("hdrl", Seq(chunk("avih", avih.array()),
+      list("strl", Seq(chunk("strh", strh.array()),
+        chunk("strf", strf.array())))))
+    val movi = list("movi", frames.map(chunk("00dc", _)))
+    val inner = 4 + hdrl.length + movi.length
+    val bb = ByteBuffer.allocate(8 + inner).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(fourcc("RIFF")).putInt(inner).put(fourcc("AVI "))
+      .put(hdrl).put(movi)
+    bb.array()
+  }
+
+  /** A REAL video payload: genuine JPEG frames in a standard RIFF/AVI
+    * MJPEG container — the format simple capture pipelines actually ship
+    * (each frame independently decodable, the property frame-sampling at
+    * scale wants; no inter-frame state).
+    */
+  def encodeAvi(id: Long, width: Int, height: Int,
+                nFrames: Int): Array[Byte] =
+    aviContainer(width, height,
+      (0 until nFrames).map(jpegFrame(id, _, width, height)))
+
+  /** Parse a RIFF/AVI container by the standard chunk walk: verify the
+    * `RIFF…AVI ` magic, recurse into LIST chunks (word-aligned,
+    * little-endian sizes), read dims from `avih`, collect `00dc`/`00db`
+    * video frame chunks. Returns (width, height, frames); None when the
+    * bytes are not an AVI (a RIFF/WAVE payload fails the `AVI ` check).
+    */
+  def decodeAvi(payload: Array[Byte])
+  : Option[(Int, Int, IndexedSeq[Array[Byte]])] = {
+    if (payload.length < 12) return None
+    def fcc(off: Int): String =
+      if (off + 4 <= payload.length) new String(payload, off, 4, "US-ASCII")
+      else ""
+    if (fcc(0) != "RIFF" || fcc(8) != "AVI ") return None
+    try {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var dims = (0, 0)
+      val frames = IndexedSeq.newBuilder[Array[Byte]]
+      def walk(start: Int, end: Int): Unit = {
+        var pos = start
+        while (pos + 8 <= end) {
+          val id = fcc(pos)
+          val len = bb.getInt(pos + 4)
+          if (len < 0 || pos + 8 + len > end) return
+          id match {
+            case "LIST" => walk(pos + 12, pos + 8 + len)
+            case "avih" if len >= 40 =>
+              dims = (bb.getInt(pos + 8 + 32), bb.getInt(pos + 8 + 36))
+            case "00dc" | "00db" =>
+              frames += java.util.Arrays.copyOfRange(
+                payload, pos + 8, pos + 8 + len)
+            case _ => ()
+          }
+          pos += 8 + len + (len % 2)
+        }
+      }
+      walk(12, math.min(payload.length, 8 + bb.getInt(4)))
+      val fs = frames.result()
+      if (fs.isEmpty && dims == ((0, 0))) None
+      else Some((dims._1, dims._2, fs))
+    } catch { case _: Exception => None }
+  }
+
+  /** Frames of any supported video container: the standard RIFF/AVI walk
+    * first, then the legacy length-prefixed MJPG container. */
+  def videoFrames(payload: Array[Byte]): Option[IndexedSeq[Array[Byte]]] =
+    decodeAvi(payload).map(_._3).orElse(decodeMjpeg(payload))
 
   /** Parse an [[encodeMjpeg]] container into its JPEG frame payloads;
     * None when the bytes are not an MJPG container. */
@@ -171,10 +290,10 @@ object Multimodal {
       val payload = kind match {
         case "image" => encodePng(i, w, h)
         case "audio" => encodeWav(i, nSamples = w)
-        case _ => encodeMjpeg(i, w, h, nFrames)
+        case _ => encodeAvi(i, w, h, nFrames)
       }
       val fmt = kind match {
-        case "image" => "png"; case "audio" => "wav"; case _ => "mjpg"
+        case "image" => "png"; case "audio" => "wav"; case _ => "avi"
       }
       Row(i, kind, payload, Row(w, h, nFrames, fmt))
     }
@@ -252,7 +371,7 @@ object Multimodal {
             .orElse(
               if (isRiff(payload)) decodeAudio(payload).map(s => (s.length, 1))
               else None)
-            .orElse(decodeMjpeg(payload).flatMap(_.headOption)
+            .orElse(videoFrames(payload).flatMap(_.headOption)
               .flatMap(decodeImage)
               .map(im => (im.getWidth, im.getHeight)))
             .getOrElse(decodeDims(payload))
@@ -289,21 +408,27 @@ object Multimodal {
     val resizeUdf = udf { payload: Array[Byte] =>
       decodeImage(payload) match {
         case Some(src) => rescale(src, w, h, "png")
-        case None if isRiff(payload) => payload
-        case None => decodeMjpeg(payload) match {
-          case Some(frames) =>
-            val resized = frames.map(f =>
-              decodeImage(f).map(rescale(_, w, h, "jpg")).getOrElse(f))
-            val bb = java.nio.ByteBuffer.allocate(
-              8 + resized.map(_.length + 4).sum)
-            bb.put("MJPG".getBytes("US-ASCII")).putInt(resized.length)
-            resized.foreach { f => bb.putInt(f.length); bb.put(f) }
-            bb.array()
-          case None =>
-            val out = payload.clone()
-            val bb = java.nio.ByteBuffer.wrap(out)
-            bb.putInt(0, w); bb.putInt(4, h)
-            out
+        case None if isRiff(payload) && decodeAvi(payload).isEmpty => payload
+        case None => decodeAvi(payload) match {
+          case Some((_, _, frames)) =>
+            // rebuild the STANDARD container at the new dims
+            aviContainer(w, h, frames.map(f =>
+              decodeImage(f).map(rescale(_, w, h, "jpg")).getOrElse(f)))
+          case None => decodeMjpeg(payload) match {
+            case Some(frames) =>
+              val resized = frames.map(f =>
+                decodeImage(f).map(rescale(_, w, h, "jpg")).getOrElse(f))
+              val bb = java.nio.ByteBuffer.allocate(
+                8 + resized.map(_.length + 4).sum)
+              bb.put("MJPG".getBytes("US-ASCII")).putInt(resized.length)
+              resized.foreach { f => bb.putInt(f.length); bb.put(f) }
+              bb.array()
+            case None =>
+              val out = payload.clone()
+              val bb = java.nio.ByteBuffer.wrap(out)
+              bb.putInt(0, w); bb.putInt(4, h)
+              out
+          }
         }
       }
     }
@@ -380,7 +505,7 @@ object Multimodal {
             md.reset()
             md.digest(bytes).map("%02x".format(_)).mkString
           }
-          decodeMjpeg(payload) match {
+          videoFrames(payload) match {
             case Some(frames) =>
               frames.indices.by(stride).map { i =>
                 val dims = decodeImage(frames(i))

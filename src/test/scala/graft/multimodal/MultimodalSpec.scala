@@ -96,15 +96,64 @@ class MultimodalSpec extends SparkSpec {
       col("payload").as("body2"))
     assert(origBody.join(newBody, "media_id")
       .filter(col("body") =!= col("body2")).count() == 0)
-    // resized videos are rebuilt MJPEG containers whose frames decode at
-    // the new size
+    // resized videos are rebuilt STANDARD AVI containers whose frames
+    // decode at the new size (and whose avih header carries the new dims)
     val vid = r.filter(col("kind") === "video").select("payload").first()
       .getAs[Array[Byte]](0)
-    val frames = Multimodal.decodeMjpeg(vid).get
+    val (aw, ah, frames) = Multimodal.decodeAvi(vid).get
+    assert(aw == 224 && ah == 224)
     assert(frames.nonEmpty && frames.forall { f =>
       val im = Multimodal.decodeImage(f).get
       im.getWidth == 224 && im.getHeight == 224
     })
+  }
+
+  test("video payloads are structurally valid RIFF/AVI: independent chunk " +
+    "walk finds the headers, the frames, and genuine JPEGs") {
+    val avi = Multimodal.encodeAvi(3L, 64, 48, nFrames = 5)
+    // independent minimal reader (NOT decodeAvi — that would test the
+    // parser with itself): little-endian RIFF walk
+    val bb = java.nio.ByteBuffer.wrap(avi)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(off: Int) = new String(avi, off, 4, "US-ASCII")
+    assert(fcc(0) == "RIFF" && fcc(8) == "AVI ")
+    assert(bb.getInt(4) == avi.length - 8, "RIFF size field wrong")
+    var pos = 12
+    var avihDims = (0, 0); var totalFrames = -1
+    var jpegFrames = 0
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val id = fcc(p); val len = bb.getInt(p + 4)
+        id match {
+          case "LIST" => walk(p + 12, p + 8 + len)
+          case "avih" =>
+            totalFrames = bb.getInt(p + 8 + 16)
+            avihDims = (bb.getInt(p + 8 + 32), bb.getInt(p + 8 + 36))
+          case "00dc" =>
+            // every frame chunk is a REAL JPEG: SOI marker + ImageIO decode
+            assert((avi(p + 8) & 0xFF) == 0xFF && (avi(p + 9) & 0xFF) == 0xD8,
+              "frame does not start with the JPEG SOI marker")
+            val frame = java.util.Arrays.copyOfRange(avi, p + 8, p + 8 + len)
+            val im = Multimodal.decodeImage(frame).get
+            assert(im.getWidth == 64 && im.getHeight == 48)
+            jpegFrames += 1
+          case _ => ()
+        }
+        p += 8 + len + (len % 2)
+      }
+    }
+    walk(pos, avi.length)
+    assert(avihDims == ((64, 48)) && totalFrames == 5 && jpegFrames == 5)
+    // decodeAvi agrees with the independent walk
+    val (w, h, frames) = Multimodal.decodeAvi(avi).get
+    assert(w == 64 && h == 48 && frames.length == 5)
+    // a RIFF/WAVE payload is NOT mistaken for an AVI
+    assert(Multimodal.decodeAvi(Multimodal.encodeWav(1L, 32)).isEmpty)
+    // the legacy MJPG container stays accepted through videoFrames
+    assert(Multimodal.videoFrames(
+      Multimodal.encodeMjpeg(3L, 32, 32, 2)).get.length == 2)
+    assert(Multimodal.videoFrames(avi).get.length == 5)
   }
 
   test("audio feature extraction windows REAL decoded PCM: n_windows/rms/peak") {
@@ -159,7 +208,7 @@ class MultimodalSpec extends SparkSpec {
     assert(dims.count() == 0)
     val v = media.filter(col("kind") === "video").orderBy("media_id").first()
     val vid = v.getAs[Long]("media_id")
-    val parsed = Multimodal.decodeMjpeg(v.getAs[Array[Byte]]("payload")).get
+    val parsed = Multimodal.decodeAvi(v.getAs[Array[Byte]]("payload")).get._3
     val md = java.security.MessageDigest.getInstance("MD5")
     val expDigest = md.digest(parsed(0)).map("%02x".format(_)).mkString
     val got = frames.filter(col("media_id") === vid && col("frame_idx") === 0)
