@@ -32,19 +32,49 @@ object Bench {
     else
       try SparkEntry.queries.get("q20_agg_hash").foreach(_(spark, sfDir).count())
       catch { case _: Throwable => () }
-    // a crashed query records -1.0, never a plausible-looking elapsed time
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    // Median-of-N timing (round 6, default 3): a single-shot run lands
+    // anywhere in the ±20% I/O-variance band (BASELINE.md item 16) and
+    // every round needed sentinel-query forensics to interpret it; the
+    // median suppresses one-off page-cache/compaction spikes. Reported
+    // per-query values and the total are medians; the spread fields carry
+    // the min→max band so the variance is visible in the artifact itself.
+    // A crashed run records -1.0, never a plausible elapsed time; a
+    // query's value is the median of its successful runs (-1.0 only if
+    // every run failed).
+    val repeats = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
+    val runs: Map[String, Seq[Double]] = SparkEntry.queries.map {
+      case (name, fn) =>
+        name -> (1 to repeats).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
+        }
     }
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0.0).sorted
+      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+    }
+    val results = runs.map { case (k, v) => k -> median(v) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val okRuns = runs.values.map(_.filter(_ >= 0.0)).filter(_.nonEmpty)
+    val totalMin = okRuns.map(_.min).sum
+    val totalMax = okRuns.map(_.max).sum
+    // spread of the TOTAL across the repeat band, in basis points of the
+    // median total — the single number that says how trustworthy this
+    // round's figure is
+    val spreadBp =
+      if (total > 0) math.round((totalMax - totalMin) / total * 10000) else 0L
+    val runsJson = runs.map { case (k, v) =>
+      "\"" + k + "\":[" + v.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""repeats":$repeats,"total_min":$totalMin,"total_max":$totalMax,""" +
+        s""""spread_bp":$spreadBp,"runs":$runsJson,"sf":"$sfDir"}"""
     // Full-precision, full-name per-query map → a repo file (the ledger's
     // source of truth; survives any stdout truncation).
     try {
@@ -66,7 +96,9 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f"
     }.mkString("{", ",", "}")
     println(fullLine)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$compactQs,"sf":$sfNum}""")
+    // median + spread in the tail-surviving compact line (the driver keeps
+    // only the last ~2000 chars of stdout — see the note above compactQs)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeats":$repeats,"spread_bp":$spreadBp,"queries":$compactQs,"sf":$sfNum}""")
     spark.stop()
   }
 }
