@@ -55,6 +55,7 @@ object SparkEntry {
     "q147_pareto" -> (AggQueries.q147_pareto _),
     "q148_subtree_rollup" -> (Hierarchy.q148_subtree_rollup _),
     "q149_chi_square" -> (EventQueries.q149_chi_square _),
+    "q173_event_pivot" -> (EventQueries.q173_event_pivot _),
     "q150_skyline" -> (WindowSetQueries.q150_skyline _),
     "q151_triangle_count" -> (ScalarQueries.q151_triangle_count _),
     "q152_weighted_median" -> (AggQueries.q152_weighted_median _),

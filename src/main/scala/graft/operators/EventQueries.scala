@@ -701,6 +701,27 @@ object EventQueries {
       .orderBy(col("campaign_id"))
   }
 
+  /** q173: event-log pivot report — cent totals per event type × ISO
+    * weekday, weekdays to columns: the warehouse-report pivot shape (q45)
+    * applied to the product-analytics log, closing the reporting surface
+    * over events. Spark lowers `pivot` to ONE conditional-aggregation
+    * pass (the same CASE-WHEN plan the oracle spells out) — no join, no
+    * repeated scans (plan-pinned like q45). Per-row integer cents before
+    * the sum (§7.2); empty (type, weekday) cells are NULL on both
+    * engines. Emit (event_type, d1..d7); order by event_type.
+    */
+  def q173_event_pivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("weekday(ts) + 1").cast("long").as("wday"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .pivot("wday", Seq(1, 2, 3, 4, 5, 6, 7))
+      .agg(sum(col("cents")))
+      .select(col("event_type") +:
+        (1 to 7).map(d => col(d.toString).as(s"d$d")): _*)
+      .orderBy(col("event_type"))
+
   /** Chi-square independence test (q149): event_type × day-of-week —
     * the categorical-association screen (is traffic shape independent of
     * weekday?) behind seasonality checks and drift monitors. Counts are
@@ -837,6 +858,13 @@ object EventQueries {
         |SELECT user_id, CAST(sum(streak) AS BIGINT) AS n_days,
         |  CAST(max(streak) AS BIGINT) AS max_streak
         |FROM s GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q173_event_pivot" ->
+      ("SELECT event_type,\n" +
+        (1 to 7).map(d =>
+          s"  CAST(sum(CASE WHEN isodow(ts) = $d THEN " +
+            s"CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS d$d")
+          .mkString(",\n") +
+        "\nFROM events GROUP BY event_type ORDER BY event_type"),
     "q149_chi_square" ->
       """WITH c AS (
         |  SELECT event_type, (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,

@@ -93,6 +93,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(1200))
   }
 
+  test("q173 event pivot is one conditional-aggregation pass over one scan") {
+    val p = plan("q173_event_pivot")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
   test("q46 correlated subqueries de-correlate: no cartesian, joins only") {
     val p = plan("q46_subquery")
     assert(!p.contains("CartesianProduct"), p.take(1500))

@@ -59,7 +59,9 @@ class EmptyInputSpec extends SparkSpec {
       // round-5 cont. 5 mining/time-series tier
       "q161_path_trigrams", "q162_ewma", "q166_time_to_convert",
       "q167_mutual_info", "q168_seasonal_index", "q169_changepoint",
-      "q170_cohort_ltv", "q171_lag_autocorr")
+      "q170_cohort_ltv", "q171_lag_autocorr",
+      // round-6 reporting tier
+      "q173_event_pivot")
     qs.foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, emptyEventsDir).count()
       assert(n == 0, s"$q returned $n rows on an empty event log")
