@@ -159,10 +159,11 @@ class GraftClient(spark: SparkSession, dir: String) {
     * can duplicate/drop rows across pages, so `order` is REQUIRED here
     * (same contract the live API documents).
     *
-    * This is the in-sandbox twin of the live HTTP fetch loop: request
-    * shaping (page params), termination (short/empty page), and
-    * exactly-once row delivery are all real and tested; only the
-    * transport is out of sandbox.
+    * This is the local twin of the live HTTP fetch loop: request shaping
+    * (page params), termination (short/empty page), and exactly-once row
+    * delivery are all real and tested. The HTTP transport itself is
+    * [[SodaHttp.readResource]] (round 6) — the same loop over a real
+    * `java.net.http` GET per page.
     */
   def fetchPages(table: String, params: SoqlParams,
                  pageSize: Int): Iterator[DataFrame] = {

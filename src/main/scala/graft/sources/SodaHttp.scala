@@ -1,0 +1,103 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Live SODA HTTP ingestion (round 6) — the reference client's actual
+  * transport: `GET {base}/resource/{id}.json?$limit=N&$offset=M&…` with
+  * the documented paging loop (fetch until a short page), over a REAL
+  * `java.net.http.HttpClient` socket round-trip. This closes the one
+  * structural gap the local `GraftClient` twin left open: request
+  * shaping, response parsing, and exactly-once page delivery were
+  * already tested; now the HTTP hop itself is real too (SodaHttpSpec
+  * runs it against an in-process loopback server — the zero-egress
+  * sandbox precludes external hosts, not sockets).
+  *
+  * Scale note: the paging loop is DRIVER-side by design, exactly like
+  * the reference gem — SODA endpoints cap page sizes (~50k rows), so a
+  * portal fetch is an ingestion step, not a distributed scan. The
+  * landing pattern for big pulls is fetch → write parquet once → every
+  * query reads the columnar copy ([[Sources]]); for a corpus that
+  * ALREADY lives in files, read it directly and skip HTTP entirely.
+  */
+object SodaHttp {
+
+  private lazy val client: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(30))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  /** One SODA page: a real blocking GET, returning the JSON body.
+    * @param params query parameters (e.g. `$limit` / `$offset` /
+    *               `$order` / `$where`), URL-encoded here
+    */
+  def fetchPage(baseUrl: String, resource: String,
+                params: Seq[(String, String)]): String = {
+    val qs = params.map { case (k, v) => s"${enc(k)}=${enc(v)}" }
+      .mkString("&")
+    val uri = java.net.URI.create(
+      s"$baseUrl/resource/$resource.json" + (if (qs.isEmpty) "" else s"?$qs"))
+    val req = java.net.http.HttpRequest.newBuilder(uri)
+      .header("Accept", "application/json").GET().build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"SODA GET $uri failed: HTTP ${resp.statusCode()}")
+    resp.body()
+  }
+
+  /** Parse one JSON page (a top-level array of row objects) into a
+    * DataFrame via Spark's JSON source — schema inferred per page,
+    * reconciled across pages by [[readResource]]'s union.
+    */
+  private def parsePage(spark: SparkSession, json: String): DataFrame = {
+    import spark.implicits._
+    spark.read.json(Seq(json).toDS(): Dataset[String])
+  }
+
+  /** The reference gem's whole-resource fetch: page with `$limit`/
+    * `$offset` until a short page, parse every page, union by name.
+    * `order` is REQUIRED — SODA paging without a total order can
+    * duplicate/drop rows across pages (the same contract
+    * [[GraftClient.fetchPages]] enforces locally).
+    *
+    * @param extraParams passed through on every page request (e.g.
+    *                    `$where`, `$select`) — server-side SoQL
+    */
+  def readResource(spark: SparkSession, baseUrl: String, resource: String,
+                   order: String, pageSize: Int = 1000,
+                   extraParams: Seq[(String, String)] = Nil,
+                   maxPages: Int = 100000): DataFrame = {
+    require(pageSize > 0, "pageSize must be positive")
+    require(order.nonEmpty,
+      "paged fetch requires $order (stable paging needs a total order)")
+    var pages = List.empty[DataFrame]
+    var off = 0
+    var done = false
+    var n = 0
+    while (!done) {
+      require(n < maxPages, s"readResource exceeded $maxPages pages")
+      val body = fetchPage(baseUrl, resource, extraParams ++ Seq(
+        "$order" -> order, "$limit" -> pageSize.toString,
+        "$offset" -> off.toString))
+      val page = parsePage(spark, body)
+      // one count job per page == one HTTP request per page (the same
+      // cadence the local fetchPages twin documents); a short or empty
+      // page terminates the loop — the SODA convention
+      val rows = page.count()
+      if (rows > 0) pages ::= page
+      done = rows < pageSize
+      off += pageSize
+      n += 1
+    }
+    pages match {
+      case Nil => spark.emptyDataFrame
+      case last :: earlier =>
+        earlier.foldLeft(last)((acc, p) =>
+          acc.unionByName(p, allowMissingColumns = true))
+    }
+  }
+}
