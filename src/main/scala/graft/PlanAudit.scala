@@ -40,7 +40,9 @@ object PlanAudit extends App {
     "q160_item_cooccur_sim", "q161_path_trigrams", "q162_ewma",
     "q163_entity_clusters", "q164_knn_label_vote", "q165_grid_density",
     "q166_time_to_convert", "q167_mutual_info", "q168_seasonal_index",
-    "q169_changepoint", "q170_cohort_ltv", "q171_lag_autocorr")
+    "q169_changepoint", "q170_cohort_ltv", "q171_lag_autocorr",
+    "q27_agg_percentile", "q33_window_ntile", "q172_bpe_token_stats",
+    "q173_event_pivot")
   targets.foreach { q =>
     println(s"\n========== $q ==========")
     println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(
