@@ -384,4 +384,32 @@ object StreamTwins {
       }(Encoders.kryo[S], enc)
       .toDF()
   }
+
+  /** q173's streaming twin: the event pivot as a running conditional
+    * aggregation — cent totals per event_type × ISO weekday, weekdays to
+    * columns. State is 7 longs + 7 null flags per event type (the
+    * alphabet-bounded pivot frame), however long the stream runs; the
+    * weekday CASE arms are exactly the ones Spark lowers batch `pivot`
+    * to, so streaming == batch row-for-row in complete mode.
+    */
+  def eventPivot(events: DataFrame): DataFrame = {
+    val arms = (1 to 7).map(d =>
+      sum(when(expr("weekday(ts) + 1") === d,
+        round(col("value") * 100).cast("long"))).as(s"d$d"))
+    events.groupBy(col("event_type")).agg(arms.head, arms.tail: _*)
+  }
+
+  /** q172's streaming twin: running per-language subword/whitespace token
+    * totals — the codegen `BpeTokenCount` expression running inside a
+    * streaming aggregation (scan-speed stateless projection feeding
+    * alphabet-bounded state: 3 longs per lang).
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"),
+        graft.expressions.BpeTokenCount.bpeTokenCount(col("text")).as("btok"),
+        size(split(col("text"), " ")).cast("long").as("wtok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("btok")).as("bpe_tokens"),
+        sum(col("wtok")).as("ws_tokens"))
 }

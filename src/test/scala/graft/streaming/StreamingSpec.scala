@@ -9,6 +9,8 @@ import java.sql.Timestamp
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double, props: String)
 
+case class LangDoc(lang: String, text: String)
+
 /** Streaming-equivalence suite (SURVEY §5.2.3): the q60–q63 streaming twins
   * produce the same rows as their batch twins on identical input, and the
   * watermark actually drops late data in append mode.
@@ -380,5 +382,50 @@ class StreamingSpec extends SparkSpec {
     // the final top-2 per key is contained in the emitted history
     val finalTop = Set(("click", 3L, 700L), ("click", 7L, 700L), ("view", 6L, 200L))
     assert(finalTop.subsetOf(oneBatch))
+  }
+
+  test("q173 twin: streaming event pivot == batch, batch-split-invariant") {
+    val batch = StreamTwins.eventPivot(rows.toDF()).collect().toSet
+    val oneBatch = runStream(rows, StreamTwins.eventPivot(_),
+      OutputMode.Complete(), "pv1").collect().toSet
+    assert(oneBatch == batch && batch.nonEmpty)
+    // split delivery: same final complete-mode answer
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamTwins.eventPivot(mem.toDF()).writeStream
+      .format("memory").queryName("pv3").outputMode(OutputMode.Complete())
+      .start()
+    try {
+      Seq(rows.take(2), rows.slice(2, 5), rows.drop(5)).foreach { c =>
+        mem.addData(c); q.processAllAvailable()
+      }
+      assert(spark.table("pv3").collect().toSet == batch)
+    } finally q.stop()
+  }
+
+  test("q172 twin: codegen subword counting runs inside a streaming agg " +
+    "and matches batch") {
+    val docs = Seq(
+      LangDoc("en", "the theory of scanning"), LangDoc("en", "sort and merge"),
+      LangDoc("de", "apfel Baum"), LangDoc("de", ""), LangDoc("fr", "tion ation"))
+    val batch = StreamTwins.tokenStats(docs.toDF()).collect().toSet
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[LangDoc]
+    mem.addData(docs)
+    val q = StreamTwins.tokenStats(mem.toDF()).writeStream
+      .format("memory").queryName("tok1").outputMode(OutputMode.Complete())
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tok1").collect().toSet
+      assert(got == batch && batch.nonEmpty)
+      // spot values (BpeTokenCountSpec pins the per-word segmentation):
+      // "the theory of scanning" = 1+3+1+5, "sort and merge" = 2+1+3
+      val en = spark.table("tok1").filter($"lang" === "en").collect().head
+      assert(en.getAs[Long]("n_docs") == 2L)
+      assert(en.getAs[Long]("bpe_tokens") == 16L,
+        s"en bpe=${en.getAs[Long]("bpe_tokens")}")
+      assert(en.getAs[Long]("ws_tokens") == 7L)
+    } finally q.stop()
   }
 }
