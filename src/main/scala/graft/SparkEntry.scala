@@ -56,6 +56,7 @@ object SparkEntry {
     "q148_subtree_rollup" -> (Hierarchy.q148_subtree_rollup _),
     "q149_chi_square" -> (EventQueries.q149_chi_square _),
     "q173_event_pivot" -> (EventQueries.q173_event_pivot _),
+    "q174_value_ecdf" -> (EventQueries.q174_value_ecdf _),
     "q150_skyline" -> (WindowSetQueries.q150_skyline _),
     "q151_triangle_count" -> (ScalarQueries.q151_triangle_count _),
     "q152_weighted_median" -> (AggQueries.q152_weighted_median _),

@@ -722,6 +722,43 @@ object EventQueries {
         (1 to 7).map(d => col(d.toString).as(s"d$d")): _*)
       .orderBy(col("event_type"))
 
+  /** q174: per-type ECDF / rank normalization — each event's value
+    * percentile within its event type, in integer basis points
+    * (rn·10000 div n under the unique (cents, event_id) sort): the
+    * rank/quantile feature transform (quantile normalization, outlier
+    * trimming thresholds, score calibration) feature pipelines apply
+    * before training.
+    *
+    * Scale shape: the q33 two-phase ranking generalized to a second
+    * surface — a low-cardinality partitionBy(event_type) window would
+    * sort ~20% of the log in one task, so ranks come from fixed-width
+    * cent buckets: broadcast cumulative (type, bucket) counts + a
+    * row_number window partitioned by (type, bucket). Pure integer
+    * output — no float division to diverge.
+    */
+  def q174_value_ecdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("bkt", expr("cents DIV 1000"))
+    val counts = ev.groupBy(col("event_type"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val wOff = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col("event_type"))
+    val offs = counts
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("c")).over(wTot))
+      .select(col("event_type"), col("bkt"), col("off"), col("n"))
+    val wIn = Window.partitionBy(col("event_type"), col("bkt"))
+      .orderBy(col("cents").asc, col("event_id").asc)
+    ev.join(broadcast(offs), Seq("event_type", "bkt"))
+      .withColumn("rn", col("off") + row_number().over(wIn))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        expr("rn * 10000 DIV n").as("pct_bp"))
+      .orderBy(col("event_id"))
+  }
+
   /** Chi-square independence test (q149): event_type × day-of-week —
     * the categorical-association screen (is traffic shape independent of
     * weekday?) behind seasonality checks and drift monitors. Counts are
@@ -858,6 +895,17 @@ object EventQueries {
         |SELECT user_id, CAST(sum(streak) AS BIGINT) AS n_days,
         |  CAST(max(streak) AS BIGINT) AS max_streak
         |FROM s GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q174_value_ecdf" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_id, event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents ASC, event_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e)
+        |SELECT event_id, event_type, cents,
+        |  CAST(rn * 10000 // n AS BIGINT) AS pct_bp
+        |FROM r ORDER BY event_id""".stripMargin,
     "q173_event_pivot" ->
       ("SELECT event_type,\n" +
         (1 to 7).map(d =>

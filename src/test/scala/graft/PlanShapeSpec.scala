@@ -366,6 +366,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("cume_dist("), p.take(1500))
   }
 
+  test("q174 ECDF windows carry the bucket key (the q33 rule on its " +
+    "second surface)") {
+    val p = plan("q174_value_ecdf")
+    assert(
+      "windowspecdefinition\\(event_type#\\d+, bkt#\\d+L".r
+        .findFirstIn(p).isDefined,
+      s"corpus window lost the bucket key:\n${p.take(1500)}")
+  }
+
   test("q27/q136 exact percentiles carry no ObjectHashAggregate buffer " +
     "(histogram + crossing rule, two-phase hash agg only)") {
     // percentile()'s ObjectAggregation buffer holds every distinct value of

@@ -61,7 +61,7 @@ class EmptyInputSpec extends SparkSpec {
       "q167_mutual_info", "q168_seasonal_index", "q169_changepoint",
       "q170_cohort_ltv", "q171_lag_autocorr",
       // round-6 reporting tier
-      "q173_event_pivot")
+      "q173_event_pivot", "q174_value_ecdf")
     qs.foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, emptyEventsDir).count()
       assert(n == 0, s"$q returned $n rows on an empty event log")
