@@ -110,6 +110,39 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("ExactPercentile == percentile() bit-for-bit on generated weighted " +
+    "multisets and random percentiles") {
+    import graft.functions.ExactPercentile
+    // random group sizes (1..60), heavy duplication (values 0..9 scaled),
+    // random percentile points including the exact endpoints
+    val groupGen = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 9L).map(_ * 17L)))
+    val psGen = Gen.listOfN(4, Gen.chooseNum(0, 1000).map(_ / 1000.0))
+    samples(Gen.zip(groupGen, psGen), 8).zipWithIndex.foreach {
+      case ((vals, ps0), i) =>
+        val ps = (ps0 ++ Seq(0.0, 1.0, 0.5)).distinct
+        val df = vals.zipWithIndex
+          .map { case (v, j) => (s"g${j % 3}", v) }.toDF("k", "v")
+        val aliases = ps.indices.map(j => s"p$j")
+        val want = df.groupBy(col("k"))
+          .agg(expr(s"percentile(v, ${ps.head})").as(aliases.head),
+            ps.tail.zip(aliases.tail).map { case (p, a) =>
+              expr(s"percentile(v, $p)").as(a) }: _*)
+          .orderBy(col("k")).collect()
+        val got = ExactPercentile.of(df, Seq("k"), "v", ps.zip(aliases))
+          .orderBy(col("k")).collect()
+        assert(got.length == want.length, s"case $i")
+        want.zip(got).foreach { case (w, g) =>
+          ps.indices.foreach { j =>
+            assert(java.lang.Double.doubleToLongBits(w.getDouble(j + 1)) ==
+              java.lang.Double.doubleToLongBits(g.getDouble(j + 1)),
+              s"case $i k=${w.getString(0)} p=${ps(j)}: " +
+                s"${w.getDouble(j + 1)} vs ${g.getDouble(j + 1)}")
+          }
+        }
+    }
+  }
+
   test("cosine self-similarity is exactly 1 after rounding (all fixture vectors)") {
     val emb = Tables.embeddings(spark, sfDir = "/root/testdata/sf0.001")
     val self = emb.select(
