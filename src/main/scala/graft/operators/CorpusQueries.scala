@@ -112,6 +112,32 @@ object CorpusQueries {
       .orderBy(col("lang"), col("seq_id"))
   }
 
+  /** q175: document chunking for retrieval/RAG preparation — each doc
+    * split into fixed 32-token windows at stride 24 (8-token overlap, the
+    * standard context-preserving chunking), one row per chunk with its
+    * exact token count and an md5 content digest (the q110/q141
+    * compact-set encoding — a production build writes the chunk text
+    * itself, embedded and indexed downstream). Whitespace tokens on
+    * purpose: chunk digests are content identity, not packing math (q102
+    * owns the subword unit).
+    *
+    * Scale: pure per-row fan-out (~n/24 chunk rows per doc, linear in
+    * corpus size), zero shuffles before the output sort; stride/size are
+    * knobs, not constants baked into the shape.
+    */
+  def q175_doc_chunks(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("chunk_idx",
+        explode(expr("sequence(0, cast(ceil(n / 24.0) as int) - 1)")))
+      .filter(col("chunk_idx") * 24 < col("n"))
+      .withColumn("chunk", expr("slice(toks, 24 * chunk_idx + 1, 32)"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tok"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_digest"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** Text normalization surface: lowercase, non-alphanumerics to spaces,
     * whitespace collapsed, trimmed — pure codegen'd string expressions at
     * scan speed (the cheapest stage of a curation funnel, so it runs
@@ -727,6 +753,18 @@ object CorpusQueries {
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM a GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin,
+    "q175_doc_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |k AS (SELECT doc_id, toks, n,
+        |    unnest(range(0, CAST(ceil(n / 24.0) AS BIGINT))) AS ck FROM d),
+        |c AS (SELECT doc_id, ck,
+        |    toks[24*ck+1 : least(24*ck+32, n)] AS chunk
+        |  FROM k WHERE 24*ck < n)
+        |SELECT doc_id, CAST(ck AS BIGINT) AS chunk_idx,
+        |  CAST(len(chunk) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_digest
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q103_text_normalize" ->
       """WITH n AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),

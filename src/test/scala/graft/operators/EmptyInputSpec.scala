@@ -28,7 +28,8 @@ class EmptyInputSpec extends SparkSpec {
       "q109_dedup_keep_best", "q110_winnow_fingerprint",
       "q111_lm_bigram_score", "q112_char_entropy", "q113_source_divergence",
       "q114_stratified_topk", "q115_dedup_prefix", "q116_mix_temperature",
-      "q117_span_mask", "q130_bm25_ranked", "q172_bpe_token_stats")
+      "q117_span_mask", "q130_bm25_ranked", "q172_bpe_token_stats",
+      "q175_doc_chunks")
     qs.foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, emptyDir).count()
       assert(n == 0, s"$q returned $n rows on an empty corpus")
