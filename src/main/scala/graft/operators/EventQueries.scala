@@ -729,31 +729,21 @@ object EventQueries {
     * trimming thresholds, score calibration) feature pipelines apply
     * before training.
     *
-    * Scale shape: the q33 two-phase ranking generalized to a second
-    * surface — a low-cardinality partitionBy(event_type) window would
-    * sort ~20% of the log in one task, so ranks come from fixed-width
-    * cent buckets: broadcast cumulative (type, bucket) counts + a
-    * row_number window partitioned by (type, bucket). Pure integer
-    * output — no float division to diverge.
+    * Scale shape: [[graft.functions.ScalableRank]] — a low-cardinality
+    * partitionBy(event_type) window would sort ~20% of the log in one
+    * task, and fixed-width VALUE buckets (the first cut) collapse back
+    * to one task under a point-mass value distribution. ScalableRank
+    * keys the corpus window by (type, cents, id-range sub-bucket), so
+    * task size is capped at the bucket width however skewed the values
+    * are (spec-proven under a 90% point mass). Pure integer output — no
+    * float division to diverge.
     */
   def q174_value_ecdf(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
-      .withColumn("bkt", expr("cents DIV 1000"))
-    val counts = ev.groupBy(col("event_type"), col("bkt"))
-      .agg(count(lit(1)).as("c"))
-    val wOff = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wTot = Window.partitionBy(col("event_type"))
-    val offs = counts
-      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
-      .withColumn("n", sum(col("c")).over(wTot))
-      .select(col("event_type"), col("bkt"), col("off"), col("n"))
-    val wIn = Window.partitionBy(col("event_type"), col("bkt"))
-      .orderBy(col("cents").asc, col("event_id").asc)
-    ev.join(broadcast(offs), Seq("event_type", "bkt"))
-      .withColumn("rn", col("off") + row_number().over(wIn))
+    graft.functions.ScalableRank
+      .rowNumbers(ev, Seq("event_type"), "cents", "event_id")
       .select(col("event_id"), col("event_type"), col("cents"),
         expr("rn * 10000 DIV n").as("pct_bp"))
       .orderBy(col("event_id"))

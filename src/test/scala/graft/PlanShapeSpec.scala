@@ -366,13 +366,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("cume_dist("), p.take(1500))
   }
 
-  test("q174 ECDF windows carry the bucket key (the q33 rule on its " +
-    "second surface)") {
+  test("q174 ECDF corpus window carries (value, id-sub-bucket) keys — " +
+    "point-mass-safe ranking (ScalableRank)") {
     val p = plan("q174_value_ecdf")
     assert(
-      "windowspecdefinition\\(event_type#\\d+, bkt#\\d+L".r
+      "windowspecdefinition\\(event_type#\\d+, cents#\\d+L, __ib#\\d+L".r
         .findFirstIn(p).isDefined,
-      s"corpus window lost the bucket key:\n${p.take(1500)}")
+      s"corpus window lost the sub-bucket keys:\n${p.take(1500)}")
   }
 
   test("q27/q136 exact percentiles carry no ObjectHashAggregate buffer " +
