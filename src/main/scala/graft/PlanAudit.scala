@@ -42,7 +42,7 @@ object PlanAudit extends App {
     "q166_time_to_convert", "q167_mutual_info", "q168_seasonal_index",
     "q169_changepoint", "q170_cohort_ltv", "q171_lag_autocorr",
     "q27_agg_percentile", "q33_window_ntile", "q172_bpe_token_stats",
-    "q173_event_pivot")
+    "q173_event_pivot", "q174_value_ecdf", "q175_doc_chunks")
   targets.foreach { q =>
     println(s"\n========== $q ==========")
     println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(
