@@ -58,6 +58,30 @@ object SodaHttp {
     spark.read.json(Seq(json).toDS(): Dataset[String])
   }
 
+  /** The portal catalog over HTTP — the reference's `client.list` hop:
+    * `GET {base}/data.json` (the Project Open Data endpoint Socrata
+    * portals publish), returning one row per dataset with its
+    * identifier/title/description columns as served. The local twin is
+    * [[Catalog.list]] over a fixture directory.
+    */
+  def listCatalog(spark: SparkSession, baseUrl: String): DataFrame = {
+    import spark.implicits._
+    val uri = java.net.URI.create(s"$baseUrl/data.json")
+    val req = java.net.http.HttpRequest.newBuilder(uri)
+      .header("Accept", "application/json").GET().build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200,
+      s"catalog GET $uri failed: HTTP ${resp.statusCode()}")
+    val ds = spark.read.json(Seq(resp.body()).toDS(): Dataset[String])
+    // data.json nests datasets under "dataset"; tolerate a bare array too
+    if (ds.columns.contains("dataset"))
+      ds.select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("dataset")).as("d"))
+        .select("d.*")
+    else ds
+  }
+
   /** The reference gem's whole-resource fetch: page with `$limit`/
     * `$offset` until a short page, parse every page, union by name.
     * `order` is REQUIRED — SODA paging without a total order can

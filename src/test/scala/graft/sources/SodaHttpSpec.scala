@@ -104,6 +104,35 @@ class SodaHttpSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("HTTP catalog listing parses a data.json dataset array") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data.json",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val body =
+          """{"conformsTo":"https://project-open-data.cio.gov/v1.1/schema",
+            |"dataset":[
+            | {"identifier":"abcd-1234","title":"Traffic Counts",
+            |  "description":"hourly counts"},
+            | {"identifier":"efgh-5678","title":"Permits",
+            |  "description":"building permits"}]}""".stripMargin
+            .getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+        ex.close()
+      })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val cat = SodaHttp.listCatalog(spark, base)
+      val got = cat.select("identifier", "title").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set("abcd-1234" -> "Traffic Counts",
+        "efgh-5678" -> "Permits"))
+    } finally server.stop(0)
+  }
+
   test("non-200 responses raise, and the order contract is enforced") {
     val (base, server) = startServer(customerRows.take(5), "exists")
     try {
