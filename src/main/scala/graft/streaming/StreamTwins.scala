@@ -385,6 +385,59 @@ object StreamTwins {
       .toDF()
   }
 
+  /** Streaming LSH candidate generation — near-dup dedup at INGESTION
+    * time (the q85 batch shape as a stream): each arriving doc is banded
+    * with the identical codegen `MinHashBands` keys and paired against
+    * the prior members of each of its band buckets via
+    * `flatMapGroupsWithState` keyed on the band hash. State per bucket is
+    * a ≤maxBucket id list; a bucket that would EXCEED the cap goes dead
+    * — its id list is dropped and it emits nothing further (state stays
+    * tiny under the hot-template skew that motivates the cap).
+    *
+    * Semantics vs batch `MinHashLSH.candidatePairsRaw`: identical pair
+    * set when no bucket overflows (spec-pinned, batch-split-invariant);
+    * on overflow the batch path drops the WHOLE bucket retroactively,
+    * while a stream cannot retract — pairs emitted before the cap was
+    * hit stand. Cross-band duplicate pairs are emitted like the batch
+    * Raw variant; callers dedupe in the verify join.
+    */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, bands: Int = 4,
+                        maxBucket: Int = 200): DataFrame = {
+    import docs.sparkSession.implicits._
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(graft.expressions.MinHashBands.bandKeys(
+          col(textCol), k, bands)).as("bandStr"))
+      // same band compression as the batch path (blockCols = Nil)
+      .select(col("id"), xxhash64(col("bandStr")).as("band"))
+    type S = (List[Long], Boolean) // (bucket members, dead)
+    banded.as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[S, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long)], state: GroupState[S]) =>
+          var (ids, dead) = state.getOption.getOrElse(
+            (List.empty[Long], false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          // id-sorted within the batch: pair emission is deterministic
+          // under any batching of the same arrivals
+          rows.map(_._1).toSeq.distinct.sorted.foreach { id =>
+            if (!dead && !ids.contains(id)) {
+              if (ids.size + 1 > maxBucket) { dead = true; ids = Nil }
+              else {
+                ids.foreach(p =>
+                  out += ((math.min(p, id), math.max(p, id))))
+                ids ::= id
+              }
+            }
+          }
+          state.update((ids, dead))
+          out.iterator
+      }(Encoders.kryo[S], Encoders.product[(Long, Long)])
+      .toDF("id_a", "id_b")
+  }
+
   /** q173's streaming twin: the event pivot as a running conditional
     * aggregation — cent totals per event_type × ISO weekday, weekdays to
     * columns. State is 7 longs + 7 null flags per event type (the

@@ -11,6 +11,8 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 
 case class LangDoc(lang: String, text: String)
 
+case class LangDoc2(doc_id: Long, text: String)
+
 /** Streaming-equivalence suite (SURVEY §5.2.3): the q60–q63 streaming twins
   * produce the same rows as their batch twins on identical input, and the
   * watermark actually drops late data in append mode.
@@ -400,6 +402,56 @@ class StreamingSpec extends SparkSpec {
         mem.addData(c); q.processAllAvailable()
       }
       assert(spark.table("pv3").collect().toSet == batch)
+    } finally q.stop()
+  }
+
+  test("streaming LSH candidates == batch candidatePairsRaw (no overflow), " +
+    "batch-split-invariant; overflowing buckets go dead") {
+    import graft.functions.MinHashLSH
+    implicit val sqlCtx = spark.sqlContext
+    // fixture docs: near-dup pairs (0,1) and (10,11); 20 distinct others
+    val docs = Seq(
+      LangDoc2(0L, "spark shuffles partition data across the cluster nodes"),
+      LangDoc2(1L, "spark shuffles partition data across the cluster racks"),
+      LangDoc2(10L, "filter pushdown reaches the parquet row group stats"),
+      LangDoc2(11L, "filter pushdown reaches the parquet row group index")) ++
+      (20L until 40L).map(i => LangDoc2(i,
+        s"unique document number $i with content token${i}a token${i}b"))
+    val batch = MinHashLSH.candidatePairsRaw(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        k = 8, bands = 4, maxBucket = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def runChunks(chunks: Seq[Seq[LangDoc2]], name: String): Set[(Long, Long)] = {
+      val mem = MemoryStream[LangDoc2]
+      val q = StreamTwins.lshCandidatePairs(mem.toDF(), "doc_id", "text")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+    }
+    val one = runChunks(Seq(docs), "lsh1")
+    val three = runChunks(Seq(docs.take(2), docs.slice(2, 10), docs.drop(10)),
+      "lsh3")
+    assert(one == batch && three == batch, s"\nbatch=$batch\none=$one")
+    assert(batch.contains((0L, 1L)) && batch.contains((10L, 11L)))
+    // overflow: 50 copies of one template with maxBucket=10 — emission
+    // stops at the cap instead of going quadratic
+    val hot = (100L until 150L).map(i => LangDoc2(i, "the same hot text"))
+    val mem = MemoryStream[LangDoc2]
+    val q = StreamTwins.lshCandidatePairs(mem.toDF(), "doc_id", "text",
+        maxBucket = 10)
+      .writeStream.format("memory").queryName("lshhot")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(hot.take(30)); q.processAllAvailable()
+      mem.addData(hot.drop(30)); q.processAllAvailable()
+      val n = spark.table("lshhot").count()
+      // ≤ bands × C(maxBucket, 2) pairs, never C(50, 2) × bands
+      assert(n <= 4L * 45L, s"hot bucket emitted $n pairs")
+      assert(n > 0L)
     } finally q.stop()
   }
 
