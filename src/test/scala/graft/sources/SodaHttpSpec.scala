@@ -110,7 +110,7 @@ class SodaHttpSpec extends SparkSpec {
     server.createContext("/data.json",
       (ex: com.sun.net.httpserver.HttpExchange) => {
         val body =
-          """{"conformsTo":"https://project-open-data.cio.gov/v1.1/schema",
+          """{"conformsTo":"open-data-schema-v1.1",
             |"dataset":[
             | {"identifier":"abcd-1234","title":"Traffic Counts",
             |  "description":"hourly counts"},
