@@ -58,6 +58,7 @@ object SparkEntry {
     "q173_event_pivot" -> (EventQueries.q173_event_pivot _),
     "q174_value_ecdf" -> (EventQueries.q174_value_ecdf _),
     "q175_doc_chunks" -> (CorpusQueries.q175_doc_chunks _),
+    "q176_event_rollup" -> (EventQueries.q176_event_rollup _),
     "q150_skyline" -> (WindowSetQueries.q150_skyline _),
     "q151_triangle_count" -> (ScalarQueries.q151_triangle_count _),
     "q152_weighted_median" -> (AggQueries.q152_weighted_median _),

@@ -722,6 +722,32 @@ object EventQueries {
         (1 to 7).map(d => col(d.toString).as(s"d$d")): _*)
       .orderBy(col("event_type"))
 
+  /** q176: event-log grouping-sets rollup — the subtotal companion of
+    * q173's pivot: cent totals and counts per event_type, per ISO
+    * weekday, and the grand total in ONE pass (Spark lowers GROUPING
+    * SETS to a single Expand + HashAggregate — the q24 warehouse shape
+    * on the product-analytics log). grouping() flags disambiguate the
+    * NULL-as-total rows; NULLS FIRST pinned (Spark and DuckDB default
+    * differently).
+    */
+  def q176_event_rollup(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("weekday(ts) + 1").cast("long").as("wday"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("graft_events_gs")
+    spark.sql(
+      """SELECT event_type, wday, count(*) AS n,
+        |  sum(cents) AS cents,
+        |  cast(grouping(event_type) AS BIGINT) AS g_type,
+        |  cast(grouping(wday) AS BIGINT) AS g_wday
+        |FROM graft_events_gs
+        |GROUP BY GROUPING SETS ((event_type), (wday), ())
+        |ORDER BY g_type, g_wday,
+        |  event_type ASC NULLS FIRST, wday ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
   /** q174: per-type ECDF / rank normalization — each event's value
     * percentile within its event type, in integer basis points
     * (rn·10000 div n under the unique (cents, event_id) sort): the
@@ -885,6 +911,18 @@ object EventQueries {
         |SELECT user_id, CAST(sum(streak) AS BIGINT) AS n_days,
         |  CAST(max(streak) AS BIGINT) AS max_streak
         |FROM s GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q176_event_rollup" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(isodow(ts) AS BIGINT) AS wday,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, wday, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(grouping(event_type) AS BIGINT) AS g_type,
+        |  CAST(grouping(wday) AS BIGINT) AS g_wday
+        |FROM e
+        |GROUP BY GROUPING SETS ((event_type), (wday), ())
+        |ORDER BY g_type, g_wday,
+        |  event_type ASC NULLS FIRST, wday ASC NULLS FIRST""".stripMargin,
     "q174_value_ecdf" ->
       """WITH e AS (SELECT event_id, event_type,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),

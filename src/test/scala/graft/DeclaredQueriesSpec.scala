@@ -54,6 +54,7 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q101_contamination" -> 236L, "q102_seq_pack" -> 331L,
     "q172_bpe_token_stats" -> 5L, "q173_event_pivot" -> 5L,
     "q174_value_ecdf" -> 1000L, "q175_doc_chunks" -> 1388L,
+    "q176_event_rollup" -> 13L,
     "q103_text_normalize" -> 500L, "q104_shard_assign" -> 16L,
     "q105_domain_mix" -> 20L, "q106_line_dedup" -> 500L,
     "q107_quality_classifier" -> 500L, "q108_dedup_canonical" -> 174L,

@@ -80,7 +80,8 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q24 grouping sets / q23 cube lower to a single Expand, not N passes") {
-    Seq("q24_agg_grouping_sets", "q23_agg_cube").foreach { q =>
+    Seq("q24_agg_grouping_sets", "q23_agg_cube", "q176_event_rollup")
+      .foreach { q =>
       val p = plan(q)
       assert("Expand".r.findAllIn(p).size == 1, s"$q: ${p.take(1200)}")
     }

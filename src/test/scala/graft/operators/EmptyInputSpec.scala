@@ -62,6 +62,8 @@ class EmptyInputSpec extends SparkSpec {
       "q167_mutual_info", "q168_seasonal_index", "q169_changepoint",
       "q170_cohort_ltv", "q171_lag_autocorr",
       // round-6 reporting tier
+      // q176 excluded on purpose: GROUPING SETS (()) correctly yields the
+      // grand-total row even over zero input rows
       "q173_event_pivot", "q174_value_ecdf")
     qs.foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, emptyEventsDir).count()
