@@ -168,6 +168,10 @@ object SparkEntry {
     "q115_dedup_prefix" -> (CorpusQueries.q115_dedup_prefix _),
     "q116_mix_temperature" -> (CorpusQueries.q116_mix_temperature _),
     "q117_span_mask" -> (CorpusQueries.q117_span_mask _),
+    "q177_span_dedup" -> (CorpusQueries.q177_span_dedup _),
+    "q178_quota_sample" -> (CorpusQueries.q178_quota_sample _),
+    "q179_dup_rate_by_source" -> (CorpusQueries.q179_dup_rate_by_source _),
+    "q180_dup_span_share" -> (CorpusQueries.q180_dup_span_share _),
     // L. event/product analytics + PII scrubbing
     "q118_pii_redact" -> (EventQueries.q118_pii_redact _),
     "q119_event_funnel" -> (EventQueries.q119_event_funnel _),

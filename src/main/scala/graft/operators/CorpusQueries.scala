@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.expressions.WordNgrams
 import graft.functions.{Components, Dedup, Sampling, TextFunctions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -558,6 +559,186 @@ object CorpusQueries {
             x => x.getField("out"))).as("masked_text"))
       .orderBy(col("doc_id"))
 
+  /** Every W-token window of every doc with its 0-based start position
+    * and md5 digest — the shared frame under q177/q180's exact
+    * repeated-span dedup (cf. Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": the production rule masks exact
+    * ≥k-token substrings repeated across the corpus; fixed token
+    * granularity makes the rule hash-checkable). ONE codegen'd scan pass:
+    * [[graft.expressions.WordNgrams.wordNgramsAll]] emits positional
+    * windows without materializing a token array, so window count ≈ token
+    * count and the frame is linear in corpus size.
+    */
+  private def spanWindows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(WordNgrams.wordNgramsAll(col("text"), SpanW))
+          .as(Seq("start", "gram")))
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        md5(col("gram").cast("binary")).as("dig"))
+
+  /** digests whose window occurs in ≥2 DISTINCT docs (cross-doc repeats;
+    * within-doc repetition is q99's signal, not dedup's)
+    */
+  private def dupSpanDigests(wins: DataFrame): DataFrame =
+    wins.groupBy(col("dig"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("dig"))
+
+  /** window width for exact repeated-span dedup (tokens); fixture docs
+    * run 10–99 tokens, so 8 keeps the duplicated-span gate non-vacuous
+    * (1015 duplicated digests over 47 docs at sf0.01) while staying the
+    * q106 chunk unit
+    */
+  private val SpanW = 8
+
+  /** EXACT repeated-span dedup regions (the Lee et al. 2022 substring-
+    * dedup rule at fixed W=8-token granularity): a token position is
+    * duplicated iff it is covered by some 8-token window whose verbatim
+    * text appears in at least one OTHER document; maximal runs of
+    * duplicated positions become masked regions — one output row per
+    * region with its 0-based token start and length. This is the span-
+    * level member of the dedup ladder (doc: q80/q85/q94; chunk: q106;
+    * prefix: q115; span: here) — the transform that cuts repeated
+    * licenses/boilerplate out of otherwise-unique docs instead of
+    * dropping the whole doc.
+    *
+    * Scale shape: windows ≈ tokens (one codegen'd scan); the digest
+    * groupBy is the dedup shuffle (linear, two-phase); the semi-join back
+    * is on the same digest partitioning; region coalescing is interval
+    * union — a running `max(end)` window per doc over the HIT windows
+    * only (far smaller than the corpus), never a per-position explode.
+    * Regions merge when the next window starts within prev_max_end + 1
+    * (adjacent coverage is one run of masked positions).
+    */
+  def q177_span_dedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val wins = spanWindows(spark, sfDir)
+    val hit = wins.join(dupSpanDigests(wins), Seq("dig"), "left_semi")
+      .select(col("doc_id"), col("start"),
+        (col("start") + lit(SpanW.toLong - 1L)).as("end"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val wPrev = wDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hit
+      .withColumn("pmax", max(col("end")).over(wPrev))
+      .withColumn("newr",
+        when(col("pmax").isNull || col("start") > col("pmax") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("r_idx", sum(col("newr")).over(wRun))
+      .groupBy(col("doc_id"), col("r_idx"))
+      .agg(min(col("start")).as("r_start"),
+        (max(col("end")) - min(col("start")) + 1L).as("r_len"))
+      .select(col("doc_id"), col("r_idx"), col("r_start"), col("r_len"))
+      .orderBy(col("doc_id"), col("r_idx"))
+  }
+
+  /** Per-doc duplicated-span PROFILE (q177's doc-level rollup — the
+    * RefinedWeb-style filter signal): how many of a doc's 8-token windows
+    * are cross-doc duplicates, as share in basis points, plus the
+    * keep/drop verdict at the 20% threshold. A pipeline runs THIS to
+    * decide which docs need q177's surgery vs outright dropping.
+    *
+    * Scale shape: same two linear passes as q177 (windows scan + digest
+    * agg), then one per-doc count agg — no window function at all.
+    */
+  def q180_dup_span_share(spark: SparkSession, sfDir: String): DataFrame = {
+    val wins = spanWindows(spark, sfDir)
+    val dup = dupSpanDigests(wins)
+    wins.join(dup.withColumn("isdup", lit(1L)), Seq("dig"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dup_win"))
+      .withColumn("dup_bp", expr("n_dup_win * 10000L div n_win"))
+      .withColumn("keep", col("dup_bp") < 2000L)
+      .select(col("doc_id"), col("n_win"), col("n_dup_win"),
+        col("dup_bp"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic per-language QUOTA sampling (the mix-selection step
+    * that materializes q116's target shares): within each lang, docs are
+    * ranked by content hash (stable across runs/layouts/growth — the q73
+    * discipline) and kept while the running token sum stays within 20% of
+    * the lang's token budget (the first doc always kept, so no lang goes
+    * empty). Emits the per-lang selection report.
+    *
+    * Scale shape: the per-lang running sum is NOT one task per lang (the
+    * q33-family trap — 5 langs would put 20% of the corpus in one sort).
+    * It is two-phase scalable-prefix-sum, the [[graft.functions.ScalableRank]]
+    * discipline applied to a cumulative SUM: docs land in 16 hash-prefix
+    * sub-buckets per lang; per-(lang, bucket) token totals cumulate over
+    * that bounded 80-row frame to give each bucket its global offset; the
+    * corpus-sized window then runs per (lang, bucket) — max task size is
+    * a 1/16 slice however big the lang — and `offset + local cumsum`
+    * reproduces the exact global running sum because bucket order is the
+    * hash order's prefix.
+    */
+  def q178_quota_sample(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        conv(Sampling.hashHex(col("doc_id"), 8), 16, 10)
+          .cast("long").as("hk"))
+      .withColumn("b", expr("hk div 268435456"))
+    val perB = base.groupBy(col("lang"), col("b"))
+      .agg(sum(col("n_tok")).as("tokb"), count(lit(1)).as("cb"))
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col("lang"))
+    val offs = perB
+      .withColumn("tok_off", coalesce(sum(col("tokb")).over(wOff), lit(0L)))
+      .withColumn("cnt_off", coalesce(sum(col("cb")).over(wOff), lit(0L)))
+      .withColumn("tot", sum(col("tokb")).over(wTot))
+      .select(col("lang"), col("b"), col("tok_off"), col("cnt_off"),
+        col("tot"))
+    val wLoc = Window.partitionBy(col("lang"), col("b"))
+      .orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLocRn = Window.partitionBy(col("lang"), col("b"))
+      .orderBy(col("hk"), col("doc_id"))
+    base.join(offs, Seq("lang", "b"))
+      .withColumn("cum", col("tok_off") + sum(col("n_tok")).over(wLoc))
+      .withColumn("rk", col("cnt_off") + row_number().over(wLocRn))
+      .withColumn("keep",
+        col("cum") <= expr("tot div 5") || col("rk") === 1L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        max(col("tot")).as("tok_total"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("tok_kept"))
+      .withColumn("share_bp", expr("tok_kept * 10000L div tok_total"))
+      .orderBy(col("lang"))
+  }
+
+  /** Duplicate rate per SOURCE (corpus-QA report over the q94 production
+    * dedup tier): which sources ship the most near-duplicate documents —
+    * the number a curation team watches per crawl/vendor. Reads the
+    * memoized cluster assignment ([[q94Clusters]] — the same cached
+    * LSH+verify+CC pass q100/q108/q109 share), joins it back to the
+    * corpus, and reports per source: docs, clustered docs, docs that
+    * would be DROPPED by canonical dedup (cluster members that are not
+    * the min-id canonical), and the drop rate in basis points.
+    *
+    * Scale shape: the cluster map is cluster-members-sized (tiny vs the
+    * corpus) and broadcast into one corpus scan + per-source agg.
+    */
+  def q179_dup_rate_by_source(spark: SparkSession, sfDir: String): DataFrame = {
+    val cc = q94Clusters(spark, sfDir)
+      .select(col("id").as("doc_id"), col("component"))
+    Tables.documents(spark, sfDir)
+      .join(broadcast(cc), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("component").isNotNull, 1L).otherwise(0L))
+          .as("n_clustered"),
+        sum(when(col("component").isNotNull &&
+            col("component") =!= col("doc_id"), 1L).otherwise(0L))
+          .as("n_dropped"))
+      .withColumn("drop_bp", expr("n_dropped * 10000L div n_docs"))
+      .orderBy(col("source"))
+  }
+
   private def mh(i: Int) =
     s"list_aggregate(list_transform(tok, t -> md5('$i|' || t)), 'min')"
 
@@ -803,6 +984,72 @@ object CorpusQueries {
         |  CAST(qs * 1000000 // sumq AS BIGINT) AS share_after_ppm,
         |  CAST((qs * 1000000 // sumq) * 1000 // (n_tokens * 1000000 // total) AS BIGINT) AS boost_milli
         |FROM q, sq ORDER BY source""".stripMargin,
+    "q177_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |w AS (SELECT doc_id, i - 1 AS s,
+        |    md5(array_to_string(tok[i:i+7], ' ')) AS dig
+        |  FROM t, unnest(range(1, greatest(len(tok) - 7, 0) + 1)) AS u(i)
+        |  WHERE len(tok) >= 8),
+        |dup AS (SELECT dig FROM w GROUP BY dig
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |h AS (SELECT doc_id, s, s + 7 AS e FROM w
+        |  WHERE dig IN (SELECT dig FROM dup)),
+        |f AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM h),
+        |g AS (SELECT doc_id, s, e,
+        |  CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END AS newr FROM f),
+        |r AS (SELECT doc_id, s, e, sum(newr) OVER (PARTITION BY doc_id ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid FROM g)
+        |SELECT doc_id, CAST(rid AS BIGINT) AS r_idx,
+        |  CAST(min(s) AS BIGINT) AS r_start,
+        |  CAST(max(e) - min(s) + 1 AS BIGINT) AS r_len
+        |FROM r GROUP BY doc_id, rid ORDER BY doc_id, r_idx""".stripMargin,
+    "q180_dup_span_share" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |w AS (SELECT doc_id, i - 1 AS s,
+        |    md5(array_to_string(tok[i:i+7], ' ')) AS dig
+        |  FROM t, unnest(range(1, greatest(len(tok) - 7, 0) + 1)) AS u(i)
+        |  WHERE len(tok) >= 8),
+        |dup AS (SELECT dig FROM w GROUP BY dig
+        |  HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT doc_id, count(*) AS n_win,
+        |  CAST(sum(CASE WHEN dig IN (SELECT dig FROM dup) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup_win,
+        |  CAST(sum(CASE WHEN dig IN (SELECT dig FROM dup) THEN 1 ELSE 0 END)
+        |    * 10000 // count(*) AS BIGINT) AS dup_bp,
+        |  (CAST(sum(CASE WHEN dig IN (SELECT dig FROM dup) THEN 1 ELSE 0 END)
+        |    * 10000 // count(*) AS BIGINT) < 2000) AS keep
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q178_quota_sample" ->
+      """WITH b AS (SELECT lang, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hk
+        |  FROM documents),
+        |c AS (SELECT lang, doc_id, n_tok,
+        |  sum(n_tok) OVER (PARTITION BY lang ORDER BY hk, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk,
+        |  sum(n_tok) OVER (PARTITION BY lang) AS tot FROM b),
+        |k AS (SELECT lang, n_tok, tot,
+        |  (cum <= tot // 5 OR rk = 1) AS keep FROM c)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(max(tot) AS BIGINT) AS tok_total,
+        |  CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept,
+        |  CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) * 10000 // max(tot)
+        |    AS BIGINT) AS share_bp
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "q179_dup_rate_by_source" ->
+      s"""WITH RECURSIVE $ccCtes
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN cc.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clustered,
+         |  CAST(sum(CASE WHEN cc.id IS NOT NULL AND cc.component <> cc.id
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(sum(CASE WHEN cc.id IS NOT NULL AND cc.component <> cc.id
+         |    THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS drop_bp
+         |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q117_span_mask" ->
       """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |t AS (SELECT doc_id,

@@ -399,4 +399,43 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("SortMergeJoin"), s"$q must not self-join the log: ${p.take(1200)}")
     }
   }
+
+  test("q177 span dedup coalesces regions by interval union, not a " +
+    "per-position explode (windows ≈ tokens stays the volume bound)") {
+    val p = plan("q177_span_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the rejected formulation: explode(sequence(start, end)) → W× rows
+    assert(!p.contains("sequence("), s"per-position explode crept in: ${p.take(1500)}")
+    // region coalescing runs per doc — a window partitioned by doc_id
+    assert("windowspecdefinition\\(doc_id#\\d+".r.findFirstIn(p).isDefined,
+      p.take(1500))
+  }
+
+  test("q178 quota sample: corpus-sized running sums are keyed (lang, " +
+    "sub-bucket), never lang alone (the q33-family 5-task trap)") {
+    val qe = SparkEntry.queries("q178_quota_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the corpus-sized windows (ordered by hk) must carry the sub-bucket
+    val corpusWindows =
+      "windowspecdefinition\\((lang#\\d+[^)]*?)hk#\\d+L".r
+        .findAllMatchIn(qe).map(_.group(1)).toList
+    assert(corpusWindows.nonEmpty, qe.take(1500))
+    corpusWindows.foreach { partSpec =>
+      assert(partSpec.contains("b#"),
+        s"corpus-sized window partitioned by lang alone: $partSpec\n${qe.take(1500)}")
+    }
+  }
+
+  test("q179 dup-rate report broadcasts the cluster map into one corpus scan") {
+    val p = plan("q179_dup_rate_by_source")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q180 dup-span share is scan + digest agg + per-doc agg, all two-phase") {
+    val p = plan("q180_dup_span_share")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(!p.contains("Window"), s"q180 needs no window function: ${p.take(1500)}")
+  }
 }
