@@ -169,6 +169,8 @@ object SparkEntry {
     "q116_mix_temperature" -> (CorpusQueries.q116_mix_temperature _),
     "q117_span_mask" -> (CorpusQueries.q117_span_mask _),
     "q177_span_dedup" -> (CorpusQueries.q177_span_dedup _),
+    "q181_dsir_weight" -> (CorpusQueries.q181_dsir_weight _),
+    "q182_ngram_novelty" -> (CorpusQueries.q182_ngram_novelty _),
     "q178_quota_sample" -> (CorpusQueries.q178_quota_sample _),
     "q179_dup_rate_by_source" -> (CorpusQueries.q179_dup_rate_by_source _),
     "q180_dup_span_share" -> (CorpusQueries.q180_dup_span_share _),
@@ -181,6 +183,8 @@ object SparkEntry {
     "q123_scd2_intervals" -> (EventQueries.q123_scd2_intervals _),
     "q124_time_weighted_avg" -> (EventQueries.q124_time_weighted_avg _),
     "q125_dq_checks" -> (DqQueries.q125_dq_checks _),
+    "q183_target_encode" -> (EventQueries.q183_target_encode _),
+    "q184_benford" -> (DqQueries.q184_benford _),
     "q126_attribution" -> (EventQueries.q126_attribution _),
     "q127_window_funnel" -> (EventQueries.q127_window_funnel _),
     // M. pattern mining / applied analytics (round 5 cont. 5)

@@ -739,6 +739,81 @@ object CorpusQueries {
       .orderBy(col("source"))
   }
 
+  /** DSIR-style importance weight (q181; Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every doc by
+    * how target-like its hashed-bigram distribution is — the log-ratio
+    * `Σ ln p̂_target(b) − ln p̂_raw(b)` over the doc's bigram occurrences,
+    * with both unigram-of-bucket models estimated from the corpus itself
+    * (target = the `en` slice, raw = everything) under add-one smoothing
+    * over B = 1024 hash buckets. High score = looks like target data;
+    * the importance-resampling selector then samples by it (q178/
+    * [[graft.functions.Reservoir]] are the sampling side). This is the
+    * production data-selection scorer next to q111's fluency filter.
+    *
+    * Exactness: the per-BUCKET log-ratio is rounded ONCE to integer
+    * milli-nats (the q111 discipline — ln parity at 3 decimals is
+    * established cross-engine), and per-doc scores are integer SUMS of
+    * those bucket constants — partition-order-free. Bucketing uses the
+    * 4-hex md5 prefix mod 1024, exactly uniform (65536 ≡ 0 mod 1024).
+    *
+    * Scale shape: one codegen'd bigram scan feeds a B-row two-phase agg
+    * (both models in ONE pass — target counts are a conditional sum);
+    * the 1024-row weight table broadcasts back onto the same scan. Only
+    * the per-doc agg shuffles; nothing quadratic, nothing driver-side.
+    */
+  def q181_dsir_weight(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = 1024
+    val bg = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        explode(WordNgrams.wordNgramsAll(col("text"), 2)).as("bg"))
+      .withColumn("b",
+        conv(Sampling.hashHex(col("bg")), 16, 10).cast("long") % B)
+    val counts = bg.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val tot = counts.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val w = counts.crossJoin(broadcast(tot))
+      .withColumn("mnat", round(
+        (log((col("ct") + 1).cast("double") /
+            (col("tt") + B).cast("double")) -
+          log((col("cr") + 1).cast("double") /
+            (col("tr") + B).cast("double"))) * 1000).cast("long"))
+      .select(col("b"), col("mnat"))
+    bg.join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("mnat")).as("sum_mnat"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("sum_mnat"),
+        expr("sum_mnat div n_bigrams").as("avg_mnat"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** N-gram novelty vs the already-crawled corpus (q182): what fraction
+    * of a doc's DISTINCT 8-token windows appear here for the FIRST time
+    * (doc_id = arrival order — the window's minimum doc_id is its first
+    * seer)? Low novelty = the doc is mostly assembled from text the
+    * corpus already has, even when no single source doc is a near-dup —
+    * the incremental-crawl value signal that complements q180 (share of
+    * windows duplicated ANYWHERE) with direction: q180 charges both
+    * copies, novelty charges only the late one.
+    *
+    * Scale shape: the same linear windows scan as q177/q180, one
+    * digest-keyed min agg (two-phase), one join back on the digest
+    * partitioning, one per-doc agg. All linear; the W-token window set
+    * is ≈ token count.
+    */
+  def q182_ngram_novelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val wins = spanWindows(spark, sfDir)
+      .select(col("doc_id"), col("dig")).distinct()
+    val first = wins.groupBy(col("dig")).agg(min(col("doc_id")).as("fd"))
+    wins.join(first, Seq("dig"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_win"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novel_bp", expr("n_novel * 10000L div n_win"))
+      .orderBy(col("doc_id"))
+  }
+
   private def mh(i: Int) =
     s"list_aggregate(list_transform(tok, t -> md5('$i|' || t)), 'min')"
 
@@ -984,6 +1059,42 @@ object CorpusQueries {
         |  CAST(qs * 1000000 // sumq AS BIGINT) AS share_after_ppm,
         |  CAST((qs * 1000000 // sumq) * 1000 // (n_tokens * 1000000 // total) AS BIGINT) AS boost_milli
         |FROM q, sq ORDER BY source""".stripMargin,
+    "q181_dsir_weight" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tok
+        |  FROM documents),
+        |bg0 AS (SELECT doc_id, lang, unnest(CASE WHEN len(tok) >= 2
+        |  THEN list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])
+        |  ELSE CAST([] AS VARCHAR[]) END) AS bg FROM t),
+        |bg AS (SELECT doc_id, lang,
+        |  CAST(('0x' || substr(md5(bg), 1, 4)) AS BIGINT) % 1024 AS b
+        |  FROM bg0),
+        |c AS (SELECT b, count(*) AS cr,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        |  FROM bg GROUP BY b),
+        |tt AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+        |  CAST(sum(ct) AS BIGINT) AS tt FROM c),
+        |w AS (SELECT b, CAST(round(
+        |  (ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 1024 AS DOUBLE)) -
+        |   ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 1024 AS DOUBLE))) * 1000)
+        |  AS BIGINT) AS mnat FROM c, tt)
+        |SELECT doc_id, lang, count(*) AS n_bigrams,
+        |  CAST(sum(mnat) AS BIGINT) AS sum_mnat,
+        |  CAST(sum(mnat) // count(*) AS BIGINT) AS avg_mnat
+        |FROM bg JOIN w USING (b)
+        |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+    "q182_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |w AS (SELECT DISTINCT doc_id,
+        |    md5(array_to_string(tok[i:i+7], ' ')) AS dig
+        |  FROM t, unnest(range(1, greatest(len(tok) - 7, 0) + 1)) AS u(i)
+        |  WHERE len(tok) >= 8),
+        |f AS (SELECT dig, min(doc_id) AS fd FROM w GROUP BY dig)
+        |SELECT doc_id, count(*) AS n_win,
+        |  CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) * 10000
+        |    // count(*) AS BIGINT) AS novel_bp
+        |FROM w JOIN f USING (dig) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q177_span_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
         |w AS (SELECT doc_id, i - 1 AS s,

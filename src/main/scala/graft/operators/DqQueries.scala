@@ -50,7 +50,58 @@ object DqQueries {
       .orderBy(col("rule"))
   }
 
+  /** Benford first-digit screen (q184): the classic forensic-accounting /
+    * data-quality test — leading significant digits of naturally-grown
+    * monetary amounts follow log10(1 + 1/d), and fabricated or truncated
+    * feeds drift from it. Run over order totals: per digit 1..9 the
+    * observed count, observed share, Benford's expected share, and the
+    * deviation — the per-digit drift a DQ monitor alerts on.
+    *
+    * Exactness: the digit is the first character of the integer CENTS
+    * string (cents ≥ 1013·100 here, always positive — no sign/zero arm),
+    * so extraction is pure string/integer work; expected shares are the
+    * nine round(log10(1+1/d)·10⁴) constants INLINED as integer literals
+    * (3010, 1761, ... 458 bp) — no runtime float leaves the engines.
+    *
+    * Scale shape: one scan → 9-group two-phase agg → 1-row total
+    * broadcast. Nothing here grows with the table beyond the scan.
+    */
+  def q184_benford(spark: SparkSession, sfDir: String): DataFrame = {
+    val bp = Seq(3010L, 1761L, 1249L, 969L, 792L, 669L, 580L, 512L, 458L)
+    val expect = when(col("digit") === 1, bp(0))
+      .when(col("digit") === 2, bp(1)).when(col("digit") === 3, bp(2))
+      .when(col("digit") === 4, bp(3)).when(col("digit") === 5, bp(4))
+      .when(col("digit") === 6, bp(5)).when(col("digit") === 7, bp(6))
+      .when(col("digit") === 8, bp(7)).otherwise(bp(8))
+    Tables.orders(spark, sfDir)
+      .select(substring(round(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("total",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
+      .withColumn("share_bp", expr("n * 10000 div total"))
+      .withColumn("benford_bp", expect)
+      .select(col("digit"), col("n"), col("share_bp"), col("benford_bp"),
+        (col("share_bp") - col("benford_bp")).as("dev_bp"))
+      .orderBy(col("digit"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q184_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT digit, n, CAST(n * 10000 // total AS BIGINT) AS share_bp,
+        |  CAST(CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761 WHEN 3 THEN 1249
+        |    WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669 WHEN 7 THEN 580
+        |    WHEN 8 THEN 512 ELSE 458 END AS BIGINT) AS benford_bp,
+        |  CAST(n * 10000 // total AS BIGINT) - CAST(CASE digit WHEN 1 THEN 3010
+        |    WHEN 2 THEN 1761 WHEN 3 THEN 1249 WHEN 4 THEN 969 WHEN 5 THEN 792
+        |    WHEN 6 THEN 669 WHEN 7 THEN 580 WHEN 8 THEN 512 ELSE 458 END
+        |    AS BIGINT) AS dev_bp
+        |FROM c, t ORDER BY digit""".stripMargin,
     "q125_dq_checks" ->
       """WITH li AS (SELECT 'lineitem_qty_range' AS rule, count(*) AS n_checked,
         |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50

@@ -880,7 +880,51 @@ object EventQueries {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Smoothed target (mean) encoding per user (q183): the m-estimate
+    * feature transform — encode a high-cardinality category (user_id) as
+    * its average event value shrunk toward the global mean,
+    * `enc = (Σcents + m·prior) / (n + m)` with m = 20 — so thin users
+    * sit near the prior and heavy users near their own mean. This is the
+    * leakage-safe categorical encoder (Micci-Barreca 2001) feature
+    * pipelines run before training, the categorical sibling of q174's
+    * rank normalization.
+    *
+    * Exactness: cents are integers, the prior is one BIGINT floor
+    * division of global totals, and the encoding is staged integer
+    * arithmetic in MILLI-cents — no float ever exists, so no
+    * partition-order or engine drift. Shape: ONE per-user two-phase agg
+    * + a 1-row global total broadcast; nothing beyond the scan grows
+    * with the log, and per-user state is two counters.
+    */
+  def q183_target_encode(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+    val per = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    val tot = ev.agg(sum(col("cents")).as("g_cents"),
+      count(lit(1)).as("g_n"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("prior_cents", expr("g_cents div g_n"))
+      .select(col("user_id"), col("n"), col("sum_cents"),
+        col("prior_cents"),
+        expr("(sum_cents + 20 * prior_cents) * 1000 div (n + 20)")
+          .as("enc_milli"))
+      .orderBy(col("user_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q183_target_encode" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |per AS (SELECT user_id, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents FROM e GROUP BY user_id),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS g_cents,
+        |    count(*) AS g_n FROM e)
+        |SELECT user_id, n, sum_cents,
+        |  CAST(g_cents // g_n AS BIGINT) AS prior_cents,
+        |  CAST((sum_cents + 20 * (g_cents // g_n)) * 1000 // (n + 20)
+        |    AS BIGINT) AS enc_milli
+        |FROM per, t ORDER BY user_id""".stripMargin,
     "q154_basket_lift" ->
       """WITH ut AS (
         |  SELECT user_id, event_type FROM events
