@@ -42,7 +42,11 @@ object PlanAudit extends App {
     "q166_time_to_convert", "q167_mutual_info", "q168_seasonal_index",
     "q169_changepoint", "q170_cohort_ltv", "q171_lag_autocorr",
     "q27_agg_percentile", "q33_window_ntile", "q172_bpe_token_stats",
-    "q173_event_pivot", "q174_value_ecdf", "q175_doc_chunks")
+    "q173_event_pivot", "q174_value_ecdf", "q175_doc_chunks",
+    "q176_event_rollup", "q177_span_dedup", "q178_quota_sample",
+    "q179_dup_rate_by_source", "q180_dup_span_share", "q181_dsir_weight",
+    "q182_ngram_novelty", "q183_target_encode", "q184_benford",
+    "q185_shortest_path", "q186_distinct_ngrams", "q187_order_reconcile")
   targets.foreach { q =>
     println(s"\n========== $q ==========")
     println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(

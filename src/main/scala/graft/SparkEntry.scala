@@ -69,6 +69,7 @@ object SparkEntry {
     "q157_pagerank" -> (ScalarQueries.q157_pagerank _),
     "q158_semdedup" -> (NorthStarQueries.q158_semdedup _),
     "q159_bfs_hops" -> (ScalarQueries.q159_bfs_hops _),
+    "q185_shortest_path" -> (ScalarQueries.q185_shortest_path _),
     "q77_upsert_merge" -> (JoinQueries.q77_upsert_merge _),
     "q17_join_cross" -> (JoinQueries.q17_join_cross _),
     "q18_join_full_outer" -> (JoinQueries.q18_join_full_outer _),
@@ -171,6 +172,7 @@ object SparkEntry {
     "q177_span_dedup" -> (CorpusQueries.q177_span_dedup _),
     "q181_dsir_weight" -> (CorpusQueries.q181_dsir_weight _),
     "q182_ngram_novelty" -> (CorpusQueries.q182_ngram_novelty _),
+    "q186_distinct_ngrams" -> (CorpusQueries.q186_distinct_ngrams _),
     "q178_quota_sample" -> (CorpusQueries.q178_quota_sample _),
     "q179_dup_rate_by_source" -> (CorpusQueries.q179_dup_rate_by_source _),
     "q180_dup_span_share" -> (CorpusQueries.q180_dup_span_share _),
@@ -185,6 +187,7 @@ object SparkEntry {
     "q125_dq_checks" -> (DqQueries.q125_dq_checks _),
     "q183_target_encode" -> (EventQueries.q183_target_encode _),
     "q184_benford" -> (DqQueries.q184_benford _),
+    "q187_order_reconcile" -> (DqQueries.q187_order_reconcile _),
     "q126_attribution" -> (EventQueries.q126_attribution _),
     "q127_window_funnel" -> (EventQueries.q127_window_funnel _),
     // M. pattern mining / applied analytics (round 5 cont. 5)

@@ -125,4 +125,72 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("adc_d2"), col("rank"))
   }
+
+  /** The FULL IVFADC pipeline (Jégou et al. 2011 §IV): probes route to
+    * their `nprobe` nearest coarse cells (exact L2 against per-cell mean
+    * centroids computed from the corpus + a coarse `assign`ment, e.g.
+    * [[Ann.kmeans]]'s), and ADC scoring runs ONLY over the codes stored
+    * in those cells — combining IVF's candidate-count cut with PQ's
+    * per-candidate cost cut, the standard billion-vector layout.
+    *
+    * With `nprobe` ≥ the cell count the routing filter passes everything
+    * and the result equals [[adcTopK]] exactly (spec-pinned); smaller
+    * `nprobe` trades recall for a corpus-fraction scan, measured against
+    * [[Ann.bruteForceTopK]] ground truth in the spec.
+    *
+    * Scale shape: centroids are |cells| rows (broadcast), the routed
+    * (probe, ccell) set is |probes|·nprobe rows (broadcast), and the
+    * corpus-side work is ONE equi-join on the coarse cell + the adcTopK
+    * lookup join — encoded codes shuffle, vectors never do.
+    */
+  def ivfAdcTopK(probes: DataFrame, corpus: DataFrame, assign: DataFrame,
+                 idCol: String, vecCol: String, dim: Int, m: Int,
+                 codebook: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1, s"nprobe=$nprobe must be >= 1")
+    require(m >= 1 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val withCell = corpus.join(assign, idCol)
+    // per-cell mean centroids: the ivfTopK posexplode/reassemble shape
+    val cells = withCell
+      .select(col("cell").as("ccell"), posexplode(col(vecCol)))
+      .groupBy(col("ccell"), col("pos"))
+      .agg(avg(col("col")).as("mn"))
+      .groupBy(col("ccell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("pm"))
+      .select(col("ccell"),
+        transform(col("pm"), p => p.getField("mn").cast("float"))
+          .as("ccent"))
+    val rw = Window.partitionBy(col("probe_id"))
+      .orderBy(col("__cd2").asc, col("ccell").asc)
+    val routed = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+      .crossJoin(broadcast(cells))
+      .withColumn("__cd2", l2sq(col("__pv"), col("ccent")))
+      .withColumn("__crk", row_number().over(rw))
+      .filter(col("__crk") <= nprobe)
+      .select(col("probe_id"), col("ccell"))
+    // ADC restricted to the routed cells: candidate (probe, neighbor)
+    // pairs come from the coarse-cell equi-join, then each pair sums its
+    // m sub-distance lookups
+    val table = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+      .crossJoin(broadcast(codebook))
+      .select(col("probe_id"), col("sub"), col("cell"),
+        l2sq(sub(col("__pv"), col("sub"), dim / m), col("centroid"))
+          .as("__d2c"))
+    val codeRows = encode(corpus, idCol, vecCol, dim, m, codebook)
+      .join(assign.select(col(idCol), col("cell").as("ccell")), idCol)
+      .join(broadcast(routed), Seq("ccell"))
+      .filter(col("probe_id") =!= col(idCol))
+      .select(col("probe_id"), col(idCol).as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "cell")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_d2").asc, col("neighbor_id").asc)
+    codeRows
+      .join(broadcast(table), Seq("probe_id", "sub", "cell"))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(Det.r6(sum(col("__d2c"))).as("adc_d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("adc_d2"), col("rank"))
+  }
 }

@@ -44,4 +44,37 @@ object Bfs {
     }
     dist
   }
+
+  /** Bounded Bellman–Ford: weighted shortest-path distances after
+    * `rounds` relaxations from `seeds` over directed `edges`
+    * (src, dst, w) with nonnegative INTEGER weights. Returns (id, dist)
+    * for vertices reachable within `rounds` hops — after k rounds,
+    * dist(v) is the exact minimum weight over all paths of ≤ k edges
+    * (Bellman–Ford's invariant), so with rounds ≥ |V|−1 it is the true
+    * shortest path. Same exactness argument as [[hops]]: integer sums
+    * and an idempotent/commutative min make every round layout- and
+    * merge-order-independent, and a SQL engine replays the bounded
+    * recursion as k unrolled UNION+min CTEs.
+    *
+    * Scale shape: identical to [[hops]] — edges partitioned by src once,
+    * per-round shuffle is the ≤|V|-row frontier frame, min combines
+    * map-side, lineage cut per round.
+    */
+  def shortestPaths(seeds: DataFrame, edges: DataFrame,
+                    rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("id"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val step = e.join(dist, col("src") === col("id"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(step)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
 }

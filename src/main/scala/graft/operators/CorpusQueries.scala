@@ -814,6 +814,37 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus diversity via distinct-n (q186): per language and n-gram
+    * order 1..3, the unique-gram share — the distinct-n diversity metric
+    * (Li et al. 2016) generation-quality and synthetic-data QA monitors
+    * track: a corpus whose distinct-2/3 ratio collapses is repeating
+    * itself (template spam, mode-collapsed generations) even when no doc
+    * pair is a near-dup. Complements q99 (within-doc repetition) and
+    * q180 (cross-doc duplication) at the corpus-per-lang granularity.
+    *
+    * Scale shape: one codegen'd gram scan per order feeding a two-phase
+    * count + exact distinct (Spark plans countDistinct as the standard
+    * two-agg expand — the dedup shuffle is linear in gram volume);
+    * output is |langs|×3 rows. At extreme scale the exact distinct
+    * swaps for [[graft.functions.Hll]] registers unchanged — the
+    * documented approx trade.
+    */
+  def q186_distinct_ngrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+    def tier(n: Int): DataFrame = base
+      .select(col("lang"),
+        explode(WordNgrams.wordNgramsAll(col("text"), n)).as("g"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("total_grams"),
+        countDistinct(col("g")).as("uniq_grams"))
+      .withColumn("n", lit(n.toLong))
+    tier(1).unionByName(tier(2)).unionByName(tier(3))
+      .withColumn("distinct_bp", expr("uniq_grams * 10000L div total_grams"))
+      .select(col("lang"), col("n"), col("total_grams"), col("uniq_grams"),
+        col("distinct_bp"))
+      .orderBy(col("lang"), col("n"))
+  }
+
   private def mh(i: Int) =
     s"list_aggregate(list_transform(tok, t -> md5('$i|' || t)), 'min')"
 
@@ -1059,6 +1090,26 @@ object CorpusQueries {
         |  CAST(qs * 1000000 // sumq AS BIGINT) AS share_after_ppm,
         |  CAST((qs * 1000000 // sumq) * 1000 // (n_tokens * 1000000 // total) AS BIGINT) AS boost_milli
         |FROM q, sq ORDER BY source""".stripMargin,
+    "q186_distinct_ngrams" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS tok FROM documents),
+        |g1 AS (SELECT lang, unnest(tok) AS g FROM t),
+        |g2 AS (SELECT lang, unnest(CASE WHEN len(tok) >= 2
+        |  THEN list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])
+        |  ELSE CAST([] AS VARCHAR[]) END) AS g FROM t),
+        |g3 AS (SELECT lang, unnest(CASE WHEN len(tok) >= 3
+        |  THEN list_transform(range(1, len(tok) - 1),
+        |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])
+        |  ELSE CAST([] AS VARCHAR[]) END) AS g FROM t),
+        |a AS (
+        |  SELECT lang, CAST(1 AS BIGINT) AS n, count(*) AS total_grams,
+        |    count(DISTINCT g) AS uniq_grams FROM g1 GROUP BY lang
+        |  UNION ALL SELECT lang, 2, count(*), count(DISTINCT g)
+        |    FROM g2 GROUP BY lang
+        |  UNION ALL SELECT lang, 3, count(*), count(DISTINCT g)
+        |    FROM g3 GROUP BY lang)
+        |SELECT lang, n, total_grams, uniq_grams,
+        |  CAST(uniq_grams * 10000 // total_grams AS BIGINT) AS distinct_bp
+        |FROM a ORDER BY lang, n""".stripMargin,
     "q181_dsir_weight" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tok
         |  FROM documents),

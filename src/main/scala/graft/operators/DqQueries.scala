@@ -87,7 +87,78 @@ object DqQueries {
       .orderBy(col("digit"))
   }
 
+  /** Cross-table reconciliation (q187): does each order's header total
+    * equal the sum of its line charges `extprice·(1−disc)·(1+tax)` within
+    * a 1.00 tolerance? The classic warehouse closing-the-books check —
+    * header-vs-detail drift is the first thing a finance DQ suite
+    * reconciles, and it is CROSS-table where q125's rules are all
+    * single-table (+ one FK probe). The fixture genuinely violates the
+    * identity (synthetic totals are drawn independently) and 257 orders
+    * have no lines at sf0.01, so every output column is a live signal.
+    *
+    * Exactness: each LINE's charge is quantized to integer cents ONCE
+    * (one rounded double product per row, the q58/q149 float-boundary
+    * rule), so the per-order sum is an integer sum — partition-order-free
+    * — and the delta/verdict arithmetic is pure BIGINT.
+    *
+    * Scale shape: one two-phase lineitem agg keyed o_orderkey (the
+    * natural join key — bucketed layouts make it exchange-free), one
+    * left join to orders, one |statuses|-row rollup.
+    */
+  def q187_order_reconcile(spark: SparkSession, sfDir: String): DataFrame = {
+    val lines = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")) * 100).cast("long").as("line_cents"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("line_cents")).as("line_total"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("hdr_cents"))
+      .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("delta",
+        when(col("line_total").isNotNull,
+          abs(col("hdr_cents") - col("line_total"))))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("line_total").isNull, 1L).otherwise(0L))
+          .as("n_no_lines"),
+        sum(when(col("delta") > 100L, 1L).otherwise(0L)).as("n_mismatch"),
+        sum(coalesce(col("delta"), lit(0L))).as("sum_abs_delta"))
+      .select(col("o_orderstatus"), col("n_orders"), col("n_no_lines"),
+        col("n_mismatch"),
+        expr("n_mismatch * 10000 div n_orders").as("mismatch_bp"),
+        // nullif guards an all-headers-no-lines status group (NULL avg,
+        // same as the oracle's // nullif) instead of a divide-by-zero
+        expr("sum_abs_delta div nullif(n_orders - n_no_lines, 0)")
+          .as("avg_abs_delta_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q187_order_reconcile" ->
+      """WITH l AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |      * (1.0 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS line_total
+        |  FROM lineitem GROUP BY l_orderkey),
+        |j AS (SELECT o.o_orderstatus,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS hdr_cents,
+        |    l.line_total,
+        |    CASE WHEN l.line_total IS NOT NULL
+        |      THEN abs(CAST(round(o.o_totalprice * 100) AS BIGINT) - l.line_total)
+        |    END AS delta
+        |  FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN line_total IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_no_lines,
+        |  CAST(sum(CASE WHEN delta > 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mismatch,
+        |  CAST(sum(CASE WHEN delta > 100 THEN 1 ELSE 0 END) * 10000
+        |    // count(*) AS BIGINT) AS mismatch_bp,
+        |  CAST(sum(coalesce(delta, 0)) // nullif(count(*) -
+        |    sum(CASE WHEN line_total IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS avg_abs_delta_cents
+        |FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q184_benford" ->
       """WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
         |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders),

@@ -270,6 +270,38 @@ object ScalarQueries {
     Bfs.hops(seeds, edges, rounds = 5).orderBy(col("id"))
   }
 
+  /** Bounded weighted shortest paths (q185): Bellman–Ford distances in
+    * meters from the q159 seed set over the same 8 km proximity graph,
+    * 5 relaxation rounds — the routing/etl-lineage-cost member of the
+    * graph tier (components q100, closure q148, triangles q151, PageRank
+    * q157, hop-BFS q159). After k rounds each reached vertex holds the
+    * EXACT minimum weight over ≤k-edge paths (the Bellman–Ford
+    * invariant); integer meter weights + idempotent min make every round
+    * layout-independent, and the oracle replays the bounded recursion as
+    * 5 unrolled UNION+min CTEs (the q159 pattern with weights).
+    *
+    * Scale shape: [[Bfs.shortestPaths]] — edges partitioned by src once
+    * and checkpointed, per-round shuffle is the ≤|V|-row frontier, min
+    * combines map-side, lineage cut per round.
+    */
+  def q185_shortest_path(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Geo
+    val pts = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").as("id"),
+        Geo.location(
+          expr("cast(((c_custkey div 10) div 50) % 30 as double)") * lit(0.03),
+          expr("cast((c_custkey div 10) % 50 as double)") * lit(0.03))
+          .as("loc"))
+    val und = geoPairs(pts, 8000L)
+    val edges = und.select(col("id_a").as("src"), col("id_b").as("dst"),
+        col("dist_m").as("w"))
+      .unionByName(und.select(col("id_b").as("src"), col("id_a").as("dst"),
+        col("dist_m").as("w")))
+    val seeds = pts.select(col("id")).filter(col("id") % 100 === 0)
+    Bfs.shortestPaths(seeds, edges, rounds = 5).orderBy(col("id"))
+  }
+
   def q53_case_coalesce(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .select(
@@ -425,6 +457,36 @@ object ScalarQueries {
         |  SELECT id, hops AS h FROM d4
         |  UNION ALL SELECT e.dst, d4.hops + 1 FROM e JOIN d4 ON e.src = d4.id) GROUP BY 1)
         |SELECT id, hops FROM d5 ORDER BY id""".stripMargin,
+    "q185_shortest_path" ->
+      """WITH p AS (SELECT c_custkey AS id,
+        |    CAST(((c_custkey // 10) // 50) % 30 AS DOUBLE) * 0.03 AS lat,
+        |    CAST((c_custkey // 10) % 50 AS DOUBLE) * 0.03 AS lon
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |j AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(round(2 * 6371000.0 * asin(sqrt(
+        |      pow(sin(radians(b.lat - a.lat) / 2), 2) +
+        |      cos(radians(a.lat)) * cos(radians(b.lat)) *
+        |      pow(sin(radians(b.lon - a.lon) / 2), 2)))) AS BIGINT) AS w
+        |  FROM p a JOIN p b ON a.id < b.id),
+        |e0 AS (SELECT id_a AS src, id_b AS dst, w FROM j WHERE w <= 8000),
+        |e AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0),
+        |d0 AS (SELECT id, CAST(0 AS BIGINT) AS dist FROM p WHERE id % 100 = 0),
+        |d1 AS (SELECT id, min(d) AS dist FROM (
+        |  SELECT id, dist AS d FROM d0
+        |  UNION ALL SELECT e.dst, d0.dist + e.w FROM e JOIN d0 ON e.src = d0.id) GROUP BY 1),
+        |d2 AS (SELECT id, min(d) AS dist FROM (
+        |  SELECT id, dist AS d FROM d1
+        |  UNION ALL SELECT e.dst, d1.dist + e.w FROM e JOIN d1 ON e.src = d1.id) GROUP BY 1),
+        |d3 AS (SELECT id, min(d) AS dist FROM (
+        |  SELECT id, dist AS d FROM d2
+        |  UNION ALL SELECT e.dst, d2.dist + e.w FROM e JOIN d2 ON e.src = d2.id) GROUP BY 1),
+        |d4 AS (SELECT id, min(d) AS dist FROM (
+        |  SELECT id, dist AS d FROM d3
+        |  UNION ALL SELECT e.dst, d3.dist + e.w FROM e JOIN d3 ON e.src = d3.id) GROUP BY 1),
+        |d5 AS (SELECT id, min(d) AS dist FROM (
+        |  SELECT id, dist AS d FROM d4
+        |  UNION ALL SELECT e.dst, d4.dist + e.w FROM e JOIN d4 ON e.src = d4.id) GROUP BY 1)
+        |SELECT id, dist FROM d5 ORDER BY id""".stripMargin,
     "q139_geo_cell_join" ->
       """WITH p AS (SELECT c_custkey AS id,
         |    CAST(c_custkey % 100 AS DOUBLE) * 0.05 AS lat,

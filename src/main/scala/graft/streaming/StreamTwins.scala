@@ -452,6 +452,27 @@ object StreamTwins {
     events.groupBy(col("event_type")).agg(arms.head, arms.tail: _*)
   }
 
+  /** q183's streaming twin: ONLINE target encoding — per-user running
+    * (n, Σcents) as streaming aggregation state, with the m-estimate
+    * encoding computed against a FROZEN prior (the train-time global mean
+    * cents, passed in). This is the feature-store reading of the encoder:
+    * the prior is fitted once on the training corpus, per-user statistics
+    * keep absorbing live events, and every micro-batch re-emits the
+    * refreshed encoding in complete mode. State = two longs per user.
+    * With `priorCents` equal to the batch corpus prior, the final
+    * complete-mode table matches q183 row-for-row (spec-pinned,
+    * batch-split-invariant — integer sums have no order hazard).
+    */
+  def targetEncode(events: DataFrame, priorCents: Long, m: Int = 20): DataFrame =
+    events
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .select(col("user_id"), col("n"), col("sum_cents"),
+        lit(priorCents).as("prior_cents"),
+        expr(s"(sum_cents + $m * ${priorCents}L) * 1000 div (n + $m)")
+          .as("enc_milli"))
+
   /** q172's streaming twin: running per-language subword/whitespace token
     * totals — the codegen `BpeTokenCount` expression running inside a
     * streaming aggregation (scan-speed stateless projection feeding

@@ -438,4 +438,44 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
     assert(!p.contains("Window"), s"q180 needs no window function: ${p.take(1500)}")
   }
+
+  test("q181 DSIR: the 1024-row bucket-weight table joins back by " +
+    "broadcast-hash — the corpus bigram scan never shuffles for it") {
+    val p = plan("q181_dsir_weight")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q182 novelty is two linear digest-keyed passes, no cartesian") {
+    val p = plan("q182_ngram_novelty")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("q183 target encoding: one per-user two-phase agg + broadcast " +
+    "1-row prior; no sort-merge join anywhere") {
+    val p = plan("q183_target_encode")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q184 Benford: single scan, two-phase 9-group agg, no join") {
+    val p = plan("q184_benford")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(!p.contains("Join"), s"q184 needs no join: ${p.take(1500)}")
+  }
+
+  test("q185 weighted shortest paths: cell-blocked edge build, no " +
+    "cartesian anywhere in the relaxation") {
+    val p = plan("q185_shortest_path")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("q186 distinct-n: exact distinct plans two-phase, no join") {
+    val p = plan("q186_distinct_ngrams")
+    assert(!p.contains("Join"), s"q186 needs no join: ${p.take(1500)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
 }

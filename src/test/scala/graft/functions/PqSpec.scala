@@ -107,6 +107,30 @@ class PqSpec extends SparkSpec {
     assert(codes(32) === base)
   }
 
+  test("ivfAdcTopK with nprobe >= cell count equals plain adcTopK; " +
+    "routed nprobe=2 keeps most of the full-scan ADC answer") {
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val probes = corpus.orderBy(col("vec_id")).limit(5)
+    val nCells = 5
+    val assign = Ann.kmeans(corpus, "vec_id", "embedding", nCells, iters = 3)
+      .cache()
+    val cb = Pq.train(corpus, "vec_id", "embedding", dim = 64, m = 8,
+      ksub = 16, iters = 3).cache()
+    val enc = Pq.encode(corpus, "vec_id", "embedding", dim = 64, m = 8, cb)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("probe_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(Pq.adcTopK(probes, enc, "vec_id", "embedding",
+      dim = 64, m = 8, cb, k = 10))
+    val all = pairs(Pq.ivfAdcTopK(probes, corpus, assign, "vec_id",
+      "embedding", dim = 64, m = 8, cb, k = 10, nprobe = nCells))
+    assert(all == full, "nprobe = cell count must pass every candidate")
+    val routed = pairs(Pq.ivfAdcTopK(probes, corpus, assign, "vec_id",
+      "embedding", dim = 64, m = 8, cb, k = 10, nprobe = 2))
+    val recall = routed.intersect(full).size.toDouble / full.size
+    assert(recall >= 0.3, s"nprobe=2/$nCells ADC recall=$recall")
+  }
+
   test("the compression shape: m codes per vector, each within [0, ksub)") {
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val cb = Pq.train(corpus, "vec_id", "embedding", dim = 64, m = 8,

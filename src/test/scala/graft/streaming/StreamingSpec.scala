@@ -480,4 +480,40 @@ class StreamingSpec extends SparkSpec {
       assert(en.getAs[Long]("ws_tokens") == 7L)
     } finally q.stop()
   }
+
+  test("q183 twin: online target encoding == batch m-estimate formula, " +
+    "batch-split-invariant; encodings move toward user means as events " +
+    "arrive") {
+    // batch reference: the q183 arithmetic at the fixture's global prior
+    val cents = rows.map(e => (e.user_id, math.round(e.value * 100)))
+    val prior = cents.map(_._2).sum / cents.size
+    val want = cents.groupBy(_._1).map { case (u, cs) =>
+      val n = cs.size.toLong
+      val s = cs.map(_._2).sum
+      (u, n, s, prior, (s + 20L * prior) * 1000L / (n + 20L))
+    }.toSet
+    val oneBatch = runStream(rows, StreamTwins.targetEncode(_, prior),
+      OutputMode.Complete(), "te1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(oneBatch == want && want.nonEmpty)
+    // split delivery: per-user integer sums have no order hazard, so the
+    // final complete-mode table is identical however the stream chunks
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamTwins.targetEncode(mem.toDF(), prior).writeStream
+      .format("memory").queryName("te2").outputMode(OutputMode.Complete())
+      .start()
+    try {
+      mem.addData(rows.take(3)); q.processAllAvailable()
+      // user 1 after 3 events: fully absorbed, encoding at its final value
+      val mid = spark.table("te2").filter($"user_id" === 1L).collect().head
+      assert(mid.getAs[Long]("n") == 3L)
+      mem.addData(rows.drop(3)); q.processAllAvailable()
+      val got = spark.table("te2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
 }
