@@ -46,7 +46,8 @@ object PlanAudit extends App {
     "q176_event_rollup", "q177_span_dedup", "q178_quota_sample",
     "q179_dup_rate_by_source", "q180_dup_span_share", "q181_dsir_weight",
     "q182_ngram_novelty", "q183_target_encode", "q184_benford",
-    "q185_shortest_path", "q186_distinct_ngrams", "q187_order_reconcile")
+    "q185_shortest_path", "q186_distinct_ngrams", "q187_order_reconcile",
+    "q188_decile_gains", "q189_ks_drift")
   targets.foreach { q =>
     println(s"\n========== $q ==========")
     println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(

@@ -188,6 +188,8 @@ object SparkEntry {
     "q183_target_encode" -> (EventQueries.q183_target_encode _),
     "q184_benford" -> (DqQueries.q184_benford _),
     "q187_order_reconcile" -> (DqQueries.q187_order_reconcile _),
+    "q188_decile_gains" -> (EventQueries.q188_decile_gains _),
+    "q189_ks_drift" -> (EventQueries.q189_ks_drift _),
     "q126_attribution" -> (EventQueries.q126_attribution _),
     "q127_window_funnel" -> (EventQueries.q127_window_funnel _),
     // M. pattern mining / applied analytics (round 5 cont. 5)

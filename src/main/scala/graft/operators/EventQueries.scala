@@ -912,7 +912,140 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Decile gains table (q188): rank users by lifetime spend (the model
+    * score in this fixture), cut into 10 equal-depth deciles, and report
+    * each decile's purchase-response rate, lift over the base rate, and
+    * cumulative response capture — the gains/lift chart every targeting
+    * or propensity model ships with, completing the ML-evaluation
+    * surface next to the unit-tier calibration solver
+    * ([[graft.functions.Isotonic]]).
+    *
+    * Exactness: pure integers end-to-end — score is summed cents, ranks
+    * come from [[graft.functions.ScalableRank]] under the (−score, id)
+    * sort, decile = (rn−1)·10 div n, and rate/lift/capture are staged
+    * BIGINT basis-point divisions (the q154 overflow discipline;
+    * nullif-guarded base rate).
+    *
+    * Scale shape: one per-user two-phase agg, then ScalableRank's
+    * bucketed ranking (max task = idBucketWidth even when every user has
+    * the same score) — never a global single-task sort; everything after
+    * is a 10-row frame.
+    */
+  def q188_decile_gains(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("isp"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("cents")).as("score"), max(col("isp")).as("resp"))
+    val ranked = graft.functions.ScalableRank.rowNumbers(
+      per.withColumn("negs", -col("score")), Seq.empty, "negs", "user_id")
+    val dec = ranked
+      .withColumn("decile", expr("(rn - 1) * 10 div n + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("resp")).as("n_resp"))
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec
+      .withColumn("tot_u", sum(col("n_users")).over(wAll))
+      .withColumn("tot_r", sum(col("n_resp")).over(wAll))
+      .withColumn("cum_r", sum(col("n_resp")).over(wCum))
+      .select(col("decile"), col("n_users"), col("n_resp"),
+        expr("n_resp * 10000 div n_users").as("resp_bp"),
+        expr("(n_resp * 10000 div n_users) * 1000 div " +
+          "nullif(tot_r * 10000 div tot_u, 0)").as("lift_milli"),
+        expr("cum_r * 10000 div nullif(tot_r, 0)").as("cum_capture_bp"))
+      .orderBy(col("decile"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift screen (q189): for each event
+    * type, the max ECDF gap (basis-point resolution) between the A and B
+    * user populations of q134's deterministic hash split — the
+    * distribution-shift test that catches what q134's mean-based z-test
+    * cannot (equal means, different shapes), next to q113's KL
+    * divergence (binned, corpus-level) and q149's χ² (categorical).
+    *
+    * Exactness: the statistic is max |cumA·10⁴ div nA − cumB·10⁴ div nB|
+    * over the per-(type, cents) cell frame — every term is a bounded
+    * BIGINT (≤ 10⁴, no nA·nB cross-product overflow at any scale) and
+    * both engines floor identically, so the declared statistic is exact
+    * at 1 bp resolution (within 2 bp of the unrounded KS).
+    *
+    * Scale shape: one two-phase (type, cents) cell agg collapses the
+    * log; every window after runs over the value-alphabet-bounded cell
+    * frame (the q149/q168 argument).
+    */
+  def q189_ks_drift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        when(graft.functions.Sampling.hashSample(col("user_id"), 0.5), 1L)
+          .otherwise(0L).as("ina"))
+    val cell = ev.groupBy(col("event_type"), col("cents"))
+      .agg(sum(col("ina")).as("ca"), sum(lit(1L) - col("ina")).as("cb"))
+    val wt = Window.partitionBy(col("event_type"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cell
+      .withColumn("na", sum(col("ca")).over(wt))
+      .withColumn("nb", sum(col("cb")).over(wt))
+      .withColumn("cuma", sum(col("ca")).over(wCum))
+      .withColumn("cumb", sum(col("cb")).over(wCum))
+      .withColumn("dev", abs(
+        expr("cuma * 10000 div na") - expr("cumb * 10000 div nb")))
+      .groupBy(col("event_type"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(col("dev")).as("ks_bp"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("ks_bp"))
+      .orderBy(col("event_type"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q188_decile_gains" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS score,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS resp
+        |  FROM events GROUP BY user_id),
+        |r AS (SELECT resp,
+        |    row_number() OVER (ORDER BY score DESC, user_id ASC) AS rn,
+        |    count(*) OVER () AS n FROM per),
+        |a AS (SELECT (rn - 1) * 10 // n + 1 AS decile, count(*) AS n_users,
+        |    CAST(sum(resp) AS BIGINT) AS n_resp FROM r GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS tot_u,
+        |    CAST(sum(n_resp) AS BIGINT) AS tot_r FROM a),
+        |c AS (SELECT decile, n_users, n_resp,
+        |    sum(n_resp) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r
+        |  FROM a)
+        |SELECT decile, n_users, n_resp,
+        |  CAST(n_resp * 10000 // n_users AS BIGINT) AS resp_bp,
+        |  CAST((n_resp * 10000 // n_users) * 1000
+        |    // nullif(tot_r * 10000 // tot_u, 0) AS BIGINT) AS lift_milli,
+        |  CAST(cum_r * 10000 // nullif(tot_r, 0) AS BIGINT) AS cum_capture_bp
+        |FROM c, t ORDER BY decile""".stripMargin,
+    "q189_ks_drift" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 4) < '8000'
+        |      THEN 1 ELSE 0 END AS ina
+        |  FROM events),
+        |cell AS (SELECT event_type, cents, CAST(sum(ina) AS BIGINT) AS ca,
+        |    CAST(sum(1 - ina) AS BIGINT) AS cb
+        |  FROM e GROUP BY event_type, cents),
+        |w AS (SELECT event_type, ca, cb,
+        |    sum(ca) OVER (PARTITION BY event_type) AS na,
+        |    sum(cb) OVER (PARTITION BY event_type) AS nb,
+        |    sum(ca) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+        |  FROM cell)
+        |SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+        |  CAST(max(nb) AS BIGINT) AS n_b,
+        |  CAST(max(abs(cuma * 10000 // na - cumb * 10000 // nb)) AS BIGINT)
+        |    AS ks_bp
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q183_target_encode" ->
       """WITH e AS (SELECT user_id,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),

@@ -478,4 +478,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"q186 needs no join: ${p.take(1500)}")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
   }
+
+  test("q188 gains: the user ranking carries ScalableRank's sub-bucket " +
+    "key — no corpus-sized unpartitioned row_number") {
+    val p = plan("q188_decile_gains")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the user-sized window must be keyed by (negs, __ib), never empty:
+    // every unpartitioned windowspec must sit AFTER the 10-row decile agg
+    val userWin = "windowspecdefinition\\(negs#\\d+L, __ib#\\d+L".r
+    assert(userWin.findFirstIn(p).isDefined,
+      s"bucketed ranking window missing: ${p.take(2000)}")
+  }
+
+  test("q189 KS: the log collapses in one (type, cents) two-phase agg; " +
+    "windows run per event_type over the cell frame") {
+    val p = plan("q189_ks_drift")
+    assert(!p.contains("Join"), s"q189 needs no join: ${p.take(1500)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
 }
