@@ -47,7 +47,7 @@ object PlanAudit extends App {
     "q179_dup_rate_by_source", "q180_dup_span_share", "q181_dsir_weight",
     "q182_ngram_novelty", "q183_target_encode", "q184_benford",
     "q185_shortest_path", "q186_distinct_ngrams", "q187_order_reconcile",
-    "q188_decile_gains", "q189_ks_drift")
+    "q188_decile_gains", "q189_ks_drift", "q190_unpivot")
   targets.foreach { q =>
     println(s"\n========== $q ==========")
     println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(

@@ -79,6 +79,7 @@ object SparkEntry {
     "q24_agg_grouping_sets" -> (AggQueries.q24_agg_grouping_sets _),
     "q45_pivot" -> (AggQueries.q45_pivot _),
     "q48_string_agg" -> (AggQueries.q48_string_agg _),
+    "q190_unpivot" -> (AggQueries.q190_unpivot _),
     "q21_agg_distinct" -> (AggQueries.q21_agg_distinct _),
     "q22_agg_rollup" -> (AggQueries.q22_agg_rollup _),
     "q23_agg_cube" -> (AggQueries.q23_agg_cube _),

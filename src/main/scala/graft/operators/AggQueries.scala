@@ -290,7 +290,50 @@ object AggQueries {
       .orderBy(col("nation"))
   }
 
+  /** UNPIVOT / melt (q190): the wide→long inverse of q45/q173's pivot,
+    * declared as its own operator — four per-line measures (quantity,
+    * extended-price cents, discount bp, tax bp) stack into (metric, val)
+    * rows in ONE scan (Spark lowers `unpivot` to a single Expand — the
+    * q23/q76 shape; the oracle replays it as 4 UNION ALL scans, same
+    * rows), then a per-metric summary. The melt step is what feeds
+    * long-format stores and per-metric monitors from wide fact tables.
+    *
+    * Exactness: every measure is quantized to integers per row before
+    * the stack (round-then-cast on both engines — double cast rounding
+    * differs between them, rounding first is exact on integral values).
+    *
+    * Scale shape: Expand multiplies rows by 4 map-side, absorbed by the
+    * partial agg in the same stage; the shuffle is |metrics| rows.
+    */
+  def q190_unpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(
+      round(col("l_quantity")).cast("long").as("quantity"),
+      round(col("l_extendedprice") * 100).cast("long").as("extprice_cents"),
+      round(col("l_discount") * 10000).cast("long").as("discount_bp"),
+      round(col("l_tax") * 10000).cast("long").as("tax_bp"))
+    li.unpivot(Array.empty[org.apache.spark.sql.Column],
+        Array(col("quantity"), col("extprice_cents"), col("discount_bp"),
+          col("tax_bp")), "metric", "val")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).as("total"),
+        min(col("val")).as("vmin"), max(col("val")).as("vmax"))
+      .orderBy(col("metric"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q190_unpivot" ->
+      """WITH m AS (
+        |  SELECT 'quantity' AS metric,
+        |    CAST(round(l_quantity) AS BIGINT) AS val FROM lineitem
+        |  UNION ALL SELECT 'extprice_cents',
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'discount_bp',
+        |    CAST(round(l_discount * 10000) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'tax_bp',
+        |    CAST(round(l_tax * 10000) AS BIGINT) FROM lineitem)
+        |SELECT metric, count(*) AS n, CAST(sum(val) AS BIGINT) AS total,
+        |  CAST(min(val) AS BIGINT) AS vmin, CAST(max(val) AS BIGINT) AS vmax
+        |FROM m GROUP BY metric ORDER BY metric""".stripMargin,
     "q152_weighted_median" ->
       """WITH li AS (
         |  SELECT CAST(s.s_nationkey AS BIGINT) AS nation,

@@ -802,10 +802,15 @@ object CorpusQueries {
     * is ≈ token count.
     */
   def q182_ngram_novelty(spark: SparkSession, sfDir: String): DataFrame = {
+    // min-over-dig as a WINDOW on the deduped (doc, dig) frame: the
+    // first-seer join-back formulation costs a 4th shuffle + a hash
+    // relation; the window reuses the dig partitioning the min needs
+    // anyway (3 linear shuffles total: distinct, dig window, doc agg)
     val wins = spanWindows(spark, sfDir)
       .select(col("doc_id"), col("dig")).distinct()
-    val first = wins.groupBy(col("dig")).agg(min(col("doc_id")).as("fd"))
-    wins.join(first, Seq("dig"))
+    wins
+      .withColumn("fd", min(col("doc_id"))
+        .over(Window.partitionBy(col("dig"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_win"),
         sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))

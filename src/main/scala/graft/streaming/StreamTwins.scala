@@ -452,6 +452,57 @@ object StreamTwins {
     events.groupBy(col("event_type")).agg(arms.head, arms.tail: _*)
   }
 
+  /** q123's streaming twin: SCD2 dimension maintenance from a change
+    * stream — the CDC consumer that keeps a type-2 slowly-changing
+    * dimension current. State = ONE open interval per user (status,
+    * valid_from µs, version); an arriving event that CHANGES the status
+    * closes the open interval and emits it (append mode — closed rows
+    * are immutable), same-status events fold in silently. Intervals are
+    * emitted as epoch MICROSECONDS (the locfFill/ewmaDaily integer
+    * convention). Rows are processed in (ts, event_id) order within each
+    * micro-batch, so for per-user in-order delivery the emitted closed
+    * set equals batch q123's `valid_to IS NOT NULL` rows however the
+    * stream is split (spec-pinned); the open interval stays in state,
+    * exactly the row q123 reports with a null valid_to.
+    */
+  def scd2Maintain(events: DataFrame): DataFrame = {
+    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("status",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("valid_from_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("valid_to_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("version",
+        org.apache.spark.sql.types.LongType))))
+    val in = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"), col("event_type"))
+    in.as(Encoders.row(in.schema))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState[(String, Long, Long), Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Row],
+         state: GroupState[(String, Long, Long)]) =>
+          var (st, from, ver) = state.getOption.getOrElse((null: String, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          rows.toSeq.sortBy(r => (r.getLong(2), r.getLong(1))).foreach { r =>
+            val s = r.getString(3)
+            val us = r.getLong(2)
+            if (st == null) { st = s; from = us; ver = 1L }
+            else if (s != st) {
+              out += Row(user, st, from, us, ver)
+              st = s; from = us; ver += 1
+            }
+          }
+          state.update((st, from, ver))
+          out.iterator
+      }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+        Encoders.scalaLong), enc)
+      .toDF()
+  }
+
   /** q183's streaming twin: ONLINE target encoding — per-user running
     * (n, Σcents) as streaming aggregation state, with the m-estimate
     * encoding computed against a FROZEN prior (the train-time global mean

@@ -61,7 +61,7 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q183_target_encode" -> 15L, "q184_benford" -> 9L,
     "q185_shortest_path" -> 15L, "q186_distinct_ngrams" -> 15L,
     "q187_order_reconcile" -> 3L, "q188_decile_gains" -> 10L,
-    "q189_ks_drift" -> 5L,
+    "q189_ks_drift" -> 5L, "q190_unpivot" -> 4L,
     "q103_text_normalize" -> 500L, "q104_shard_assign" -> 16L,
     "q105_domain_mix" -> 20L, "q106_line_dedup" -> 500L,
     "q107_quality_classifier" -> 500L, "q108_dedup_canonical" -> 174L,

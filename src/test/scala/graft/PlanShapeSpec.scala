@@ -496,4 +496,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"q189 needs no join: ${p.take(1500)}")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
   }
+
+  test("q190 unpivot lowers to a single-scan Expand, no join, " +
+    "two-phase agg (the oracle's 4 UNION ALL scans collapse to one)") {
+    val p = plan("q190_unpivot")
+    assert(p.contains("Expand"), p.take(1500))
+    assert(!p.contains("Join"), s"q190 needs no join: ${p.take(1500)}")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"q190 must scan once: ${p.take(1500)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("q182 novelty: the first-seer min is a window on the dig " +
+    "partitioning, not a join-back (3 linear shuffles, no hash relation)") {
+    val p = plan("q182_ngram_novelty")
+    assert(!p.contains("Join"), s"q182 needs no join now: ${p.take(1500)}")
+  }
 }

@@ -481,6 +481,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q123 twin: streamed closed SCD2 intervals == batch change-row " +
+    "intervals with non-null valid_to, batch-split-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, lag, lead, row_number, unix_micros}
+    // extend the shared fixture so user 1 cycles status twice more —
+    // three closed intervals total instead of one
+    val sc = rows ++ Seq(
+      Ev(8, t("2024-01-01 02:00:00"), 1, "click", 1.0, "{}"),
+      Ev(9, t("2024-01-01 03:00:00"), 1, "view", 1.0, "{}"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val want = sc.toDF()
+      .select(col("user_id"), col("event_type").as("status"), col("ts"),
+        col("event_id"))
+      .withColumn("prev", lag(col("status"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("status"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .filter(col("valid_to").isNotNull)
+      .select(col("user_id"), col("status"), unix_micros(col("ts")).as("f"),
+        unix_micros(col("valid_to")).as("t"), col("version"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(want.size == 3, s"fixture should close 3 intervals: $want")
+    def runChunks(chunks: Seq[Seq[Ev]], name: String): Set[(Long, String, Long, Long, Long)] = {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Ev]
+      val q = StreamTwins.scd2Maintain(mem.toDF()).writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append())
+        .start()
+      try {
+        chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+            r.getLong(4))).toSet
+      } finally q.stop()
+    }
+    assert(runChunks(Seq(sc), "scd1") == want)
+    // per-user in-order chunking (global interleave differs) — same set
+    assert(runChunks(Seq(sc.take(4), sc.slice(4, 7), sc.drop(7)), "scd2")
+      == want)
+  }
+
   test("q183 twin: online target encoding == batch m-estimate formula, " +
     "batch-split-invariant; encodings move toward user means as events " +
     "arrive") {
