@@ -191,6 +191,13 @@ object SparkEntry {
     "q187_order_reconcile" -> (DqQueries.q187_order_reconcile _),
     "q188_decile_gains" -> (EventQueries.q188_decile_gains _),
     "q189_ks_drift" -> (EventQueries.q189_ks_drift _),
+    "q191_auc_roc" -> (EventQueries.q191_auc_roc _),
+    "q192_kaplan_meier" -> (EventQueries.q192_kaplan_meier _),
+    "q193_span_containment" -> (CorpusQueries.q193_span_containment _),
+    "q194_gini_spend" -> (EventQueries.q194_gini_spend _),
+    "q195_user_entropy" -> (EventQueries.q195_user_entropy _),
+    "q196_new_returning" -> (EventQueries.q196_new_returning _),
+    "q197_embed_health" -> (NorthStarQueries.q197_embed_health _),
     "q126_attribution" -> (EventQueries.q126_attribution _),
     "q127_window_funnel" -> (EventQueries.q127_window_funnel _),
     // M. pattern mining / applied analytics (round 5 cont. 5)

@@ -633,6 +633,54 @@ object CorpusQueries {
       .orderBy(col("doc_id"), col("r_idx"))
   }
 
+  /** Asymmetric span-containment dedup (q193): for every document pair
+    * sharing at least one non-boilerplate duplicated 8-token window,
+    * the CONTAINMENT in each direction — |W(a)∩W(b)| / |W(a)| over
+    * distinct window digests — reported when either direction reaches
+    * 50%. Jaccard (q85/q94) misses the quote-inside-article case: a
+    * short doc fully embedded in a long one has low Jaccard but
+    * containment ≈ 1 from the short side. This is the
+    * direction-aware member of the dedup ladder (doc q80/q85/q94, span
+    * q177, prefix q115), the rule that decides which COPY to keep:
+    * drop the contained doc, keep the container.
+    *
+    * Candidate generation is EXACT for this metric: any pair at ≥1
+    * shared window comes out of the duplicated-digest join, so no
+    * LSH recall loss; digests appearing in more than 200 docs are
+    * boilerplate and excluded from the shared-window BASIS (the q94
+    * maxBucket knob in digest space — without it one viral license
+    * paragraph pairs every doc against every other), while the
+    * denominators count ALL of each doc's distinct windows.
+    *
+    * Scale shape: one codegen'd windows scan (shared [[spanWindows]]
+    * frame), a digest-keyed two-phase count (the linear dedup shuffle),
+    * and a digest-blocked self-join whose volume is Σ_dig nd² bounded
+    * by the 200-doc cap — never all-pairs. Size joins are doc-keyed.
+    */
+  def q193_span_containment(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = spanWindows(spark, sfDir)
+      .select(col("doc_id"), col("dig")).distinct()
+    val sz = w.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+    val dd = w.groupBy(col("dig")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= 200)
+      .select(col("dig"))
+    val j = w.join(dd, Seq("dig"), "left_semi")
+    val pair = j.as("a")
+      .join(j.as("b"),
+        col("a.dig") === col("b.dig") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pair
+      .join(sz.select(col("doc_id").as("id_a"), col("nw").as("w_a")), "id_a")
+      .join(sz.select(col("doc_id").as("id_b"), col("nw").as("w_b")), "id_b")
+      .withColumn("cont_ab_bp", expr("n_shared * 10000 div w_a"))
+      .withColumn("cont_ba_bp", expr("n_shared * 10000 div w_b"))
+      .filter(col("cont_ab_bp") >= 5000 || col("cont_ba_bp") >= 5000)
+      .select(col("id_a"), col("id_b"), col("w_a"), col("w_b"),
+        col("n_shared"), col("cont_ab_bp"), col("cont_ba_bp"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Per-doc duplicated-span PROFILE (q177's doc-level rollup — the
     * RefinedWeb-style filter signal): how many of a doc's 8-token windows
     * are cross-doc duplicates, as share in basis points, plus the
@@ -1151,6 +1199,29 @@ object CorpusQueries {
         |  CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) * 10000
         |    // count(*) AS BIGINT) AS novel_bp
         |FROM w JOIN f USING (dig) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q193_span_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |w0 AS (SELECT doc_id, md5(array_to_string(tok[i:i+7], ' ')) AS dig
+        |  FROM t, unnest(range(1, greatest(len(tok) - 7, 0) + 1)) AS u(i)
+        |  WHERE len(tok) >= 8),
+        |w AS (SELECT DISTINCT doc_id, dig FROM w0),
+        |sz AS (SELECT doc_id, count(*) AS nw FROM w GROUP BY doc_id),
+        |dd AS (SELECT dig FROM w GROUP BY dig
+        |  HAVING count(*) BETWEEN 2 AND 200),
+        |j AS (SELECT w.doc_id, w.dig FROM w JOIN dd ON w.dig = dd.dig),
+        |pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS shared
+        |  FROM j a JOIN j b ON a.dig = b.dig AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, CAST(sa.nw AS BIGINT) AS w_a,
+        |  CAST(sb.nw AS BIGINT) AS w_b, CAST(p.shared AS BIGINT) AS n_shared,
+        |  CAST(p.shared * 10000 // sa.nw AS BIGINT) AS cont_ab_bp,
+        |  CAST(p.shared * 10000 // sb.nw AS BIGINT) AS cont_ba_bp
+        |FROM pair p JOIN sz sa ON sa.doc_id = p.id_a
+        |  JOIN sz sb ON sb.doc_id = p.id_b
+        |WHERE p.shared * 10000 // sa.nw >= 5000
+        |   OR p.shared * 10000 // sb.nw >= 5000
+        |ORDER BY id_a, id_b""".stripMargin,
     "q177_span_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
         |w AS (SELECT doc_id, i - 1 AS s,

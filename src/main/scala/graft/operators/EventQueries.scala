@@ -1001,7 +1001,318 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Exact ROC AUC via the tie-aware Mann–Whitney identity (q191): for
+    * each event type, how well the user's activity COUNT of that type
+    * ranks high-spenders above low-spenders — the threshold-free
+    * companion of q188's decile gains (a gains table reads one ranking
+    * at fixed depths; AUC integrates over all of them). Label = upper
+    * half of users by lifetime spend cents under the deterministic
+    * (cents, user_id) order ([[graft.functions.ScalableRank]] — the
+    * median split adapts to any SF, never degenerate); score = the
+    * user's event count of the type, with inactive users scored 0 (a
+    * classifier IS evaluated on users who never triggered the feature).
+    *
+    * Exactness: with ties, AUC = [Σ_v p_v·(2·Q<v + q_v)] / (2·P·N)
+    * where p_v/q_v are positives/negatives at score v and Q<v the
+    * negatives strictly below — every term an exact BIGINT (the ×2
+    * clears the ½-per-tied-pair), floored once to basis points at the
+    * end. No per-pair join (P·N pairs) is ever materialized.
+    *
+    * Scale shape: two user-keyed aggs (spend, per-type counts) + the
+    * bucketed ScalableRank split; the AUC windows run over the
+    * (type, score) cell frame — score is an activity COUNT, so the cell
+    * alphabet is bounded by the per-user activity range, not the corpus
+    * (the q189/q149 bounded-frame argument). The |types|-row distinct
+    * frame broadcasts for the zero-fill.
+    */
+  def q191_auc_roc(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val spend = ev.groupBy(col("user_id")).agg(sum(col("cents")).as("cents"))
+    val lab = graft.functions.ScalableRank
+      .rowNumbers(spend, Seq.empty, "cents", "user_id")
+      .select(col("user_id"),
+        when(col("rn") * 2 > col("n"), 1L).otherwise(0L).as("pos"))
+    val ty = ev.select(col("event_type")).distinct()
+    val cnt = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("score"))
+    val f = lab.crossJoin(broadcast(ty))
+      .join(cnt, Seq("user_id", "event_type"), "left")
+      .select(col("event_type"), col("pos"),
+        coalesce(col("score"), lit(0L)).as("score"))
+    val cell = f.groupBy(col("event_type"), col("score"))
+      .agg(sum(col("pos")).as("p"), sum(lit(1L) - col("pos")).as("q"))
+    val wt = Window.partitionBy(col("event_type"))
+    val wBelow = Window.partitionBy(col("event_type")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cell
+      .withColumn("qbelow", coalesce(sum(col("q")).over(wBelow), lit(0L)))
+      .withColumn("np", sum(col("p")).over(wt))
+      .withColumn("nq", sum(col("q")).over(wt))
+      .groupBy(col("event_type"))
+      .agg(max(col("np")).as("n_pos"), max(col("nq")).as("n_neg"),
+        sum(col("p") * (col("qbelow") * 2 + col("q"))).as("u2"))
+      .select(col("event_type"), col("n_pos"), col("n_neg"),
+        expr("u2 * 10000 div nullif(2 * n_pos * n_neg, 0)").as("auc_bp"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Kaplan–Meier time-to-convert survival curve (q192): the
+    * product-limit estimator over days from a user's first event to
+    * first purchase, censoring never-converters at the corpus horizon —
+    * the right-censoring-aware upgrade of q166's converter-only
+    * latency percentiles (dropping censored users biases conversion
+    * speed optimistic; KM charges them to every day they survived).
+    *
+    * Exactness: survival is reported in LOG space — per duration cell,
+    * term = round(ln((n_risk−d)/n_risk)·10⁶) micro-nats rounded ONCE
+    * (the q111/q181 discipline), and the curve is the integer running
+    * sum of terms (order-independent, no float product chain to
+    * re-associate). Once a cell extinguishes the risk set (d = n_risk,
+    * survival 0, log −∞) the curve emits NULL from that point — pinned
+    * identically in both engines.
+    *
+    * Scale shape: one user-keyed agg collapses the log to one row per
+    * user; the duration cells and both windows are calendar-bounded
+    * (≤ observation days — the q150/q171 single-task bound), so the
+    * unpartitioned window never sees more than the day alphabet. The
+    * 1-row horizon broadcasts.
+    */
+  def q192_kaplan_meier(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
+    val per = d.groupBy(col("user_id"))
+      .agg(min(col("day")).as("f"),
+        min(when(col("event_type") === "purchase", col("day"))).as("p"))
+    val mx = d.agg(max(col("day")).as("md"))
+    val u = per.crossJoin(broadcast(mx))
+      .select(
+        when(col("p").isNotNull, col("p") - col("f"))
+          .otherwise(col("md") - col("f")).as("t"),
+        when(col("p").isNotNull, 1L).otherwise(0L).as("ev"))
+    val cell = u.groupBy(col("t"))
+      .agg(sum(col("ev")).as("d_t"), sum(lit(1L) - col("ev")).as("c_t"),
+        count(lit(1)).as("a"))
+    val wRisk = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cell
+      .withColumn("n_risk", sum(col("a")).over(wRisk))
+      .withColumn("term",
+        when(col("d_t") > 0 && col("n_risk") > col("d_t"),
+          round(log((col("n_risk") - col("d_t")).cast("double") /
+            col("n_risk").cast("double")) * 1000000).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("ext",
+        max(when(col("d_t") === col("n_risk"), 1L).otherwise(0L)).over(wCum))
+      .withColumn("cum", sum(col("term")).over(wCum))
+      .select(col("t").as("t_days"), col("n_risk"),
+        col("d_t").as("n_events"), col("c_t").as("n_censored"),
+        when(col("ext") === 1L, lit(null).cast("long"))
+          .otherwise(col("cum")).as("surv_unat"))
+      .orderBy(col("t_days"))
+  }
+
+  /** Gini concentration of spend (q194): per event type, the Gini
+    * coefficient of per-user cent totals under the exact rank identity
+    * G = (2·Σ rn·x_rn − (n+1)·Σx) / (n·Σx) with x sorted (cents,
+    * user_id) ascending — the whale-dependence readout behind q147's
+    * Pareto/ABC classes and q188's gains table (one scalar per type a
+    * monitor can alert on: revenue concentration drifting up means
+    * rising top-user risk).
+    *
+    * Exactness: ranks come from [[graft.functions.ScalableRank]] (exact
+    * integral rn under value skew), Σ rn·cents and Σ cents are BIGINT
+    * sums, and the single floor to basis points happens last —
+    * nullif-guarded (sums past ~10¹⁴ cents·rank widen to decimal, the
+    * q168 note, plan unchanged).
+    *
+    * Scale shape: one (type, user) two-phase agg collapses the log; the
+    * ranking is ScalableRank's bucketed two-phase form (max task =
+    * idBucketWidth under any spend skew — never one task per type); the
+    * final agg is |types| rows.
+    */
+  def q194_gini_spend(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("cents")).as("cents"))
+    graft.functions.ScalableRank
+      .rowNumbers(per, Seq("event_type"), "cents", "user_id")
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_users"), sum(col("cents")).as("total_cents"),
+        sum(col("rn") * col("cents")).as("src"))
+      .select(col("event_type"), col("n_users"), col("total_cents"),
+        expr("(2 * src - (n_users + 1) * total_cents) * 10000 " +
+          "div nullif(n_users * total_cents, 0)").as("gini_bp"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Behavioral diversity per user (q195): Shannon entropy of each
+    * user's event-type distribution — the q112 character-entropy
+    * discipline lifted to the behavioral level. Bots and scripted
+    * accounts sit at the extremes (single-type ⇒ 0; uniform sweep ⇒
+    * ln|types|); organic users land in a band. The per-(user, type)
+    * contribution −n_t·ln(n_t/n) is quantized to integer milli-nats
+    * ONCE before summing (order-independent integer agg — no float
+    * accumulation race), entropy = sum div n.
+    *
+    * Scale shape: one (user, type) two-phase count agg collapses the
+    * log; the per-user rollup joins on the SAME user_id partitioning
+    * (exchange-free on a bucketed store); per-user state is the
+    * |types|-bounded alphabet.
+    */
+  def q195_user_entropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val u = c.groupBy(col("user_id"))
+      .agg(sum(col("n")).as("tot"), count(lit(1)).as("n_types"))
+    c.join(u, "user_id")
+      .withColumn("mnat",
+        round(-log(col("n").cast("double") / col("tot").cast("double"))
+          * col("n") * 1000).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(max(col("tot")).as("n_events"), max(col("n_types")).as("n_types"),
+        sum(col("mnat")).as("sum_mnat"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        col("sum_mnat"), expr("sum_mnat div n_events").as("entropy_mnat"))
+      .orderBy(col("user_id"))
+  }
+
+  /** New-vs-returning growth accounting (q196): per day, DAU split into
+    * first-ever-seen and returning users plus the returning share in bp
+    * — the growth-accounting decomposition (acquisition vs retention)
+    * that q138's DAU/WAU ratio doesn't separate: stickiness can hold
+    * steady while the NEW inflow silently dies.
+    *
+    * Scale shape: one distinct (user, day) pass, a user-keyed min-agg
+    * for the first day, and a user_id join back on the SAME
+    * partitioning — then a |days|-row final agg. Exchange-free on a
+    * user-bucketed store; nothing after the join exceeds the calendar.
+    */
+  def q196_new_returning(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val f = d.groupBy(col("user_id")).agg(min(col("day")).as("fd"))
+    d.join(f, "user_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("day") === col("fd"), 1L).otherwise(0L))
+          .as("new_users"),
+        sum(when(col("day") > col("fd"), 1L).otherwise(0L))
+          .as("returning_users"))
+      .select(col("day"), col("dau"), col("new_users"),
+        col("returning_users"),
+        expr("returning_users * 10000 div dau").as("returning_bp"))
+      .orderBy(col("day"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q195_user_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id, sum(n) AS tot, count(*) AS n_types
+        |  FROM c GROUP BY 1),
+        |k AS (SELECT c.user_id, u.tot, u.n_types,
+        |    CAST(round(-ln(CAST(c.n AS DOUBLE) / u.tot) * c.n * 1000)
+        |      AS BIGINT) AS mnat
+        |  FROM c JOIN u USING (user_id))
+        |SELECT user_id, CAST(max(tot) AS BIGINT) AS n_events,
+        |  CAST(max(n_types) AS BIGINT) AS n_types,
+        |  CAST(sum(mnat) AS BIGINT) AS sum_mnat,
+        |  CAST(sum(mnat) // max(tot) AS BIGINT) AS entropy_mnat
+        |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q196_new_returning" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS fd FROM d GROUP BY 1)
+        |SELECT day, count(*) AS dau,
+        |  CAST(sum(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_users,
+        |  CAST(sum(CASE WHEN day > fd THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS returning_users,
+        |  CAST(sum(CASE WHEN day > fd THEN 1 ELSE 0 END) * 10000
+        |    // count(*) AS BIGINT) AS returning_bp
+        |FROM d JOIN f USING (user_id) GROUP BY day ORDER BY day""".stripMargin,
+    "q191_auc_roc" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |spend AS (SELECT user_id, CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM ev GROUP BY user_id),
+        |lab AS (SELECT user_id,
+        |    CASE WHEN 2 * row_number() OVER (ORDER BY cents, user_id)
+        |      > count(*) OVER () THEN 1 ELSE 0 END AS pos FROM spend),
+        |ty AS (SELECT DISTINCT event_type FROM ev),
+        |cnt AS (SELECT user_id, event_type, count(*) AS score
+        |  FROM ev GROUP BY 1, 2),
+        |f AS (SELECT t.event_type, l.pos, coalesce(c.score, 0) AS score
+        |  FROM lab l CROSS JOIN ty t
+        |  LEFT JOIN cnt c ON c.user_id = l.user_id
+        |    AND c.event_type = t.event_type),
+        |cell AS (SELECT event_type, score, CAST(sum(pos) AS BIGINT) AS p,
+        |    CAST(sum(1 - pos) AS BIGINT) AS q FROM f GROUP BY 1, 2),
+        |w AS (SELECT event_type, score, p, q,
+        |    coalesce(sum(q) OVER (PARTITION BY event_type ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS qbelow,
+        |    sum(p) OVER (PARTITION BY event_type) AS np,
+        |    sum(q) OVER (PARTITION BY event_type) AS nq FROM cell)
+        |SELECT event_type, CAST(max(np) AS BIGINT) AS n_pos,
+        |  CAST(max(nq) AS BIGINT) AS n_neg,
+        |  CAST(sum(p * (2 * qbelow + q)) * 10000
+        |    // nullif(2 * max(np) * max(nq), 0) AS BIGINT) AS auc_bp
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q192_kaplan_meier" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    event_type FROM events),
+        |per AS (SELECT user_id, min(day) AS f,
+        |    min(CASE WHEN event_type = 'purchase' THEN day END) AS p
+        |  FROM d GROUP BY user_id),
+        |mx AS (SELECT max(day) AS md FROM d),
+        |u AS (SELECT CASE WHEN p IS NOT NULL THEN p - f ELSE md - f END AS t,
+        |    CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS ev FROM per, mx),
+        |cell AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d_t,
+        |    CAST(sum(1 - ev) AS BIGINT) AS c_t, count(*) AS a
+        |  FROM u GROUP BY t),
+        |r AS (SELECT t, d_t, c_t,
+        |    sum(a) OVER (ORDER BY t
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+        |  FROM cell),
+        |s AS (SELECT t, n_risk, d_t, c_t,
+        |    max(CASE WHEN d_t = n_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ext,
+        |    sum(CASE WHEN d_t > 0 AND n_risk > d_t
+        |        THEN CAST(round(ln(CAST(n_risk - d_t AS DOUBLE) / n_risk)
+        |          * 1000000) AS BIGINT) ELSE 0 END)
+        |      OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM r)
+        |SELECT t AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+        |  d_t AS n_events, c_t AS n_censored,
+        |  CASE WHEN ext = 1 THEN NULL ELSE cum END AS surv_unat
+        |FROM s ORDER BY t_days""".stripMargin,
+    "q194_gini_spend" ->
+      """WITH per AS (SELECT event_type, user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents, user_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    sum(cents) OVER (PARTITION BY event_type) AS tot FROM per)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_users,
+        |  CAST(max(tot) AS BIGINT) AS total_cents,
+        |  CAST((2 * sum(rn * cents) - (max(n) + 1) * max(tot)) * 10000
+        |    // nullif(max(n) * max(tot), 0) AS BIGINT) AS gini_bp
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q188_decile_gains" ->
       """WITH per AS (SELECT user_id,
         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS score,

@@ -223,7 +223,56 @@ object NorthStarQueries {
         Det.r2(avg(size(split(col("text"), " ")).cast("double"))).as("avg_tokens"))
       .orderBy(col("lang"), col("source"))
 
+  /** Embedding-health screen (q197): per embedding DIMENSION, the mean
+    * and variance in quantized micro units plus a dead-dimension flag —
+    * the vector-QA monitor for dimension collapse (a dim whose variance
+    * drops to ~0 carries no information; an encoder regression or a
+    * truncated export shows up here before any retrieval metric moves).
+    * Complements the value-level checks (q125) with representation-level
+    * DQ next to the ANN tier (q82/q98/q158).
+    *
+    * Exactness: each element is quantized to integer micro units ONCE
+    * (round(x·10⁶)), then all stats are BIGINT moment sums — no float
+    * accumulation race. The mean uses the shift trick
+    * (s + 10⁶·n) div n − 10⁶ so the floored division sees a
+    * non-negative numerator (Spark DIV truncates toward zero, DuckDB //
+    * floors — they only agree on non-negatives; elements are ≥ −1 by
+    * normalization so the shift is exact). Variance numerator n·Σx²−S²
+    * is ≥ 0 by Cauchy–Schwarz. Moment sums past ~10¹⁸ (n ≈ 10⁶·dims at
+    * full micro range) widen to decimal, plan unchanged (q168 note).
+    *
+    * Scale shape: posexplode fans each vector into |dims| rows map-side
+    * and the two-phase (dim) agg collapses them immediately — shuffle =
+    * |dims| rows of partials per task, independent of corpus size.
+    */
+  def q197_embed_health(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .select((col("i") + 1).cast("long").as("dim"),
+        round(col("x").cast("double") * 1000000).cast("long").as("v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("s2"))
+      .select(col("dim"), col("n"),
+        expr("(s + 1000000 * n) div n - 1000000").as("mean_micro"),
+        expr("(n * s2 - s * s) div (n * n)").as("var_micro2"),
+        (expr("(n * s2 - s * s) div (n * n)") < 100L).as("dead"))
+      .orderBy(col("dim"))
+
   val oracle: Map[String, String] = Map(
+    "q197_embed_health" ->
+      """WITH x AS (SELECT i AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS v
+        |  FROM embeddings,
+        |    unnest(range(1, len(embedding) + 1)) AS u(i)),
+        |d AS (SELECT dim, count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+        |    CAST(sum(v * v) AS BIGINT) AS s2 FROM x GROUP BY dim)
+        |SELECT CAST(dim AS BIGINT) AS dim, n,
+        |  CAST((s + 1000000 * n) // n - 1000000 AS BIGINT) AS mean_micro,
+        |  CAST((n * s2 - s * s) // (n * n) AS BIGINT) AS var_micro2,
+        |  ((n * s2 - s * s) // (n * n)) < 100 AS dead
+        |FROM d ORDER BY dim""".stripMargin,
     "q80_dedup_exact" ->
       """SELECT md5(text) AS hash, count(*) AS n_docs, min(doc_id) AS min_doc_id
         |FROM documents GROUP BY 1 ORDER BY hash""".stripMargin,

@@ -507,6 +507,58 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
   }
 
+  test("q191 AUC: no per-pair P×N join — the Mann–Whitney identity runs " +
+    "over the (type, score) cell agg; label ranking is sub-bucketed") {
+    val p = plan("q191_auc_roc")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the user-sized ranking window must carry ScalableRank's __ib key
+    val bucketed = "windowspecdefinition\\(cents#\\d+L, __ib#\\d+L".r
+    assert(bucketed.findFirstIn(p).isDefined,
+      s"bucketed label ranking missing: ${p.take(2000)}")
+    // zero-fill is a broadcast of the |types| frame, not a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("q192 KM: the log collapses in one user-keyed agg before any " +
+    "window; the horizon joins as a 1-row broadcast") {
+    val p = plan("q192_kaplan_meier")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("q193 containment: the pair join is digest-blocked (equi on dig), " +
+    "never cartesian; size joins stay doc-keyed") {
+    val p = plan("q193_span_containment")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("q194 Gini: the per-type ranking carries ScalableRank's " +
+    "sub-bucket key — no type-only corpus window") {
+    val p = plan("q194_gini_spend")
+    val bucketed =
+      "windowspecdefinition\\(event_type#\\d+, cents#\\d+L, __ib#\\d+L".r
+    assert(bucketed.findFirstIn(p).isDefined,
+      s"bucketed ranking window missing: ${p.take(2000)}")
+  }
+
+  test("q197 embed health: the posexplode fan-out collapses in a " +
+    "two-phase dim agg — no join, no window") {
+    val p = plan("q197_embed_health")
+    assert(!p.contains("Join"), s"q197 needs no join: ${p.take(1500)}")
+    assert(!p.contains("Window"), s"q197 needs no window: ${p.take(1500)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("q196 new/returning: first-day join stays on the user_id key " +
+    "(no broadcast of the user frame needed, no cartesian)") {
+    val p = plan("q196_new_returning")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("q182 novelty: the first-seer min is a window on the dig " +
     "partitioning, not a join-back (3 linear shuffles, no hash relation)") {
     val p = plan("q182_ngram_novelty")
