@@ -90,11 +90,25 @@ object Bench {
     // anyone reading complete logs.
     val sfNum = """sf([0-9.]+)""".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
-    // Centisecond precision: 142 keys at %.3f is ~1.83 KB — too close to
-    // the 2000-char tail window. %.2f buys ~20 more queries of headroom.
-    val compactQs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f"
+    // The compact map must stay under the ~2000-char tail window at ANY
+    // surface size: keys are the bare query numbers ("q191_auc_roc" →
+    // "191", unique by construction), values are centiseconds with
+    // trailing zeros stripped ("0.10" → "0.1", "1.00" → "1"), and if the
+    // line still outgrows the window (surface keeps widening) precision
+    // degrades to deciseconds — the full-precision map is always in
+    // BENCH_LOCAL.json, the compact line only has to parse.
+    def stripz(s: String): String = {
+      val t = if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
+              else s
+      if (t.endsWith(".")) t.dropRight(1) else t
+    }
+    def compact(fmt: Double => String): String = results.map { case (k, v) =>
+      "\"" + k.drop(1).takeWhile(_ != '_') + "\":" + stripz(fmt(v))
     }.mkString("{", ",", "}")
+    val compactQs = {
+      val c2 = compact(v => f"$v%.2f")
+      if (c2.length <= 1700) c2 else compact(v => f"$v%.1f")
+    }
     println(fullLine)
     // median + spread in the tail-surviving compact line (the driver keeps
     // only the last ~2000 chars of stdout — see the note above compactQs)

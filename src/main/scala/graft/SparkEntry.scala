@@ -198,6 +198,8 @@ object SparkEntry {
     "q195_user_entropy" -> (EventQueries.q195_user_entropy _),
     "q196_new_returning" -> (EventQueries.q196_new_returning _),
     "q197_embed_health" -> (NorthStarQueries.q197_embed_health _),
+    "q198_quantile_normalize" -> (EventQueries.q198_quantile_normalize _),
+    "q199_mom_growth" -> (AggQueries.q199_mom_growth _),
     "q126_attribution" -> (EventQueries.q126_attribution _),
     "q127_window_funnel" -> (EventQueries.q127_window_funnel _),
     // M. pattern mining / applied analytics (round 5 cont. 5)

@@ -320,7 +320,44 @@ object AggQueries {
       .orderBy(col("metric"))
   }
 
+  /** Month-over-month revenue growth (q199): monthly order totals with
+    * the growth rate in basis points — the canonical period-over-period
+    * reporting shape (q168 is within-week seasonality on the event log;
+    * this is the calendar trend on the order book). Growth uses the
+    * shift identity cents·10⁴ div prev − 10⁴ ≡ (cents−prev)·10⁴/prev so
+    * the floored division only ever sees a NON-NEGATIVE numerator —
+    * Spark DIV truncates toward zero while DuckDB // floors, and they
+    * agree only there (a shrinking month would otherwise diverge by
+    * 1 bp). First month emits NULL (no prior period), nullif-guarded.
+    *
+    * Scale shape: one two-phase (month) agg collapses the order book;
+    * the lag window runs over the calendar-bounded month frame (the
+    * q150/q171 single-task bound).
+    */
+  def q199_mom_growth(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Tables.orders(spark, sfDir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+    m.withColumn("prev", lag(col("cents"), 1).over(Window.orderBy(col("month"))))
+      .select(col("month"), col("n_orders"), col("cents"),
+        expr("cents * 10000 div nullif(prev, 0) - 10000").as("mom_bp"))
+      .orderBy(col("month"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q199_mom_growth" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT month, n_orders, cents,
+        |    lag(cents) OVER (ORDER BY month) AS prev FROM m)
+        |SELECT month, n_orders, cents,
+        |  CAST(cents * 10000 // nullif(prev, 0) - 10000 AS BIGINT) AS mom_bp
+        |FROM w ORDER BY month""".stripMargin,
     "q190_unpivot" ->
       """WITH m AS (
         |  SELECT 'quantity' AS metric,

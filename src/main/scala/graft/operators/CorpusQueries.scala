@@ -576,6 +576,13 @@ object CorpusQueries {
           .as(Seq("start", "gram")))
       .select(col("doc_id"), col("start").cast("long").as("start"),
         md5(col("gram").cast("binary")).as("dig"))
+  // NOT TextCache'd: measured at sf0.1 (round 6), persisting this frame
+  // (or its distinct) made every consumer SLOWER — q182 0.19→0.78 s,
+  // q177 1.11→1.54 s, q193 3.1→4.5 s — the InMemoryTableScan/codegen-
+  // boundary cost the TextCache scaladoc documents; the codegen'd
+  // explode+md5 recompute wins at fixture scale. A 100 TB deployment
+  // materializes the digest index bucketed-by-digest on columnar storage
+  // instead (the cache crossover the scaladoc names).
 
   /** digests whose window occurs in ≥2 DISTINCT docs (cross-doc repeats;
     * within-doc repetition is q99's signal, not dedup's)
@@ -658,17 +665,32 @@ object CorpusQueries {
     * by the 200-doc cap — never all-pairs. Size joins are doc-keyed.
     */
   def q193_span_containment(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = spanWindows(spark, sfDir)
-      .select(col("doc_id"), col("dig")).distinct()
-    val sz = w.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
-    val dd = w.groupBy(col("dig")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2 && col("nd") <= 200)
-      .select(col("dig"))
-    val j = w.join(dd, Seq("dig"), "left_semi")
-    val pair = j.as("a")
-      .join(j.as("b"),
-        col("a.dig") === col("b.dig") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // (doc, dig) pairs are distinct BY CONSTRUCTION: array_distinct runs
+    // per row inside codegen, so the cross-corpus distinct shuffle the
+    // naive `spanWindows.distinct()` pays disappears — within-doc window
+    // dedup never needed a shuffle, only cross-doc aggregation does
+    val grams = array_distinct(
+      WordNgrams.wordNgramsAll(col("text"), SpanW))
+    val w = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .select(col("doc_id"), md5(col("gram").cast("binary")).as("dig"))
+    // per-doc denominator straight off the scan — zero-shuffle projection
+    val sz = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(grams).cast("long").as("nw"))
+      .filter(col("nw") > 0)
+    // pair generation as ONE digest agg + a bounded array self-product:
+    // the doc list per duplicated digest is ≤200 entries (the cap), so
+    // exploding list×list in place replaces the digest-blocked self-join
+    // (which re-derived the windows frame on both sides and built a hash
+    // relation) — same pair multiset, one corpus shuffle total (the
+    // digest agg), no join until the small size lookups
+    val pair = w.groupBy(col("dig"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, 200))
+      .select(explode(col("ds")).as("id_a"), col("ds"))
+      .select(col("id_a"), explode(col("ds")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
     pair
       .join(sz.select(col("doc_id").as("id_a"), col("nw").as("w_a")), "id_a")

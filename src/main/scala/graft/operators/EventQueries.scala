@@ -1214,7 +1214,77 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** Cross-population quantile normalization (q198): each event's cent
+    * value is mapped onto the REFERENCE distribution ('view' events) at
+    * the same quantile — the rank-preserving calibration that makes
+    * scores comparable across heterogeneous populations (the
+    * microarray quantile-normalization / feature-scaling shape;
+    * q174's ECDF is the first half, this adds the inverse-CDF of the
+    * reference). 'view' rows map to themselves (identity sanity, exact
+    * at every rank).
+    *
+    * Exactness: pct_bp = rn·10⁴ div n from [[graft.functions.ScalableRank]]
+    * (q174's integral ECDF); norm_cents = min reference cents whose
+    * reference ECDF ≥ pct_bp — the same crossing rule as
+    * [[graft.functions.ExactPercentile]], realized as a complete
+    * 10001-row bp→cents lookup table so the corpus-side mapping is a
+    * broadcast EQUI-join, never a per-row range probe.
+    *
+    * Scale shape: the ranking is ScalableRank's bucketed two-phase
+    * form; the reference cell frame is value-alphabet-bounded and the
+    * grid is a constant 10001 rows (their crossing join is
+    * bounded×bounded); the only corpus-sized operations are the rank
+    * and one broadcast hash join on pct_bp.
+    */
+  def q198_quantile_normalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val p = graft.functions.ScalableRank
+      .rowNumbers(e, Seq("event_type"), "cents", "event_id")
+      .select(col("event_id"), col("event_type"), col("cents"),
+        expr("rn * 10000 div n").as("pct_bp"))
+    val vc = e.filter(col("event_type") === "view")
+      .groupBy(col("cents")).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vcum = vc
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy()))
+      .select(col("cents"), expr("cum * 10000 div tot").as("cum_bp"))
+    val grid = spark.range(0L, 10001L).select(col("id").as("bp"))
+    val lut = grid.join(broadcast(vcum), col("cum_bp") >= col("bp"))
+      .groupBy(col("bp")).agg(min(col("cents")).as("norm_cents"))
+    p.join(broadcast(lut), col("bp") === col("pct_bp"))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("pct_bp"), col("norm_cents"))
+      .orderBy(col("event_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q198_quantile_normalize" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_id, event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |p AS (SELECT event_id, event_type, cents,
+        |    rn * 10000 // n AS pct_bp FROM r),
+        |vc AS (SELECT cents, count(*) AS c FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |vcum AS (SELECT cents,
+        |    sum(c) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      * 10000 // (SELECT sum(c) FROM vc) AS cum_bp FROM vc),
+        |grid AS (SELECT i AS bp FROM range(0, 10001) AS t(i)),
+        |lut AS (SELECT g.bp, min(v.cents) AS norm_cents
+        |  FROM grid g JOIN vcum v ON v.cum_bp >= g.bp GROUP BY g.bp)
+        |SELECT p.event_id, p.event_type, p.cents,
+        |  CAST(p.pct_bp AS BIGINT) AS pct_bp,
+        |  CAST(l.norm_cents AS BIGINT) AS norm_cents
+        |FROM p JOIN lut l ON l.bp = p.pct_bp
+        |ORDER BY p.event_id""".stripMargin,
     "q195_user_entropy" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS n
         |  FROM events GROUP BY 1, 2),

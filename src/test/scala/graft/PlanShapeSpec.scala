@@ -528,13 +528,6 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
-  test("q193 containment: the pair join is digest-blocked (equi on dig), " +
-    "never cartesian; size joins stay doc-keyed") {
-    val p = plan("q193_span_containment")
-    assert(!p.contains("CartesianProduct"), p.take(1500))
-    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
-  }
-
   test("q194 Gini: the per-type ranking carries ScalableRank's " +
     "sub-bucket key — no type-only corpus window") {
     val p = plan("q194_gini_spend")
@@ -557,6 +550,36 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q196_new_returning")
     assert(!p.contains("CartesianProduct"), p.take(1500))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("q198 quantile-normalize: the corpus maps through BROADCAST " +
+    "joins only (the 10001-row lookup + bounded reference cells) — " +
+    "no corpus-sized SMJ after the rank") {
+    val p = plan("q198_quantile_normalize")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p.take(1500))
+    // the rank must be ScalableRank's bucketed form
+    val bucketed =
+      "windowspecdefinition\\(event_type#\\d+, cents#\\d+L, __ib#\\d+L".r
+    assert(bucketed.findFirstIn(p).isDefined,
+      s"bucketed ECDF ranking missing: ${p.take(2000)}")
+  }
+
+  test("q199 MoM growth: one two-phase month agg collapses the order " +
+    "book; no join anywhere") {
+    val p = plan("q199_mom_growth")
+    assert(!p.contains("Join"), s"q199 needs no join: ${p.take(1500)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("q193 containment: pair generation is the bounded array " +
+    "self-product — ONE corpus shuffle (the digest agg), no pair join, " +
+    "no cartesian; size lookups are the only joins") {
+    val p = plan("q193_span_containment")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // two Generate nodes: the window explode and the list×list product
+    assert("Generate explode".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
   test("q182 novelty: the first-seer min is a window on the dig " +
