@@ -452,7 +452,75 @@ object MiningQueries {
         Det.r4(num / (sqrt(col("vx")) * sqrt(col("vy")))).as("r7"))
   }
 
+  /** Additive seasonal decomposition (q201, STL-lite): per event type,
+    * daily cent totals split into trend + weekday-seasonal + residual —
+    * the decomposition behind anomaly review (q169 flags a change-point;
+    * this explains how much of it is trend vs weekday shape vs noise).
+    * Composes the pieces q162/q168/q169 use separately: trend = centered
+    * 7-row moving average (NULL on the 3-row edges — exact floors, sums
+    * non-negative), detrended = cents − trend, seasonal = per-(type,
+    * ISO-weekday) mean of the detrended series, residual = detrended −
+    * seasonal.
+    *
+    * Exactness: the seasonal mean's numerator can be NEGATIVE, where
+    * Spark DIV (truncate) and DuckDB // (floor) disagree — the q197
+    * shift trick applies with K=10¹²: (Σdetr + K·n) div n − K is the
+    * exact floor on both engines (|detr| < K by construction at any
+    * fixture scale; widen K with decimal past that, q168 note). SUM and
+    * COUNT over windows skip NULLs identically in both engines.
+    *
+    * Scale shape: one two-phase (type, day) agg collapses the log;
+    * every window after runs over the calendar-bounded daily frame
+    * (the q149/q168/q169 argument).
+    */
+  def q201_seasonal_decompose(spark: SparkSession,
+                              sfDir: String): DataFrame = {
+    val d = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("cents"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val t = d
+      .withColumn("s7", sum(col("cents")).over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+      .withColumn("trend", expr("case when c7 = 7 then s7 div 7 end"))
+      .withColumn("detr", col("cents") - col("trend"))
+      .withColumn("wd", expr("(day + 4) % 7"))
+    val ww = Window.partitionBy(col("event_type"), col("wd"))
+    t.withColumn("sd", sum(col("detr")).over(ww))
+      .withColumn("cd", count(col("detr")).over(ww))
+      .withColumn("seasonal", expr("case when cd > 0 then " +
+        "(sd + 1000000000000 * cd) div cd - 1000000000000 end"))
+      .select(col("event_type"), col("day"), col("cents"), col("trend"),
+        col("seasonal"), (col("detr") - col("seasonal")).as("resid"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q201_seasonal_decompose" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, day, cents,
+        |    CASE WHEN count(*) OVER w7 = 7
+        |      THEN sum(cents) OVER w7 // 7 END AS trend
+        |  FROM d WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dt AS (SELECT event_type, day, cents, trend,
+        |    cents - trend AS detr, (day + 4) % 7 AS wd FROM t),
+        |s AS (SELECT event_type, day, cents, trend, detr,
+        |    CAST(CASE WHEN count(detr) OVER ww > 0 THEN
+        |      (sum(detr) OVER ww + 1000000000000 * count(detr) OVER ww)
+        |        // count(detr) OVER ww - 1000000000000 END AS BIGINT)
+        |      AS seasonal
+        |  FROM dt WINDOW ww AS (PARTITION BY event_type, wd))
+        |SELECT event_type, day, cents, trend, seasonal,
+        |  detr - seasonal AS resid
+        |FROM s ORDER BY event_type, day""".stripMargin,
     "q168_seasonal_index" ->
       """WITH cells AS (
         |  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS wday,

@@ -259,7 +259,84 @@ object NorthStarQueries {
         (expr("(n * s2 - s * s) div (n * n)") < 100L).as("dead"))
       .orderBy(col("dim"))
 
+  /** ANN recall evaluation (q200): recall@5 of the cell-restricted IVF
+    * read path (q98's plan) against the exact brute-force top-5 (q82's
+    * plan), per probe over a 50-probe eval set — the harness a
+    * deployment runs to size nprobe before trusting an index. The
+    * fixture's `label` is NOT a semantic partition, so the measured
+    * recall (mean ~0.11 at sf0.01) is the honest penalty of
+    * single-cell search under a non-geometric shard — the operator is
+    * the deliverable, the number is the fixture's verdict. With a
+    * k-means cell assignment (q155) the same harness measures a real
+    * IVF; `Ann.ivfTopK`'s multi-cell probing is the unit-tier knob this
+    * eval feeds.
+    *
+    * Scale shape: both arms are broadcast-probe × corpus scans with
+    * per-probe top-5 windows (the q82/q98 bounded-probe-set rule); the
+    * overlap join and rollup touch 5·|probes| rows.
+    */
+  def q200_ann_recall(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
+        col("embedding").as("pv"))
+    val corpus = emb.select(col("vec_id").as("nb"), col("label").as("clabel"),
+      col("embedding").as("cv"))
+    val cos = Det.r6(Det.dotD(col("pv"), col("cv")) /
+      (Det.l2norm(col("pv")) * Det.l2norm(col("cv"))))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cs").desc, col("nb").asc)
+    val brute = broadcast(probes).crossJoin(corpus)
+      .filter(col("probe_id") =!= col("nb"))
+      .withColumn("cs", cos)
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= 5)
+      .select(col("probe_id"), col("nb"))
+    val cell = broadcast(probes)
+      .join(corpus, col("plabel") === col("clabel"))
+      .filter(col("probe_id") =!= col("nb"))
+      .withColumn("cs", cos)
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= 5)
+      .select(col("probe_id").as("ip"), col("nb").as("inb"))
+    brute
+      .join(cell,
+        col("ip") === col("probe_id") && col("inb") === col("nb"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("k"), count(col("inb")).as("n_hit"))
+      .select(col("probe_id"), col("k"), col("n_hit"),
+        expr("n_hit * 10000 div k").as("recall_bp"))
+      .orderBy(col("probe_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q200_ann_recall" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |bs AS (SELECT p.vec_id AS probe_id, c.vec_id AS nb,
+        |    round(list_dot_product(p.v, c.v) /
+        |      (sqrt(list_dot_product(p.v, p.v)) *
+        |       sqrt(list_dot_product(c.v, c.v))), 6) AS cs
+        |  FROM e p JOIN e c ON p.vec_id < 50 AND p.vec_id <> c.vec_id),
+        |bt AS (SELECT probe_id, nb FROM (SELECT probe_id, nb,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cs DESC, nb ASC) AS r FROM bs) WHERE r <= 5),
+        |iv AS (SELECT p.vec_id AS probe_id, c.vec_id AS nb,
+        |    round(list_dot_product(p.v, c.v) /
+        |      (sqrt(list_dot_product(p.v, p.v)) *
+        |       sqrt(list_dot_product(c.v, c.v))), 6) AS cs
+        |  FROM e p JOIN e c ON p.vec_id < 50 AND p.vec_id <> c.vec_id
+        |    AND p.label = c.label),
+        |it AS (SELECT probe_id, nb FROM (SELECT probe_id, nb,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cs DESC, nb ASC) AS r FROM iv) WHERE r <= 5)
+        |SELECT b.probe_id, count(*) AS k, CAST(count(i.nb) AS BIGINT)
+        |    AS n_hit,
+        |  CAST(count(i.nb) * 10000 // count(*) AS BIGINT) AS recall_bp
+        |FROM bt b LEFT JOIN it i ON i.probe_id = b.probe_id
+        |  AND i.nb = b.nb
+        |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin,
     "q197_embed_health" ->
       """WITH x AS (SELECT i AS dim,
         |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)

@@ -332,7 +332,95 @@ object ScalarQueries {
       .agg(Det.r4(avg(col("k"))).as("avg_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Bounded k-core peel (q202): six SYNCHRONIZED peel rounds toward the
+    * 10-core of the q151/q157/q159 geo graph — each round drops every
+    * vertex whose degree in the surviving subgraph is < 10, all at once.
+    * The k-core is the standard cohesive-subgraph/influence screen
+    * (vertices that survive belong to a region where everyone keeps ≥10
+    * strong ties); the synchronized-round form is the Spark-natural one
+    * (true degeneracy ordering is inherently sequential). The declared
+    * semantics is the ROUND-BOUNDED peel — the q159 (≤5 hops) / q185
+    * (≤5 relaxations) bounded-iteration contract: fixture status
+    * measured per SF: sf0.1 reaches the fixpoint by round 6 (round 7
+    * changes nothing), sf0.01's grid erodes from the boundary inward and
+    * is still shrinking (the docstring's honesty note: survivors after
+    * round 6 are a SUPERSET of the true 10-core there), sf0.001's 15
+    * vertices peel to extinction — the empty-core case exercised.
+    *
+    * Scale shape: edges derive once (cell-blocked geo join, q139's
+    * bounded fan-out) and are checkpointed; each round is one two-phase
+    * degree agg + two same-key joins on a monotonically SHRINKING edge
+    * frame, with a per-round lineage cut (the q143/q157/q159 iterative
+    * discipline). Six rounds = six bounded shuffles regardless of
+    * corpus size.
+    */
+  def q202_kcore_peel(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Geo
+    val pts = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").as("id"),
+        Geo.location(
+          expr("cast(((c_custkey div 10) div 50) % 30 as double)") * lit(0.03),
+          expr("cast((c_custkey div 10) % 50 as double)") * lit(0.03))
+          .as("loc"))
+    val und = geoPairs(pts, 8000L)
+    var e = und.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(und.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    for (_ <- 1 to 6) {
+      val v = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 10).select(col("src").as("id"))
+      e = e.join(v.select(col("id").as("src")), Seq("src"))
+        .join(v.select(col("id").as("dst")), Seq("dst"))
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+      .orderBy(col("id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q202_kcore_peel" ->
+      """WITH p AS MATERIALIZED (SELECT c_custkey AS id,
+        |    CAST(((c_custkey // 10) // 50) % 30 AS DOUBLE) * 0.03 AS lat,
+        |    CAST((c_custkey // 10) % 50 AS DOUBLE) * 0.03 AS lon
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |j AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(round(2 * 6371000.0 * asin(sqrt(
+        |      pow(sin(radians(b.lat - a.lat) / 2), 2) +
+        |      cos(radians(a.lat)) * cos(radians(b.lat)) *
+        |      pow(sin(radians(b.lon - a.lon) / 2), 2)))) AS BIGINT) AS dist_m
+        |  FROM p a JOIN p b ON a.id < b.id),
+        |e0 AS (SELECT id_a AS src, id_b AS dst FROM j WHERE dist_m <= 8000),
+        |e AS MATERIALIZED (SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst, src FROM e0),
+        |v1 AS MATERIALIZED (SELECT src AS id FROM e
+        |  GROUP BY 1 HAVING count(*) >= 10),
+        |e1 AS MATERIALIZED (SELECT t.src, t.dst FROM e t
+        |  JOIN v1 a ON t.src = a.id JOIN v1 b ON t.dst = b.id),
+        |v2 AS MATERIALIZED (SELECT src AS id FROM e1
+        |  GROUP BY 1 HAVING count(*) >= 10),
+        |e2 AS MATERIALIZED (SELECT t.src, t.dst FROM e1 t
+        |  JOIN v2 a ON t.src = a.id JOIN v2 b ON t.dst = b.id),
+        |v3 AS MATERIALIZED (SELECT src AS id FROM e2
+        |  GROUP BY 1 HAVING count(*) >= 10),
+        |e3 AS MATERIALIZED (SELECT t.src, t.dst FROM e2 t
+        |  JOIN v3 a ON t.src = a.id JOIN v3 b ON t.dst = b.id),
+        |v4 AS MATERIALIZED (SELECT src AS id FROM e3
+        |  GROUP BY 1 HAVING count(*) >= 10),
+        |e4 AS MATERIALIZED (SELECT t.src, t.dst FROM e3 t
+        |  JOIN v4 a ON t.src = a.id JOIN v4 b ON t.dst = b.id),
+        |v5 AS MATERIALIZED (SELECT src AS id FROM e4
+        |  GROUP BY 1 HAVING count(*) >= 10),
+        |e5 AS MATERIALIZED (SELECT t.src, t.dst FROM e4 t
+        |  JOIN v5 a ON t.src = a.id JOIN v5 b ON t.dst = b.id),
+        |v6 AS MATERIALIZED (SELECT src AS id FROM e5
+        |  GROUP BY 1 HAVING count(*) >= 10),
+        |e6 AS MATERIALIZED (SELECT t.src, t.dst FROM e5 t
+        |  JOIN v6 a ON t.src = a.id JOIN v6 b ON t.dst = b.id)
+        |SELECT src AS id, count(*) AS deg FROM e6
+        |GROUP BY 1 ORDER BY id""".stripMargin,
     "q50_string_funcs" ->
       """SELECT p_partkey,
         |  upper(p_name) AS up_name,

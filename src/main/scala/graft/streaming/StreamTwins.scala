@@ -537,4 +537,48 @@ object StreamTwins {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("btok")).as("bpe_tokens"),
         sum(col("wtok")).as("ws_tokens"))
+
+  /** q196's streaming twin: growth-accounting increments from a live
+    * event stream. Emits one (user_id, day, is_new) row per ACTIVE
+    * (user, day) pair in append mode — is_new = 1 exactly on the user's
+    * first-ever active day; a batch-side `groupBy(day)` rollup of these
+    * increments reproduces q196's (dau, new, returning) frame
+    * row-for-row. State = two longs per user (first-seen day, last
+    * emitted day) regardless of stream length. Contract: per-user
+    * in-order delivery across batches (the [[scd2Maintain]] rule —
+    * within a batch the group sorts by day, so intra-batch disorder is
+    * absorbed); a cross-batch late day ≤ the last emitted day is
+    * dropped, its (user, day) row having already been published in
+    * append mode (prefix semantics, as [[sessionAssign]]/[[locfFill]]).
+    */
+  def newReturning(events: DataFrame): DataFrame = {
+    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("is_new",
+        org.apache.spark.sql.types.LongType))))
+    val in = events.select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"))
+    in.as(Encoders.row(in.schema))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState[(Long, Long), Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Row], state: GroupState[(Long, Long)]) =>
+          var (fd, last) =
+            state.getOption.getOrElse((Long.MaxValue, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          rows.toSeq.map(_.getLong(1)).sorted.foreach { day =>
+            if (fd == Long.MaxValue) fd = day
+            if (day > last) {
+              out += Row(user, day, if (day == fd) 1L else 0L)
+              last = day
+            }
+          }
+          state.update((fd, last))
+          out.iterator
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), enc)
+      .toDF()
+  }
 }

@@ -552,6 +552,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
+  test("q200 ANN recall: both arms broadcast the probe side; the " +
+    "corpus is never the build side and never cartesians with itself") {
+    val p = plan("q200_ann_recall")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // brute arm: broadcast nested-loop (probe × corpus); cell arm:
+    // broadcast hash on label — the overlap join of the two 5·|probes|
+    // result frames may plan however it likes, both sides are bounded
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("q201 seasonal decompose: the log collapses in one two-phase " +
+    "(type, day) agg; all windows run over the daily frame, no join") {
+    val p = plan("q201_seasonal_decompose")
+    assert(!p.contains("Join"), s"q201 needs no join: ${p.take(1500)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
   test("q198 quantile-normalize: the corpus maps through BROADCAST " +
     "joins only (the 10001-row lookup + bounded reference cells) — " +
     "no corpus-sized SMJ after the rank") {

@@ -29,7 +29,13 @@ class EmptyInputSpec extends SparkSpec {
       "q111_lm_bigram_score", "q112_char_entropy", "q113_source_divergence",
       "q114_stratified_topk", "q115_dedup_prefix", "q116_mix_temperature",
       "q117_span_mask", "q130_bm25_ranked", "q172_bpe_token_stats",
-      "q175_doc_chunks")
+      "q175_doc_chunks",
+      // round-6 span/selection tier
+      "q177_span_dedup", "q178_quota_sample", "q179_dup_rate_by_source",
+      "q180_dup_span_share", "q181_dsir_weight", "q182_ngram_novelty",
+      "q186_distinct_ngrams", "q193_span_containment",
+      // embeddings live in the same fixture dir
+      "q197_embed_health", "q200_ann_recall")
     qs.foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, emptyDir).count()
       assert(n == 0, s"$q returned $n rows on an empty corpus")
@@ -64,7 +70,12 @@ class EmptyInputSpec extends SparkSpec {
       // round-6 reporting tier
       // q176 excluded on purpose: GROUPING SETS (()) correctly yields the
       // grand-total row even over zero input rows
-      "q173_event_pivot", "q174_value_ecdf")
+      "q173_event_pivot", "q174_value_ecdf",
+      // round-6 continuation: ML-eval / survival / growth tier
+      "q183_target_encode", "q188_decile_gains", "q189_ks_drift",
+      "q191_auc_roc", "q192_kaplan_meier", "q195_user_entropy",
+      "q196_new_returning", "q198_quantile_normalize",
+      "q201_seasonal_decompose")
     qs.foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, emptyEventsDir).count()
       assert(n == 0, s"$q returned $n rows on an empty event log")
@@ -92,9 +103,23 @@ class EmptyInputSpec extends SparkSpec {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/customer.parquet")
     Seq("q139_geo_cell_join", "q143_hierarchy_flatten",
         "q145_fuzzy_match", "q148_subtree_rollup",
-        "q151_triangle_count").foreach { q =>
+        "q151_triangle_count", "q202_kcore_peel").foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       assert(n == 0, s"$q returned $n rows on an empty customer table")
+    }
+  }
+
+  test("warehouse reporting queries return empty, not errors, on zero " +
+    "orders/lineitems") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-or").toString
+    Tables.orders(spark, sfDir).limit(0)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/orders.parquet")
+    Tables.lineitem(spark, sfDir).limit(0)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/lineitem.parquet")
+    Seq("q184_benford", "q187_order_reconcile", "q190_unpivot",
+        "q199_mom_growth").foreach { q =>
+      val n = graft.SparkEntry.queries(q)(spark, dir).count()
+      assert(n == 0, s"$q returned $n rows on an empty order book")
     }
   }
 }

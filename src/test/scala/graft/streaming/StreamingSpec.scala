@@ -559,4 +559,36 @@ class StreamingSpec extends SparkSpec {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("streaming new/returning increments == batch first-day " +
+    "classification, batch-split-invariant (q196 twin)") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val d = rows.toDF().select($"user_id",
+      expr("unix_micros(ts) div 86400000000").as("day")).distinct()
+    val f = d.groupBy("user_id").agg(min($"day").as("fd"))
+    val expect = d.join(f, "user_id")
+      .select($"user_id", $"day",
+        when($"day" === $"fd", 1L).otherwise(0L).as("is_new"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def runChunks(chunks: Seq[Seq[Ev]], name: String): Set[(Long, Long, Long)] = {
+      val mem = MemoryStream[Ev]
+      val q = StreamTwins.newReturning(mem.toDF()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      } finally q.stop()
+    }
+    val one = runChunks(Seq(rows), "nr1")
+    // per-user in-order chunking (the documented delivery contract)
+    val split = runChunks(
+      Seq(rows.take(3), rows.slice(3, 5), rows.drop(5)), "nr3")
+    assert(expect.nonEmpty && one == expect && split == expect)
+    // a user's second active day is returning, not new
+    assert(one.count { case (u, _, n) => u == 2L && n == 1L } == 1)
+    assert(one.count { case (u, _, n) => u == 2L && n == 0L } == 1)
+  }
 }
