@@ -47,7 +47,11 @@ object PlanAudit extends App {
     "q179_dup_rate_by_source", "q180_dup_span_share", "q181_dsir_weight",
     "q182_ngram_novelty", "q183_target_encode", "q184_benford",
     "q185_shortest_path", "q186_distinct_ngrams", "q187_order_reconcile",
-    "q188_decile_gains", "q189_ks_drift", "q190_unpivot")
+    "q188_decile_gains", "q189_ks_drift", "q190_unpivot",
+    "q191_auc_roc", "q192_kaplan_meier", "q193_span_containment",
+    "q194_gini_spend", "q195_user_entropy", "q196_new_returning",
+    "q197_embed_health", "q198_quantile_normalize", "q199_mom_growth",
+    "q200_ann_recall", "q201_seasonal_decompose", "q202_kcore_peel")
   targets.foreach { q =>
     println(s"\n========== $q ==========")
     println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(
