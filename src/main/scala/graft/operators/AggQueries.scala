@@ -346,7 +346,62 @@ object AggQueries {
       .orderBy(col("month"))
   }
 
+  /** Demand-variability (XYZ) classification (q204): per part, the
+    * coefficient of variation of MONTHLY shipped quantity with the
+    * X/Y/Z class (stable / variable / erratic at 60%/70% CV) — the
+    * inventory-planning companion of q147's value-based ABC classes
+    * (forecastable A-parts get different stocking policy than erratic
+    * ones; the ABC×XYZ matrix is the standard planning grid).
+    *
+    * Exactness: monthly sums and both moments are exact BIGINTs
+    * (per-row round of the integral-valued quantity); CV =
+    * √(n·Σq²−S²)/S evaluated in ONE literal order and rounded once to
+    * bp — the numerator is ≥ 0 (Cauchy–Schwarz) and S > 0 (quantities
+    * positive), so there is no sign divergence. Same moment discipline
+    * as q133/q135/q142.
+    *
+    * Scale shape: two chained two-phase aggs on the part key — the
+    * fact table collapses at (part, month) grain map-side; nothing
+    * after the first agg exceeds |parts|×|months|.
+    */
+  def q204_demand_variability(spark: SparkSession,
+                              sfDir: String): DataFrame = {
+    val m = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        round(col("l_quantity")).cast("long").as("qty"))
+      .groupBy(col("l_partkey"), col("month"))
+      .agg(sum(col("qty")).as("q"))
+    m.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_months"), sum(col("q")).as("total_qty"),
+        sum(col("q") * col("q")).as("q2"))
+      .withColumn("cv_bp",
+        round(sqrt((col("n_months") * col("q2") -
+          col("total_qty") * col("total_qty")).cast("double"))
+          / col("total_qty") * 10000).cast("long"))
+      .select(col("l_partkey"), col("n_months"), col("total_qty"),
+        col("cv_bp"),
+        when(col("cv_bp") < 6000, "X").when(col("cv_bp") < 7000, "Y")
+          .otherwise("Z").as("xyz"))
+      .orderBy(col("l_partkey"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q204_demand_variability" ->
+      """WITH m AS (SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS month,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |p AS (SELECT l_partkey, count(*) AS n_months,
+        |    CAST(sum(q) AS BIGINT) AS total_qty,
+        |    CAST(sum(q * q) AS BIGINT) AS q2 FROM m GROUP BY 1),
+        |c AS (SELECT l_partkey, n_months, total_qty,
+        |    CAST(round(sqrt(CAST(n_months * q2 - total_qty * total_qty
+        |      AS DOUBLE)) / total_qty * 10000) AS BIGINT) AS cv_bp
+        |  FROM p)
+        |SELECT l_partkey, n_months, total_qty, cv_bp,
+        |  CASE WHEN cv_bp < 6000 THEN 'X' WHEN cv_bp < 7000 THEN 'Y'
+        |    ELSE 'Z' END AS xyz
+        |FROM c ORDER BY l_partkey""".stripMargin,
     "q199_mom_growth" ->
       """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |    count(*) AS n_orders,

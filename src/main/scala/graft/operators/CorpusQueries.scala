@@ -52,6 +52,31 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Dedup yield report (q203): the cluster-size histogram of the shared
+    * q94 near-dup cluster map — per cluster size: how many clusters, how
+    * many docs they hold, and how many docs a keep-one-per-cluster
+    * policy would drop. This is the one-page summary every dedup
+    * pipeline prints before anyone approves the drop (q100 lists the
+    * members, q109 performs the keep — this reports the YIELD), and the
+    * number that decides whether near-dedup is worth its cost on a new
+    * corpus source.
+    *
+    * Scale shape: consumes the memoized cluster assignment
+    * (`TextCache.form("cc94")` — the materialize-once artifact), then
+    * two bounded two-phase aggs: per-component sizes (≤ clustered docs)
+    * and the size histogram (≤ max cluster size rows).
+    */
+  def q203_dedup_report(spark: SparkSession, sfDir: String): DataFrame =
+    q94Clusters(spark, sfDir)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1L) * col("n_clusters")).as("n_drop"))
+      .orderBy(col("cluster_size"))
+
   /** Benchmark-contamination screen: flag training docs sharing word-3-gram
     * shingles with a held-out evaluation set (here: doc_id % 97 == 0 — the
     * fixture stand-in for a benchmark suite). Emits per-doc overlap counts
@@ -965,6 +990,15 @@ object CorpusQueries {
        |cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q203_dedup_report" ->
+      s"""WITH RECURSIVE $ccCtes,
+         |sz AS (SELECT component, count(*) AS cluster_size FROM cc
+         |  GROUP BY 1)
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  count(*) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+         |  CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_drop
+         |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "q100_dedup_components" ->
       s"""WITH RECURSIVE $ccCtes,
          |sz AS (SELECT component AS c2, count(*) AS n_members FROM cc GROUP BY 1)

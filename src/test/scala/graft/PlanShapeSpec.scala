@@ -570,6 +570,14 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
   }
 
+  test("q204 XYZ classification: two chained two-phase aggs on the " +
+    "part key — no join, no window") {
+    val p = plan("q204_demand_variability")
+    assert(!p.contains("Join"), s"q204 needs no join: ${p.take(1500)}")
+    assert(!p.contains("Window"), s"q204 needs no window: ${p.take(1500)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 3, p.take(1500))
+  }
+
   test("q198 quantile-normalize: the corpus maps through BROADCAST " +
     "joins only (the 10001-row lookup + bounded reference cells) — " +
     "no corpus-sized SMJ after the rank") {

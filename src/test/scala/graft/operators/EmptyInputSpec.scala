@@ -35,7 +35,7 @@ class EmptyInputSpec extends SparkSpec {
       "q180_dup_span_share", "q181_dsir_weight", "q182_ngram_novelty",
       "q186_distinct_ngrams", "q193_span_containment",
       // embeddings live in the same fixture dir
-      "q197_embed_health", "q200_ann_recall")
+      "q197_embed_health", "q200_ann_recall", "q203_dedup_report")
     qs.foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, emptyDir).count()
       assert(n == 0, s"$q returned $n rows on an empty corpus")
@@ -117,7 +117,7 @@ class EmptyInputSpec extends SparkSpec {
     Tables.lineitem(spark, sfDir).limit(0)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/lineitem.parquet")
     Seq("q184_benford", "q187_order_reconcile", "q190_unpivot",
-        "q199_mom_growth").foreach { q =>
+        "q199_mom_growth", "q204_demand_variability").foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       assert(n == 0, s"$q returned $n rows on an empty order book")
     }
