@@ -135,7 +135,57 @@ object DqQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** SLO error-budget burn (q206): per day, the error-event share
+    * against a 20% (2000 bp) error budget — daily burn rate in milli
+    * (1000 = burning exactly at budget) and the cumulative error share
+    * since the window opened. The SRE readout (multiwindow burn-rate
+    * alerting reads exactly these numbers) applied to the product event
+    * log; complements q125's static rules (which validate rows, not
+    * reliability over time) and q169's change-point (which finds WHEN,
+    * this tracks HOW MUCH budget is left).
+    *
+    * Exactness: pure integer counts; every ratio floors once with
+    * non-negative operands. The budget constant is a declared knob.
+    *
+    * Scale shape: one two-phase (day) agg collapses the log; the
+    * cumulative window runs over the calendar-bounded daily frame.
+    */
+  def q206_slo_burn(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("e"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("e")).as("n_err"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    d.withColumn("err_bp", expr("n_err * 10000 div n"))
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("cum_err", sum(col("n_err")).over(wCum))
+      .select(col("day"), col("n"), col("n_err"), col("err_bp"),
+        expr("err_bp * 1000 div 2000").as("burn_milli"),
+        expr("cum_err * 10000 div cum_n").as("cum_err_bp"))
+      .orderBy(col("day"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q206_slo_burn" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_err
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT day, n, n_err,
+        |    CAST(n_err * 10000 // n AS BIGINT) AS err_bp,
+        |    sum(n) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |    sum(n_err) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_err
+        |  FROM d)
+        |SELECT day, n, n_err, err_bp,
+        |  CAST(err_bp * 1000 // 2000 AS BIGINT) AS burn_milli,
+        |  CAST(cum_err * 10000 // cum_n AS BIGINT) AS cum_err_bp
+        |FROM c ORDER BY day""".stripMargin,
     "q187_order_reconcile" ->
       """WITH l AS (SELECT l_orderkey,
         |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)

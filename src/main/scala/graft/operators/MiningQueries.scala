@@ -499,7 +499,61 @@ object MiningQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Forecast backtest (q205): seasonal-naive baseline — forecast(d) =
+    * actual(d−7), the standard floor every real forecaster must beat —
+    * scored per event type over the days where the lag exists: MAE in
+    * cents and weighted MAPE (WAPE) in bp. This is the EVALUATION member
+    * of the time-series tier (q162 smooths, q168 indexes, q201
+    * decomposes — this one says how predictable the series actually is;
+    * a type whose WAPE is already ≤ its seasonal-naive floor needs no
+    * model).
+    *
+    * Exactness: |cents − fcst| is an exact BIGINT; both ratios floor
+    * once with non-negative numerators (nullif-guarded). WAPE weights by
+    * actual volume — the per-day-MAPE mean a zero-volume day would
+    * poison is deliberately not used.
+    *
+    * Scale shape: one two-phase (type, day) agg collapses the log; the
+    * lag-7 window and the rollup run over the calendar-bounded daily
+    * frame (q201's argument).
+    */
+  def q205_forecast_backtest(spark: SparkSession,
+                             sfDir: String): DataFrame = {
+    val d = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    d.withColumn("fcst", lag(col("cents"), 7).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(col("fcst")).as("n_days"),
+        sum(abs(col("cents") - col("fcst"))).as("sae"),
+        sum(when(col("fcst").isNotNull, col("cents"))).as("act"))
+      .select(col("event_type"), col("n_days"),
+        expr("sae div nullif(n_days, 0)").as("mae_cents"),
+        expr("sae * 10000 div nullif(act, 0)").as("wape_bp"))
+      .orderBy(col("event_type"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q205_forecast_backtest" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, day, cents,
+        |    lag(cents, 7) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS fcst
+        |  FROM d)
+        |SELECT event_type, count(fcst) AS n_days,
+        |  CAST(sum(abs(cents - fcst)) // nullif(count(fcst), 0) AS BIGINT)
+        |    AS mae_cents,
+        |  CAST(sum(abs(cents - fcst)) * 10000
+        |    // nullif(sum(CASE WHEN fcst IS NOT NULL THEN cents END), 0)
+        |    AS BIGINT) AS wape_bp
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q201_seasonal_decompose" ->
       """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

@@ -75,7 +75,8 @@ class EmptyInputSpec extends SparkSpec {
       "q183_target_encode", "q188_decile_gains", "q189_ks_drift",
       "q191_auc_roc", "q192_kaplan_meier", "q195_user_entropy",
       "q196_new_returning", "q198_quantile_normalize",
-      "q201_seasonal_decompose")
+      "q201_seasonal_decompose", "q205_forecast_backtest",
+      "q206_slo_burn")
     qs.foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, emptyEventsDir).count()
       assert(n == 0, s"$q returned $n rows on an empty event log")
