@@ -989,7 +989,90 @@ object CorpusQueries {
        |  SELECT reach.id, e.t FROM reach JOIN e ON reach.r = e.s),
        |cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id)""".stripMargin
 
+  /** Vocabulary-growth (Heaps) curve (q211): per lang, the cumulative
+    * distinct-token count at each decile of the corpus in doc_id arrival
+    * order — the saturation read corpus QA runs before deciding whether
+    * more crawl buys new language or re-crawls the same text (a flattening
+    * curve says marginal docs add no vocabulary; a straight line says the
+    * source is far from exhausted). Complements q186 (diversity at a
+    * snapshot) and q182 (novelty per doc) with the trajectory.
+    *
+    * The trick: cumulative-distinct is NOT distributable directly, but
+    * "token counted at the doc where it FIRST appears" is — one
+    * (lang, token) min-agg turns the running distinct into an ordinary
+    * running SUM of per-doc first-seen counts, exact at every prefix.
+    *
+    * Exactness: pure integer counts; checkpoints ck = max(nd·k div 10, 1)
+    * — engine-identical floors on positive operands; arrival order is the
+    * unique doc_id, so ranks never tie.
+    *
+    * Scale shape: one explode scan → (lang, token) min-agg (the linear
+    * vocab shuffle, unhinted — the q92 rule) → everything downstream runs
+    * on the DOC frame (corpus-count-sized, not token-sized). The per-lang
+    * rank window sorts docs within each lang partition — the doc frame is
+    * ~3 orders smaller than the token stream; at extreme scale swap in
+    * [[graft.functions.ScalableRank]] for the rank (q174's escalation),
+    * the first-seen trick is unchanged.
+    */
+  def q211_vocab_growth(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val wRank = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val d = docs.select(col("lang"), col("doc_id"))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+    // fresh exprIds per branch (flang/klang/glang) — d, firstSeen, and ks
+    // all descend from `docs`, and Spark's ambiguous-self-join check
+    // rejects reused attribute ids across join sides
+    val firstSeen = docs
+      .select(col("lang").as("flang"), col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("flang"), col("w")).agg(min(col("doc_id")).as("fdoc"))
+    val f = firstSeen
+      .join(d, col("flang") === col("lang") && col("fdoc") === col("doc_id"))
+      .groupBy(col("lang"), col("rn"))
+      .agg(count(lit(1)).as("nf"))
+      .select(col("lang").as("klang"), col("rn").as("krn"), col("nf"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = d.join(f, col("lang") === col("klang") &&
+        col("rn") === col("krn"), "left")
+      .withColumn("vocab",
+        sum(coalesce(col("nf"), lit(0L))).over(wCum))
+      .select(col("lang"), col("rn"), col("vocab"))
+    val ks = docs.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(
+        spark.range(1L, 11L).select(col("id").as("decile"))))
+      .select(col("lang").as("glang"), col("decile"),
+        expr("greatest(nd * decile div 10, 1L)").as("n_docs_cut"))
+    ks.join(c, col("n_docs_cut") === col("rn") &&
+        col("glang") === col("lang"))
+      .select(col("glang").as("lang"), col("decile"), col("n_docs_cut"),
+        col("vocab"))
+      .orderBy(col("lang"), col("decile"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q211_vocab_growth" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |t AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wf AS (SELECT lang, w, min(doc_id) AS fdoc FROM t GROUP BY lang, w),
+        |f AS (SELECT d.lang, d.rn, count(*) AS nf FROM wf
+        |  JOIN d ON wf.lang = d.lang AND wf.fdoc = d.doc_id
+        |  GROUP BY d.lang, d.rn),
+        |c AS (SELECT d.lang, d.rn,
+        |    CAST(sum(coalesce(f.nf, 0)) OVER (PARTITION BY d.lang
+        |      ORDER BY d.rn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab
+        |  FROM d LEFT JOIN f ON d.lang = f.lang AND d.rn = f.rn),
+        |n AS (SELECT lang, count(*) AS nd FROM documents GROUP BY lang),
+        |ks AS (SELECT lang, nd, k AS decile,
+        |    GREATEST(nd * k // 10, 1) AS ck
+        |  FROM n CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS k))
+        |SELECT ks.lang AS lang, CAST(ks.decile AS BIGINT) AS decile,
+        |  CAST(ks.ck AS BIGINT) AS n_docs_cut, c.vocab
+        |FROM ks JOIN c ON ks.lang = c.lang AND ks.ck = c.rn
+        |ORDER BY ks.lang, decile""".stripMargin,
     "q203_dedup_report" ->
       s"""WITH RECURSIVE $ccCtes,
          |sz AS (SELECT component, count(*) AS cluster_size FROM cc

@@ -168,7 +168,63 @@ object DqQueries {
       .orderBy(col("day"))
   }
 
+  /** Order-aging report (q208): per order status × 30-day age bucket
+    * (ages measured back from the corpus horizon — q192's 1-row
+    * broadcast pattern), order counts, cent totals, and each bucket's
+    * share of its status — the receivables/backlog aging schedule every
+    * finance-ops close runs (open orders piling into the 90+ bucket is
+    * the collections alarm; finished orders SHOULD skew old). The
+    * bucketed-age dimension complements q187 (which reconciles amounts,
+    * not time) and q199 (calendar trend, not outstanding age).
+    *
+    * Exactness: ages are exact integer epoch-day differences (both
+    * operands µs BIGINTs, one floor); the bucket is
+    * `least(age div 30, 3)` rendered as a sortable zero-padded label via
+    * CASE — identical literals both engines; shares floor once in bp.
+    *
+    * Scale shape: one scan → two-phase (status, bucket) agg (≤ 12
+    * groups); the share window runs over that bounded frame; the horizon
+    * is a 1-row broadcast. Nothing after the scan is corpus-sized.
+    */
+  def q208_order_aging(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderstatus"), unix_micros(col("o_orderdate")).as("us"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val h = o.agg(max(col("us")).as("hus"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+    o.crossJoin(broadcast(h))
+      .withColumn("age_days", expr("(hus - us) div 86400000000"))
+      .withColumn("bucket",
+        expr("CASE least(age_days div 30, 3L) WHEN 0 THEN '000-029' " +
+          "WHEN 1 THEN '030-059' WHEN 2 THEN '060-089' ELSE '090+' END"))
+      .groupBy(col("o_orderstatus"), col("bucket"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+      .withColumn("share_bp",
+        expr("n_orders * 10000 div sum(n_orders) over " +
+          "(partition by o_orderstatus)"))
+      .select(col("o_orderstatus"), col("bucket"), col("n_orders"),
+        col("cents"), col("share_bp"))
+      .orderBy(col("o_orderstatus"), col("bucket"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q208_order_aging" ->
+      """WITH o AS (SELECT o_orderstatus, epoch_us(o_orderdate) AS us,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |h AS (SELECT max(us) AS hus FROM o),
+        |b AS (SELECT o_orderstatus, cents,
+        |    CASE LEAST((hus - us) // 86400000000 // 30, 3)
+        |      WHEN 0 THEN '000-029' WHEN 1 THEN '030-059'
+        |      WHEN 2 THEN '060-089' ELSE '090+' END AS bucket
+        |  FROM o, h),
+        |g AS (SELECT o_orderstatus, bucket, count(*) AS n_orders,
+        |    CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM b GROUP BY 1, 2)
+        |SELECT o_orderstatus, bucket, n_orders, cents,
+        |  CAST(n_orders * 10000 // sum(n_orders)
+        |    OVER (PARTITION BY o_orderstatus) AS BIGINT) AS share_bp
+        |FROM g ORDER BY o_orderstatus, bucket""".stripMargin,
     "q206_slo_burn" ->
       """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
         |    count(*) AS n,

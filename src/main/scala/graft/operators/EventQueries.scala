@@ -1261,7 +1261,149 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Population Stability Index drift screen (q207): per event type, the
+    * PSI between the FIRST and SECOND half of the event calendar over the
+    * q132 fixed value buckets — the model-monitoring standard for "has
+    * this feature's distribution moved" (PSI < 0.1 stable, 0.1–0.25
+    * drifting, > 0.25 action), completing the drift family: q113 is KL
+    * across sources, q149 χ² tests association, q189 KS reads the max
+    * ECDF gap, PSI is the symmetric binned score ops teams alert on.
+    *
+    * Exactness: the calendar midpoint is integer epoch-day arithmetic off
+    * a 1-row broadcast (q192's horizon pattern); buckets are
+    * `least(cents div 5000, 9)` — pure BIGINT, engine-identical floors on
+    * non-negative cents; add-one smoothing over the OBSERVED (type,
+    * bucket) grid makes every share strictly positive with no ε constant;
+    * each bucket's (pA−pB)·ln(pA/pB) term is rounded ONCE to integer
+    * micro-nats (the q111/q181 single-quantization discipline), so the
+    * per-type sum is partition-order-free. Every term is ≥ 0 (x−y and
+    * ln(x/y) share sign), so PSI ≥ 0 exactly.
+    *
+    * Scale shape: ONE two-phase (type, bucket) conditional agg collapses
+    * the log; the smoothing totals ride as windows over the
+    * alphabet-bounded cell frame (|types|·10 rows); nothing corpus-sized
+    * survives the first agg.
+    */
+  def q207_psi_drift(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("least(cast(round(value * 100) as bigint) div 5000, 9L)")
+          .as("bucket"))
+    val mid = e.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val cells = e.crossJoin(broadcast(mid))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(when(col("day") < col("mid"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("day") >= col("mid"), 1L).otherwise(0L)).as("cb"))
+    val wT = Window.partitionBy(col("event_type"))
+    val pa = (col("ca") + 1).cast("double") /
+      (col("na") + col("k")).cast("double")
+    val pb = (col("cb") + 1).cast("double") /
+      (col("nb") + col("k")).cast("double")
+    cells
+      .withColumn("na", sum(col("ca")).over(wT))
+      .withColumn("nb", sum(col("cb")).over(wT))
+      .withColumn("k", count(lit(1)).over(wT))
+      .withColumn("term",
+        round((pa - pb) * log(pa / pb) * 1000000.0).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(max(col("na")).as("n_first"), max(col("nb")).as("n_second"),
+        max(col("k")).as("n_buckets"), sum(col("term")).as("psi_unat"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Daily session-quality KPIs (q209): the report layer over q131's
+    * per-event sessionization — per session-START day: session count,
+    * bounce share (single-event sessions, the canonical engagement
+    * alarm), total session time, and mean events per session. q131
+    * builds the session table; this is the rollup a product dashboard
+    * actually renders from it (bounce spikes are how instrumentation
+    * breaks and bot floods surface).
+    *
+    * Exactness: sessions come from [[Sessionize.assign]] (the declared
+    * q131 operator — strict-gap rule, event_id tie-break, replayed
+    * verbatim in the oracle CTE); durations stay exact integer µs until
+    * ONE floor to seconds on the daily sum; the events-per-session mean
+    * floors once to milli-events.
+    *
+    * Scale shape: the session pass is q131's single user_id
+    * window+agg partitioning (exchange-free on a user-bucketed layout);
+    * the daily rollup is a second two-phase agg whose input is already
+    * one row per session; the output frame is calendar-bounded.
+    */
+  def q209_session_stats(spark: SparkSession, sfDir: String): DataFrame =
+    Sessionize.assign(Tables.events(spark, sfDir), Seq("user_id"), "ts",
+        gap = "30 MINUTE", tieBreak = Seq("event_id"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_micros(min(col("ts"))).as("start_us"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("dur_us"))
+      .select(expr("start_us div 86400000000").as("day"),
+        col("n_events"), col("dur_us"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounce"),
+        sum(col("dur_us")).as("sum_dur_us"),
+        sum(col("n_events")).as("sum_events"))
+      .select(col("day"), col("n_sessions"), col("n_bounce"),
+        expr("n_bounce * 10000 div n_sessions").as("bounce_bp"),
+        expr("sum_dur_us div 1000000").as("total_dur_s"),
+        expr("sum_events * 1000 div n_sessions").as("events_milli"))
+      .orderBy(col("day"))
+
   val oracle: Map[String, String] = Map(
+    "q207_psi_drift" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    LEAST(CAST(round(value * 100) AS BIGINT) // 5000, 9) AS bucket
+        |  FROM events),
+        |m AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+        |c AS (SELECT event_type, bucket,
+        |    CAST(sum(CASE WHEN day < mid THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM e, m GROUP BY event_type, bucket),
+        |t AS (SELECT event_type, bucket, ca, cb,
+        |    sum(ca) OVER (PARTITION BY event_type) AS na,
+        |    sum(cb) OVER (PARTITION BY event_type) AS nb,
+        |    count(*) OVER (PARTITION BY event_type) AS k
+        |  FROM c),
+        |s AS (SELECT event_type, na, nb, k,
+        |    CAST(round((CAST(ca + 1 AS DOUBLE) / CAST(na + k AS DOUBLE)
+        |        - CAST(cb + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE))
+        |      * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + k AS DOUBLE))
+        |        / (CAST(cb + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE)))
+        |      * 1000000) AS BIGINT) AS term
+        |  FROM t)
+        |SELECT event_type, CAST(max(na) AS BIGINT) AS n_first,
+        |  CAST(max(nb) AS BIGINT) AS n_second,
+        |  CAST(max(k) AS BIGINT) AS n_buckets,
+        |  CAST(sum(term) AS BIGINT) AS psi_unat
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q209_session_stats" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |    sum(CASE WHEN prev_ts IS NULL
+        |          OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM e),
+        |g AS (SELECT user_id, session_seq, count(*) AS n_events,
+        |    epoch_us(min(ts)) AS start_us,
+        |    CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_us
+        |  FROM s GROUP BY 1, 2),
+        |d AS (SELECT start_us // 86400000000 AS day, n_events, dur_us FROM g)
+        |SELECT day, count(*) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounce,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000
+        |    // count(*) AS BIGINT) AS bounce_bp,
+        |  CAST(sum(dur_us) // 1000000 AS BIGINT) AS total_dur_s,
+        |  CAST(sum(n_events) * 1000 // count(*) AS BIGINT) AS events_milli
+        |FROM d GROUP BY day ORDER BY day""".stripMargin,
     "q198_quantile_normalize" ->
       """WITH e AS (SELECT event_id, event_type,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),

@@ -537,7 +537,103 @@ object MiningQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Lagged cross-correlation (q210): Pearson r between the daily
+    * 'view' count series and the 'purchase' count series shifted by
+    * lag ∈ [0, 7] days — the lead/lag discovery step behind every
+    * marketing-response and capacity model ("browsing today predicts
+    * buying in how many days?"); the bivariate, cross-series member of
+    * the time-series tier (q171 is one series vs itself; q142 is
+    * within-row bivariate).
+    *
+    * Exactness: both series are ZERO-FILLED onto the dense daily grid
+    * (explode(sequence) off a 1-row broadcast — missing days are real
+    * zeros, not dropped rows; dropping them biases r upward), so counts
+    * and all six moments are exact BIGINTs; r follows q142's discipline —
+    * moments cast to double once, combined in one literal order, r4
+    * rounding. Zero-variance lags drop (guard, not NaN).
+    *
+    * Scale shape: the log collapses at (type, day) grain in one
+    * two-phase agg; everything after — dense grid, 8-row lag frame, the
+    * self-join at day+lag, the per-lag moment agg — runs on
+    * calendar-bounded frames (q150/q171 argument). The corpus is
+    * touched exactly once.
+    */
+  def q210_lagged_xcorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val span = d.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = span.select(
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val xs = grid.join(
+        d.filter(col("event_type") === "view").select(col("day"),
+          col("n").as("x")), Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+    val ys = grid.join(
+        d.filter(col("event_type") === "purchase").select(col("day"),
+          col("n").as("y")), Seq("day"), "left")
+      .select(col("day").as("yday"), coalesce(col("y"), lit(0L)).as("y"))
+    val lags = spark.range(0L, 8L).select(col("id").as("lag"))
+    val m = xs.crossJoin(broadcast(lags))
+      .join(ys, col("yday") === col("day") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val nd = col("n_days").cast("double")
+    val vx = nd * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nd * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val num = nd * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    m.filter(col("n_days") > 1)
+      .withColumn("vx", vx).withColumn("vy", vy)
+      .filter(col("vx") > 0 && col("vy") > 0)
+      .select(col("lag"), col("n_days"),
+        Det.r4(num / (sqrt(col("vx")) * sqrt(col("vy")))).as("r"))
+      .orderBy(col("lag"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q210_lagged_xcorr" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n FROM events
+        |  WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2),
+        |s AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+        |g AS (SELECT unnest(generate_series(d0, d1)) AS day FROM s),
+        |xs AS (SELECT g.day, coalesce(v.n, 0) AS x FROM g
+        |  LEFT JOIN (SELECT day, n FROM d WHERE event_type = 'view') v
+        |    ON g.day = v.day),
+        |ys AS (SELECT g.day AS yday, coalesce(p.n, 0) AS y FROM g
+        |  LEFT JOIN (SELECT day, n FROM d WHERE event_type = 'purchase') p
+        |    ON g.day = p.day),
+        |l AS (SELECT unnest(generate_series(0, 7)) AS lag),
+        |m AS (SELECT lag, count(*) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM xs CROSS JOIN l JOIN ys ON ys.yday = xs.day + l.lag
+        |  GROUP BY lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_days,
+        |  round((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * sqrt(CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS r
+        |FROM m
+        |WHERE n_days > 1
+        |  AND CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |  AND CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+        |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |ORDER BY lag""".stripMargin,
     "q205_forecast_backtest" ->
       """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

@@ -70,6 +70,9 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q201_seasonal_decompose" -> 150L, "q202_kcore_peel" -> 0L,
     "q203_dedup_report" -> 6L, "q204_demand_variability" -> 200L,
     "q205_forecast_backtest" -> 5L, "q206_slo_burn" -> 30L,
+    "q207_psi_drift" -> 5L, "q208_order_aging" -> 12L,
+    "q209_session_stats" -> 30L, "q210_lagged_xcorr" -> 8L,
+    "q211_vocab_growth" -> 50L,
     "q103_text_normalize" -> 500L, "q104_shard_assign" -> 16L,
     "q105_domain_mix" -> 20L, "q106_line_dedup" -> 500L,
     "q107_quality_classifier" -> 500L, "q108_dedup_canonical" -> 174L,

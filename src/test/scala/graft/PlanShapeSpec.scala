@@ -613,4 +613,42 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q182_ngram_novelty")
     assert(!p.contains("Join"), s"q182 needs no join now: ${p.take(1500)}")
   }
+
+  test("q207 PSI: the log collapses in ONE two-phase (type, bucket) " +
+    "agg; the only join is the 1-row midpoint broadcast") {
+    val p = plan("q207_psi_drift")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      s"q207 must not shuffle-join the log: ${p.take(1500)}")
+  }
+
+  test("q208 aging: one two-phase (status, bucket) agg; horizon rides " +
+    "as a 1-row broadcast, never a shuffle join") {
+    val p = plan("q208_order_aging")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("q209 session stats: q131's single user_id partitioning feeds " +
+    "the daily rollup — no join anywhere") {
+    val p = plan("q209_session_stats")
+    assert(!p.contains("Join"), s"q209 needs no join: ${p.take(1500)}")
+    assert(p.contains("Window"), p.take(1500))
+  }
+
+  test("q210 cross-correlation: the log collapses first; the lag fan-" +
+    "out and day+lag joins run on bounded frames, never a cartesian") {
+    val p = plan("q210_lagged_xcorr")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("q211 vocab growth: the (lang, token) min-agg is two-phase and " +
+    "the vocab-cardinality first-seen join is NOT nested-loop") {
+    val p = plan("q211_vocab_growth")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
 }
