@@ -1050,7 +1050,115 @@ object CorpusQueries {
       .orderBy(col("lang"), col("decile"))
   }
 
+  /** Calibration reliability bins (q213): q107's hashed-linear quality
+    * score cut into 10 equal-COUNT bins (the standard reliability-diagram
+    * binning — equal-width bins starve the tails), with the observed
+    * positive rate per bin (positive = `lang = 'en'`, the deterministic
+    * stand-in label the fixtures support). A monotone pos_bp ladder says
+    * the score ranks; the gap between bin score and bin rate is the
+    * calibration error an [[graft.functions.Isotonic]] fit removes —
+    * this is the DECLARED, hash-checked companion of that unit-tier
+    * calibrator (q188 grades by decile lift; this reads raw calibration).
+    *
+    * Exactness: bin = (rn−1)·10 div n from [[graft.functions.ScalableRank]]
+    * ranks (exact, layout-independent); score sums stay exact integer
+    * units (means are NOT floored per bin — negative numerators floor
+    * differently across engines, the q162 rule; the consumer divides).
+    *
+    * Scale shape: one explode scan → per-doc agg; the global ranking is
+    * ScalableRank's bucketed two-phase form (no corpus-sized single
+    * window — max task ≈ idBucketWidth); the bin rollup is 10 groups.
+    */
+  def q213_calibration_bins(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("wt",
+        (conv(Sampling.hashHex(col("tok")), 16, 10).cast("long") % 2001)
+          - 1000)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("wt")).as("score_units"))
+    graft.functions.ScalableRank
+      .rowNumbers(s, Seq.empty, "score_units", "doc_id")
+      .withColumn("bin", expr("(rn - 1) * 10 div n"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_pos"),
+        sum(col("score_units")).as("sum_score_units"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        expr("n_pos * 10000 div n_docs").as("pos_bp"),
+        col("sum_score_units"))
+      .orderBy(col("bin"))
+  }
+
+  /** LIX readability (q216): Björnsson's läsbarhetsindex per doc —
+    * words/sentences + 100·(words > 6 chars)/words — the one classic
+    * readability formula that is EXACTLY integer-expressible (no
+    * syllable estimation), emitted in centi units. The text-QA signal
+    * q88's ratio panel doesn't cover: sentence-length and long-word
+    * structure (LIX < 30 easy, > 60 very hard); a corpus slice whose
+    * LIX collapses is word-salad or boilerplate even when stopword
+    * ratios look sane.
+    *
+    * Exactness: sentences counted as period-count + 1 (min 1 — a
+    * docs-without-periods guard by construction), words by the corpus'
+    * whitespace convention, long words via a length predicate inside the
+    * split array — all pure integer; both divisions floor once on
+    * non-negative operands.
+    *
+    * Scale shape: a zero-shuffle codegen projection (plan-pinned: no
+    * join, no window, no aggregate) — the scan-speed tier q103/q118
+    * belong to; the only exchange is the output sort.
+    */
+  def q216_readability(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        (length(col("text"))
+          - length(expr("replace(text, '.', '')")) + 1).cast("long")
+          .as("n_sent"),
+        expr("cast(size(filter(split(text, ' '), w -> length(w) > 6)) " +
+          "as bigint)").as("n_long"))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("n_sent"),
+        col("n_long"),
+        expr("n_words * 100 div n_sent + n_long * 10000 div " +
+          "nullif(n_words, 0)").as("lix_centi"))
+      .orderBy(col("doc_id"))
+
   val oracle: Map[String, String] = Map(
+    "q213_calibration_bins" ->
+      """WITH tk AS (SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |w AS (SELECT doc_id, lang,
+        |    CAST(CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER)
+        |      % 2001 - 1000 AS BIGINT) AS wt FROM tk),
+        |s AS (SELECT doc_id, lang, CAST(sum(wt) AS BIGINT) AS score_units
+        |  FROM w GROUP BY doc_id, lang),
+        |r AS (SELECT lang, score_units,
+        |    CAST(row_number() OVER (ORDER BY score_units, doc_id)
+        |      AS BIGINT) AS rn,
+        |    count(*) OVER () AS n FROM s),
+        |b AS (SELECT (rn - 1) * 10 // n AS bin, lang, score_units FROM r)
+        |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pos,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 10000
+        |    // count(*) AS BIGINT) AS pos_bp,
+        |  CAST(sum(score_units) AS BIGINT) AS sum_score_units
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q216_readability" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(text) - len(replace(text, '.', '')) + 1 AS BIGINT)
+        |    AS n_sent,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    w -> len(w) > 6)) AS BIGINT) AS n_long,
+        |  CAST(len(string_split(text, ' ')) * 100
+        |      // (len(text) - len(replace(text, '.', '')) + 1)
+        |    + len(list_filter(string_split(text, ' '), w -> len(w) > 6))
+        |      * 10000 // nullif(len(string_split(text, ' ')), 0)
+        |    AS BIGINT) AS lix_centi
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q211_vocab_growth" ->
       """WITH d AS (SELECT lang, doc_id,
         |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn

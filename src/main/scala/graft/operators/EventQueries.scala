@@ -1352,7 +1352,56 @@ object EventQueries {
         expr("sum_events * 1000 div n_sessions").as("events_milli"))
       .orderBy(col("day"))
 
+  /** Herfindahl–Hirschman spend concentration (q214): per event type,
+    * HHI = Σ (user share in bp)² over per-user cent totals — the
+    * antitrust-style concentration scalar next to q194's Gini (Gini
+    * reads inequality of the whole curve; HHI is dominated by the
+    * largest players, which is why platform-risk reviews quote it:
+    * < 1.5·10⁷ unconcentrated, > 2.5·10⁷ highly concentrated in bp²
+    * units). One whale leaving moves HHI before it moves revenue.
+    *
+    * Exactness: shares floor ONCE to integer bp (the documented
+    * quantization — Σshare_bp ≤ 10⁴ with the remainder lost to floors,
+    * identical in both engines), squares and sums are exact BIGINTs
+    * bounded by 10⁸.
+    *
+    * Scale shape: one (type, user) two-phase agg collapses the log; the
+    * totals re-aggregate from that frame (no second scan) and join back
+    * broadcast (|types| rows); the HHI agg runs on the user-frame with
+    * map-side partials. No window touches a user-sized partition.
+    */
+  def q214_hhi_spend(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("cents")).as("ucents"))
+    val tot = cells.groupBy(col("event_type"))
+      .agg(sum(col("ucents")).as("tcents"), count(lit(1)).as("n_users"))
+    cells.join(broadcast(tot), "event_type")
+      .withColumn("share_bp", expr("ucents * 10000 div tcents"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_users")).as("n_users"),
+        max(col("tcents")).as("total_cents"),
+        sum(col("share_bp") * col("share_bp")).as("hhi"))
+      .orderBy(col("event_type"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q214_hhi_spend" ->
+      """WITH c AS (SELECT event_type, user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS ucents
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(ucents) AS BIGINT) AS tcents,
+        |    count(*) AS n_users FROM c GROUP BY 1),
+        |s AS (SELECT c.event_type, t.n_users, t.tcents,
+        |    ucents * 10000 // tcents AS share_bp
+        |  FROM c JOIN t ON c.event_type = t.event_type)
+        |SELECT event_type, CAST(max(n_users) AS BIGINT) AS n_users,
+        |  CAST(max(tcents) AS BIGINT) AS total_cents,
+        |  CAST(sum(share_bp * share_bp) AS BIGINT) AS hhi
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q207_psi_drift" ->
       """WITH e AS (SELECT event_type,
         |    epoch_us(ts) // 86400000000 AS day,

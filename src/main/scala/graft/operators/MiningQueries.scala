@@ -599,7 +599,70 @@ object MiningQueries {
       .orderBy(col("lag"))
   }
 
+  /** Daily burstiness / index of dispersion (q215): per event type the
+    * Fano factor of the zero-filled daily count series — variance-to-
+    * mean in bp (10⁴ = Poisson; far above = bursty/campaign-driven or
+    * bot-pulsed; far below = rate-limited or synthetic-uniform). The
+    * arrival-PROCESS screen next to q207 (value-distribution drift),
+    * q169 (level change-points), and q171/q210 (serial structure) — a
+    * bot that fires like clockwork has normal values and zero drift but
+    * an un-Poisson Fano.
+    *
+    * Exactness: counts zero-filled onto the dense grid (q210's rule —
+    * missing days ARE the signal for burstiness); Fano via the moment
+    * identity (n·Σx² − S²)·10⁴ div (n·S) — all BIGINT, one floor,
+    * numerator ≥ 0 by Cauchy–Schwarz so engine floors agree;
+    * nullif-guards an all-zero type. Σx² bounded: 10¹¹ at 10⁴-row days
+    * over 10³ days; widen to decimal past ~10¹⁴ (q168 note).
+    *
+    * Scale shape: the log collapses at (type, day) grain in one
+    * two-phase agg; the grid fan-out and both rollups run on
+    * calendar-bounded frames (q210's argument).
+    */
+  def q215_dispersion(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    // fresh exprIds (ty/gday) — the type list and the grid both descend
+    // from `d`, and the join back would otherwise be an ambiguous
+    // self-join (the q211 lesson)
+    val days = d.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("gday"))
+    val dense = d.select(col("event_type").as("ty")).distinct()
+      .crossJoin(broadcast(days))
+      .join(d, col("ty") === col("event_type") &&
+        col("gday") === col("day"), "left")
+      .select(col("ty"), coalesce(col("x"), lit(0L)).as("x"))
+    dense.groupBy(col("ty"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("q"))
+      .select(col("ty").as("event_type"), col("n_days"),
+        expr("s * 1000 div n_days").as("mean_milli"),
+        expr("(n_days * q - s * s) * 10000 div nullif(n_days * s, 0)")
+          .as("fano_bp"))
+      .orderBy(col("event_type"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q215_dispersion" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS x FROM events GROUP BY 1, 2),
+        |s AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+        |g AS (SELECT unnest(generate_series(d0, d1)) AS day FROM s),
+        |ty AS (SELECT DISTINCT event_type FROM d),
+        |dense AS (SELECT ty.event_type, coalesce(d.x, 0) AS x
+        |  FROM ty CROSS JOIN g
+        |  LEFT JOIN d ON d.event_type = ty.event_type AND d.day = g.day),
+        |m AS (SELECT event_type, count(*) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS q
+        |  FROM dense GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  CAST(s * 1000 // n_days AS BIGINT) AS mean_milli,
+        |  CAST((n_days * q - s * s) * 10000 // nullif(n_days * s, 0)
+        |    AS BIGINT) AS fano_bp
+        |FROM m ORDER BY event_type""".stripMargin,
     "q210_lagged_xcorr" ->
       """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |    count(*) AS n FROM events

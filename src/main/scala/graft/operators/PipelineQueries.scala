@@ -488,7 +488,129 @@ object PipelineQueries {
        |  FROM seg s WHERE s.pos <= length(s.word)),
        |tok AS (SELECT word, cnt AS ntok FROM seg WHERE pos > length(word))""".stripMargin
 
+  /** Retrieval-evaluation harness (q212): MRR@10 and nDCG@10 for ranked
+    * full-text search, scored per query over a deterministic 10-query
+    * eval set derived FROM the corpus — the IR-metrics readout a search
+    * deployment runs before shipping a ranker change. Completes the
+    * ML-evaluation suite: q188 grades a targeting ranking, q191 a
+    * classifier ranking, q200 ANN recall — this grades TEXT retrieval.
+    *
+    * Query set: vocabulary terms ranked by (df desc, term asc); the top
+    * 20 pair off into 10 two-term queries (query i = ranks 2i+1, 2i+2).
+    * Candidates = OR-match (≥1 term), relevant = AND-match (both) —
+    * q90's conjunctive semantics as graded ground truth over q95's
+    * TF-IDF ranking (tf·ln(N/df), a 2-term commutative sum — the q95
+    * association-hazard-free form; ranking ties break on doc_id).
+    *
+    * Exactness: every 1/log₂(rank+1) discount is one of TEN constants,
+    * inlined as rounded integer milli literals in BOTH engines — no
+    * runtime float in the metric; mrr = 1000 div first-relevant-rank;
+    * ndcg_bp = dcg·10⁴ div idcg (idcg = prefix-sum literal at
+    * min(n_rel, 10); NULL when a query has no relevant doc).
+    *
+    * Scale shape: df agg → global top-20 via TakeOrderedAndProject (no
+    * vocab-sized window); the 20-term query frame broadcasts into the
+    * token scan (q101's eval-broadcast argument — query sets are small
+    * by construction); per-query ranking windows run over matched docs
+    * only (q95's rule); metric aggs see ≤ |candidates| rows.
+    */
+  def q212_retrieval_eval(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.agg(count(lit(1)).cast("double").as("nn"))
+    val dft = docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val top = dft.orderBy(col("df").desc, col("term").asc).limit(20)
+    val wTop = Window.orderBy(col("df").desc, col("term").asc)
+    val queries = top.withColumn("r", row_number().over(wTop).cast("long"))
+      .withColumn("qid", expr("(r - 1) div 2"))
+    val qmeta = queries.groupBy(col("qid"))
+      .agg(min(when(col("r") % 2 === 1, col("term"))).as("term_a"),
+        min(when(col("r") % 2 === 0, col("term"))).as("term_b"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .join(broadcast(queries.select(col("qid"), col("term"), col("df"))),
+        "term")
+      .groupBy(col("qid"), col("doc_id"), col("term"), col("df"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf.crossJoin(broadcast(n))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("tf").cast("double")
+          * log(col("nn") / col("df").cast("double"))).as("score"),
+        count(lit(1)).as("nt"))
+    val wQ = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val disc = "CASE rk WHEN 1 THEN 1000 WHEN 2 THEN 631 WHEN 3 THEN 500" +
+      " WHEN 4 THEN 431 WHEN 5 THEN 387 WHEN 6 THEN 356 WHEN 7 THEN 333" +
+      " WHEN 8 THEN 315 WHEN 9 THEN 301 WHEN 10 THEN 289 ELSE 0 END"
+    val idcg = "CASE least(n_rel, 10L) WHEN 0 THEN 0 WHEN 1 THEN 1000" +
+      " WHEN 2 THEN 1631 WHEN 3 THEN 2131 WHEN 4 THEN 2562" +
+      " WHEN 5 THEN 2949 WHEN 6 THEN 3305 WHEN 7 THEN 3638" +
+      " WHEN 8 THEN 3953 WHEN 9 THEN 4254 ELSE 4543 END"
+    scored
+      .withColumn("rk", row_number().over(wQ).cast("long"))
+      .withColumn("rel", (col("nt") === 2).cast("long"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_cand"), sum(col("rel")).as("n_rel"),
+        min(when(col("rel") === 1 && col("rk") <= 10, col("rk")))
+          .as("first_rel"),
+        sum(when(col("rk") <= 10 && col("rel") === 1, expr(disc))
+          .otherwise(0L)).as("dcg_milli"))
+      .join(broadcast(qmeta), "qid")
+      .select(col("qid"), col("term_a"), col("term_b"), col("n_cand"),
+        col("n_rel"),
+        coalesce(expr("1000 div first_rel"), lit(0L)).as("mrr_milli"),
+        col("dcg_milli"),
+        expr(s"dcg_milli * 10000 div nullif($idcg, 0)").as("ndcg_bp"))
+      .orderBy(col("qid"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q212_retrieval_eval" ->
+      """WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents),
+        |dft AS (SELECT term, count(*) AS df FROM (
+        |    SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+        |      AS term FROM documents) GROUP BY term),
+        |q AS (SELECT term, df,
+        |    CAST(row_number() OVER (ORDER BY df DESC, term) AS BIGINT) AS r
+        |  FROM dft QUALIFY r <= 20),
+        |qs AS (SELECT term, df, r, (r - 1) // 2 AS qid FROM q),
+        |qm AS (SELECT qid,
+        |    min(CASE WHEN r % 2 = 1 THEN term END) AS term_a,
+        |    min(CASE WHEN r % 2 = 0 THEN term END) AS term_b
+        |  FROM qs GROUP BY qid),
+        |tf AS (SELECT qs.qid, t.doc_id, t.term, qs.df, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents) t
+        |  JOIN qs ON t.term = qs.term
+        |  GROUP BY qs.qid, t.doc_id, t.term, qs.df),
+        |sc AS (SELECT qid, doc_id,
+        |    sum(CAST(tf AS DOUBLE) * ln(nn / CAST(df AS DOUBLE))) AS score,
+        |    count(*) AS nt
+        |  FROM tf, n GROUP BY qid, doc_id),
+        |rk AS (SELECT qid, doc_id, nt,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+        |  FROM sc),
+        |ag AS (SELECT qid, count(*) AS n_cand,
+        |    CAST(sum(CASE WHEN nt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+        |    min(CASE WHEN nt = 2 AND rk <= 10 THEN rk END) AS first_rel,
+        |    CAST(sum(CASE WHEN rk <= 10 AND nt = 2 THEN
+        |      CASE rk WHEN 1 THEN 1000 WHEN 2 THEN 631 WHEN 3 THEN 500
+        |        WHEN 4 THEN 431 WHEN 5 THEN 387 WHEN 6 THEN 356
+        |        WHEN 7 THEN 333 WHEN 8 THEN 315 WHEN 9 THEN 301
+        |        WHEN 10 THEN 289 ELSE 0 END ELSE 0 END) AS BIGINT)
+        |      AS dcg_milli
+        |  FROM rk GROUP BY qid)
+        |SELECT ag.qid, qm.term_a, qm.term_b, ag.n_cand, ag.n_rel,
+        |  coalesce(1000 // first_rel, 0) AS mrr_milli, ag.dcg_milli,
+        |  ag.dcg_milli * 10000 // nullif(CASE LEAST(n_rel, 10)
+        |    WHEN 0 THEN 0 WHEN 1 THEN 1000 WHEN 2 THEN 1631
+        |    WHEN 3 THEN 2131 WHEN 4 THEN 2562 WHEN 5 THEN 2949
+        |    WHEN 6 THEN 3305 WHEN 7 THEN 3638 WHEN 8 THEN 3953
+        |    WHEN 9 THEN 4254 ELSE 4543 END, 0) AS ndcg_bp
+        |FROM ag JOIN qm ON ag.qid = qm.qid ORDER BY ag.qid""".stripMargin,
     "q172_bpe_token_stats" ->
       s"""WITH RECURSIVE ${bpeCtes("lang")},
          |bpe AS (SELECT i.lang, CAST(sum(t.ntok) AS BIGINT) AS bpe_tokens

@@ -72,7 +72,9 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q205_forecast_backtest" -> 5L, "q206_slo_burn" -> 30L,
     "q207_psi_drift" -> 5L, "q208_order_aging" -> 12L,
     "q209_session_stats" -> 30L, "q210_lagged_xcorr" -> 8L,
-    "q211_vocab_growth" -> 50L,
+    "q211_vocab_growth" -> 50L, "q212_retrieval_eval" -> 10L,
+    "q213_calibration_bins" -> 10L, "q214_hhi_spend" -> 5L,
+    "q215_dispersion" -> 5L, "q216_readability" -> 500L,
     "q103_text_normalize" -> 500L, "q104_shard_assign" -> 16L,
     "q105_domain_mix" -> 20L, "q106_line_dedup" -> 500L,
     "q107_quality_classifier" -> 500L, "q108_dedup_canonical" -> 174L,

@@ -651,4 +651,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
   }
+
+  test("q212 retrieval eval: top-20 query terms via " +
+    "TakeOrderedAndProject (no vocab-sized window); the query frame " +
+    "broadcasts into the token scan") {
+    val p = plan("q212_retrieval_eval")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p.take(1500))
+  }
+
+  test("q213 calibration bins: the global score ranking is " +
+    "ScalableRank's bucketed form, never one corpus-sized window task") {
+    val p = plan("q213_calibration_bins")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    val bucketed = "windowspecdefinition\\(score_units#\\d+L, __ib#\\d+L".r
+    assert(bucketed.findFirstIn(p).isDefined,
+      s"bucketed ranking missing: ${p.take(2000)}")
+  }
+
+  test("q214 HHI: totals re-aggregate from the (type, user) frame and " +
+    "join back broadcast — no shuffle join, no second scan of the log") {
+    val p = plan("q214_hhi_spend")
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(1500))
+  }
+
+  test("q215 dispersion: the log collapses at (type, day) grain; the " +
+    "dense-grid fan-out never cartesians") {
+    val p = plan("q215_dispersion")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("q216 LIX readability is a zero-shuffle codegen projection: " +
+    "no join, no window, no aggregate") {
+    val p = plan("q216_readability")
+    assert(!p.contains("Join"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("HashAggregate"), p.take(1500))
+  }
 }
