@@ -386,7 +386,73 @@ object AggQueries {
       .orderBy(col("l_partkey"))
   }
 
+  /** Shipping-delay SLA percentiles (q219): per order priority, exact
+    * p50/p90/p99 and max of line-level ship delay (l_shipdate −
+    * o_orderdate in days) — the logistics SLA report ("do URGENT orders
+    * actually ship faster, and what does the tail look like?"); the
+    * latency-percentile dashboard shape on the warehouse schema.
+    * Complements q187 (amount reconciliation) and q208 (outstanding
+    * age) with fulfilment SPEED.
+    *
+    * Exactness: delays are exact integer day differences; percentiles
+    * via the integer crossing rule on the (priority, delay) histogram
+    * (cum·2 ≥ n / cum·10 ≥ n·9 / cum·100 ≥ n·99 — the q166/q221
+    * lower-percentile convention, no interpolation, no float).
+    *
+    * Scale shape: the orders⋈lineitem join runs on the natural
+    * o_orderkey partitioning (exchange-free on co-bucketed layouts),
+    * then the fact collapses into a (priority, delay) two-phase
+    * histogram — the crossing window reads |priorities|×|delay alphabet|
+    * rows, never the fact (the ExactPercentile argument).
+    */
+  def q219_ship_delay(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), unix_micros(col("l_shipdate")).as("sus"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          unix_micros(col("o_orderdate")).as("ous")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        expr("(sus - ous) div 86400000000").as("delay"))
+      .groupBy(col("o_orderpriority"), col("delay"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("delay"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n",
+        sum(col("c")).over(Window.partitionBy(col("o_orderpriority"))))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("n")).as("n_lines"),
+        min(when(col("cum") * 2 >= col("n"), col("delay"))).as("p50_d"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("delay")))
+          .as("p90_d"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("delay")))
+          .as("p99_d"),
+        max(col("delay")).as("max_d"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q219_ship_delay" ->
+      """WITH d AS (SELECT o.o_orderpriority,
+        |    (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+        |      // 86400000000 AS delay
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |hist AS (SELECT o_orderpriority, delay, count(*) AS c
+        |  FROM d GROUP BY 1, 2),
+        |w AS (SELECT o_orderpriority, delay,
+        |    sum(c) OVER (PARTITION BY o_orderpriority ORDER BY delay
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY o_orderpriority) AS n FROM hist)
+        |SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_lines,
+        |  min(CASE WHEN cum * 2 >= n THEN delay END) AS p50_d,
+        |  min(CASE WHEN cum * 10 >= n * 9 THEN delay END) AS p90_d,
+        |  min(CASE WHEN cum * 100 >= n * 99 THEN delay END) AS p99_d,
+        |  max(delay) AS max_d
+        |FROM w GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q204_demand_variability" ->
       """WITH m AS (SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS month,
         |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q

@@ -1125,7 +1125,56 @@ object CorpusQueries {
           "nullif(n_words, 0)").as("lix_centi"))
       .orderBy(col("doc_id"))
 
+  /** Source rebalance plan (q220): the concrete per-source downsample
+    * schedule that equalizes an imbalanced corpus toward the MEDIAN
+    * source size — keep rate in bp (capped at 10⁴; below-target sources
+    * keep everything) and the resulting doc count. q105 reports the
+    * imbalance and q116 prices a temperature mix in weight space; this
+    * emits the executable plan in DOC space — the number the q73/q74
+    * hash-samplers are then configured with (rate = keep_bp as the
+    * per-source threshold).
+    *
+    * Exactness: target = integer lower-median of source sizes (the
+    * q166 crossing rule over the |sources| frame); keep_bp and n_kept
+    * are single-floor BIGINT arithmetic — n_kept is the EXACT doc count
+    * a keep_bp hash threshold admits in expectation, floored.
+    *
+    * Scale shape: one two-phase (source) count agg collapses the
+    * corpus; the median window and the plan arithmetic run on the
+    * |sources| frame (bounded — thousands at most, the q113 argument)
+    * with a 1-row target broadcast.
+    */
+  def q220_rebalance_plan(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.documents(spark, sfDir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy(col("n_docs").asc, col("source").asc)
+    val tgt = s
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .agg(min(when(col("rn") * 2 >= col("n"), col("n_docs")))
+        .as("target_n"))
+    s.crossJoin(broadcast(tgt))
+      .select(col("source"), col("n_docs"), col("target_n"),
+        least(lit(10000L), expr("target_n * 10000 div n_docs"))
+          .as("keep_bp"))
+      .withColumn("n_kept", expr("n_docs * keep_bp div 10000"))
+      .orderBy(col("source"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q220_rebalance_plan" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs FROM documents
+        |  GROUP BY source),
+        |r AS (SELECT source, n_docs,
+        |    row_number() OVER (ORDER BY n_docs, source) AS rn,
+        |    count(*) OVER () AS n FROM s),
+        |t AS (SELECT CAST(min(CASE WHEN rn * 2 >= n THEN n_docs END)
+        |    AS BIGINT) AS target_n FROM r)
+        |SELECT source, n_docs, target_n,
+        |  LEAST(10000, target_n * 10000 // n_docs) AS keep_bp,
+        |  CAST(n_docs * LEAST(10000, target_n * 10000 // n_docs) // 10000
+        |    AS BIGINT) AS n_kept
+        |FROM s, t ORDER BY source""".stripMargin,
     "q213_calibration_bins" ->
       """WITH tk AS (SELECT doc_id, lang,
         |    unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -1387,7 +1387,118 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Churn-state decomposition by signup cohort (q218): each user's
+    * lifecycle state at the corpus horizon — active (seen on the
+    * horizon day), lapsing (1 day stale), churned (older) — split by
+    * first-seen epoch WEEK. The growth-accounting complement of q120
+    * (which reads week-k return RATES) and q196 (daily inflow): this is
+    * the STOCK view a retention review opens with ("of the March
+    * cohort, what share is still alive today?"), and the population the
+    * q188/q183 models actually score. The 0/1-day recency thresholds
+    * are fixture-compressed knobs (the synthetic log is 30 dense days;
+    * a production deployment runs 7/30 — the q144 `% 3` rule: a
+    * fixture-size bound, not semantics).
+    *
+    * Exactness: one user-keyed agg yields (first, last) epoch days;
+    * cohort week = (day + 3) div 7 (Monday-aligned pure integer
+    * arithmetic — no engine calendar functions); recency in exact
+    * integer days off a 1-row horizon broadcast; shares floor once per
+    * (cohort, state) against window-summed cohort sizes.
+    *
+    * Scale shape: one user_id two-phase agg collapses the log
+    * (exchange-free on a user-bucketed layout); everything after runs
+    * on the |weeks|×3 frame.
+    */
+  def q218_churn_state(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val h = u.agg(max(col("d1")).as("hday"))
+    u.crossJoin(broadcast(h))
+      .select(expr("(d0 + 3) div 7").as("cohort_week"),
+        (col("hday") - col("d1")).as("age"))
+      .select(col("cohort_week"),
+        when(col("age") === 0, "1_active")
+          .when(col("age") === 1, "2_lapsing")
+          .otherwise("3_churned").as("state"))
+      .groupBy(col("cohort_week"), col("state"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("share_bp",
+        expr("n_users * 10000 div sum(n_users) over " +
+          "(partition by cohort_week)"))
+      .orderBy(col("cohort_week"), col("state"))
+  }
+
+  /** Daily purchase-value percentile bands (q221): per day the exact
+    * p10/p50/p90 of purchase cents — the metrics-dashboard band chart
+    * (and the latency-percentile shape applied to money). q27/q136 read
+    * per-TYPE distributions once; this is the same discipline laid out
+    * along the calendar, where a p90 drifting away from a flat p50
+    * says the whale tail is moving before any mean-based monitor fires.
+    *
+    * Exactness: integer crossing rule on the (day, cents) histogram
+    * (cum·10 ≥ n, cum·2 ≥ n, cum·10 ≥ n·9 — the q166 lower-percentile
+    * convention; no interpolation, no float).
+    *
+    * Scale shape: the log collapses into a (day, cents) two-phase
+    * histogram; the cumulative window and the selection run over the
+    * per-day value alphabet (the ExactPercentile argument) — group
+    * SIZE never bounds executor memory.
+    */
+  def q221_value_bands(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("day"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("day")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("day"))))
+      .groupBy(col("day"))
+      .agg(max(col("n")).as("n_purch"),
+        min(when(col("cum") * 10 >= col("n"), col("cents"))).as("p10_c"),
+        min(when(col("cum") * 2 >= col("n"), col("cents"))).as("p50_c"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("cents")))
+          .as("p90_c"))
+      .orderBy(col("day"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q218_churn_state" ->
+      """WITH u AS (SELECT user_id,
+        |    min(epoch_us(ts) // 86400000000) AS d0,
+        |    max(epoch_us(ts) // 86400000000) AS d1
+        |  FROM events GROUP BY user_id),
+        |h AS (SELECT max(d1) AS hday FROM u),
+        |s AS (SELECT (d0 + 3) // 7 AS cohort_week,
+        |    CASE WHEN hday - d1 = 0 THEN '1_active'
+        |    WHEN hday - d1 = 1 THEN '2_lapsing'
+        |    ELSE '3_churned' END AS state
+        |  FROM u, h),
+        |g AS (SELECT cohort_week, state, count(*) AS n_users
+        |  FROM s GROUP BY 1, 2)
+        |SELECT cohort_week, state, n_users,
+        |  CAST(n_users * 10000 // sum(n_users)
+        |    OVER (PARTITION BY cohort_week) AS BIGINT) AS share_bp
+        |FROM g ORDER BY cohort_week, state""".stripMargin,
+    "q221_value_bands" ->
+      """WITH hist AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents, count(*) AS c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |w AS (SELECT day, cents,
+        |    sum(c) OVER (PARTITION BY day ORDER BY cents
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY day) AS n FROM hist)
+        |SELECT day, CAST(max(n) AS BIGINT) AS n_purch,
+        |  min(CASE WHEN cum * 10 >= n THEN cents END) AS p10_c,
+        |  min(CASE WHEN cum * 2 >= n THEN cents END) AS p50_c,
+        |  min(CASE WHEN cum * 10 >= n * 9 THEN cents END) AS p90_c
+        |FROM w GROUP BY day ORDER BY day""".stripMargin,
     "q214_hhi_spend" ->
       """WITH c AS (SELECT event_type, user_id,
         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

@@ -645,7 +645,112 @@ object MiningQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Robust daily-volume anomaly screen (q217): per event type, flag
+    * days whose ZERO-FILLED daily count deviates from the type's median
+    * by more than 3.5 modified z-scores (0.6745·|x−med|/MAD — the
+    * Iglewicz–Hoaglin rule); median/MAD instead of q133's mean/σ so the
+    * anomalies themselves can't mask the baseline (one 100× spike
+    * inflates σ enough to hide the next one; it moves the median not at
+    * all). The operational alert on the ARRIVAL series: q169 localizes
+    * level shifts, q215 scores burstiness — this names the exact bad
+    * days, including silent-zero outage days (the zero-fill is the
+    * point).
+    *
+    * Exactness: median and MAD are integer lower-medians via the q166
+    * crossing rule (rn·2 ≥ n) — no interpolation, no float; the flag
+    * 6745·dev > 35000·mad and the reported score are single-floor
+    * integer arithmetic; an all-constant series (MAD = 0) flags any
+    * deviation and reports a NULL score (division undefined), pinned on
+    * both engines. The report emits each type's TOP-3 most deviant days
+    * with the flag (dev desc, day asc — deterministic), so the readout
+    * is never empty on a quiet corpus (the fixture's uniform synthetic
+    * series correctly flags nothing; the scores still hash-pin the
+    * median/MAD math).
+    *
+    * Scale shape: the log collapses at (type, day) grain; the grid
+    * fan-out, both crossing windows, and the flag join all run on
+    * calendar-bounded per-type frames (q171's argument); median/MAD
+    * frames join back broadcast (|types| rows).
+    */
+  def q217_daily_anomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    val days = d.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("gday"))
+    val dense = d.select(col("event_type").as("ty")).distinct()
+      .crossJoin(broadcast(days))
+      .join(d, col("ty") === col("event_type") &&
+        col("gday") === col("day"), "left")
+      .select(col("ty"), col("gday"), coalesce(col("x"), lit(0L)).as("x"))
+    val wMed = Window.partitionBy(col("ty"))
+      .orderBy(col("x").asc, col("gday").asc)
+    val med = dense
+      .withColumn("rn", row_number().over(wMed).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("ty"))))
+      .groupBy(col("ty"))
+      .agg(min(when(col("rn") * 2 >= col("n"), col("x"))).as("med"))
+      .select(col("ty").as("mty"), col("med"))
+    val withDev = dense.join(broadcast(med), col("ty") === col("mty"))
+      .withColumn("dev", abs(col("x") - col("med")))
+    val wMad = Window.partitionBy(col("ty"))
+      .orderBy(col("dev").asc, col("gday").asc)
+    val mad = withDev
+      .withColumn("rn", row_number().over(wMad).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("ty"))))
+      .groupBy(col("ty"))
+      .agg(min(when(col("rn") * 2 >= col("n"), col("dev"))).as("mad"))
+      .select(col("ty").as("aty"), col("mad"))
+    val wTop = Window.partitionBy(col("ty"))
+      .orderBy(col("dev").desc, col("gday").asc)
+    withDev.join(broadcast(mad), col("ty") === col("aty"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 3)
+      .select(col("ty").as("event_type"), col("gday").as("day"), col("x"),
+        col("med"), col("mad"),
+        expr("dev * 6745 div nullif(mad * 10, 0)").as("score_milli"),
+        ((col("mad") > 0 && col("dev") * 6745 > col("mad") * 35000) ||
+          (col("mad") === 0 && col("dev") > 0)).as("anomalous"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q217_daily_anomaly" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS x FROM events GROUP BY 1, 2),
+        |s AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+        |g AS (SELECT unnest(generate_series(d0, d1)) AS gday FROM s),
+        |ty AS (SELECT DISTINCT event_type AS ty FROM d),
+        |dense AS (SELECT ty.ty, g.gday, coalesce(d.x, 0) AS x
+        |  FROM ty CROSS JOIN g
+        |  LEFT JOIN d ON d.event_type = ty.ty AND d.day = g.gday),
+        |r1 AS (SELECT ty, gday, x,
+        |    row_number() OVER (PARTITION BY ty ORDER BY x, gday) AS rn,
+        |    count(*) OVER (PARTITION BY ty) AS n FROM dense),
+        |med AS (SELECT ty AS mty,
+        |    CAST(min(CASE WHEN rn * 2 >= n THEN x END) AS BIGINT) AS med
+        |  FROM r1 GROUP BY ty),
+        |dev AS (SELECT dense.ty, gday, x, med, abs(x - med) AS dev
+        |  FROM dense JOIN med ON dense.ty = med.mty),
+        |r2 AS (SELECT ty, gday, x, med, dev,
+        |    row_number() OVER (PARTITION BY ty ORDER BY dev, gday) AS rn,
+        |    count(*) OVER (PARTITION BY ty) AS n FROM dev),
+        |mad AS (SELECT ty AS aty,
+        |    CAST(min(CASE WHEN rn * 2 >= n THEN dev END) AS BIGINT) AS mad
+        |  FROM r2 GROUP BY ty),
+        |j AS (SELECT dev.ty, gday, x, med, dev, mad,
+        |    row_number() OVER (PARTITION BY dev.ty
+        |      ORDER BY dev DESC, gday) AS rk
+        |  FROM dev JOIN mad ON dev.ty = mad.aty)
+        |SELECT ty AS event_type, gday AS day, CAST(x AS BIGINT) AS x,
+        |  med, mad,
+        |  CAST(dev * 6745 // nullif(mad * 10, 0) AS BIGINT) AS score_milli,
+        |  ((mad > 0 AND dev * 6745 > mad * 35000)
+        |    OR (mad = 0 AND dev > 0)) AS anomalous
+        |FROM j WHERE rk <= 3
+        |ORDER BY event_type, day""".stripMargin,
     "q215_dispersion" ->
       """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |    count(*) AS x FROM events GROUP BY 1, 2),

@@ -692,4 +692,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(1500))
     assert(!p.contains("HashAggregate"), p.take(1500))
   }
+
+  test("q217 anomaly screen: the log collapses at (type, day) grain; " +
+    "median/MAD frames join back broadcast, never a shuffle join") {
+    val p = plan("q217_daily_anomaly")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("q218 churn states: one user_id two-phase agg collapses the " +
+    "log; the horizon is a 1-row broadcast") {
+    val p = plan("q218_churn_state")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("q219 ship-delay SLA: the fact collapses into a (priority, " +
+    "delay) histogram; the crossing window reads the histogram, and " +
+    "the orders join is an equi-join") {
+    val p = plan("q219_ship_delay")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("q220 rebalance plan: the corpus collapses in one (source) " +
+    "agg; the median target is a 1-row broadcast") {
+    val p = plan("q220_rebalance_plan")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("q221 value bands: the log collapses into a (day, cents) " +
+    "two-phase histogram — no join; windows read the histogram only") {
+    val p = plan("q221_value_bands")
+    assert(!p.contains("Join"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
 }
