@@ -434,7 +434,60 @@ object AggQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Monthly revenue waterfall (q224): gross → −discount → +tax → net,
+    * per ship month — the decomposition a finance review reads before
+    * any single "revenue" number (a net trend can hide a discount creep
+    * exactly offsetting volume growth; the waterfall shows which lever
+    * moved). Completes the finance-reporting trio: q187 reconciles,
+    * q199 trends, this DECOMPOSES.
+    *
+    * Exactness: each component (gross, discount amount, tax amount) is
+    * rounded to cents PER ROW once (the q58/q187 float-boundary rule)
+    * then summed as BIGINT — so net ≡ gross − discount + tax holds
+    * exactly by construction, and the discount share floors once in bp.
+    *
+    * Scale shape: one scan → (month) two-phase conditional agg; the
+    * month frame is calendar-bounded. No join — the waterfall needs
+    * only lineitem columns.
+    */
+  def q224_margin_waterfall(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        round(col("l_extendedprice") * 100).cast("long").as("gross"),
+        round(col("l_extendedprice") * col("l_discount") * 100)
+          .cast("long").as("disc"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * col("l_tax") * 100).cast("long").as("tax"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("gross")).as("gross_cents"),
+        sum(col("disc")).as("discount_cents"),
+        sum(col("tax")).as("tax_cents"))
+      .select(col("month"), col("n_lines"), col("gross_cents"),
+        col("discount_cents"), col("tax_cents"),
+        (col("gross_cents") - col("discount_cents") + col("tax_cents"))
+          .as("net_cents"),
+        expr("discount_cents * 10000 div gross_cents").as("discount_bp"))
+      .orderBy(col("month"))
+
   val oracle: Map[String, String] = Map(
+    "q224_margin_waterfall" ->
+      """WITH l AS (SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS gross,
+        |    CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)
+        |      AS disc,
+        |    CAST(round(l_extendedprice * (1.0 - l_discount) * l_tax * 100)
+        |      AS BIGINT) AS tax
+        |  FROM lineitem),
+        |g AS (SELECT month, count(*) AS n_lines,
+        |    CAST(sum(gross) AS BIGINT) AS gross_cents,
+        |    CAST(sum(disc) AS BIGINT) AS discount_cents,
+        |    CAST(sum(tax) AS BIGINT) AS tax_cents
+        |  FROM l GROUP BY month)
+        |SELECT month, n_lines, gross_cents, discount_cents, tax_cents,
+        |  gross_cents - discount_cents + tax_cents AS net_cents,
+        |  CAST(discount_cents * 10000 // gross_cents AS BIGINT)
+        |    AS discount_bp
+        |FROM g ORDER BY month""".stripMargin,
     "q219_ship_delay" ->
       """WITH d AS (SELECT o.o_orderpriority,
         |    (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))

@@ -208,7 +208,61 @@ object DqQueries {
       .orderBy(col("o_orderstatus"), col("bucket"))
   }
 
+  /** Sample-ratio-mismatch screen (q223): per day, the χ² of the A/B
+    * daily-active split against the designed 50/50 (q134's md5
+    * assignment rule verbatim) — the experiment-health check that runs
+    * BEFORE anyone reads q134's effect: a significant SRM means the
+    * assignment or logging pipeline is biased and the readout is
+    * garbage (the single most common silent A/B failure). 2-cell χ² =
+    * (nA−nB)²/n, flagged at the 3.84 critical value (α = 0.05, df 1).
+    *
+    * Exactness: users counted once per (day, arm) via distinct; the
+    * statistic is reported in centi units as (nA−nB)²·100 div n — one
+    * floor on non-negative operands; the flag compares pre-floor
+    * integers ((nA−nB)²·100 > 384·n), so it is exact, not a rounded
+    * readback.
+    *
+    * Scale shape: distinct (day, user) → (day) conditional two-phase
+    * agg; the day frame is calendar-bounded. The md5 arm is a pure
+    * projection — no assignment table, no join.
+    */
+  def q223_srm_screen(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("user_id")).distinct()
+      .withColumn("arm",
+        when(substring(md5(col("user_id").cast("string")), 1, 4) < "8000",
+          "A").otherwise("B"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"))
+      .select(col("day"), col("n_users"), col("n_a"), col("n_b"),
+        expr("(n_a - n_b) * (n_a - n_b) * 100 div n_users")
+          .as("chi2_centi"),
+        ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) * 100 >
+          col("n_users") * 384).as("srm"))
+      .orderBy(col("day"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q223_srm_screen" ->
+      """WITH u AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+        |    user_id FROM events),
+        |a AS (SELECT day,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 4) < '8000'
+        |      THEN 'A' ELSE 'B' END AS arm FROM u),
+        |g AS (SELECT day, count(*) AS n_users,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b
+        |  FROM a GROUP BY day)
+        |SELECT day, n_users, n_a, n_b,
+        |  CAST((n_a - n_b) * (n_a - n_b) * 100 // n_users AS BIGINT)
+        |    AS chi2_centi,
+        |  ((n_a - n_b) * (n_a - n_b) * 100 > n_users * 384) AS srm
+        |FROM g ORDER BY day""".stripMargin,
     "q208_order_aging" ->
       """WITH o AS (SELECT o_orderstatus, epoch_us(o_orderdate) AS us,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),

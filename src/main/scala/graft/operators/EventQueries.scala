@@ -1468,7 +1468,142 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** Position-based (U-shaped) multi-touch attribution (q222): each
+    * purchase's cents split across the user's touch events (view/click)
+    * that precede it — 40% to the first touch, 40% to the last, the
+    * middle 20% split evenly — rolled up per touch channel. The
+    * multi-touch twin of q126's last-touch: last-touch systematically
+    * over-credits the bottom-of-funnel channel; U-shaped is the
+    * standard first/last compromise marketing teams actually report.
+    *
+    * Each touch attributes to its NEXT purchase (the q126 framing,
+    * direction reversed): one descending-carry window pins (purchase
+    * id, purchase cents) onto every preceding touch — no touch×purchase
+    * join exists. Credit rule: k=1 → 10⁴ bp, k=2 → 5000/5000, else
+    * 4000/4000 ends + 2000 div (k−2) per middle (floored — the
+    * remainder bp are deliberately dropped, documented; per-touch
+    * credit then floors once to cents).
+    *
+    * Scale shape: ONE user_id partitioning end to end — the carry
+    * window, the (user, purchase) position windows, and the final
+    * |channels|-row rollup; exchange-free on a user-bucketed layout.
+    */
+  def q222_position_attribution(spark: SparkSession,
+                                sfDir: String): DataFrame = {
+    val wCarry = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val isP = col("event_type") === "purchase"
+    val touches = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      // both carries in ONE select → one Window operator (q126 rule)
+      .select(col("*"),
+        first(when(isP, col("event_id")), ignoreNulls = true)
+          .over(wCarry).as("pid"),
+        first(when(isP, col("cents")), ignoreNulls = true)
+          .over(wCarry).as("p_cents"))
+      .filter(col("event_type").isin("view", "click") &&
+        col("pid").isNotNull)
+    val wPos = Window.partitionBy(col("user_id"), col("pid"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    touches
+      .withColumn("rn", row_number().over(wPos).cast("long"))
+      .withColumn("k",
+        count(lit(1)).over(Window.partitionBy(col("user_id"), col("pid"))))
+      .withColumn("credit_bp",
+        when(col("k") === 1, 10000L)
+          .when(col("k") === 2, 5000L)
+          .when(col("rn") === 1 || col("rn") === col("k"), 4000L)
+          .otherwise(expr("2000 div (k - 2)")))
+      .withColumn("credit_cents", expr("p_cents * credit_bp div 10000"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_cents")).as("credit_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Audience-overlap matrix (q225): for every event-type pair, the
+    * distinct-user intersection and Jaccard in bp — "do buyers also
+    * click, and are error-seers a separate population?" The set-level
+    * companion of q154 (co-occurrence lift reads FREQUENCY, this reads
+    * MEMBERSHIP) and the input to any audience-expansion decision.
+    *
+    * Exactness: pure distinct-set counts; Jaccard floors once against
+    * the inclusion–exclusion union (nA + nB − inter > 0 whenever the
+    * pair exists).
+    *
+    * Scale shape: one distinct (user, type) pass (the log's natural
+    * key); the per-user self-pair fan-out is alphabet-bounded (≤
+    * |types|² rows per user); type sizes join back broadcast (|types|
+    * rows each side). No window touches a user-sized partition.
+    */
+  def q225_audience_overlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ut = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val a = ut.select(col("user_id").as("ua"), col("event_type").as("ta"))
+    val b = ut.select(col("user_id").as("ub"), col("event_type").as("tb"))
+    val inter = a.join(b, col("ua") === col("ub") && col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_both"))
+    val sa = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_a"))
+      .select(col("event_type").as("sta"), col("n_a"))
+    val sb = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_b"))
+      .select(col("event_type").as("stb"), col("n_b"))
+    inter
+      .join(broadcast(sa), col("ta") === col("sta"))
+      .join(broadcast(sb), col("tb") === col("stb"))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("n_a"), col("n_b"), col("n_both"),
+        expr("n_both * 10000 div (n_a + n_b - n_both)").as("jaccard_bp"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q222_position_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |c AS (SELECT user_id, event_id, event_type, us,
+        |    first_value(CASE WHEN event_type = 'purchase' THEN event_id END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS pid,
+        |    first_value(CASE WHEN event_type = 'purchase' THEN cents END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS p_cents
+        |  FROM e),
+        |t AS (SELECT * FROM c
+        |  WHERE event_type IN ('view', 'click') AND pid IS NOT NULL),
+        |p AS (SELECT event_type, p_cents,
+        |    CAST(row_number() OVER (PARTITION BY user_id, pid
+        |      ORDER BY us, event_id) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, pid) AS k
+        |  FROM t),
+        |w AS (SELECT event_type, p_cents,
+        |    CASE WHEN k = 1 THEN 10000 WHEN k = 2 THEN 5000
+        |      WHEN rn = 1 OR rn = k THEN 4000
+        |      ELSE 2000 // (k - 2) END AS credit_bp
+        |  FROM p)
+        |SELECT event_type, count(*) AS n_touches,
+        |  CAST(sum(p_cents * credit_bp // 10000) AS BIGINT) AS credit_cents
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q225_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |i AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |    count(*) AS n_both
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1)
+        |SELECT i.ta AS type_a, i.tb AS type_b,
+        |  sa.n AS n_a, sb.n AS n_b, i.n_both,
+        |  CAST(i.n_both * 10000 // (sa.n + sb.n - i.n_both) AS BIGINT)
+        |    AS jaccard_bp
+        |FROM i JOIN s sa ON i.ta = sa.event_type
+        |  JOIN s sb ON i.tb = sb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
     "q218_churn_state" ->
       """WITH u AS (SELECT user_id,
         |    min(epoch_us(ts) // 86400000000) AS d0,

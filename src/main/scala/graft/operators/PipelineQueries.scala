@@ -488,6 +488,35 @@ object PipelineQueries {
        |  FROM seg s WHERE s.pos <= length(s.word)),
        |tok AS (SELECT word, cnt AS ntok FROM seg WHERE pos > length(word))""".stripMargin
 
+  /** Language-ID confusion matrix (q226): the declared q91 classifier
+    * evaluated against the corpus' true labels — per (true lang,
+    * predicted lang) cell counts and the row share in bp (diagonal =
+    * per-lang recall). The evaluation harness for a DECLARED operator,
+    * same pattern as q200 (ANN recall for the q98 read path) and q212
+    * (IR metrics for the ranked search): the operator's output is the
+    * system under test, the corpus labels are the ground truth, and the
+    * whole evaluation is itself oracle-replayed.
+    *
+    * Exactness: pure counts off [[graft.functions.TextFunctions.langId]]
+    * (profile overlap, deterministic lexicographic tie-break — the q91
+    * rule, replayed verbatim in the oracle CTEs); shares floor once per
+    * row against window-summed lang totals.
+    *
+    * Scale shape: q91's shape (profile agg → broadcast profiles →
+    * argmax) followed by a |langs|²-bounded rollup; the share window
+    * reads that bounded cell frame.
+    */
+  def q226_lang_confusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    TextFunctions.langId(docs, docs, "text", "lang",
+        profileSize = 20, idCol = Some("doc_id"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_bp",
+        expr("n * 10000 div sum(n) over (partition by lang)"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
   /** Retrieval-evaluation harness (q212): MRR@10 and nDCG@10 for ranked
     * full-text search, scored per query over a deterministic 10-query
     * eval set derived FROM the corpus — the IR-metrics readout a search
@@ -567,6 +596,29 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q226_lang_confusion" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    list_distinct(string_split(text, ' ')) AS t FROM documents),
+        |  tc AS (SELECT lang, term, count(*) AS cnt FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS term
+        |    FROM documents) GROUP BY 1, 2),
+        |  prof AS (SELECT lang, list(term) AS profile FROM (
+        |    SELECT lang, term, row_number() OVER (
+        |      PARTITION BY lang ORDER BY cnt DESC, term ASC) AS rn FROM tc)
+        |    WHERE rn <= 20 GROUP BY lang),
+        |  scored AS (SELECT d.doc_id, d.lang AS true_lang,
+        |    p.lang AS cand,
+        |    len(list_intersect(d.t, p.profile)) AS ov
+        |    FROM tok d CROSS JOIN prof p),
+        |  best AS (SELECT doc_id, true_lang, cand, ov, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY ov DESC, cand ASC) AS rn
+        |    FROM scored),
+        |  g AS (SELECT true_lang AS lang, cand AS pred_lang, count(*) AS n
+        |    FROM best WHERE rn = 1 GROUP BY 1, 2)
+        |SELECT lang, pred_lang, n,
+        |  CAST(n * 10000 // sum(n) OVER (PARTITION BY lang) AS BIGINT)
+        |    AS share_bp
+        |FROM g ORDER BY lang, pred_lang""".stripMargin,
     "q212_retrieval_eval" ->
       """WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents),
         |dft AS (SELECT term, count(*) AS df FROM (

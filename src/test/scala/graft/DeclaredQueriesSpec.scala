@@ -77,7 +77,9 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q215_dispersion" -> 5L, "q216_readability" -> 500L,
     "q217_daily_anomaly" -> 15L, "q218_churn_state" -> 2L,
     "q219_ship_delay" -> 5L, "q220_rebalance_plan" -> 20L,
-    "q221_value_bands" -> 30L,
+    "q221_value_bands" -> 30L, "q222_position_attribution" -> 2L,
+    "q223_srm_screen" -> 30L, "q224_margin_waterfall" -> 83L,
+    "q225_audience_overlap" -> 10L, "q226_lang_confusion" -> 25L,
     "q103_text_normalize" -> 500L, "q104_shard_assign" -> 16L,
     "q105_domain_mix" -> 20L, "q106_line_dedup" -> 500L,
     "q107_quality_classifier" -> 500L, "q108_dedup_canonical" -> 174L,

@@ -731,4 +731,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(1500))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
   }
+
+  test("q222 U-shaped attribution: no touch×purchase join exists — " +
+    "the purchase carry is a window; ONE user_id partitioning") {
+    val p = plan("q222_position_attribution")
+    assert(!p.contains("Join"), s"q222 needs no join: ${p.take(1500)}")
+    // both carries collapse into one Window operator (the q126 rule)
+    assert("Window".r.findAllIn(p).size <= 3, p.take(1500))
+  }
+
+  test("q223 SRM screen: the md5 arm is a pure projection — no " +
+    "assignment join; one (day) two-phase agg") {
+    val p = plan("q223_srm_screen")
+    assert(!p.contains("Join"), s"q223 needs no join: ${p.take(1500)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("q224 waterfall: one scan, one (month) two-phase agg, no join") {
+    val p = plan("q224_margin_waterfall")
+    assert(!p.contains("Join"), s"q224 needs no join: ${p.take(1500)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("q225 audience overlap: the pair join is a user-keyed " +
+    "equi-join (alphabet-bounded fan-out), sizes join back broadcast") {
+    val p = plan("q225_audience_overlap")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("q226 lang confusion: q91's broadcast-profile argmax shape " +
+    "followed by a bounded rollup — no cartesian") {
+    val p = plan("q226_lang_confusion")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
 }
