@@ -51,7 +51,17 @@ object PlanAudit extends App {
     "q191_auc_roc", "q192_kaplan_meier", "q193_span_containment",
     "q194_gini_spend", "q195_user_entropy", "q196_new_returning",
     "q197_embed_health", "q198_quantile_normalize", "q199_mom_growth",
-    "q200_ann_recall", "q201_seasonal_decompose", "q202_kcore_peel")
+    "q200_ann_recall", "q201_seasonal_decompose", "q202_kcore_peel",
+    "q203_dedup_report", "q204_demand_variability",
+    "q205_forecast_backtest", "q206_slo_burn", "q207_psi_drift",
+    "q208_order_aging", "q209_session_stats", "q210_lagged_xcorr",
+    "q211_vocab_growth", "q212_retrieval_eval", "q213_calibration_bins",
+    "q214_hhi_spend", "q215_dispersion", "q216_readability",
+    "q217_daily_anomaly", "q218_churn_state", "q219_ship_delay",
+    "q220_rebalance_plan", "q221_value_bands",
+    "q222_position_attribution", "q223_srm_screen",
+    "q224_margin_waterfall", "q225_audience_overlap",
+    "q226_lang_confusion")
   targets.foreach { q =>
     println(s"\n========== $q ==========")
     println(SparkEntry.queries(q)(spark, sf).queryExecution.explainString(
