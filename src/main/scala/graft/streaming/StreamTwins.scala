@@ -551,6 +551,53 @@ object StreamTwins {
     * dropped, its (user, day) row having already been published in
     * append mode (prefix semantics, as [[sessionAssign]]/[[locfFill]]).
     */
+  /** q223 twin: streaming daily-active arm emissions — each (day, user)
+    * is emitted EXACTLY ONCE across all batches (Append mode), tagged
+    * with q134/q223's md5 hash arm computed JVM-side (identical hex to
+    * Spark's `md5` — spec-asserted). The SRM χ² is then a stateless
+    * rollup of these emissions, so the streaming monitor sees the same
+    * numbers q223 reads in batch.
+    *
+    * State per user = the day set already emitted — bounded by the
+    * calendar, not the log; a production deployment adds a watermark
+    * timeout to expire days the χ² report has already closed.
+    */
+  def dailyActiveArms(events: DataFrame): DataFrame = {
+    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("arm",
+        org.apache.spark.sql.types.StringType))))
+    val in = events.select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"))
+    in.as(Encoders.row(in.schema))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState[Array[Long], Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Row], state: GroupState[Array[Long]]) =>
+          val seen = scala.collection.mutable.SortedSet[Long](
+            state.getOption.getOrElse(Array.empty[Long]).toSeq: _*)
+          val arm = if (md5Hex4(user.toString) < "8000") "A" else "B"
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          rows.foreach { r =>
+            val d = r.getLong(1)
+            if (!seen(d)) { seen += d; out += Row(d, user, arm) }
+          }
+          state.update(seen.toArray)
+          out.iterator
+      }(Encoders.kryo[Array[Long]], enc)
+      .toDF()
+  }
+
+  /** first 4 hex chars of md5(s) — byte-identical to Spark's `md5`
+    * (lowercase hex of the full 16-byte digest, truncated). */
+  private def md5Hex4(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(2)
+      .map(b => f"${b & 0xff}%02x").mkString
+
   def newReturning(events: DataFrame): DataFrame = {
     val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("user_id",

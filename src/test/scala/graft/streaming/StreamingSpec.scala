@@ -591,4 +591,40 @@ class StreamingSpec extends SparkSpec {
     assert(one.count { case (u, _, n) => u == 2L && n == 1L } == 1)
     assert(one.count { case (u, _, n) => u == 2L && n == 0L } == 1)
   }
+
+  test("q223 twin: streaming daily-active arm emissions == batch " +
+    "distinct with Spark's md5 arm, batch-split-invariant; each " +
+    "(day, user) emitted exactly once") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val expect = rows.toDF()
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        $"user_id").distinct()
+      .withColumn("arm",
+        when(substring(md5($"user_id".cast("string")), 1, 4) < "8000",
+          "A").otherwise("B"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    def runChunks(chunks: Seq[Seq[Ev]], name: String)
+        : Seq[(Long, Long, String)] = {
+      val mem = MemoryStream[Ev]
+      val q = StreamTwins.dailyActiveArms(mem.toDF()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      } finally q.stop()
+    }
+    val one = runChunks(Seq(rows), "arm1")
+    val split = runChunks(
+      Seq(rows.take(2), rows.slice(2, 6), rows.drop(6)), "arm3")
+    // exactly-once: no duplicate (day, user) rows even when the same
+    // user's duplicate-day events arrive in separate batches
+    assert(one.size == one.toSet.size && split.size == split.toSet.size)
+    assert(expect.nonEmpty && one.toSet == expect && split.toSet == expect)
+    // the JVM-side md5 arm agrees with Spark's md5 for every user
+    assert(one.map(_._3).toSet.subsetOf(Set("A", "B")))
+  }
 }
