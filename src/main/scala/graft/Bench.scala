@@ -10,6 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Iterative operators (PageRank/BFS/k-core/components/…) leave their
+    // FINAL round's checkpoint blocks pinned — the returned lazy frame
+    // reads them, so the operator itself cannot free them. Across 209
+    // queries × repeats those stragglers accumulate in storage memory and
+    // bend later timings (observed: q202 repeats 1.4 s → 5.6 s in r6).
+    // Sweep them between runs, OUTSIDE the timed section: every action is
+    // complete by then, so no live plan reads the blocks.
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     // Warm-up: run EVERY query once at the smallest fixture (sf0.001,
     // ~0.1% of the timed data) so each query's generated code is JIT'd
     // before it is timed — the timed numbers then measure steady-state
@@ -28,6 +38,7 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.values.foreach { fn =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        sweep()
       }
     else
       try SparkEntry.queries.get("q20_agg_hash").foreach(_(spark, sfDir).count())
@@ -47,9 +58,13 @@ object Bench {
       case (name, fn) =>
         name -> (1 to repeats).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
+          val sec =
+            try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              -1.0 }
+          sweep()
+          sec
         }
     }
     def median(xs: Seq[Double]): Double = {
@@ -92,11 +107,14 @@ object Bench {
       .map(_.group(1)).getOrElse("0")
     // The compact map must stay under the ~2000-char tail window at ANY
     // surface size: keys are the bare query numbers ("q191_auc_roc" →
-    // "191", unique by construction), values are centiseconds with
-    // trailing zeros stripped ("0.10" → "0.1", "1.00" → "1"), and if the
-    // line still outgrows the window (surface keeps widening) precision
-    // degrades to deciseconds — the full-precision map is always in
-    // BENCH_LOCAL.json, the compact line only has to parse.
+    // "191", unique by construction), values are seconds with trailing
+    // zeros stripped ("0.10" → "0.1", "1.00" → "1"). If the line still
+    // outgrows the window (209 queries broke the 1-decimal tier in r6 —
+    // the artifact's parse came back null) the values degrade to INTEGER
+    // DECISECONDS, flagged by "queries_unit":"decisec" in the line itself
+    // (divide by 10 for seconds; a failed query is -10). The
+    // full-precision seconds map is always in BENCH_LOCAL.json; the
+    // compact line only has to parse whole with the headline total.
     def stripz(s: String): String = {
       val t = if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
               else s
@@ -105,14 +123,21 @@ object Bench {
     def compact(fmt: Double => String): String = results.map { case (k, v) =>
       "\"" + k.drop(1).takeWhile(_ != '_') + "\":" + stripz(fmt(v))
     }.mkString("{", ",", "}")
-    val compactQs = {
+    // keep ~250 chars of headroom under the 2000-char tail for the
+    // envelope fields and a safety margin
+    val (compactQs, compactUnit) = {
       val c2 = compact(v => f"$v%.2f")
-      if (c2.length <= 1700) c2 else compact(v => f"$v%.1f")
+      lazy val c1 = compact(v => f"$v%.1f")
+      if (c2.length <= 1500) (c2, "sec")
+      else if (c1.length <= 1500) (c1, "sec")
+      else (results.map { case (k, v) =>
+        "\"" + k.drop(1).takeWhile(_ != '_') + "\":" + math.round(v * 10)
+      }.mkString("{", ",", "}"), "decisec")
     }
     println(fullLine)
     // median + spread in the tail-surviving compact line (the driver keeps
     // only the last ~2000 chars of stdout — see the note above compactQs)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeats":$repeats,"spread_bp":$spreadBp,"queries":$compactQs,"sf":$sfNum}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeats":$repeats,"spread_bp":$spreadBp,"queries_unit":"$compactUnit%s","queries":$compactQs,"sf":$sfNum}""")
     spark.stop()
   }
 }

@@ -17,8 +17,21 @@ object BenchOne extends App {
   spark.sparkContext.setLogLevel("ERROR")
   val fn = SparkEntry.queries(name)
   fn(spark, warmDir).count() // warm (JIT; target-sf page cache only if warmDir == sfDir)
-  val t0 = System.nanoTime()
-  val n = fn(spark, sfDir).count()
-  println(f"BENCHONE $name rows=$n sec=${(System.nanoTime()-t0)/1e9}%.2f")
+  // SPARK_GRAFT_BENCH_REPEATS > 1 prints every run — the repeat-flatness
+  // probe for iterative operators (leaked checkpoint blocks show up as a
+  // rising runs array; see Checkpoints). Sweeps leftovers between runs
+  // exactly like Bench.
+  val repeats = math.max(1,
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt)
+  val secs = (1 to repeats).map { _ =>
+    val t0 = System.nanoTime()
+    val n = fn(spark, sfDir).count()
+    val s = (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    (n, s)
+  }
+  val runs = secs.map(r => f"${r._2}%.2f").mkString(",")
+  println(f"BENCHONE $name rows=${secs.last._1} sec=${secs.last._2}%.2f runs=[$runs]")
   spark.stop()
 }

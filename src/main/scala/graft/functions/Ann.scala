@@ -106,9 +106,10 @@ object Ann {
     * crossJoin (k·n rows, k small) scored by the codegen'd
     * [[graft.expressions.DotProductD]] (L2² = |a|²+|b|²−2a·b with
     * per-row norms computed once) + one argmin window; update = posexplode
-    * → per-(cell, dim) avg → reassemble. Centroids are `localCheckpoint`ed
-    * per iteration (k rows — cuts the iterative lineage, never collects
-    * the corpus). NOT hash-checkable cross-engine: float centroid
+    * → per-(cell, dim) avg → reassemble. Centroids are checkpointed per
+    * iteration via [[Checkpoints]] with the superseded round's blocks
+    * freed (k rows — cuts the iterative lineage, never collects the
+    * corpus). NOT hash-checkable cross-engine: float centroid
     * averaging is partition-order-dependent — same unit-tier status as
     * IVF routing (SURVEY q98 note).
     *
@@ -120,12 +121,11 @@ object Ann {
     require(k >= 1 && iters >= 1, s"k=$k and iters=$iters must be >= 1")
     // init = the k smallest ids via TakeOrderedAndProject (distributed
     // top-k — not a global-window single partition)
-    var centroids = corpus
+    var centroids = Checkpoints.cut(corpus
       .select(col(idCol), col(vecCol).as("centroid"))
       .orderBy(col(idCol).asc).limit(k)
       .select((row_number().over(Window.orderBy(col(idCol).asc)) - 1)
-        .as("cell"), col("centroid"))
-      .localCheckpoint()
+        .as("cell"), col("centroid")))
     val body = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       graft.Det.dotD(col(vecCol), col(vecCol)).as("__n2"))
     var assigned: DataFrame = null
@@ -142,16 +142,18 @@ object Ann {
         .select(col("__id"), col("__v"), col("cell"))
       it += 1
       if (it < iters) {
-        centroids = assigned
-          .select(col("cell"), posexplode(col("__v")))
-          .groupBy(col("cell"), col("pos"))
-          .agg(avg(col("col")).as("m"))
-          .groupBy(col("cell"))
-          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-          .select(col("cell"),
-            transform(col("pm"), p => p.getField("m").cast("float"))
-              .as("centroid"))
-          .localCheckpoint()
+        centroids = Checkpoints.rotate(
+          assigned
+            .select(col("cell"), posexplode(col("__v")))
+            .groupBy(col("cell"), col("pos"))
+            .agg(avg(col("col")).as("m"))
+            .groupBy(col("cell"))
+            .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+              .as("pm"))
+            .select(col("cell"),
+              transform(col("pm"), p => p.getField("m").cast("float"))
+                .as("centroid")),
+          prev = centroids)
       }
     }
     assigned.select(col("__id").as(idCol), col("cell"))

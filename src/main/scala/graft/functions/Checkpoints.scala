@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Lineage-cut discipline for iterative operators (PageRank, BFS,
+  * hierarchy flattening, k-core peel, connected components, k-means).
+  *
+  * Two defects this fixes over calling `localCheckpoint` directly in a
+  * loop:
+  *
+  *  1. **Superseded checkpoint blocks leak.** `Dataset.localCheckpoint`
+  *     persists the materialized rows in executor storage; a k-round loop
+  *     that checkpoints per round strands k copies of the state frame in
+  *     storage memory until the session dies (`Dataset.unpersist` does NOT
+  *     free them — it talks to the plan cache manager, while the
+  *     checkpoint blocks belong to the underlying RDD). Measured: q202's
+  *     repeats grew 1.4 s → 5.6 s as blocks accumulated. [[release]]
+  *     reaches the `LogicalRDD` leaf the checkpoint planted and unpersists
+  *     the RDD itself; [[rotate]] packages the resulting
+  *     checkpoint-then-free-predecessor loop step.
+  *
+  *  2. **`localCheckpoint` is non-reliable storage.** On a real cluster an
+  *     executor loss mid-iteration is unrecoverable (the lineage was
+  *     truncated, the blocks are gone). [[cut]] upgrades to a reliable
+  *     `checkpoint(dir)` when the session has a checkpoint directory and
+  *     `graft.checkpoint.reliable=true` — the cluster profile — and stays
+  *     on the fast local path everywhere else (local mode keeps the JVM,
+  *     so local blocks are as durable as the job).
+  *
+  * Safety rule callers must follow: only [[release]] a frame once a LATER
+  * eager checkpoint derived from it has materialized, and never release a
+  * frame the operator's RETURNED (lazy) plan still reads — a truncated
+  * lineage cannot recompute freed blocks. In practice every loop below
+  * follows the same shape: the returned frame depends only on the final
+  * round's checkpoint, so all predecessors are releasable.
+  */
+object Checkpoints {
+
+  /** Spark conf key: set `true` (with `sparkContext.setCheckpointDir`) to
+    * route [[cut]] through reliable checkpoints on cluster profiles. */
+  val ReliableConfKey = "graft.checkpoint.reliable"
+
+  /** Eagerly materialize `ds` and cut its lineage. Local checkpoint by
+    * default; reliable `checkpoint` when [[ReliableConfKey]] is true and a
+    * checkpoint dir is set (reliable without a dir would throw deep in the
+    * job — fail the misconfiguration fast here instead). */
+  def cut[T](ds: Dataset[T]): Dataset[T] = {
+    val reliable =
+      ds.sparkSession.conf.get(ReliableConfKey, "false").toBoolean
+    if (reliable) {
+      require(
+        ds.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableConfKey=true requires sparkContext.setCheckpointDir")
+      ds.checkpoint(true)
+    } else ds.localCheckpoint(true)
+  }
+
+  /** Free the storage blocks of a checkpointed frame. No-op on frames
+    * that were never checkpointed (no `LogicalRDD` leaf) and on reliable
+    * checkpoints (their data lives in the checkpoint dir, not block
+    * storage — unpersisting the wrapper RDD is harmless). */
+  def release(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed.collect {
+      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+    }
+
+  /** One loop step: eagerly checkpoint `next`, then free its now-
+    * superseded predecessor `prev`. Returns the checkpointed frame. Safe
+    * because [[cut]] is eager — by the time `prev` is freed, `next` no
+    * longer needs it. */
+  def rotate[T](next: Dataset[T], prev: Dataset[_]): Dataset[T] = {
+    val cp = cut(next)
+    release(prev)
+    cp
+  }
+
+  /** Storage-block RDD ids currently pinned by `ds`'s checkpoint leaves —
+    * test hook for asserting [[release]] actually freed them. */
+  def checkpointRddIds(ds: Dataset[_]): Seq[Int] =
+    ds.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd.id }
+
+  // touch the classic package so an accidental cross-module Dataset split
+  // (sql-api vs classic) fails to compile here, next to the explanation:
+  // queryExecution/analyzed come from the classic Dataset, which is what
+  // every frame in this engine is at runtime.
+  private[graft] type ClassicDF = classic.DataFrame
+}

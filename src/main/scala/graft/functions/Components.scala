@@ -89,7 +89,7 @@ object Components {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = edges0.count()
-      if (longTyped) contract(edges0, n, maxIter, localEdgeThreshold)
+      if (longTyped) contract(edges0, n, maxIter, localEdgeThreshold, None)
       else propagationLoop(edges0, n, maxIter)
     } finally edges0.unpersist(blocking = false)
   }
@@ -170,7 +170,8 @@ object Components {
     * every node emits a star edge), so the deeper level's labels ARE the
     * answer — no join back up. */
   private def contract(edgesDf: DataFrame, edgeCount: Long,
-                       levelsLeft: Int, localThreshold: Long): DataFrame = {
+                       levelsLeft: Int, localThreshold: Long,
+                       prevCp: Option[DataFrame]): DataFrame = {
     val edges = edgesDf
       .select(col(edgesDf.columns(0)).cast("long").as("_1"),
         col(edgesDf.columns(1)).cast("long").as("_2"))
@@ -184,16 +185,18 @@ object Components {
           "threshold — raise maxIter")
       // star edges of this level = the contracted graph of the next;
       // symmetrized so a root's whole star lands in one partition of the
-      // next level and merges there. Eager localCheckpoint per level:
-      // nested level plans otherwise stack until plan stringification
-      // itself OOMs (the same lineage disease the propagation loop cuts
-      // per round); superseded checkpoint blocks are freed by the
-      // ContextCleaner.
-      val sym = symmetrize(
+      // next level and merges there. Eager checkpoint per level: nested
+      // level plans otherwise stack until plan stringification itself
+      // OOMs (the same lineage disease the propagation loop cuts per
+      // round). Once this level's checkpoint is live, the parent level's
+      // blocks are superseded and freed — the recursion pins at most two
+      // (geometrically shrinking) edge frames at a time. The FINAL
+      // level's checkpoint stays: the lazily-returned base case reads it.
+      val sym = Checkpoints.cut(symmetrize(
         stars(edges.repartition(
           width(edgeCount, localThreshold), col("_1"))).toDF("s", "t"),
-        "s", "t")
-        .localCheckpoint()
+        "s", "t"))
+      prevCp.foreach(Checkpoints.release)
       val m = sym.count()
       if (m >= edgeCount * 9 / 10) {
         // Stall: contraction only shrinks where a node's neighborhood is
@@ -203,7 +206,7 @@ object Components {
         // collapsed. Finish it with min-label propagation (node set is
         // preserved through star levels, so its labels ARE the answer).
         propagationLoop(sym, m, maxIter = 100)
-      } else contract(sym, m, levelsLeft - 1, localThreshold)
+      } else contract(sym, m, levelsLeft - 1, localThreshold, Some(sym))
     }
   }
 
@@ -218,24 +221,30 @@ object Components {
     val edges = edges0.repartition(p, col("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = edges.select(col("s").as("id")).distinct()
-        .withColumn("component", col("id"))
-        .localCheckpoint()
-      var frontier = labels
+      // `cp` is the round's checkpoint handle; labels/frontier are lazy
+      // views over it, so the PREVIOUS round's blocks are free to release
+      // as soon as the new checkpoint materializes
+      var cp = Checkpoints.cut(
+        edges.select(col("s").as("id")).distinct()
+          .withColumn("component", col("id")))
+      var labels = cp
+      var frontier = cp
       var converged = false
       var iter = 0
       while (!converged && iter < maxIter) {
         val msgs = frontier
           .join(edges, frontier("id") === edges("s"))
           .select(col("t").as("id"), col("component"), lit(false).as("self"))
-        val next = labels
-          .select(col("id"), col("component"), lit(true).as("self"))
-          .union(msgs)
-          .repartition(p, col("id"))
-          .groupBy("id").agg(
-            min("component").as("component"),
-            max(when(col("self"), col("component"))).as("old"))
-          .localCheckpoint()
+        val next = Checkpoints.rotate(
+          labels
+            .select(col("id"), col("component"), lit(true).as("self"))
+            .union(msgs)
+            .repartition(p, col("id"))
+            .groupBy("id").agg(
+              min("component").as("component"),
+              max(when(col("self"), col("component"))).as("old")),
+          prev = cp)
+        cp = next
         frontier = next.filter(col("component") < col("old"))
           .select("id", "component")
         converged = frontier.limit(1).count() == 0L

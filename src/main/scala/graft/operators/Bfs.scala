@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   * SQL engine replays as k unrolled UNION+min CTEs.
   *
   * Scale shape: the edge frame is repartitioned by src once and
-  * localCheckpoint'd; each round shuffles only the reached-set frame
+  * checkpointed; each round shuffles only the reached-set frame
   * (≤ |V| rows) to the edge partitioning and min-combines map-side.
-  * Lineage is cut per round (the q143/q148 rule). Unreached vertices
-  * simply never enter the frame — no sentinel distances to carry.
+  * Lineage is cut per round via [[graft.functions.Checkpoints]] (the
+  * q143/q148 rule), with the superseded round's blocks freed — a k-round
+  * run pins one distance frame, not k. Unreached vertices simply never
+  * enter the frame — no sentinel distances to carry.
   */
 object Bfs {
 
@@ -30,18 +32,19 @@ object Bfs {
     */
   def hops(seeds: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src"))
-      .localCheckpoint(true)
-    var dist = seeds.select(col("id"), lit(0L).as("hops"))
-      .localCheckpoint(true)
+    import graft.functions.Checkpoints
+    val e = Checkpoints.cut(
+      edges.select(col("src"), col("dst")).repartition(col("src")))
+    var dist = Checkpoints.cut(seeds.select(col("id"), lit(0L).as("hops")))
     for (_ <- 1 to rounds) {
       val step = e.join(dist, col("src") === col("id"))
         .select(col("dst").as("id"), (col("hops") + lit(1L)).as("hops"))
-      dist = dist.unionByName(step)
-        .groupBy(col("id")).agg(min(col("hops")).as("hops"))
-        .localCheckpoint(true)
+      dist = Checkpoints.rotate(
+        dist.unionByName(step)
+          .groupBy(col("id")).agg(min(col("hops")).as("hops")),
+        prev = dist)
     }
+    Checkpoints.release(e)
     dist
   }
 
@@ -63,18 +66,19 @@ object Bfs {
   def shortestPaths(seeds: DataFrame, edges: DataFrame,
                     rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val e = edges.select(col("src"), col("dst"), col("w"))
-      .repartition(col("src"))
-      .localCheckpoint(true)
-    var dist = seeds.select(col("id"), lit(0L).as("dist"))
-      .localCheckpoint(true)
+    import graft.functions.Checkpoints
+    val e = Checkpoints.cut(
+      edges.select(col("src"), col("dst"), col("w")).repartition(col("src")))
+    var dist = Checkpoints.cut(seeds.select(col("id"), lit(0L).as("dist")))
     for (_ <- 1 to rounds) {
       val step = e.join(dist, col("src") === col("id"))
         .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
-      dist = dist.unionByName(step)
-        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+      dist = Checkpoints.rotate(
+        dist.unionByName(step)
+          .groupBy(col("id")).agg(min(col("dist")).as("dist")),
+        prev = dist)
     }
+    Checkpoints.release(e)
     dist
   }
 }

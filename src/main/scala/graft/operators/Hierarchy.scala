@@ -60,7 +60,8 @@ object Hierarchy {
         coalesce(col(parentCol), col(idCol)).as("anc"),
         when(col(parentCol).isNull, 0L).otherwise(1L).as("depth"),
         col(parentCol).isNull.as("settled"))
-    var state = init.localCheckpoint(true)
+    import graft.functions.Checkpoints
+    var state = Checkpoints.cut(init)
     var frontier = state.filter(!col("settled")).count()
     var iter = 0
     var progressing = true
@@ -77,10 +78,8 @@ object Hierarchy {
         col("t_anc").as("anc"),
         (col("s.depth") + col("t_depth")).as("depth"),
         coalesce(col("t_settled"), lit(false)).as("settled"))
-      val prev = state
-      state = state.filter(col("settled")).unionByName(jumped)
-        .localCheckpoint(true)
-      prev.unpersist(false)
+      state = Checkpoints.rotate(
+        state.filter(col("settled")).unionByName(jumped), prev = state)
       val next = state.filter(!col("settled")).count()
       // the settled set is monotone (depth ≤ 2^k resolves by round k), so
       // an unchanged frontier means only cycle/dangling rows remain —
@@ -132,8 +131,9 @@ object Hierarchy {
       .select(col(idCol).as("descd"), col(parentCol).as("anc"))
     // invariant entering each round: A = all dists in [0, 2^k),
     // P = the exact 2^k-step pointer. k = 0 ⇒ A holds self-pairs only.
-    var a = self.localCheckpoint(true)
-    var p = step.localCheckpoint(true)
+    import graft.functions.Checkpoints
+    var a = Checkpoints.cut(self)
+    var p = Checkpoints.cut(step)
     var pSize = p.count()
     var iter = 0
     while (pSize > 0 && iter < maxIter) {
@@ -146,8 +146,8 @@ object Hierarchy {
       val p2 = p.select(col("descd"), col("anc").as("mid"))
         .join(p.select(col("descd").as("mid"), col("anc")), "mid")
         .select(col("descd"), col("anc"))
-      val (prevA, prevP) = (a, p)
-      p = p2.localCheckpoint(true)
+      val prevP = p
+      p = Checkpoints.cut(p2)
       val pNext = p.count()
       // acyclic input ⇒ |P| strictly shrinks while nonempty (see scaladoc);
       // a plateau is a parent cycle — stop BEFORE unioning wrapped pairs
@@ -155,10 +155,9 @@ object Hierarchy {
         throw new IllegalArgumentException(
           s"ancestorClosure: parent cycle detected (2^$iter-step pointer " +
             s"count $pSize -> $pNext did not shrink); input must be acyclic")
-      a = a.unionByName(lifted).localCheckpoint(true)
+      a = Checkpoints.rotate(a.unionByName(lifted), prev = a)
+      Checkpoints.release(prevP)
       pSize = pNext
-      prevA.unpersist(false)
-      prevP.unpersist(false)
       iter += 1
     }
     a

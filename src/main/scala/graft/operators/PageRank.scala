@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   * |V|-sized rank frame to the edge partitioning, aggregates partial
   * in-flows map-side (integer sum combines), and left-joins back to the
   * node list so flow-less nodes decay to the damping floor. Lineage is
-  * cut every round (the q143/q148 rule: an iterated plan without
-  * checkpoints re-executes every prior round per action). k is a
+  * cut every round via [[graft.functions.Checkpoints]] (the q143/q148
+  * rule: an iterated plan without checkpoints re-executes every prior
+  * round per action), and each round FREES the superseded round's
+  * checkpoint blocks — a k-round run pins one rank frame, not k. k is a
   * parameter, not a convergence loop — fixed work, fixed result.
   */
 object PageRank {
@@ -38,24 +40,30 @@ object PageRank {
     */
   def ranks(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val v = nodes.select(col("id")).localCheckpoint(true)
+    import graft.functions.Checkpoints
+    val v = Checkpoints.cut(nodes.select(col("id")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edgeDeg = edges.join(deg, "src")
-      .select(col("src"), col("dst"), col("deg"))
-      .repartition(col("src"))
-      .localCheckpoint(true)
-    var pr = v.select(col("id"), lit(Scale).as("pr")).localCheckpoint(true)
+    val edgeDeg = Checkpoints.cut(
+      edges.join(deg, "src")
+        .select(col("src"), col("dst"), col("deg"))
+        .repartition(col("src")))
+    var pr = Checkpoints.cut(v.select(col("id"), lit(Scale).as("pr")))
     for (_ <- 1 to iters) {
       val inflow = edgeDeg.join(pr, col("src") === col("id"))
         .select(col("dst"), expr("pr div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("insum"))
-      pr = v.join(inflow, col("id") === col("dst"), "left")
-        .select(col("id"),
-          (lit(Scale * 15L / 100L) +
-            expr("(85 * coalesce(insum, CAST(0 AS BIGINT))) div 100"))
-            .as("pr"))
-        .localCheckpoint(true)
+      pr = Checkpoints.rotate(
+        v.join(inflow, col("id") === col("dst"), "left")
+          .select(col("id"),
+            (lit(Scale * 15L / 100L) +
+              expr("(85 * coalesce(insum, CAST(0 AS BIGINT))) div 100"))
+              .as("pr")),
+        prev = pr)
     }
+    // the final rank frame is materialized — the returned plan reads only
+    // its checkpoint, so the loop inputs are releasable here
+    Checkpoints.release(v)
+    Checkpoints.release(edgeDeg)
     pr.select(col("id"), col("pr").as("pr_micro"))
   }
 }

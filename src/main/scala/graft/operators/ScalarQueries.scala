@@ -364,16 +364,18 @@ object ScalarQueries {
           expr("cast((c_custkey div 10) % 50 as double)") * lit(0.03))
           .as("loc"))
     val und = geoPairs(pts, 8000L)
-    var e = und.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(und.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
+    import graft.functions.Checkpoints
+    var e = Checkpoints.cut(
+      und.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(und.select(col("id_b").as("src"), col("id_a").as("dst"))))
     for (_ <- 1 to 6) {
       val v = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= 10).select(col("src").as("id"))
-      e = e.join(v.select(col("id").as("src")), Seq("src"))
-        .join(v.select(col("id").as("dst")), Seq("dst"))
-        .select(col("src"), col("dst"))
-        .localCheckpoint(true)
+      e = Checkpoints.rotate(
+        e.join(v.select(col("id").as("src")), Seq("src"))
+          .join(v.select(col("id").as("dst")), Seq("dst"))
+          .select(col("src"), col("dst")),
+        prev = e)
     }
     e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("id"), col("deg"))
