@@ -26,6 +26,10 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * into the exchange — the "map-side combine" of top-k (same idea as
   * partial aggregation; `TakeOrderedAndProject` does it for the GLOBAL
   * top-k, q05, but has no per-key form). O(n log k) per pass, no sort.
+  * The partial pass's heap map is MEMORY-BOUNDED: past
+  * `graft.topk.partialFlushKeys` distinct keys (default 131072) it
+  * flushes its heaps to the output iterator and restarts — the spill
+  * valve high-cardinality keys need at 100 TB (see doExecute).
   *
   * Ties on the k boundary follow the heap's arrival order — callers who
   * need determinism pass a TOTAL ordering (unique tie-break column), the
@@ -61,6 +65,20 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val keyExprs = keys
     val sortOrder = order
     val capacity = k
+    val isPartial = partial
+    // Memory bound for the PARTIAL pass (the map-side combine): at most
+    // this many distinct keys live in the heap map at once. When a new
+    // key would exceed it, the current heaps FLUSH to the output iterator
+    // and the map restarts — correctness is unaffected (the final pass
+    // re-merges every partial emission for a key; a flushed key simply
+    // ships ≤ flushes×k rows instead of ≤ k), and memory is capped at
+    // flushKeys×k rows where unbounded high-cardinality keys would OOM
+    // the partial HashMap (built-in partial HashAggregate spills; this is
+    // the top-k analogue). The FINAL pass must hold each of its keys'
+    // full heap to emit exactly k rows, so it never flushes — its
+    // footprint is (keys / shuffle-width)×k, governed by the exchange.
+    val flushKeys = math.max(1,
+      conf.getConfString("graft.topk.partialFlushKeys", "131072").toInt)
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, schema)
       val ord = GenerateOrdering.generate(sortOrder, schema)
@@ -69,26 +87,54 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         override def compare(a: InternalRow, b: InternalRow): Int =
           ord.compare(b, a)
       }
-      val heaps = new java.util.HashMap[UnsafeRow,
+      var heaps = new java.util.HashMap[UnsafeRow,
         java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var pq = heaps.get(key)
-        if (pq == null) {
-          pq = new java.util.PriorityQueue[InternalRow](capacity, worstFirst)
-          heaps.put(key.copy(), pq)
-        }
+      def insert(row: InternalRow, pq: java.util.PriorityQueue[InternalRow])
+      : Unit =
         if (pq.size() < capacity) pq.add(row.copy())
         else if (ord.compare(row, pq.peek()) < 0) {
           pq.poll(); pq.add(row.copy())
         }
-      }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { pq =>
-        val rows = pq.toArray(new Array[InternalRow](pq.size()))
-        java.util.Arrays.sort(rows, ord)  // rank order within each key
-        rows.iterator
+      def drain(): Iterator[InternalRow] = {
+        val old = heaps
+        heaps = new java.util.HashMap()
+        old.values().iterator().asScala.flatMap { pq =>
+          val rows = pq.toArray(new Array[InternalRow](pq.size()))
+          java.util.Arrays.sort(rows, ord) // rank order within each key
+          rows.iterator
+        }
+      }
+      new Iterator[InternalRow] {
+        private var pending: Iterator[InternalRow] = Iterator.empty
+        private var inputDone = false
+        private def advance(): Boolean = {
+          while (!pending.hasNext && !inputDone) {
+            var flushed = false
+            while (iter.hasNext && !flushed) {
+              val row = iter.next()
+              val key = keyProj(row)
+              var pq = heaps.get(key)
+              if (pq == null) {
+                if (isPartial && heaps.size() >= flushKeys) {
+                  pending = drain() // swaps in a fresh map
+                  flushed = true
+                }
+                pq = new java.util.PriorityQueue[InternalRow](
+                  capacity, worstFirst)
+                heaps.put(key.copy(), pq)
+              }
+              insert(row, pq)
+            }
+            if (!flushed) { pending = drain(); inputDone = true }
+          }
+          pending.hasNext
+        }
+        override def hasNext: Boolean = advance()
+        override def next(): InternalRow = {
+          if (!advance()) throw new NoSuchElementException
+          pending.next()
+        }
       }
     }
   }

@@ -62,6 +62,44 @@ class TopKSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("partial pass flushes past the key cap: bounded memory, same answer") {
+    // Force the spill valve: cap the partial heap map at 8 live keys while
+    // orders has ~100+ custkeys per input partition. Every flush restarts
+    // the map, so the partial output may carry a key several times (≤
+    // flushes×k rows) — the final pass re-merges to exactly top-k. The
+    // answer must be bit-identical to the unbounded run for ANY cap,
+    // including the pathological cap of 1 (flush on every new key — the
+    // partial degenerates to a near-passthrough but stays correct).
+    Seq("8", "1").foreach { cap =>
+      spark.conf.set("graft.topk.partialFlushKeys", cap)
+      try {
+        val expect = windowForm(3).collect().map(_.toSeq).toSet
+        val got = topkForm(3).collect().map(_.toSeq).toSet
+        assert(got == expect, s"cap=$cap: ${got.size} vs ${expect.size} rows")
+      } finally spark.conf.unset("graft.topk.partialFlushKeys")
+    }
+  }
+
+  test("flush cap actually bounds the live map (flushes observed)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("graft.topk.partialFlushKeys", "4")
+    try {
+      val exec = topkForm(2).queryExecution.executedPlan
+      val partial = exec.collect { case t: TopKPerKeyExec if t.partial => t }.head
+      val partialRows = partial.execute().count()
+      val nKeys = graft.Tables.orders(spark, sfDir)
+        .select(col("o_custkey")).distinct().count()
+      // with a 4-key cap and ~interleaved keys, the partial MUST re-emit
+      // keys across flushes: more rows than one unbounded pass would ship
+      assert(partialRows > nKeys * 2,
+        s"cap=4 partial emitted only $partialRows rows for $nKeys keys — " +
+          "flushing never happened")
+    } finally {
+      spark.conf.unset("graft.topk.partialFlushKeys")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("works grouped by a string key with asc ordering") {
     val got = TopK.perKey(graft.Tables.documents(spark, sfDir),
       Seq("lang"), Seq(col("n_chars").asc, col("doc_id").asc), 2)
