@@ -148,6 +148,22 @@ class GraftClient(spark: SparkSession, dir: String) {
     Soql(base, params)
   }
 
+  /** `client.data_for(<catalog index>)` — the reference addressed datasets
+    * by their POSITION in the printed catalog list (SURVEY §3.1: fetch "by
+    * 4x4 id or catalog index"). Index is 0-based into [[list]]'s row order
+    * (tables sorted by name — the order `list.show()` prints). A catalog
+    * read is parquet-footer metadata only, so the ergonomic lookup costs
+    * no data scan.
+    */
+  def dataFor(index: Int): DataFrame = dataFor(index, SoqlParams())
+
+  def dataFor(index: Int, params: SoqlParams): DataFrame = {
+    val names = list.select("table").collect().map(_.getString(0))
+    require(index >= 0 && index < names.length,
+      s"catalog index $index out of range [0, ${names.length}) for $dir")
+    dataFor(names(index), params)
+  }
+
   /** `$q`-only convenience over one known text column. */
   def fullText(table: String, textCol: String, query: String): DataFrame =
     TextFunctions.fullTextSearch(dataFor(table), textCol, query)

@@ -19,6 +19,46 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * query reads the columnar copy ([[Sources]]); for a corpus that
   * ALREADY lives in files, read it directly and skip HTTP entirely.
   */
+/** Socrata application-token resolution (round 7). Anonymous SODA access
+  * is aggressively throttled; authenticated requests carry the documented
+  * `X-App-Token` header. The reference kept its credentials in
+  * git-ignored YAML under `config/` (/root/reference/.gitignore:21-22) — the
+  * equivalent here is a git-ignored properties file, with an env-var
+  * override for CI and an explicit-argument override for code.
+  *
+  * Resolution order (first hit wins): explicit argument → `SODA_APP_TOKEN`
+  * env var → `app_token` key in `config/soda.properties` (relative to the
+  * working directory, like the reference's `config/` dir) → none
+  * (anonymous — requests carry no auth header at all, byte-identical to
+  * the pre-token behavior).
+  */
+object SodaCredentials {
+
+  val EnvVar = "SODA_APP_TOKEN"
+  val DefaultConfigPath = "config/soda.properties"
+  val PropKey = "app_token"
+
+  def appToken(explicit: Option[String] = None,
+               configPath: String = DefaultConfigPath,
+               env: Map[String, String] = sys.env): Option[String] =
+    explicit.filter(_.nonEmpty)
+      .orElse(env.get(EnvVar).filter(_.nonEmpty))
+      .orElse(fromConfig(configPath))
+
+  private def fromConfig(path: String): Option[String] = {
+    val f = new java.io.File(path)
+    if (!f.isFile) None
+    else {
+      val in = new java.io.FileInputStream(f)
+      try {
+        val p = new java.util.Properties()
+        p.load(in)
+        Option(p.getProperty(PropKey)).map(_.trim).filter(_.nonEmpty)
+      } finally in.close()
+    }
+  }
+}
+
 object SodaHttp {
 
   private lazy val client: java.net.http.HttpClient =
@@ -33,15 +73,21 @@ object SodaHttp {
   /** One SODA page: a real blocking GET, returning the JSON body.
     * @param params query parameters (e.g. `$limit` / `$offset` /
     *               `$order` / `$where`), URL-encoded here
+    * @param appToken Socrata app token → `X-App-Token` header; None =
+    *               anonymous (request identical to the pre-token builds).
+    *               Resolve from config/env via [[SodaCredentials.appToken]]
     */
   def fetchPage(baseUrl: String, resource: String,
-                params: Seq[(String, String)]): String = {
+                params: Seq[(String, String)],
+                appToken: Option[String] = None): String = {
     val qs = params.map { case (k, v) => s"${enc(k)}=${enc(v)}" }
       .mkString("&")
     val uri = java.net.URI.create(
       s"$baseUrl/resource/$resource.json" + (if (qs.isEmpty) "" else s"?$qs"))
-    val req = java.net.http.HttpRequest.newBuilder(uri)
-      .header("Accept", "application/json").GET().build()
+    var b = java.net.http.HttpRequest.newBuilder(uri)
+      .header("Accept", "application/json")
+    appToken.foreach(t => b = b.header("X-App-Token", t))
+    val req = b.GET().build()
     val resp = client.send(req,
       java.net.http.HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() == 200,
@@ -64,11 +110,14 @@ object SodaHttp {
     * identifier/title/description columns as served. The local twin is
     * [[Catalog.list]] over a fixture directory.
     */
-  def listCatalog(spark: SparkSession, baseUrl: String): DataFrame = {
+  def listCatalog(spark: SparkSession, baseUrl: String,
+                  appToken: Option[String] = None): DataFrame = {
     import spark.implicits._
     val uri = java.net.URI.create(s"$baseUrl/data.json")
-    val req = java.net.http.HttpRequest.newBuilder(uri)
-      .header("Accept", "application/json").GET().build()
+    var b = java.net.http.HttpRequest.newBuilder(uri)
+      .header("Accept", "application/json")
+    appToken.foreach(t => b = b.header("X-App-Token", t))
+    val req = b.GET().build()
     val resp = client.send(req,
       java.net.http.HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() == 200,
@@ -94,7 +143,8 @@ object SodaHttp {
   def readResource(spark: SparkSession, baseUrl: String, resource: String,
                    order: String, pageSize: Int = 1000,
                    extraParams: Seq[(String, String)] = Nil,
-                   maxPages: Int = 100000): DataFrame = {
+                   maxPages: Int = 100000,
+                   appToken: Option[String] = None): DataFrame = {
     require(pageSize > 0, "pageSize must be positive")
     require(order.nonEmpty,
       "paged fetch requires $order (stable paging needs a total order)")
@@ -106,7 +156,7 @@ object SodaHttp {
       require(n < maxPages, s"readResource exceeded $maxPages pages")
       val body = fetchPage(baseUrl, resource, extraParams ++ Seq(
         "$order" -> order, "$limit" -> pageSize.toString,
-        "$offset" -> off.toString))
+        "$offset" -> off.toString), appToken)
       val page = parsePage(spark, body)
       // one count job per page == one HTTP request per page (the same
       // cadence the local fetchPages twin documents); a short or empty

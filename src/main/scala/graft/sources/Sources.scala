@@ -72,14 +72,34 @@ object Sources {
       .format("parquet").saveAsTable(table)
 
   /** Write-through materialization (the reference's local dataset cache,
-    * SURVEY §4.1): persist `df` as parquet at `path` and read it back —
-    * downstream stages reuse the materialized copy instead of recomputing
-    * the lineage.
+    * SURVEY §4.1): persist `df` at `path` and read it back — downstream
+    * stages reuse the materialized copy instead of recomputing the
+    * lineage.
+    *
+    * @param cacheFormat `"parquet"` (default — the columnar copy every
+    *                    downstream scan wants) or `"csv"` (the reference
+    *                    cached portal fetches as CSV; this knob reproduces
+    *                    that observable on-disk behavior for interop with
+    *                    tools that expect the gem's cache files). The CSV
+    *                    round-trip writes a header and re-infers dtypes on
+    *                    read — lossy for exotic types by nature of the
+    *                    format, which is exactly why parquet is the
+    *                    default.
     */
-  def materialize(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
-    writeParquet(df, path)
-    spark.read.parquet(path)
-  }
+  def materialize(spark: SparkSession, df: DataFrame, path: String,
+                  cacheFormat: String = "parquet"): DataFrame =
+    cacheFormat match {
+      case "parquet" =>
+        writeParquet(df, path)
+        spark.read.parquet(path)
+      case "csv" =>
+        writeCsv(df, path)
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .csv(path)
+      case other =>
+        throw new IllegalArgumentException(
+          s"materialize: unknown cacheFormat '$other' (parquet|csv)")
+    }
 
   /** Small-file compaction — the maintenance pass every long-lived table
     * needs: streaming sinks, per-batch writers, and fine-grained

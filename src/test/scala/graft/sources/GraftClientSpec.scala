@@ -15,6 +15,22 @@ class GraftClientSpec extends SparkSpec {
     assert(client.dataFor("nation").count() == 25)
   }
 
+  test("dataFor by catalog index round-trips the printed listing") {
+    // the reference addressed datasets by position in the printed catalog
+    // (c.data_for(<index>), SURVEY §3.1); index i = row i of client.list
+    val names = client.list.select("table").collect().map(_.getString(0))
+    names.zipWithIndex.foreach { case (name, i) =>
+      assert(client.dataFor(i).columns.toSeq ==
+        client.dataFor(name).columns.toSeq, s"index $i != table $name")
+    }
+    val iNation = names.indexOf("nation")
+    assert(client.dataFor(iNation).count() == 25)
+    // params flow through the index form identically
+    assert(client.dataFor(iNation, SoqlParams(limit = Some(3))).count() == 3)
+    intercept[IllegalArgumentException](client.dataFor(names.length))
+    intercept[IllegalArgumentException](client.dataFor(-1))
+  }
+
   test("$select/$where/$order/$limit translate to the DataFrame ops") {
     val got = client.dataFor("orders", SoqlParams(
       select = Seq("o_orderkey", "round(o_totalprice, 2) as price"),

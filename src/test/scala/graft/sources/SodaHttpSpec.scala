@@ -133,6 +133,69 @@ class SodaHttpSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("X-App-Token header arrives on every page request; anonymous " +
+    "requests carry none") {
+    val rows = customerRows.take(50)
+    val seen = new scala.collection.mutable.ArrayBuffer[Option[String]]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/resource/cust-auth.json",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        seen.synchronized {
+          seen += Option(ex.getRequestHeaders.getFirst("X-App-Token"))
+        }
+        val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+          .split("&").filter(_.nonEmpty).map { kv =>
+            val Array(k, v) = kv.split("=", 2)
+            java.net.URLDecoder.decode(k, "UTF-8") ->
+              java.net.URLDecoder.decode(v, "UTF-8")
+          }.toMap
+        val limit = params.get("$limit").map(_.toInt).getOrElse(1000)
+        val offset = params.get("$offset").map(_.toInt).getOrElse(0)
+        val body = rows.sortBy(_._1).slice(offset, offset + limit).map(_._2)
+          .mkString("[", ",", "]").getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+        ex.close()
+      })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      // 50 rows / pageSize 20 -> 3 requests, every one authenticated
+      val got = SodaHttp.readResource(spark, base, "cust-auth",
+        order = "c_custkey", pageSize = 20, appToken = Some("tok-4x4"))
+      assert(got.count() == 50)
+      assert(seen.synchronized(seen.toList) ==
+        List.fill(3)(Some("tok-4x4")), s"token headers: $seen")
+      // unauthenticated behavior unchanged: no header at all
+      seen.synchronized(seen.clear())
+      SodaHttp.fetchPage(base, "cust-auth", Seq("$limit" -> "5"))
+      assert(seen.synchronized(seen.toList) == List(None),
+        s"anonymous request leaked a header: $seen")
+    } finally server.stop(0)
+  }
+
+  test("SodaCredentials resolves explicit > env > properties file > none") {
+    val dir = java.nio.file.Files.createTempDirectory("soda-cred")
+    val propFile = dir.resolve("soda.properties")
+    java.nio.file.Files.writeString(propFile,
+      s"# git-ignored credential file (the reference's config/*.yml twin)\n" +
+        s"${SodaCredentials.PropKey} = tok-from-file\n")
+    val cfg = propFile.toString
+    val env = Map(SodaCredentials.EnvVar -> "tok-from-env")
+    assert(SodaCredentials.appToken(Some("tok-explicit"), cfg, env)
+      .contains("tok-explicit"))
+    assert(SodaCredentials.appToken(None, cfg, env).contains("tok-from-env"))
+    assert(SodaCredentials.appToken(None, cfg, Map.empty)
+      .contains("tok-from-file"))
+    assert(SodaCredentials.appToken(None, dir.resolve("absent").toString,
+      Map.empty).isEmpty)
+    // blank values never authenticate
+    assert(SodaCredentials.appToken(Some(""), cfg,
+      Map(SodaCredentials.EnvVar -> "")).contains("tok-from-file"))
+  }
+
   test("non-200 responses raise, and the order contract is enforced") {
     val (base, server) = startServer(customerRows.take(5), "exists")
     try {

@@ -69,6 +69,24 @@ class SourcesSpec extends SparkSpec {
     assert(mat.exceptAll(q).count() == 0)
   }
 
+  test("materialize cacheFormat=csv lands reference-style CSV cache files") {
+    val dir = tmp()
+    val q = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val mat = Sources.materialize(spark, q, s"$dir/nation_csv", "csv")
+    // the on-disk cache is genuinely CSV (the gem's observable behavior)
+    val files = new java.io.File(s"$dir/nation_csv").listFiles()
+    assert(files.exists(_.getName.endsWith(".csv")), files.mkString(","))
+    assert(mat.count() == 25)
+    val diff = mat.select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .exceptAll(q.select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long")))
+    assert(diff.count() == 0)
+    intercept[IllegalArgumentException](
+      Sources.materialize(spark, q, s"$dir/x", "avro"))
+  }
+
   test("catalog lists every fixture table with schema metadata") {
     val cat = Catalog.list(spark, sfDir).collect()
     val names = cat.map(_.getString(0)).toSet
