@@ -104,13 +104,17 @@ object MiningQueries {
     * daily spend, EXACT in integers: daily sums in micro-units, the EWMA
     * numerator folded as Σ vᵢ·2^(k−1−lag) over the last ≤16 observed days
     * (newest weight 2^(k−1) — `aggregate(reverse(window list), acc·2+x)`,
-    * a codegen-safe integer Horner scheme), denominator 2^k − 1, integer
-    * division. NOTE on division semantics: Spark's `DIV` (and the
-    * streaming twin's Java `/`) truncate toward zero while DuckDB's `//`
-    * floors — identical only for nonnegative numerators. The fixture
-    * guarantees this (event values are 0.01..490, so every daily micro
-    * sum is positive); a deployment with refunds/negative amounts must
-    * replace `DIV` with an explicit floor-div on both engines.
+    * a codegen-safe integer Horner scheme), denominator 2^k − 1, exact
+    * FLOOR division. Division semantics (round 7, closing the r6 latent
+    * divergence): Spark's `DIV` truncates toward zero while DuckDB's `//`
+    * floors — different at negative numerators (refund-heavy days). The
+    * numerator is therefore floored explicitly via the pmod identity
+    * `(num − pmod(num, denom)) DIV denom`: subtracting the NONNEGATIVE
+    * remainder makes the numerator an exact multiple, so truncation IS
+    * floor, for every numerator sign and any magnitude (no shift-constant
+    * bound to outgrow; denominator 2^k−1 > 0 always). On the nonnegative
+    * fixture the correction term is 0 — hashes unchanged. The streaming
+    * twin applies the same semantics as `Math.floorDiv`.
     * α = 1/2 makes every weight a power of two, so the
     * smoothing that is normally float-recurrence territory (and therefore
     * partition-order-dependent) becomes exact, layout-independent integer
@@ -134,7 +138,7 @@ object MiningQueries {
         (acc, x) => acc * 2 + x))
       .withColumn("denom",
         expr("shiftleft(CAST(1 AS BIGINT), k) - CAST(1 AS BIGINT)"))
-      .withColumn("ewma_micro", expr("num DIV denom"))
+      .withColumn("ewma_micro", expr("(num - pmod(num, denom)) DIV denom"))
       .withColumn("rn", row_number().over(wLast))
       .filter(col("rn") <= 3)
       .select(col("user_id"), col("day"), col("k").cast("long").as("n_obs"),
@@ -317,10 +321,14 @@ object MiningQueries {
     * result is layout-independent (the q149/q167 bounded-table family,
     * rational arithmetic instead of logs). At sums beyond ~10¹⁴ cents the
     * numerator needs the decimal widening q58 documents; the shape is
-    * unchanged. Division semantics: `DIV` truncates toward zero vs
-    * DuckDB `//`'s floor — identical here because cent sums are positive
-    * by fixture contract (the q162 note); negative-amount deployments
-    * need an explicit floor-div on both engines.
+    * unchanged. Division semantics (round 7): the numerator 10⁴·s·nt can
+    * go negative on refund-heavy weekdays, where Spark `DIV` (truncate)
+    * and DuckDB `//` (floor) diverge — floored explicitly via the q162
+    * pmod identity (subtract the nonnegative remainder, then DIV is
+    * exact), valid for any numerator at any magnitude. The denominator
+    * st·n must stay positive (total spend > 0 per type) — that remaining
+    * contract is inherent to "index relative to the overall mean", not a
+    * division artifact.
     *
     * Scale: one agg to the |types|×7 table, windows over it.
     */
@@ -336,7 +344,7 @@ object MiningQueries {
       .withColumn("nt", sum(col("n")).over(wi))
       .withColumn("st", sum(col("s")).over(wi))
       .withColumn("seasonal_bp",
-        expr("(10000 * s * nt) DIV (st * n)"))
+        expr("(10000 * s * nt - pmod(10000 * s * nt, st * n)) DIV (st * n)"))
       .select(col("event_type"), col("wday"), col("n"), col("seasonal_bp"))
       .orderBy(col("event_type"), col("wday"))
   }

@@ -368,8 +368,9 @@ object StreamTwins {
             // exact q162 integer Horner scheme
             val num = hist.reverseIterator.foldLeft(0L)((acc, e) => acc * 2 + e._2)
             val denom = (1L << k) - 1L
-            // truncating division, matching batch q162's `DIV` exactly
-            out += Row(user, pd, k.toLong, num / denom)
+            // FLOOR division, matching batch q162's r7 pmod-floored DIV
+            // (and DuckDB `//`) exactly at every numerator sign
+            out += Row(user, pd, k.toLong, Math.floorDiv(num, denom))
           }
           rows.toSeq.sortBy(r => (r.getLong(2), r.getLong(1))).foreach { r =>
             val day = Math.floorDiv(r.getLong(2), 86400000000L)

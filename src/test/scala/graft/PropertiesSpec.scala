@@ -150,4 +150,30 @@ class PropertiesSpec extends AnyFunSuite {
         (Det.l2norm(col("embedding")) * Det.l2norm(col("embedding"))), 6).as("c"))
     assert(self.filter(col("c") =!= 1.0).count() == 0)
   }
+
+  test("q162/q168 pmod floor-div == floor semantics incl. NEGATIVE cent " +
+    "sums (generated)") {
+    // the r6 latent divergence: Spark DIV truncates, DuckDB // floors —
+    // the backported identity (num - pmod(num, den)) DIV den must equal
+    // Math.floorDiv for every sign of num (refund-heavy days/weekdays),
+    // positive den contract. Generator covers negatives, exact multiples,
+    // and |num| < den corner cases.
+    val cases = samples(Gen.zip(
+      Gen.chooseNum(-2000000L, 2000000L),
+      Gen.chooseNum(1L, 127L)), 60)
+    val got = cases.toDF("num", "den")
+      .withColumn("fd", expr("(num - pmod(num, den)) DIV den"))
+      .withColumn("trunc", expr("num DIV den"))
+      .collect()
+    var truncDiverged = false
+    got.foreach { r =>
+      val (num, den) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == Math.floorDiv(num, den),
+        s"floor-div identity broke at $num / $den")
+      if (r.getLong(3) != Math.floorDiv(num, den)) truncDiverged = true
+    }
+    // the test only proves something if plain DIV actually diverges on
+    // this sample (negative non-multiples present)
+    assert(truncDiverged, "sample never exercised the truncate≠floor case")
+  }
 }

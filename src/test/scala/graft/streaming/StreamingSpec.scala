@@ -354,6 +354,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q162 twin: streamed daily EWMA == driver Horner fold with FLOOR " +
+    "division (negative sums), batch-split invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    // refund-heavy days: daily micro sums 1250000, -375000, -2000000 —
+    // settling d2 gives num = -7500000, denom = 7, where floor (-1071429,
+    // the r7 semantics matching batch q162's pmod-floored DIV and DuckDB
+    // //) differs from the old truncation (-1071428)
+    val evs = Seq(
+      Ev(1, t("2024-01-01 12:00:00"), 1, "purchase", 1.25, "{}"),
+      Ev(2, t("2024-01-02 12:00:00"), 1, "refund", -0.375, "{}"),
+      Ev(3, t("2024-01-03 12:00:00"), 1, "refund", -2.0, "{}"),
+      Ev(4, t("2024-01-04 12:00:00"), 1, "purchase", 0.5, "{}"), // open day
+      Ev(5, t("2024-01-01 12:00:00"), 2, "purchase", 3.0, "{}"),
+      Ev(6, t("2024-01-03 12:00:00"), 2, "purchase", 4.0, "{}")) // settles u2 d0
+    def day(ts: Timestamp): Long =
+      Math.floorDiv(ts.getTime * 1000L, 86400000000L)
+    val d0 = day(t("2024-01-01 12:00:00"))
+    val want = Set(
+      (1L, d0, 1L, 1250000L),        // k=1: num=1250000, denom=1
+      (1L, d0 + 1, 2L, 166666L),     // num=500000, denom=3 (floor==trunc)
+      (1L, d0 + 2, 3L, -1071429L),   // num=-7500000, denom=7: FLOOR
+      (2L, d0, 1L, 3000000L))
+    def run(chunks: Seq[Seq[Ev]], name: String): Set[(Long, Long, Long, Long)] = {
+      val mem = MemoryStream[Ev]
+      val q = StreamTwins.ewmaDaily(mem.toDF()).writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+      try {
+        chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+      } finally q.stop()
+    }
+    assert(run(Seq(evs), "tewma1") == want)
+    // state carries across batches: split mid-history, same emissions
+    assert(run(Seq(evs.take(2), evs.slice(2, 4), evs.drop(4)), "tewma3")
+      == want)
+  }
+
   test("top-k twin: emitted entries are batch-split invariant and contain the final top-k") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Seq(
