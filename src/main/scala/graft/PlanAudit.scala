@@ -51,7 +51,8 @@ object PlanAudit extends App {
     "q191_auc_roc", "q192_kaplan_meier", "q193_span_containment",
     "q194_gini_spend", "q195_user_entropy", "q196_new_returning",
     "q197_embed_health", "q198_quantile_normalize", "q199_mom_growth",
-    "q200_ann_recall", "q201_seasonal_decompose", "q202_kcore_peel",
+    "q200_ann_recall", "q227_ann_recall_kmeans",
+    "q201_seasonal_decompose", "q202_kcore_peel",
     "q203_dedup_report", "q204_demand_variability",
     "q205_forecast_backtest", "q206_slo_burn", "q207_psi_drift",
     "q208_order_aging", "q209_session_stats", "q210_lagged_xcorr",

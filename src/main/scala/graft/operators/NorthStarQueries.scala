@@ -309,7 +309,99 @@ object NorthStarQueries {
       .orderBy(col("probe_id"))
   }
 
+  /** ANN recall with GEOMETRIC cells (q227, round 7 — closing q200's
+    * loop): the identical recall@5 harness, but the IVF arm searches the
+    * probe's k-MEANS cell — q155's Lloyd assignment under the fixed
+    * vec_id<8 centroid literals — instead of the fixture's non-semantic
+    * `label` shard. q200 measured the honest 0.11 penalty of a shard that
+    * ignores geometry; this measures what a real IVF layout buys at the
+    * same nprobe=1 budget, with the oracle replaying the same centroid
+    * literals (the q155 determinism argument: r6-rounded expanded-L2²
+    * distances, argmin ties to the lower cid).
+    *
+    * Scale shape: the assignment is q155's zero-corpus-shuffle broadcast
+    * cross join + one (vec_id)-keyed agg; re-attaching embeddings is a
+    * co-partitioned self-join on vec_id. Both recall arms are
+    * broadcast-probe scans with per-probe top-5 windows (the q82/q98
+    * bounded-probe-set rule); production lays the corpus out
+    * PARTITIONED BY cid so the cell arm prunes to 1/k of the files —
+    * this query IS that read path's plan shape.
+    */
+  def q227_ann_recall_kmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val asg = clusterAssignments(spark, sfDir).select(col("vec_id"), col("cid"))
+    val probes = emb.filter(col("vec_id") < 50).join(asg, "vec_id")
+      .select(col("vec_id").as("probe_id"), col("cid").as("pcid"),
+        col("embedding").as("pv"))
+    val corpus = emb.join(asg, "vec_id")
+      .select(col("vec_id").as("nb"), col("cid").as("ccid"),
+        col("embedding").as("cv"))
+    val cos = Det.r6(Det.dotD(col("pv"), col("cv")) /
+      (Det.l2norm(col("pv")) * Det.l2norm(col("cv"))))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cs").desc, col("nb").asc)
+    val brute = broadcast(probes).crossJoin(corpus)
+      .filter(col("probe_id") =!= col("nb"))
+      .withColumn("cs", cos)
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= 5)
+      .select(col("probe_id"), col("nb"))
+    val cell = broadcast(probes)
+      .join(corpus, col("pcid") === col("ccid"))
+      .filter(col("probe_id") =!= col("nb"))
+      .withColumn("cs", cos)
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= 5)
+      .select(col("probe_id").as("ip"), col("nb").as("inb"))
+    brute
+      .join(cell,
+        col("ip") === col("probe_id") && col("inb") === col("nb"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("k"), count(col("inb")).as("n_hit"))
+      .select(col("probe_id"), col("k"), col("n_hit"),
+        expr("n_hit * 10000 div k").as("recall_bp"))
+      .orderBy(col("probe_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q227_ann_recall_kmeans" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, c.cid,
+        |    round(list_dot_product(e.v, e.v)
+        |      - 2.0 * list_dot_product(e.v, c.cv)
+        |      + list_dot_product(c.cv, c.cv), 6) AS d2
+        |  FROM e CROSS JOIN c),
+        |a0 AS (SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk
+        |  FROM d),
+        |a AS (SELECT vec_id, cid FROM a0 WHERE rk = 1),
+        |bs AS (SELECT p.vec_id AS probe_id, cx.vec_id AS nb,
+        |    round(list_dot_product(p.v, cx.v) /
+        |      (sqrt(list_dot_product(p.v, p.v)) *
+        |       sqrt(list_dot_product(cx.v, cx.v))), 6) AS cs
+        |  FROM e p JOIN e cx ON p.vec_id < 50 AND p.vec_id <> cx.vec_id),
+        |bt AS (SELECT probe_id, nb FROM (SELECT probe_id, nb,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cs DESC, nb ASC) AS r FROM bs) WHERE r <= 5),
+        |iv AS (SELECT p.vec_id AS probe_id, cx.vec_id AS nb,
+        |    round(list_dot_product(p.v, cx.v) /
+        |      (sqrt(list_dot_product(p.v, p.v)) *
+        |       sqrt(list_dot_product(cx.v, cx.v))), 6) AS cs
+        |  FROM e p JOIN a pa ON pa.vec_id = p.vec_id
+        |  JOIN a ca ON ca.cid = pa.cid
+        |  JOIN e cx ON cx.vec_id = ca.vec_id
+        |  WHERE p.vec_id < 50 AND p.vec_id <> cx.vec_id),
+        |it AS (SELECT probe_id, nb FROM (SELECT probe_id, nb,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cs DESC, nb ASC) AS r FROM iv) WHERE r <= 5)
+        |SELECT b.probe_id, count(*) AS k, CAST(count(i.nb) AS BIGINT)
+        |    AS n_hit,
+        |  CAST(count(i.nb) * 10000 // count(*) AS BIGINT) AS recall_bp
+        |FROM bt b LEFT JOIN it i ON i.probe_id = b.probe_id
+        |  AND i.nb = b.nb
+        |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin,
     "q200_ann_recall" ->
       """WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -80,6 +80,7 @@ class DeclaredQueriesSpec extends SparkSpec {
     "q221_value_bands" -> 30L, "q222_position_attribution" -> 2L,
     "q223_srm_screen" -> 30L, "q224_margin_waterfall" -> 83L,
     "q225_audience_overlap" -> 10L, "q226_lang_confusion" -> 25L,
+    "q227_ann_recall_kmeans" -> 50L,
     "q103_text_normalize" -> 500L, "q104_shard_assign" -> 16L,
     "q105_domain_mix" -> 20L, "q106_line_dedup" -> 500L,
     "q107_quality_classifier" -> 500L, "q108_dedup_canonical" -> 174L,

@@ -35,7 +35,8 @@ class EmptyInputSpec extends SparkSpec {
       "q180_dup_span_share", "q181_dsir_weight", "q182_ngram_novelty",
       "q186_distinct_ngrams", "q193_span_containment",
       // embeddings live in the same fixture dir
-      "q197_embed_health", "q200_ann_recall", "q203_dedup_report")
+      "q197_embed_health", "q200_ann_recall", "q227_ann_recall_kmeans",
+      "q203_dedup_report")
     qs.foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, emptyDir).count()
       assert(n == 0, s"$q returned $n rows on an empty corpus")
