@@ -1524,15 +1524,22 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
-  /** Audience-overlap matrix (q225): for every event-type pair, the
-    * distinct-user intersection and Jaccard in bp — "do buyers also
-    * click, and are error-seers a separate population?" The set-level
-    * companion of q154 (co-occurrence lift reads FREQUENCY, this reads
-    * MEMBERSHIP) and the input to any audience-expansion decision.
+  /** Audience-overlap matrix (q225): for every event-type pair WITH AT
+    * LEAST ONE shared user, the distinct-user intersection and Jaccard in
+    * bp — "do buyers also click, and are error-seers a separate
+    * population?" Fully DISJOINT pairs are omitted by construction (the
+    * intersection is an inner join on shared users, so a zero-overlap
+    * pair produces no row): absence from the output IS the
+    * jaccard_bp = 0 verdict, the same sparse-matrix convention as q154's
+    * lift table — a consumer that needs the dense grid left-joins this
+    * against the type cross product with coalesce(n_both, 0). The
+    * set-level companion of q154 (co-occurrence lift reads FREQUENCY,
+    * this reads MEMBERSHIP) and the input to any audience-expansion
+    * decision.
     *
     * Exactness: pure distinct-set counts; Jaccard floors once against
     * the inclusion–exclusion union (nA + nB − inter > 0 whenever the
-    * pair exists).
+    * pair is present).
     *
     * Scale shape: one distinct (user, type) pass (the log's natural
     * key); the per-user self-pair fan-out is alphabet-bounded (≤

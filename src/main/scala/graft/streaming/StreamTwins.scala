@@ -552,6 +552,37 @@ object StreamTwins {
     * dropped, its (user, day) row having already been published in
     * append mode (prefix semantics, as [[sessionAssign]]/[[locfFill]]).
     */
+  def newReturning(events: DataFrame): DataFrame = {
+    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("is_new",
+        org.apache.spark.sql.types.LongType))))
+    val in = events.select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"))
+    in.as(Encoders.row(in.schema))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState[(Long, Long), Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Row], state: GroupState[(Long, Long)]) =>
+          var (fd, last) =
+            state.getOption.getOrElse((Long.MaxValue, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          rows.toSeq.map(_.getLong(1)).sorted.foreach { day =>
+            if (fd == Long.MaxValue) fd = day
+            if (day > last) {
+              out += Row(user, day, if (day == fd) 1L else 0L)
+              last = day
+            }
+          }
+          state.update((fd, last))
+          out.iterator
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), enc)
+      .toDF()
+  }
+
   /** q223 twin: streaming daily-active arm emissions — each (day, user)
     * is emitted EXACTLY ONCE across all batches (Append mode), tagged
     * with q134/q223's md5 hash arm computed JVM-side (identical hex to
@@ -599,34 +630,63 @@ object StreamTwins {
       .digest(s.getBytes("UTF-8")).take(2)
       .map(b => f"${b & 0xff}%02x").mkString
 
-  def newReturning(events: DataFrame): DataFrame = {
+  /** q126's streaming twin (round 7, the VERDICT r6 follow-through):
+    * per-purchase last-touch attribution via `flatMapGroupsWithState`.
+    * State per user = the most recent NON-purchase event's (type, µs) —
+    * one string + one long regardless of stream length; each `purchase`
+    * emits exactly one (user_id, event_id, purchase_us, touch, cents) row
+    * in Append mode, touch = the carried type when it is within the 1-day
+    * lookback (`prev_us >= purchase_us − 1 day`, the same closed boundary
+    * as batch q126's `prev_ts >= ts − INTERVAL 1 DAY`), else 'none'.
+    * Batch q126's (touch → n_purchases, revenue_cents) table is then a
+    * STATELESS rollup of these emissions — the streaming marketing
+    * monitor reads the same numbers.
+    *
+    * Ordering contract: rows are processed in (ts, event_id) order within
+    * each micro-batch (intra-batch disorder absorbed); cross-batch order
+    * must be per-user in-order (the [[scd2Maintain]]/[[newReturning]]
+    * rule) — a purchase arriving before its touch crossed the wire
+    * attributes to 'none', which is the only honest answer a prefix can
+    * give. Purchases never become touches (q126's non-purchase filter).
+    */
+  def lastTouch(events: DataFrame): DataFrame = {
+    val lookbackUs = 24L * 3600 * 1000000
     val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("user_id",
         org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("day",
+      org.apache.spark.sql.types.StructField("event_id",
         org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("is_new",
+      org.apache.spark.sql.types.StructField("purchase_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("touch",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cents",
         org.apache.spark.sql.types.LongType))))
-    val in = events.select(col("user_id"),
-      expr("unix_micros(ts) div 86400000000").as("day"))
+    val in = events.select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("ts_us"),
+      round(col("value") * 100).cast("long").as("cents"))
+    // state: (last non-purchase type | "", its µs | MinValue)
     in.as(Encoders.row(in.schema))
       .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
-      .flatMapGroupsWithState[(Long, Long), Row](
+      .flatMapGroupsWithState[(String, Long), Row](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (user: Long, rows: Iterator[Row], state: GroupState[(Long, Long)]) =>
-          var (fd, last) =
-            state.getOption.getOrElse((Long.MaxValue, Long.MinValue))
+        (user: Long, rows: Iterator[Row], state: GroupState[(String, Long)]) =>
+          var (prevType, prevUs) =
+            state.getOption.getOrElse(("", Long.MinValue))
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-          rows.toSeq.map(_.getLong(1)).sorted.foreach { day =>
-            if (fd == Long.MaxValue) fd = day
-            if (day > last) {
-              out += Row(user, day, if (day == fd) 1L else 0L)
-              last = day
-            }
+          rows.toSeq.sortBy(r => (r.getLong(3), r.getLong(1))).foreach { r =>
+            val ts = r.getLong(3)
+            if (r.getString(2) == "purchase") {
+              val touch =
+                if (prevUs != Long.MinValue && prevUs >= ts - lookbackUs)
+                  prevType
+                else "none"
+              out += Row(user, r.getLong(1), ts, touch, r.getLong(4))
+            } else { prevType = r.getString(2); prevUs = ts }
           }
-          state.update((fd, last))
+          state.update((prevType, prevUs))
           out.iterator
-      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), enc)
+      }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong), enc)
       .toDF()
   }
 }

@@ -354,6 +354,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q126 twin: streamed last-touch attribution == batch evaluation, " +
+    "split-invariant; rollup matches q126's touch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      Ev(1, t("2024-01-01 10:00:00"), 1, "click", 0.50, "{}"),
+      Ev(2, t("2024-01-01 12:00:00"), 1, "purchase", 10.00, "{}"), // click
+      Ev(3, t("2024-01-02 11:30:00"), 1, "purchase", 20.00, "{}"), // 25.5h since click → none
+      Ev(4, t("2024-01-02 12:00:00"), 1, "view", 0.00, "{}"),
+      Ev(5, t("2024-01-03 12:00:00"), 1, "purchase", 30.00, "{}"), // view, EXACTLY 24h (closed boundary)
+      Ev(6, t("2024-01-05 00:00:00"), 2, "purchase", 40.00, "{}"), // no prior → none
+      Ev(7, t("2024-01-05 00:10:00"), 2, "purchase", 50.00, "{}")) // purchases never touch → none
+    val want = Set(
+      (1L, 2L, "click", 1000L),
+      (1L, 3L, "none", 2000L),
+      (1L, 5L, "view", 3000L),
+      (2L, 6L, "none", 4000L),
+      (2L, 7L, "none", 5000L))
+    def run(chunks: Seq[Seq[Ev]], name: String): Set[(Long, Long, String, Long)] = {
+      val mem = MemoryStream[Ev]
+      val q = StreamTwins.lastTouch(mem.toDF()).writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+      try {
+        chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getLong(4)))
+          .toSet
+      } finally q.stop()
+    }
+    assert(run(Seq(evs), "tlt1") == want)
+    // per-user in-order batch splits: same emissions (state carries the
+    // touch across the 4|5 boundary)
+    assert(run(Seq(evs.take(2), evs.slice(2, 4), evs.drop(4)), "tlt3") == want)
+    // batch evaluation of the same twin (flatMapGroupsWithState on a
+    // static frame) agrees row-for-row
+    val batch = StreamTwins.lastTouch(evs.toDF()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getLong(4)))
+      .toSet
+    assert(batch == want)
+    // q126's report = stateless rollup of the emissions
+    val rollup = StreamTwins.lastTouch(evs.toDF())
+      .groupBy($"touch").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_purchases"),
+        org.apache.spark.sql.functions.sum($"cents").as("revenue_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rollup == Set(("click", 1L, 1000L), ("view", 1L, 3000L),
+      ("none", 3L, 11000L)))
+  }
+
   test("q162 twin: streamed daily EWMA == driver Horner fold with FLOOR " +
     "division (negative sums), batch-split invariant") {
     implicit val sqlCtx = spark.sqlContext
