@@ -630,6 +630,64 @@ object StreamTwins {
       .digest(s.getBytes("UTF-8")).take(2)
       .map(b => f"${b & 0xff}%02x").mkString
 
+  /** q127's streaming twin (round 7): the ORDERED multi-step window
+    * funnel (signup → click → purchase, strict order, every step within
+    * 7 days of the first signup) as a per-user state machine. State =
+    * (t1, t2, t3) step timestamps (µs, MaxValue = not reached) — three
+    * longs per user regardless of volume. Emits one (user_id, step,
+    * step_us) row in Append mode at each FIRST step transition; q127's
+    * per-cohort (n_step1, n_step2, n_step3) report is then a stateless
+    * `groupBy(user % 4, step)` count of the emissions.
+    *
+    * Equivalence contract: with per-user in-order delivery (the
+    * [[funnelConversions]]/[[newReturning]] rule; intra-batch disorder is
+    * absorbed by the (ts, event_id) sort), "first qualifying event seen"
+    * IS batch q127's min-chain — each batch min() over a time-filtered
+    * set is the earliest qualifying arrival. Steps use q127's exact
+    * boundaries: strictly after the previous step (`>`), closed at
+    * `t1 + 7 days` (`<=`).
+    */
+  def windowFunnelSteps(events: DataFrame): DataFrame = {
+    val windowUs = 7L * 24 * 3600 * 1000000
+    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("step",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("step_us",
+        org.apache.spark.sql.types.LongType))))
+    val in = events.select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    type S = (Long, Long, Long)
+    in.as(Encoders.row(in.schema))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState[S, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Row], state: GroupState[S]) =>
+          var (t1, t2, t3) = state.getOption.getOrElse(
+            (Long.MaxValue, Long.MaxValue, Long.MaxValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          rows.toSeq.sortBy(r => (r.getLong(3), r.getLong(1))).foreach { r =>
+            val ts = r.getLong(3)
+            r.getString(2) match {
+              case "signup" if t1 == Long.MaxValue =>
+                t1 = ts; out += Row(user, 1L, ts)
+              case "click" if t2 == Long.MaxValue && t1 != Long.MaxValue &&
+                ts > t1 && ts <= t1 + windowUs =>
+                t2 = ts; out += Row(user, 2L, ts)
+              case "purchase" if t3 == Long.MaxValue &&
+                t2 != Long.MaxValue && ts > t2 && ts <= t1 + windowUs =>
+                t3 = ts; out += Row(user, 3L, ts)
+              case _ => ()
+            }
+          }
+          state.update((t1, t2, t3))
+          out.iterator
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong), enc)
+      .toDF()
+  }
+
   /** q126's streaming twin (round 7, the VERDICT r6 follow-through):
     * per-purchase last-touch attribution via `flatMapGroupsWithState`.
     * State per user = the most recent NON-purchase event's (type, µs) —

@@ -354,6 +354,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q127 twin: multi-step funnel transitions == batch min-chain, " +
+    "boundaries exact, split-invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      // u1: full conversion — click strictly after signup, purchase after click
+      Ev(1, t("2024-01-01 00:00:00"), 1, "signup", 0, "{}"),
+      Ev(2, t("2024-01-02 00:00:00"), 1, "click", 0, "{}"),
+      Ev(3, t("2024-01-08 00:00:00"), 1, "purchase", 0, "{}"), // EXACTLY t1+7d: counts (<=)
+      // u2: click BEFORE signup never qualifies; later click does; purchase
+      // before the click (but after signup) does NOT (strict order)
+      Ev(4, t("2024-01-01 00:00:00"), 2, "click", 0, "{}"),
+      Ev(5, t("2024-01-01 06:00:00"), 2, "signup", 0, "{}"),
+      Ev(6, t("2024-01-01 08:00:00"), 2, "purchase", 0, "{}"),
+      Ev(7, t("2024-01-01 10:00:00"), 2, "click", 0, "{}"),
+      // u3: click past the 7-day window → funnel stalls at step 1
+      Ev(8, t("2024-01-01 00:00:00"), 3, "signup", 0, "{}"),
+      Ev(9, t("2024-01-09 00:00:00"), 3, "click", 0, "{}"))
+    def us(s: String): Long = t(s).getTime * 1000L
+    val want = Set(
+      (1L, 1L, us("2024-01-01 00:00:00")),
+      (1L, 2L, us("2024-01-02 00:00:00")),
+      (1L, 3L, us("2024-01-08 00:00:00")),
+      (2L, 1L, us("2024-01-01 06:00:00")),
+      (2L, 2L, us("2024-01-01 10:00:00")),
+      (3L, 1L, us("2024-01-01 00:00:00")))
+    def run(chunks: Seq[Seq[Ev]], name: String): Set[(Long, Long, Long)] = {
+      val mem = MemoryStream[Ev]
+      val q = StreamTwins.windowFunnelSteps(mem.toDF()).writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+      try {
+        chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      } finally q.stop()
+    }
+    assert(run(Seq(evs), "twf1") == want)
+    assert(run(Seq(evs.take(3), evs.slice(3, 7), evs.drop(7)), "twf3") == want)
+    // batch evaluation of the twin agrees, and the q127 report is a
+    // stateless rollup of emissions: cohort u%4 → step counts
+    val batch = StreamTwins.windowFunnelSteps(evs.toDF())
+    assert(batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == want)
+    val rollup = batch.groupBy(($"user_id" % 4).as("cohort"))
+      .agg(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when($"step" === 1, 1).otherwise(0))
+          .as("n_step1"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when($"step" === 2, 1).otherwise(0))
+          .as("n_step2"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when($"step" === 3, 1).otherwise(0))
+          .as("n_step3"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(rollup == Set((1L, 1L, 1L, 1L), (2L, 1L, 1L, 0L),
+      (3L, 1L, 0L, 0L)))
+  }
+
   test("q126 twin: streamed last-touch attribution == batch evaluation, " +
     "split-invariant; rollup matches q126's touch semantics") {
     implicit val sqlCtx = spark.sqlContext
