@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Whole-operator Catalyst extension (the (c) rung of SURVEY §2's
   * extension ladder): per-key top-k as a custom `LogicalPlan` +
@@ -52,6 +53,14 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
   override def nodeName: String =
     if (partial) "TopKPerKeyPartial" else "TopKPerKeyFinal"
 
+  // observable like the built-ins: rows out per pass, plus how often the
+  // partial pass hit its key cap (a sustained nonzero flush count says
+  // the input layout scatters keys — worth a pre-partition upstream)
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"),
+    "numFlushes" -> SQLMetrics.createMetric(sparkContext,
+      "partial heap-map flushes"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(keys))
@@ -79,6 +88,8 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     // footprint is (keys / shuffle-width)×k, governed by the exchange.
     val flushKeys = math.max(1,
       conf.getConfString("graft.topk.partialFlushKeys", "131072").toInt)
+    val outRows = longMetric("numOutputRows")
+    val flushes = longMetric("numFlushes")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, schema)
       val ord = GenerateOrdering.generate(sortOrder, schema)
@@ -118,6 +129,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
               if (pq == null) {
                 if (isPartial && heaps.size() >= flushKeys) {
                   pending = drain() // swaps in a fresh map
+                  flushes += 1
                   flushed = true
                 }
                 pq = new java.util.PriorityQueue[InternalRow](
@@ -133,6 +145,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         override def hasNext: Boolean = advance()
         override def next(): InternalRow = {
           if (!advance()) throw new NoSuchElementException
+          outRows += 1
           pending.next()
         }
       }

@@ -94,6 +94,9 @@ class TopKSpec extends SparkSpec {
       assert(partialRows > nKeys * 2,
         s"cap=4 partial emitted only $partialRows rows for $nKeys keys — " +
           "flushing never happened")
+      // and the SQL metrics see it: flush count > 0, output rows == count
+      assert(partial.metrics("numFlushes").value > 0)
+      assert(partial.metrics("numOutputRows").value == partialRows)
     } finally {
       spark.conf.unset("graft.topk.partialFlushKeys")
       spark.conf.set("spark.sql.adaptive.enabled", "true")
