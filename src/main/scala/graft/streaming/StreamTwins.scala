@@ -747,4 +747,126 @@ object StreamTwins {
       }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong), enc)
       .toDF()
   }
+
+  /** q121's streaming twin: the Markov transition feed. State per user =
+    * the type of the last event seen ("" = none) — one string regardless
+    * of stream length; each event with a predecessor emits one
+    * (user_id, event_id, from_type, to_type) row in Append mode, keyed by
+    * the SUCCESSOR's event_id (exactly-once identifiable). Batch q121's
+    * (event_type, next_type, n_pairs) matrix is then a stateless
+    * `groupBy(from_type, to_type).count()` of the emissions — `lead()`
+    * over the full history and "previous event chained forward" are the
+    * same pairs read from opposite ends.
+    *
+    * Ordering contract: rows sort by (ts, event_id) within each batch
+    * (q121's exact tie-break); cross-batch delivery must be per-user
+    * in-order (the [[lastTouch]]/[[newReturning]] rule) — an event
+    * arriving before its true predecessor crossed the wire pairs with the
+    * prefix's last event, which is the only answer a prefix can give.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("from_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("to_type",
+        org.apache.spark.sql.types.StringType))))
+    val in = events.select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    in.as(Encoders.row(in.schema))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState[String, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Row], state: GroupState[String]) =>
+          var prev = state.getOption.getOrElse("")
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          rows.toSeq.sortBy(r => (r.getLong(3), r.getLong(1))).foreach { r =>
+            val cur = r.getString(2)
+            if (prev.nonEmpty) out += Row(user, r.getLong(1), prev, cur)
+            prev = cur
+          }
+          state.update(prev)
+          out.iterator
+      }(Encoders.STRING, enc)
+      .toDF()
+  }
+
+  /** q120's streaming twin: cohort-retention increments with EXPLICITLY
+    * BOUNDED state. State per user = (cohort day, H-bit bitset of offsets
+    * already emitted) — 8 + H/8 bytes however long the stream runs; the
+    * horizon H (default 512 days) is the retention window a live
+    * dashboard actually plots, and offsets past it are not tracked
+    * (batch q120 has no horizon, so parity holds on corpora whose span
+    * fits — the fixtures' 90-day calendar does many times over). Each
+    * qualifying event (purchase above 150.00, compared in integer cents
+    * like q120) emits one (user_id, cohort_day, k) row in Append mode on
+    * the user's FIRST activity at day-offset k; q120's
+    * (cohort_day, k, n_users) frame is then a stateless
+    * `groupBy(cohort_day, k).count()` — countDistinct collapses to count
+    * because the state already guarantees one row per (user, k).
+    *
+    * Ordering contract: per-user in-order delivery across batches (the
+    * [[newReturning]] rule; intra-batch disorder is absorbed by the day
+    * sort) — the first qualifying day seen IS batch q120's `min(d)`.
+    */
+  def cohortRetention(events: DataFrame, horizonDays: Int = 512): DataFrame = {
+    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cohort_day",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType))))
+    val in = events
+      .filter(col("event_type") === "purchase" &&
+        round(col("value") * 100).cast("long") > 15000L)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+    type S = (Long, Array[Byte])
+    in.as(Encoders.row(in.schema))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState[S, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Row], state: GroupState[S]) =>
+          var (cohort, bits) = state.getOption.getOrElse(
+            (Long.MaxValue, new Array[Byte](horizonDays / 8 + 1)))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          rows.toSeq.map(_.getLong(1)).sorted.foreach { d =>
+            if (cohort == Long.MaxValue) cohort = d
+            val k = d - cohort
+            if (k >= 0 && k <= horizonDays) {
+              val (byte, mask) = ((k / 8).toInt, (1 << (k % 8)).toByte)
+              if ((bits(byte) & mask) == 0) {
+                bits(byte) = (bits(byte) | mask).toByte
+                out += Row(user, cohort, k)
+              }
+            }
+          }
+          state.update((cohort, bits))
+          out.iterator
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY), enc)
+      .toDF()
+  }
+
+  /** q138's streaming twin: exactly-once first-activity marks via the
+    * engine's own dedup state. `dropDuplicatesWithinWatermark(user, day)`
+    * emits each (user_id, day) pair ONCE, with state evicted as the
+    * watermark passes the day — per-key state is bounded by the watermark
+    * delay, not the calendar (the q63 eviction rule applied to the
+    * activity grain). The heavy part of q138 at 100 TB is exactly this
+    * per-(user, day) distinct; DAU (`groupBy(day).count()`) and WAU
+    * (explode each mark to its 7 report days, distinct users per day) are
+    * then rollups over |active users × days| marks — millions, not the
+    * billions of raw events — and the spec replays both from the
+    * emissions to q138's numbers.
+    */
+  def activeMarks(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .dropDuplicatesWithinWatermark(Seq("user_id", "day"))
+      .select(col("user_id"), col("day"))
 }

@@ -774,4 +774,154 @@ class StreamingSpec extends SparkSpec {
     // the JVM-side md5 arm agrees with Spark's md5 for every user
     assert(one.map(_._3).toSet.subsetOf(Set("A", "B")))
   }
+
+  test("q121 twin: streamed transition pairs == batch lead() pairs, " +
+    "split-invariant across the state carry") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      Ev(1, t("2024-01-01 00:00:00"), 1, "view", 0.0, "{}"),
+      Ev(2, t("2024-01-01 00:05:00"), 1, "click", 0.0, "{}"),   // ts ties id3:
+      Ev(3, t("2024-01-01 00:05:00"), 1, "signup", 0.0, "{}"),  // id order breaks it
+      Ev(4, t("2024-01-01 01:00:00"), 1, "purchase", 0.0, "{}"),
+      Ev(5, t("2024-01-01 00:00:00"), 2, "click", 0.0, "{}"),
+      Ev(6, t("2024-01-02 00:00:00"), 2, "click", 0.0, "{}"),   // self-pair
+      Ev(7, t("2024-01-01 00:00:00"), 3, "view", 0.0, "{}"))    // lone event: none
+    val want = Set(
+      (1L, 2L, "view", "click"), (1L, 3L, "click", "signup"),
+      (1L, 4L, "signup", "purchase"), (2L, 6L, "click", "click"))
+    def run(chunks: Seq[Seq[Ev]], name: String)
+        : Set[(Long, Long, String, String)] = {
+      val mem = MemoryStream[Ev]
+      val q = StreamTwins.transitions(mem.toDF()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+            r.getString(3))).toSet
+      } finally q.stop()
+    }
+    assert(run(Seq(evs), "ttr1") == want)
+    // the 2|3 tie-pair split lands in one batch; the 5|6 carry crosses one
+    assert(run(Seq(evs.take(3), evs.slice(3, 5), evs.drop(5)), "ttr3") == want)
+    // q121's matrix == stateless rollup of emissions == lead() on the log
+    val rollup = StreamTwins.transitions(evs.toDF())
+      .groupBy($"from_type", $"to_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val lead = evs.toDF()
+      .withColumn("next_type", org.apache.spark.sql.functions
+        .lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type", $"next_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(rollup == lead && rollup.nonEmpty)
+  }
+
+  test("q120 twin: streamed retention increments == batch min-day/" +
+    "countDistinct formula; cents boundary and bitset exactly-once hold") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      Ev(1, t("2024-01-01 10:00:00"), 1, "purchase", 200.0, "{}"),  // k=0
+      Ev(2, t("2024-01-01 23:00:00"), 1, "purchase", 300.0, "{}"),  // same day: no emit
+      Ev(3, t("2024-01-03 10:00:00"), 1, "purchase", 151.0, "{}"),  // k=2 (15100 cents)
+      Ev(4, t("2024-01-03 11:00:00"), 1, "click", 500.0, "{}"),     // wrong type
+      Ev(5, t("2024-01-04 10:00:00"), 1, "purchase", 150.0, "{}"),  // ==15000: excluded
+      Ev(6, t("2024-01-02 10:00:00"), 2, "purchase", 500.0, "{}"),  // cohort d+1, k=0
+      Ev(7, t("2024-01-04 10:00:00"), 2, "purchase", 400.0, "{}"))  // k=2
+    def day(ts: Timestamp): Long =
+      Math.floorDiv(ts.getTime * 1000L, 86400000000L)
+    val d0 = day(t("2024-01-01 10:00:00"))
+    val want = Set((1L, d0, 0L), (1L, d0, 2L), (2L, d0 + 1, 0L),
+      (2L, d0 + 1, 2L))
+    def run(chunks: Seq[Seq[Ev]], name: String): Seq[(Long, Long, Long)] = {
+      val mem = MemoryStream[Ev]
+      val q = StreamTwins.cohortRetention(mem.toDF()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      } finally q.stop()
+    }
+    val one = run(Seq(evs), "tret1")
+    // same-day duplicate split across batches: the bitset still emits once
+    val split = run(Seq(evs.take(1), evs.slice(1, 4), evs.drop(4)), "tret3")
+    assert(one.size == one.toSet.size && split.size == split.toSet.size)
+    assert(one.toSet == want && split.toSet == want)
+    // q120's (cohort_day, k, n_users) == stateless rollup of emissions ==
+    // the batch min/countDistinct formula on the same rows
+    val rollup = StreamTwins.cohortRetention(evs.toDF())
+      .groupBy($"cohort_day", $"k").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val active = evs.toDF()
+      .filter($"event_type" === "purchase" &&
+        org.apache.spark.sql.functions.round($"value" * 100)
+          .cast("long") > 15000L)
+      .select($"user_id", expr("unix_micros(ts) div 86400000000").as("d"))
+    val firsts = active.groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.min($"d").as("cohort_day"))
+    val batch = active.join(firsts, Seq("user_id"))
+      .groupBy($"cohort_day", ($"d" - $"cohort_day").as("k"))
+      .agg(org.apache.spark.sql.functions.countDistinct($"user_id").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rollup == batch && rollup.nonEmpty)
+  }
+
+  test("q138 twin: dedup-state activity marks are exactly-once; DAU/WAU " +
+    "rollups of the marks match q138's distinct formulas") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      Ev(1, t("2024-01-01 10:00:00"), 1, "click", 0.0, "{}"),
+      Ev(2, t("2024-01-01 11:00:00"), 1, "view", 0.0, "{}"),     // dup (u1, d0)
+      Ev(3, t("2024-01-02 10:00:00"), 1, "click", 0.0, "{}"),
+      Ev(4, t("2024-01-01 10:30:00"), 2, "click", 0.0, "{}"),
+      Ev(5, t("2024-01-08 10:00:00"), 2, "click", 0.0, "{}"),    // outside d0's week
+      Ev(6, t("2024-01-08 10:05:00"), 2, "click", 0.0, "{}"))    // dup (u2, d7)
+    def day(ts: Timestamp): Long =
+      Math.floorDiv(ts.getTime * 1000L, 86400000000L)
+    val d0 = day(t("2024-01-01 10:00:00"))
+    val wantMarks = Set((1L, d0), (1L, d0 + 1), (2L, d0), (2L, d0 + 7))
+    def run(chunks: Seq[Seq[Ev]], name: String): Seq[(Long, Long)] = {
+      val mem = MemoryStream[Ev]
+      val q = StreamTwins.activeMarks(mem.toDF()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      } finally q.stop()
+    }
+    val one = run(Seq(evs), "tdw1")
+    val split = run(Seq(evs.take(2), evs.slice(2, 5), evs.drop(5)), "tdw3")
+    assert(one.size == one.toSet.size && split.size == split.toSet.size)
+    assert(one.toSet == wantMarks && split.toSet == wantMarks)
+    // q138 from the marks: DAU = marks per day; WAU = distinct users over
+    // the 7 report days each mark feeds — matches the batch formula's
+    // explode + countDistinct on the raw log
+    val marks = one.toDF("user_id", "day")
+    val dau = marks.groupBy($"day")
+      .agg(org.apache.spark.sql.functions.countDistinct($"user_id")
+        .as("dau"))
+    val wau = marks
+      .withColumn("rday", explode(org.apache.spark.sql.functions
+        .sequence($"day", $"day" + 6)))
+      .groupBy($"rday")
+      .agg(org.apache.spark.sql.functions.countDistinct($"user_id")
+        .as("wau"))
+    val got = dau.join(wau, dau("day") === wau("rday"))
+      .select($"day", $"dau", $"wau")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // hand-checked: d0 {u1,u2}, d1 {u1}, d7 {u2}; d1's week covers d0+d1
+    // ({u1,u2}), d7's week covers d1..d7 ({u1, u2})
+    assert(got == Set((d0, 2L, 2L), (d0 + 1, 1L, 2L), (d0 + 7, 1L, 2L)))
+  }
 }
