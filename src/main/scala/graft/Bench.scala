@@ -17,9 +17,7 @@ object Bench {
     // bend later timings (observed: q202 repeats 1.4 s → 5.6 s in r6).
     // Sweep them between runs, OUTSIDE the timed section: every action is
     // complete by then, so no live plan reads the blocks.
-    def sweep(): Unit =
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+    def sweep(): Unit = graft.functions.Checkpoints.sweep(spark)
     // Warm-up: run EVERY query once at the smallest fixture (sf0.001,
     // ~0.1% of the timed data) so each query's generated code is JIT'd
     // before it is timed — the timed numbers then measure steady-state

@@ -17,6 +17,10 @@ object BenchOne extends App {
   spark.sparkContext.setLogLevel("ERROR")
   val fn = SparkEntry.queries(name)
   fn(spark, warmDir).count() // warm (JIT; target-sf page cache only if warmDir == sfDir)
+  // sweep the warm run's pinned final-round checkpoint blocks BEFORE the
+  // first timed repeat — otherwise run 1 starts with less free storage
+  // memory than runs 2..n and the repeat-flatness probe reads skewed
+  graft.functions.Checkpoints.sweep(spark)
   // SPARK_GRAFT_BENCH_REPEATS > 1 prints every run — the repeat-flatness
   // probe for iterative operators (leaked checkpoint blocks show up as a
   // rising runs array; see Checkpoints). Sweeps leftovers between runs
@@ -27,8 +31,7 @@ object BenchOne extends App {
     val t0 = System.nanoTime()
     val n = fn(spark, sfDir).count()
     val s = (System.nanoTime() - t0) / 1e9
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+    graft.functions.Checkpoints.sweep(spark)
     (n, s)
   }
   val runs = secs.map(r => f"${r._2}%.2f").mkString(",")

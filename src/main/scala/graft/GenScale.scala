@@ -56,10 +56,25 @@ object GenScale {
         }
       }.reduce(_.unionByName(_))
 
-    /** Land as ONE plain parquet file at <dest>/<name>.parquet. */
+    /** Land as ONE plain parquet file at <dest>/<name>.parquet.
+      *
+      * Timestamps are written as TIMESTAMP_NTZ: [[Tables]] reads the
+      * driver fixtures' naive-µs columns as TimestampType via schema
+      * override, and writing that back as TimestampType would flip the
+      * parquet logical type to isAdjustedToUTC=true — Spark round-trips
+      * the same instants either way (session tz = UTC), but DuckDB maps
+      * the adjusted form to TIMESTAMPTZ, so any oracle that projects a
+      * raw timestamp column (q04, q123) would dtype-mismatch against the
+      * naive driver encoding. The cast keeps the scaled fixture
+      * bit-compatible with the source on BOTH engines.
+      */
     def write(df: DataFrame, name: String): Unit = {
       val staging = s"$destDir/.$name.staging"
-      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val naive = df.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.TimestampType)
+        .foldLeft(df)((d, f) =>
+          d.withColumn(f.name, col(f.name).cast("timestamp_ntz")))
+      naive.coalesce(1).write.mode("overwrite").parquet(staging)
       val part = new java.io.File(staging).listFiles()
         .find(f => f.getName.startsWith("part-") &&
           f.getName.endsWith(".parquet"))

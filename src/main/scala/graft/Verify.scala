@@ -27,9 +27,8 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // free the finished query's leftover checkpoint blocks (iterative
-      // operators pin their final round; see Bench.sweep)
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // operators pin their final round; see Checkpoints.sweep)
+      graft.functions.Checkpoints.sweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -57,14 +57,38 @@ object Checkpoints {
     } else ds.localCheckpoint(true)
   }
 
-  /** Free the storage blocks of a checkpointed frame. No-op on frames
-    * that were never checkpointed (no `LogicalRDD` leaf) and on reliable
-    * checkpoints (their data lives in the checkpoint dir, not block
-    * storage — unpersisting the wrapper RDD is harmless). */
+  /** Free a checkpointed frame's storage: its blocks, and — for reliable
+    * checkpoints — its files. No-op on frames that were never
+    * checkpointed (no `LogicalRDD` leaf). The file deletion matters on
+    * the cluster profile: Spark only garbage-collects checkpoint dirs
+    * when `spark.cleaner.referenceTracking.cleanCheckpoints` is on (off
+    * by default), so a k-round loop would otherwise strand k full state
+    * snapshots on durable storage — the same accumulation defect as the
+    * block leak, relocated to the checkpoint volume. Deletion is safe
+    * under the header's rule: callers only release a frame no live plan
+    * reads. */
   def release(ds: Dataset[_]): Unit =
     ds.queryExecution.analyzed.collect {
-      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case l: LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+        l.rdd.getCheckpointFile.foreach { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(
+            ds.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(path, true)
+        }
     }
+
+  /** Free EVERY persisted RDD in the session — the between-queries sweep
+    * the bench/verify harnesses run so one query's pinned final-round
+    * checkpoint can't skew the next query's storage memory. (The final
+    * round of an iterative operator stays pinned by design — the
+    * returned plan reads it — so only a session-level sweep between
+    * queries can reclaim it.) */
+  def sweep(spark: org.apache.spark.sql.SparkSession,
+            blocking: Boolean = false): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking))
 
   /** One loop step: eagerly checkpoint `next`, then free its now-
     * superseded predecessor `prev`. Returns the checkpointed frame. Safe

@@ -36,6 +36,19 @@ object Catalog {
     }
   }
 
+  /** Sorted table names under `dir` — the exact row order of [[list]]
+    * (both sort by file name), from a directory listing alone: no footer
+    * reads, no Spark job. The cheap path for positional lookups
+    * (`GraftClient.dataFor(index)`), where resolving one name must not
+    * cost a schema read per table. */
+  def tableNames(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).sorted
+      .map(_.stripSuffix(".parquet"))
+  }
+
   private def listImpl(spark: SparkSession, dir: String): DataFrame = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

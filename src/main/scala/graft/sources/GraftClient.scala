@@ -151,14 +151,15 @@ class GraftClient(spark: SparkSession, dir: String) {
   /** `client.data_for(<catalog index>)` — the reference addressed datasets
     * by their POSITION in the printed catalog list (SURVEY §3.1: fetch "by
     * 4x4 id or catalog index"). Index is 0-based into [[list]]'s row order
-    * (tables sorted by name — the order `list.show()` prints). A catalog
-    * read is parquet-footer metadata only, so the ergonomic lookup costs
-    * no data scan.
+    * (tables sorted by name — the order `list.show()` prints). Resolution
+    * uses `Catalog.tableNames` — a directory listing, no footer reads and
+    * no Spark job — so iterating `dataFor(0..n)` stays O(n) listings, not
+    * O(n²) schema reads.
     */
   def dataFor(index: Int): DataFrame = dataFor(index, SoqlParams())
 
   def dataFor(index: Int, params: SoqlParams): DataFrame = {
-    val names = list.select("table").collect().map(_.getString(0))
+    val names = Catalog.tableNames(spark, dir)
     require(index >= 0 && index < names.length,
       s"catalog index $index out of range [0, ${names.length}) for $dir")
     dataFor(names(index), params)

@@ -17,6 +17,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamTwins {
 
+  /** Floor epoch-day of an event-time column, via the q162/q168 pmod
+    * identity `(µs − pmod(µs, day)) DIV day` — exact floor at any sign
+    * and magnitude, where bare `div` truncates toward zero and would
+    * mis-bucket pre-epoch timestamps (DuckDB `//` and
+    * `Math.floorDiv` both floor; the twins pin parity against those).
+    */
+  private def epochDayExpr(tsCol: String): String =
+    s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), 86400000000))" +
+      " div 86400000000"
+
   /** q60 twin: tumbling 1-day counts/sums per event_type. */
   def tumbling(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
@@ -561,7 +571,7 @@ object StreamTwins {
       org.apache.spark.sql.types.StructField("is_new",
         org.apache.spark.sql.types.LongType))))
     val in = events.select(col("user_id"),
-      expr("unix_micros(ts) div 86400000000").as("day"))
+      expr(epochDayExpr("ts")).as("day"))
     in.as(Encoders.row(in.schema))
       .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
       .flatMapGroupsWithState[(Long, Long), Row](
@@ -603,7 +613,7 @@ object StreamTwins {
       org.apache.spark.sql.types.StructField("arm",
         org.apache.spark.sql.types.StringType))))
     val in = events.select(col("user_id"),
-      expr("unix_micros(ts) div 86400000000").as("day"))
+      expr(epochDayExpr("ts")).as("day"))
     in.as(Encoders.row(in.schema))
       .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
       .flatMapGroupsWithState[Array[Long], Row](
@@ -824,7 +834,7 @@ object StreamTwins {
       .filter(col("event_type") === "purchase" &&
         round(col("value") * 100).cast("long") > 15000L)
       .select(col("user_id"),
-        expr("unix_micros(ts) div 86400000000").as("d"))
+        expr(epochDayExpr("ts")).as("d"))
     type S = (Long, Array[Byte])
     in.as(Encoders.row(in.schema))
       .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
@@ -854,19 +864,29 @@ object StreamTwins {
   /** q138's streaming twin: exactly-once first-activity marks via the
     * engine's own dedup state. `dropDuplicatesWithinWatermark(user, day)`
     * emits each (user_id, day) pair ONCE, with state evicted as the
-    * watermark passes the day — per-key state is bounded by the watermark
-    * delay, not the calendar (the q63 eviction rule applied to the
-    * activity grain). The heavy part of q138 at 100 TB is exactly this
+    * watermark passes — per-key state is bounded by the watermark delay,
+    * not the calendar (the q63 eviction rule applied to the activity
+    * grain). The heavy part of q138 at 100 TB is exactly this
     * per-(user, day) distinct; DAU (`groupBy(day).count()`) and WAU
     * (explode each mark to its 7 report days, distinct users per day) are
     * then rollups over |active users × days| marks — millions, not the
     * billions of raw events — and the spec replays both from the
     * emissions to q138's numbers.
+    *
+    * The exactly-once guarantee is only as wide as the dedup state's
+    * life: `dropDuplicatesWithinWatermark` may re-emit a key once the
+    * watermark has passed its first arrival + delay. A (user, day) key
+    * can recur until the day ends, so the delay must cover a full day
+    * PLUS the stream's disorder bound — hence the 26-hour default
+    * (24 h of same-day recurrence + 2 h of lateness), not the 1-hour
+    * default the interval twins use. A shorter delay degrades marks to
+    * at-least-once and the count-based DAU rollup to an upper bound.
     */
-  def activeMarks(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+  def activeMarks(events: DataFrame,
+                  watermark: String = "26 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("day", expr(epochDayExpr("ts")))
       .dropDuplicatesWithinWatermark(Seq("user_id", "day"))
       .select(col("user_id"), col("day"))
 }

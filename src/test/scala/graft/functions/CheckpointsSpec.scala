@@ -17,9 +17,7 @@ class CheckpointsSpec extends SparkSpec {
   private def persistedIds: Set[Int] =
     spark.sparkContext.getPersistentRDDs.keySet.toSet
 
-  private def sweep(): Unit =
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = true))
+  private def sweep(): Unit = Checkpoints.sweep(spark, blocking = true)
 
   test("cut materializes and pins exactly one RDD; release frees it") {
     import spark.implicits._
@@ -70,6 +68,31 @@ class CheckpointsSpec extends SparkSpec {
       val cp = Checkpoints.cut((1 to 20).toDF("n"))
       assert(cp.count() == 20)
       assert(cp.queryExecution.analyzed.collectLeaves().nonEmpty)
+    } finally {
+      spark.conf.unset(Checkpoints.ReliableConfKey)
+    }
+  }
+
+  test("reliable rotate deletes the superseded round's checkpoint FILES " +
+    "(cluster profile: no durable-storage accumulation)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-rot")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    spark.conf.set(Checkpoints.ReliableConfKey, "true")
+    def rddDirs: Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) :+ f else Seq(f)
+      walk(dir.toFile).filter(_.getName.startsWith("rdd-")).map(_.getName)
+    }
+    try {
+      var state = Checkpoints.cut((1 to 10).toDF("n"))
+      for (_ <- 1 to 4)
+        state = Checkpoints.rotate(state.withColumn("n", $"n" + 1), state)
+      // only the live round's files remain; 4 superseded dirs are gone
+      assert(rddDirs.size == 1,
+        s"superseded checkpoint files leaked: $rddDirs")
+      // the survivor is still fully readable (its files were not touched)
+      assert(state.agg(min($"n")).as[Int].head() == 5)
     } finally {
       spark.conf.unset(Checkpoints.ReliableConfKey)
     }
