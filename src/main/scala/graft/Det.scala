@@ -27,4 +27,21 @@ object Det {
 
   /** L2 norm of a float vector, in double precision. */
   def l2norm(v: Column): Column = sqrt(dotD(v, v))
+
+  /** SQL fragment: exact floor division of integer expression `a` by
+    * positive literal `b` — the q162/q168 pmod identity
+    * `(a − pmod(a, b)) DIV b`. Spark's `div` truncates toward zero, so
+    * bare `a div b` mis-buckets negative numerators (pre-epoch
+    * timestamps, negative day deltas) where every oracle's `//` floors;
+    * subtracting the NONNEGATIVE `pmod` first makes truncation equal
+    * floor at any sign and magnitude. Use this for every epoch-day /
+    * epoch-week / delta bucketing instead of bare `div`.
+    */
+  def floorDivSql(a: String, b: String): String =
+    s"((($a) - pmod(($a), $b)) div $b)"
+
+  /** [[floorDivSql]] applied to the µs→epoch-day bucketing every
+    * event-calendar query uses. */
+  def epochDaySql(tsCol: String): String =
+    floorDivSql(s"unix_micros($tsCol)", "86400000000")
 }

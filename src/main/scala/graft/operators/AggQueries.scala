@@ -413,7 +413,7 @@ object AggQueries {
           unix_micros(col("o_orderdate")).as("ous")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderpriority"),
-        expr("(sus - ous) div 86400000000").as("delay"))
+        expr(Det.floorDivSql("sus - ous", "86400000000")).as("delay"))
       .groupBy(col("o_orderpriority"), col("delay"))
       .agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy(col("o_orderpriority"))

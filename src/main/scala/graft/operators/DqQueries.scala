@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{Det, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -152,7 +152,7 @@ object DqQueries {
     */
   def q206_slo_burn(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.events(spark, sfDir)
-      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+      .select(expr(Det.epochDaySql("ts")).as("day"),
         when(col("event_type") === "error", 1L).otherwise(0L).as("e"))
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n"), sum(col("e")).as("n_err"))
@@ -194,7 +194,7 @@ object DqQueries {
     val wS = org.apache.spark.sql.expressions.Window
       .partitionBy(col("o_orderstatus"))
     o.crossJoin(broadcast(h))
-      .withColumn("age_days", expr("(hus - us) div 86400000000"))
+      .withColumn("age_days", expr(Det.floorDivSql("hus - us", "86400000000")))
       .withColumn("bucket",
         expr("CASE least(age_days div 30, 3L) WHEN 0 THEN '000-029' " +
           "WHEN 1 THEN '030-059' WHEN 2 THEN '060-089' ELSE '090+' END"))
@@ -228,7 +228,7 @@ object DqQueries {
     */
   def q223_srm_screen(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.events(spark, sfDir)
-      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+      .select(expr(Det.epochDaySql("ts")).as("day"),
         col("user_id")).distinct()
       .withColumn("arm",
         when(substring(md5(col("user_id").cast("string")), 1, 4) < "8000",

@@ -642,7 +642,7 @@ object EventQueries {
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("us"),
         round(col("value") * 100).cast("long").as("cents"))
-      .withColumn("day", expr("us div 86400000000"))
+      .withColumn("day", expr(Det.floorDivSql("us", "86400000000")))
     val wPick = Window.partitionBy(col("user_id"), col("day"))
       .orderBy(col("us").desc, col("event_id").desc)
     val daily = p.withColumn("rn", row_number().over(wPick))
@@ -792,7 +792,7 @@ object EventQueries {
   def q149_chi_square(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.events(spark, sfDir)
       .select(col("event_type"),
-        expr("(unix_micros(ts) div 86400000000 + 4) % 7").as("dow"))
+        expr(s"(${Det.epochDaySql("ts")} + 4) % 7").as("dow"))
       .groupBy(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("o"))
     val cell = c
@@ -824,7 +824,7 @@ object EventQueries {
   def q153_day_streaks(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.events(spark, sfDir)
       .select(col("user_id"),
-        expr("unix_micros(ts) div 86400000000").as("day"))
+        expr(Det.epochDaySql("ts")).as("day"))
       .distinct()
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
     d.withColumn("island", col("day") - row_number().over(w))
@@ -1082,7 +1082,7 @@ object EventQueries {
   def q192_kaplan_meier(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.events(spark, sfDir)
       .select(col("user_id"),
-        expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
+        expr(Det.epochDaySql("ts")).as("day"), col("event_type"))
     val per = d.groupBy(col("user_id"))
       .agg(min(col("day")).as("f"),
         min(when(col("event_type") === "purchase", col("day"))).as("p"))
@@ -1198,7 +1198,7 @@ object EventQueries {
   def q196_new_returning(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.events(spark, sfDir)
       .select(col("user_id"),
-        expr("unix_micros(ts) div 86400000000").as("day"))
+        expr(Det.epochDaySql("ts")).as("day"))
       .distinct()
     val f = d.groupBy(col("user_id")).agg(min(col("day")).as("fd"))
     d.join(f, "user_id")
@@ -1287,7 +1287,7 @@ object EventQueries {
   def q207_psi_drift(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.events(spark, sfDir)
       .select(col("event_type"),
-        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr(Det.epochDaySql("ts")).as("day"),
         expr("least(cast(round(value * 100) as bigint) div 5000, 9L)")
           .as("bucket"))
     val mid = e.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
@@ -1339,7 +1339,7 @@ object EventQueries {
         unix_micros(min(col("ts"))).as("start_us"),
         (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
           .as("dur_us"))
-      .select(expr("start_us div 86400000000").as("day"),
+      .select(expr(Det.floorDivSql("start_us", "86400000000")).as("day"),
         col("n_events"), col("dur_us"))
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_sessions"),
@@ -1412,12 +1412,12 @@ object EventQueries {
   def q218_churn_state(spark: SparkSession, sfDir: String): DataFrame = {
     val u = Tables.events(spark, sfDir)
       .select(col("user_id"),
-        expr("unix_micros(ts) div 86400000000").as("day"))
+        expr(Det.epochDaySql("ts")).as("day"))
       .groupBy(col("user_id"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val h = u.agg(max(col("d1")).as("hday"))
     u.crossJoin(broadcast(h))
-      .select(expr("(d0 + 3) div 7").as("cohort_week"),
+      .select(expr(Det.floorDivSql("d0 + 3", "7")).as("cohort_week"),
         (col("hday") - col("d1")).as("age"))
       .select(col("cohort_week"),
         when(col("age") === 0, "1_active")
@@ -1450,7 +1450,7 @@ object EventQueries {
   def q221_value_bands(spark: SparkSession, sfDir: String): DataFrame = {
     val hist = Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
-      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+      .select(expr(Det.epochDaySql("ts")).as("day"),
         round(col("value") * 100).cast("long").as("cents"))
       .groupBy(col("day"), col("cents"))
       .agg(count(lit(1)).as("c"))

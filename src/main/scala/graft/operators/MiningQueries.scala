@@ -485,7 +485,7 @@ object MiningQueries {
                               sfDir: String): DataFrame = {
     val d = Tables.events(spark, sfDir)
       .select(col("event_type"),
-        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr(Det.epochDaySql("ts")).as("day"),
         round(col("value") * 100).cast("long").as("c"))
       .groupBy(col("event_type"), col("day"))
       .agg(sum(col("c")).as("cents"))
@@ -529,7 +529,7 @@ object MiningQueries {
                              sfDir: String): DataFrame = {
     val d = Tables.events(spark, sfDir)
       .select(col("event_type"),
-        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr(Det.epochDaySql("ts")).as("day"),
         round(col("value") * 100).cast("long").as("c"))
       .groupBy(col("event_type"), col("day"))
       .agg(sum(col("c")).as("cents"))
@@ -573,7 +573,7 @@ object MiningQueries {
     val d = Tables.events(spark, sfDir)
       .filter(col("event_type").isin("view", "purchase"))
       .select(col("event_type"),
-        expr("unix_micros(ts) div 86400000000").as("day"))
+        expr(Det.epochDaySql("ts")).as("day"))
       .groupBy(col("day"))
       .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
           .as("xv"),
@@ -632,7 +632,7 @@ object MiningQueries {
   def q215_dispersion(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.events(spark, sfDir)
       .select(col("event_type"),
-        expr("unix_micros(ts) div 86400000000").as("day"))
+        expr(Det.epochDaySql("ts")).as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("x"))
     // fresh exprIds (ty/gday) — the type list and the grid both descend
@@ -685,7 +685,7 @@ object MiningQueries {
   def q217_daily_anomaly(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.events(spark, sfDir)
       .select(col("event_type"),
-        expr("unix_micros(ts) div 86400000000").as("day"))
+        expr(Det.epochDaySql("ts")).as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("x"))
     val days = d.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))

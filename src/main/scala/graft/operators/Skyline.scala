@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{Det, Tables}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -94,7 +94,7 @@ object Skyline {
       .agg(
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"),
         count(lit(1)).as("n_orders"),
-        max(expr("unix_micros(o_orderdate) div 86400000000")).as("last_day"))
+        max(expr(Det.epochDaySql("o_orderdate"))).as("last_day"))
     of(c, Seq("total_cents", "n_orders", "last_day"))
       .orderBy(col("c_custkey"))
   }

@@ -231,7 +231,7 @@ object WindowSetQueries {
     */
   def q150_skyline(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir).select(col("o_orderkey"),
-      expr("unix_micros(o_orderdate) div 86400000000").as("day"),
+      expr(Det.epochDaySql("o_orderdate")).as("day"),
       round(col("o_totalprice") * 100).cast("long").as("cents"))
     val daily = o.groupBy(col("day")).agg(max(col("cents")).as("m_day"))
     val wPrev = Window.orderBy(col("day"))

@@ -176,4 +176,27 @@ class PropertiesSpec extends AnyFunSuite {
     // this sample (negative non-multiples present)
     assert(truncDiverged, "sample never exercised the truncate≠floor case")
   }
+
+  test("Det.floorDivSql / epochDaySql == Math.floorDiv incl. pre-epoch " +
+    "timestamps (the r7 backport to every day/week bucketing)") {
+    // every epoch-day site now routes through Det.floorDivSql; pin the
+    // helper itself to floor semantics on negative numerators (pre-epoch
+    // µs, negative day deltas) and the day constant used everywhere
+    val dayUs = 86400000000L
+    val cases = samples(
+      Gen.chooseNum(-5L * dayUs, 5L * dayUs), 80) ++
+      Seq(-dayUs, -1L, 0L, 1L, dayUs, -dayUs - 1, -dayUs + 1)
+    val got = cases.toDF("us")
+      .withColumn("fd", expr(graft.Det.floorDivSql("us", dayUs.toString)))
+      .withColumn("trunc", expr(s"us DIV $dayUs"))
+      .collect()
+    var truncDiverged = false
+    got.foreach { r =>
+      val us = r.getLong(0)
+      assert(r.getLong(1) == Math.floorDiv(us, dayUs),
+        s"floorDivSql broke at $us")
+      if (r.getLong(2) != Math.floorDiv(us, dayUs)) truncDiverged = true
+    }
+    assert(truncDiverged, "sample never exercised a pre-epoch timestamp")
+  }
 }
