@@ -27,6 +27,25 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  /** Per-cell mean vectors: explode to (cell, pos, value), average per
+    * position, reassemble ordered by pos — dimension-agnostic, one
+    * aggregation pass, two-phase (partials combine map-side). THE shared
+    * centroid reassembly: k-means updates, IVF coarse centroids, and PQ
+    * sub-codebooks all call this instead of keeping drifting copies.
+    * Output columns: (`cellOut`, `vecOut`), vector as array<float>.
+    */
+  def meanVectors(df: DataFrame, cellCol: Column, vecCol: Column,
+                  cellOut: String, vecOut: String): DataFrame =
+    df.select(cellCol.as(cellOut), posexplode(vecCol))
+      .groupBy(col(cellOut), col("pos"))
+      .agg(avg(col("col")).as("__mn"))
+      .groupBy(col(cellOut))
+      .agg(array_sort(collect_list(struct(col("pos"), col("__mn"))))
+        .as("__pm"))
+      .select(col(cellOut),
+        transform(col("__pm"), p => p.getField("__mn").cast("float"))
+          .as(vecOut))
+
   private def cosine(a: Column, b: Column): Column =
     Det.dotD(a, b) / (Det.l2norm(a) * Det.l2norm(b))
 
@@ -143,16 +162,7 @@ object Ann {
       it += 1
       if (it < iters) {
         centroids = Checkpoints.rotate(
-          assigned
-            .select(col("cell"), posexplode(col("__v")))
-            .groupBy(col("cell"), col("pos"))
-            .agg(avg(col("col")).as("m"))
-            .groupBy(col("cell"))
-            .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-              .as("pm"))
-            .select(col("cell"),
-              transform(col("pm"), p => p.getField("m").cast("float"))
-                .as("centroid")),
+          meanVectors(assigned, col("cell"), col("__v"), "cell", "centroid"),
           prev = centroids)
       }
     }
@@ -166,16 +176,8 @@ object Ann {
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, coarseKey: String,
               k: Int, nprobe: Int = 2): DataFrame = {
-    // dimension-agnostic centroids: explode to (cell, pos, value), average
-    // per position, reassemble ordered by pos — works for any vector dim
-    val cells = corpus
-      .select(col(coarseKey).as("cell"), posexplode(col("embedding")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("col")).as("m"))
-      .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cell"),
-        transform(col("pm"), p => p.getField("m").cast("float")).as("centroid"))
+    val cells =
+      meanVectors(corpus, col(coarseKey), col("embedding"), "cell", "centroid")
     val pw = Window.partitionBy(col("probe_id"))
       .orderBy(col("cent_sim").desc, col("cell").asc)
     val probeCells = broadcast(probes

@@ -116,9 +116,15 @@ object Dedup {
       .select(col("a.block").as("block"), col("a.id").as("id_a"),
         col("b.id").as("id_b"))
       .distinct()
+    // attach grams on (block, id), not id alone — ids are only promised
+    // unique PER BLOCK (per-shard sequences are common), and an id-only
+    // join would fan a pair out across blocks and score it against the
+    // wrong block's shingles
     cand
-      .join(g.select(col("id").as("id_a"), col("g").as("ga")), "id_a")
-      .join(g.select(col("id").as("id_b"), col("g").as("gb")), "id_b")
+      .join(g.select(col("block"), col("id").as("id_a"), col("g").as("ga")),
+        Seq("block", "id_a"))
+      .join(g.select(col("block"), col("id").as("id_b"), col("g").as("gb")),
+        Seq("block", "id_b"))
       .withColumn("jac", jaccardSortedIds(col("ga"), col("gb")))
       .filter(col("jac") >= threshold)
       .select(col("block"), col("id_a"), col("id_b"),
@@ -152,9 +158,12 @@ object Dedup {
       .select(col("c.block").as("block"), col("c.id").as("id_corpus"),
         col("n.id").as("id_new"))
       .distinct()
+    // (block, id) attach joins — the ngramNearDupsFromIds per-block-id rule
     cand
-      .join(gC.select(col("id").as("id_corpus"), col("g").as("gc")), "id_corpus")
-      .join(gN.select(col("id").as("id_new"), col("g").as("gn")), "id_new")
+      .join(gC.select(col("block"), col("id").as("id_corpus"),
+        col("g").as("gc")), Seq("block", "id_corpus"))
+      .join(gN.select(col("block"), col("id").as("id_new"),
+        col("g").as("gn")), Seq("block", "id_new"))
       .withColumn("jac", jaccardSortedIds(col("gc"), col("gn")))
       .filter(col("jac") >= threshold)
       .select(col("block"), col("id_new"), col("id_corpus"),
@@ -169,8 +178,10 @@ object Dedup {
                            n: Int, threshold: Double): DataFrame = {
     val hits = incrementalNearDupPairs(corpus, newDocs, idCol, textCol,
       blockCol, n, threshold)
-      .select(col("id_new")).distinct()
-    newDocs.join(hits, newDocs(idCol) === hits("id_new"), "left_anti")
+      .select(col("block"), col("id_new")).distinct()
+    newDocs.join(hits,
+      newDocs(blockCol) === hits("block") && newDocs(idCol) === hits("id_new"),
+      "left_anti")
   }
 
   /** Semantic near-duplicate pairs: embedding cosine ≥ threshold, blocked

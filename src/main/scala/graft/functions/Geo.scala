@@ -29,11 +29,20 @@ object Geo {
     lit(2.0 * EarthRadiusM) * asin(sqrt(h))
   }
 
-  /** SoQL `within_box(loc, nwLat, nwLon, seLat, seLon)` */
+  /** SoQL `within_box(loc, nwLat, nwLon, seLat, seLon)`. A box whose NW
+    * corner lies east of its SE corner (nwLon > seLon) crosses the
+    * antimeridian; the longitude test then wraps (lon >= nwLon OR
+    * lon <= seLon) — the same seam the cell bucketing below handles
+    * modularly — instead of silently matching nothing. */
   def withinBox(loc: Column, nwLat: Double, nwLon: Double,
-                seLat: Double, seLon: Double): Column =
-    loc.getField("lat") <= nwLat && loc.getField("lat") >= seLat &&
-      loc.getField("lon") >= nwLon && loc.getField("lon") <= seLon
+                seLat: Double, seLon: Double): Column = {
+    val lonIn =
+      if (nwLon <= seLon)
+        loc.getField("lon") >= nwLon && loc.getField("lon") <= seLon
+      else
+        loc.getField("lon") >= nwLon || loc.getField("lon") <= seLon
+    loc.getField("lat") <= nwLat && loc.getField("lat") >= seLat && lonIn
+  }
 
   /** SoQL `within_circle(loc, centerLat, centerLon, radiusMeters)` */
   def withinCircle(loc: Column, centerLat: Double, centerLon: Double,

@@ -37,7 +37,10 @@ class HeavyHitters(k: Int)
   override def zero: Map[String, Long] = Map.empty
 
   override def reduce(b: Map[String, Long], item: String): Map[String, Long] =
-    b.get(item) match {
+    // skip nulls like the sibling sketches (Bloom/Hll/CMS) — a null key
+    // would survive to finish() and NPE its Ordering[String] sort
+    if (item == null) b
+    else b.get(item) match {
       case Some(c) => b.updated(item, c + 1L)
       case None if b.size < k => b.updated(item, 1L)
       case None =>

@@ -95,11 +95,20 @@ object MinHashLSH {
           col(textCol), k, bands)).as("bandStr"): _*)
       .select(col("id") +: blockCols.map(col)
         :+ xxhash64(blockCols.map(col) :+ col("bandStr"): _*).as("band"): _*)
-    val pruned = if (maxBucket == Int.MaxValue) banded else banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    // Skew guard as a two-phase count + semi join, NOT a Window over
+    // band: the pathological hot bucket this guard exists for would be
+    // funneled into a single window task and fully buffered there before
+    // any row is filtered. The groupBy partial-aggregates the hot key
+    // map-side (one row per partition reaches the shuffle), and the semi
+    // join shuffles `banded` on band — the same key the pair join below
+    // repartitions on anyway. Same kept set, no single-task hot spot.
+    val pruned = if (maxBucket == Int.MaxValue) banded else {
+      val smallBuckets = banded.groupBy(col("band"))
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= maxBucket)
+        .select(col("band"))
+      banded.join(smallBuckets, Seq("band"), "left_semi")
+    }
     pruned.as("a")
       .join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))

@@ -56,16 +56,10 @@ object Pq {
     (0 until m).map { s =>
       val sliced = corpus.select(col(idCol),
         sub(col(vecCol), lit(s), dsub).as("__sv"))
-      Ann.kmeans(sliced, idCol, "__sv", ksub, iters)
-        .join(sliced, idCol)
-        .select(col("cell"), posexplode(col("__sv")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col")).as("mn"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("pm"))
-        .select(lit(s).as("sub"), col("cell"),
-          transform(col("pm"), p => p.getField("mn").cast("float"))
-            .as("centroid"))
+      Ann.meanVectors(
+          Ann.kmeans(sliced, idCol, "__sv", ksub, iters).join(sliced, idCol),
+          col("cell"), col("__sv"), "cell", "centroid")
+        .select(lit(s).as("sub"), col("cell"), col("centroid"))
     }.reduce(_ unionByName _)
   }
 
@@ -145,20 +139,28 @@ object Pq {
     */
   def ivfAdcTopK(probes: DataFrame, corpus: DataFrame, assign: DataFrame,
                  idCol: String, vecCol: String, dim: Int, m: Int,
-                 codebook: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+                 codebook: DataFrame, k: Int, nprobe: Int = 2): DataFrame =
+    ivfAdcTopKEncoded(probes, corpus, assign,
+      encode(corpus, idCol, vecCol, dim, m, codebook),
+      idCol, vecCol, dim, m, codebook, k, nprobe)
+
+  /** [[ivfAdcTopK]] over a PRE-ENCODED corpus — the production entry
+    * point. Codes are immutable per codebook, so a batch of Q probe
+    * queries should pay ONE `encode` pass (materialized like `assign`),
+    * not Q of them; the convenience overload above re-encodes per call
+    * and is for one-shot use. Mirrors [[adcTopK]]'s encoded-input shape.
+    */
+  def ivfAdcTopKEncoded(probes: DataFrame, corpus: DataFrame,
+                        assign: DataFrame, encoded: DataFrame,
+                        idCol: String, vecCol: String, dim: Int, m: Int,
+                        codebook: DataFrame, k: Int,
+                        nprobe: Int = 2): DataFrame = {
     require(nprobe >= 1, s"nprobe=$nprobe must be >= 1")
     require(m >= 1 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
     val withCell = corpus.join(assign, idCol)
-    // per-cell mean centroids: the ivfTopK posexplode/reassemble shape
-    val cells = withCell
-      .select(col("cell").as("ccell"), posexplode(col(vecCol)))
-      .groupBy(col("ccell"), col("pos"))
-      .agg(avg(col("col")).as("mn"))
-      .groupBy(col("ccell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("pm"))
-      .select(col("ccell"),
-        transform(col("pm"), p => p.getField("mn").cast("float"))
-          .as("ccent"))
+    // per-cell mean centroids: the shared Ann.meanVectors reassembly
+    val cells =
+      Ann.meanVectors(withCell, col("cell"), col(vecCol), "ccell", "ccent")
     val rw = Window.partitionBy(col("probe_id"))
       .orderBy(col("__cd2").asc, col("ccell").asc)
     val routed = probes
@@ -177,7 +179,7 @@ object Pq {
       .select(col("probe_id"), col("sub"), col("cell"),
         l2sq(sub(col("__pv"), col("sub"), dim / m), col("centroid"))
           .as("__d2c"))
-    val codeRows = encode(corpus, idCol, vecCol, dim, m, codebook)
+    val codeRows = encoded
       .join(assign.select(col(idCol), col("cell").as("ccell")), idCol)
       .join(broadcast(routed), Seq("ccell"))
       .filter(col("probe_id") =!= col(idCol))

@@ -97,11 +97,14 @@ object TDigestAgg {
 
   /** untyped Column form for DataFrame `agg` over a double column */
   def sketch(col: Column, compression: Double): Column =
-    udaf(new TDigestAgg(compression), Encoders.scalaDouble).apply(col)
+    udaf(new TDigestAgg(compression), Encoders.DOUBLE).apply(col)
 }
 
+/** Input is BOXED double so a nullable column deserializes instead of
+  * crashing on AssertNotNull; nulls are skipped in reduce like every
+  * sibling sketch (Bloom/Hll/CMS) and like percentile_approx. */
 class TDigestAgg(compression: Double)
-  extends Aggregator[Double, TDigestAgg.State, TDigest] {
+  extends Aggregator[java.lang.Double, TDigestAgg.State, TDigest] {
   require(compression >= 20.0, s"compression=$compression too small to bound error")
   import TDigestAgg._
 
@@ -115,7 +118,9 @@ class TDigestAgg(compression: Double)
       TDigest.compress(s.centroids ++ s.pending.map((_, 1L)), compression),
       Vector.empty, s.min, s.max, s.count)
 
-  override def reduce(s: State, x: Double): State = {
+  override def reduce(s: State, boxed: java.lang.Double): State = {
+    if (boxed == null) return s
+    val x = boxed.doubleValue()
     val s2 = State(s.centroids, s.pending :+ x,
       math.min(s.min, x), math.max(s.max, x), s.count + 1L)
     if (s2.pending.length >= PendingCap) flush(s2) else s2

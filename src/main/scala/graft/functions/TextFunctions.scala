@@ -92,15 +92,27 @@ object TextFunctions {
     "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "[IP]",
     "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "[SSN]",
     "\\b(?:\\d{4}[ -]){3}\\d{4}\\b|\\b\\d{13,16}\\b" -> "[CARD]",
-    "(?:\\+?\\d{1,2}[ .-]?)?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]?\\d{4}\\b" -> "[PHONE]")
+    // the phone pattern opens with an OPTIONAL country code, so a bare \b
+    // can't anchor it ("+1 ..." starts at a non-word char); without a
+    // leading guard it would claim a 10-digit SUFFIX inside digit runs
+    // too long for [CARD] (>16 digits, e.g. tracking numbers) and mangle
+    // them into half-redactions. RE2 (the oracle engine) has no
+    // lookbehind, so the guard is a consumed-and-reinserted capture:
+    // (non-digit | start) re-emitted via $1 ahead of the tag.
+    // ^ FIRST in the alternation: at string start the empty match must
+    // win so `\+?` keeps a leading "+1..." inside the redaction
+    "(^|[^0-9])((?:\\+?\\d{1,2}[ .-]?)?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]?\\d{4}\\b)"
+      -> "$1[PHONE]")
 
   /** Redact emails, IPv4s, SSN-shaped, card-shaped, and phone-shaped
     * substrings to typed tags. Pure chained `regexp_replace` — codegen'd,
     * scan-speed, idempotent (tags contain no redactable shapes).
+    * Replacements are raw Java replacement strings (the phone one carries
+    * the $1 guard re-insert) — tags themselves contain no `$`/`\`.
     */
   def scrubPii(text: Column): Column =
-    piiPatterns.foldLeft(text) { case (c, (re, tag)) =>
-      regexp_replace(c, re, java.util.regex.Matcher.quoteReplacement(tag)) }
+    piiPatterns.foldLeft(text) { case (c, (re, repl)) =>
+      regexp_replace(c, re, repl) }
 
   /** Number of PII redactions [[scrubPii]] performs on `text` — counted as
     * tags in the scrubbed output, so the count is exactly consistent with

@@ -2217,7 +2217,7 @@ object EventQueries {
         |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
         |      '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
         |      '\b(?:\d{4}[ -]){3}\d{4}\b|\b\d{13,16}\b', '[CARD]', 'g'),
-        |      '(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b', '[PHONE]', 'g')
+        |      '(^|[^0-9])((?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b)', '\1[PHONE]', 'g')
         |      AS redacted
         |  FROM s)
         |SELECT event_id,

@@ -123,12 +123,17 @@ object PipelineQueries {
         graft.expressions.SimHash60.simhash60(col("text")).as("fp"))
     val bandCols = (0 until 4).map(i =>
       lit(i.toLong * 32768L) + shiftright(col("fp"), i * 15).bitwiseAND(32767L))
-    val wBand = Window.partitionBy(col("band"))
-    val banded = fp.select(col("id"), col("fp"),
+    val all = fp.select(col("id"), col("fp"),
         explode(array(bandCols: _*)).as("band"))
-      .withColumn("bucket_n", count(lit(1)).over(wBand))
+    // two-phase count + semi join (the MinHashLSH/SimHash hot-bucket
+    // rule): the cap's kept set is identical to the oracle's QUALIFY,
+    // but the hot bucket partial-aggregates map-side instead of being
+    // buffered whole in one window task
+    val smallBuckets = all.groupBy(col("band"))
+      .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= LshMaxBucket)
-      .drop("bucket_n")
+      .select(col("band"))
+    val banded = all.join(smallBuckets, Seq("band"), "left_semi")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -58,12 +58,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q85/q94/q96 bucket cap is a Window over the band key, feeding the band join") {
+  test("q85/q94/q96 bucket cap is a two-phase band count + semi join — " +
+    "NOT a Window that would buffer the hot bucket in one task") {
     Seq("q85_dedup_minhash_lsh", "q94_dedup_lsh_lang", "q96_dedup_simhash")
       .foreach { q =>
         val p = plan(q)
-        assert(p.contains("Window"), s"$q lost the bucket-cap window: ${p.take(1200)}")
-        assert(p.contains("bucket_n"), s"$q: ${p.take(1200)}")
+        // the cap survives as an aggregate on the band key feeding a
+        // LeftSemi join; partial aggregation collapses the hot bucket
+        // map-side where the old Window shipped it whole to one task
+        assert(p.contains("bucket_n"), s"$q lost the bucket cap: ${p.take(1200)}")
+        assert(p.contains("LeftSemi"), s"$q cap is not a semi join: ${p.take(1200)}")
+        assert(!p.contains("Window"),
+          s"$q still caps via a single-task Window: ${p.take(1200)}")
       }
   }
 

@@ -78,6 +78,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter(col("jaccard") === 1.0).count() >= 5)
   }
 
+  test("ngram near-dups with PER-BLOCK ids: gram attach joins carry the " +
+    "block, so a reused id scores against its own block's shingles") {
+    import spark.implicits._
+    // ids 1 and 2 exist in BOTH blocks with different texts: en 1≈2 are
+    // near-dups, fr 1≈2 are near-dups, but en 1 vs fr 2 share nothing
+    val d = Seq(
+      ("en", 1L, "alpha beta gamma delta epsilon zeta"),
+      ("en", 2L, "alpha beta gamma delta epsilon eta"),
+      ("fr", 1L, "un deux trois quatre cinq six"),
+      ("fr", 2L, "un deux trois quatre cinq sept"))
+      .toDF("lang", "doc_id", "text")
+    val pairs = Dedup.ngramNearDups(d, "doc_id", "text", "lang", 2, 0.5)
+      .select("block", "id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exactly one pair per block — an id-only attach join would emit the
+    // (1,2) pair twice per block (once per wrong-block gram set)
+    assert(pairs.sorted.toSeq == Seq(("en", 1L, 2L), ("fr", 1L, 2L)),
+      s"got ${pairs.toSeq}")
+  }
+
   test("token/shingle id interning is collision-free and size-faithful on the fixtures") {
     val docs3 = Tables.documents(spark, sfDir)
     // per-doc: id-set size == string-set size (what the oracles rely on)

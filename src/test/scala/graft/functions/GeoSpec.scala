@@ -33,6 +33,23 @@ class GeoSpec extends SparkSpec {
     assert(hits == Seq("honolulu"))
   }
 
+  test("within_box wraps at the antimeridian when nwLon > seLon") {
+    import spark.implicits._
+    val pts = Seq(("fiji_east", -17.7, 178.0), ("fiji_west", -17.7, -179.5),
+      ("hawaii", 21.3, -157.86), ("samoa", -13.8, -171.75))
+      .toDF("name", "lat", "lon")
+      .select($"name", Geo.location($"lat", $"lon").as("loc"))
+    // 10°-wide box across the date line: lon ∈ [175, -175] wrapped —
+    // catches both Fiji points, excludes Samoa at -171.75
+    val hits = pts.filter(Geo.withinBox($"loc", 0.0, 175.0, -30.0, -175.0))
+      .select("name").as[String].collect().toSet
+    assert(hits == Set("fiji_east", "fiji_west"))
+    // the non-wrapped orientation still behaves
+    val normal = pts.filter(Geo.withinBox($"loc", 25.0, -160.0, 15.0, -155.0))
+      .select("name").as[String].collect().toSet
+    assert(normal == Set("hawaii"))
+  }
+
   test("SQL surface via GraftExtensions: geo functions callable from $where strings") {
     graft.plans.GraftExtensions.register(spark)
     // SQL tree must equal the Column-API tree bit-for-bit

@@ -60,4 +60,14 @@ class HeavyHittersSpec extends SparkSpec {
     val est = sketchOf(scala.util.Random.shuffle(items.toList), k = 20, parts = 16)
     assert(est.maxBy { case (i, c) => (c, i) }._1 == "leader")
   }
+
+  test("null keys are skipped, not tracked (finish would NPE on a null " +
+    "map key otherwise)") {
+    import spark.implicits._
+    val est = Seq("a", null, "a", "b", null, null)
+      .toDF("x").repartition(2)
+      .agg(HeavyHitters.sketch(col("x"), 4).as("hh"))
+      .as[Seq[(String, Long)]].head()
+    assert(est == Seq(("a", 2L), ("b", 1L)))
+  }
 }

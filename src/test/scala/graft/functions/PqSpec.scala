@@ -129,6 +129,12 @@ class PqSpec extends SparkSpec {
       "embedding", dim = 64, m = 8, cb, k = 10, nprobe = 2))
     val recall = routed.intersect(full).size.toDouble / full.size
     assert(recall >= 0.3, s"nprobe=2/$nCells ADC recall=$recall")
+    // the encode-once production entry point returns the identical
+    // answer to the re-encoding convenience overload
+    val encodedPath = pairs(Pq.ivfAdcTopKEncoded(probes, corpus, assign,
+      enc, "vec_id", "embedding", dim = 64, m = 8, cb, k = 10,
+      nprobe = nCells))
+    assert(encodedPath == all)
   }
 
   test("the compression shape: m codes per vector, each within [0, ksub)") {

@@ -81,4 +81,15 @@ class TDigestSpec extends SparkSpec {
         .quantile(0.5)
     }
   }
+
+  test("nullable input: nulls are skipped, not crashed on (the " +
+    "percentile_approx contract)") {
+    import spark.implicits._
+    val d = Seq[java.lang.Double](1.0, null, 2.0, null, 3.0)
+      .toDF("x").repartition(3)
+      .agg(TDigestAgg.sketch(col("x"), 100.0).as("d"))
+      .as[Tuple1[TDigest]].head()._1
+    assert(d.count == 3L && d.min == 1.0 && d.max == 3.0)
+    assert(d.quantile(0.5) == 2.0)
+  }
 }

@@ -146,6 +146,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got.forall { case (id, (clean, _)) => twice(id) == clean })
   }
 
+  test("scrubPii leaves long digit runs whole: no partial [PHONE] bite " +
+    "out of a >16-digit tracking number") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "tracking 12345678901234567 en route"),        // 17 digits
+      (2L, "serial 123456789012345678901 logged"),        // 21 digits
+      (3L, "call 5551234567 then 5559876543"),            // two bare phones
+      (4L, "+15551234567 leading-plus phone"))
+      .toDF("id", "text")
+    val got = rows.select(col("id"),
+      TextFunctions.scrubPii(col("text")).as("clean"),
+      TextFunctions.piiCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // 17+ digit runs: too long for [CARD]'s \b…\b, and the phone guard
+    // ([^0-9]|^) cannot start a match mid-run — untouched, count 0
+    assert(got(1L) == (("tracking 12345678901234567 en route", 0L)))
+    assert(got(2L) == (("serial 123456789012345678901 logged", 0L)))
+    // real phones still redact, including at a guard-consumed separator
+    // and at string start behind a '+'
+    assert(got(3L) == (("call [PHONE] then [PHONE]", 2L)))
+    assert(got(4L) == (("[PHONE] leading-plus phone", 1L)))
+  }
+
   test("langId is deterministic, total, and lands in the label domain") {
     val docs = Tables.documents(spark, sfDir)
     val out = TextFunctions.langId(docs, docs, "text", "lang")
