@@ -95,19 +95,24 @@ object MinHashLSH {
           col(textCol), k, bands)).as("bandStr"): _*)
       .select(col("id") +: blockCols.map(col)
         :+ xxhash64(blockCols.map(col) :+ col("bandStr"): _*).as("band"): _*)
-    // Skew guard as a two-phase count + semi join, NOT a Window over
-    // band: the pathological hot bucket this guard exists for would be
-    // funneled into a single window task and fully buffered there before
-    // any row is filtered. The groupBy partial-aggregates the hot key
-    // map-side (one row per partition reaches the shuffle), and the semi
-    // join shuffles `banded` on band — the same key the pair join below
-    // repartitions on anyway. Same kept set, no single-task hot spot.
+    // Skew guard as a two-phase count + ANTI join against the OVERFLOW
+    // set, NOT a Window over band: the pathological hot bucket this
+    // guard exists for would be funneled into a single window task and
+    // fully buffered there before any row is filtered. The groupBy
+    // partial-aggregates the hot key map-side (one row per partition
+    // reaches the count shuffle), and the anti join's right side is the
+    // bands ABOVE the cap — near-empty on a healthy corpus, so AQE
+    // broadcasts it and `banded` is never reshuffled; if a pathological
+    // corpus ever makes the overflow set large, AQE falls back to a
+    // shuffle join — still never a single-task buffer. Kept set is
+    // identical to the old QUALIFY-replayed semantics (band ∉ overflow
+    // ⇔ bucket_n ≤ cap; band keys are never null).
     val pruned = if (maxBucket == Int.MaxValue) banded else {
-      val smallBuckets = banded.groupBy(col("band"))
+      val bigBuckets = banded.groupBy(col("band"))
         .agg(count(lit(1)).as("bucket_n"))
-        .filter(col("bucket_n") <= maxBucket)
+        .filter(col("bucket_n") > maxBucket)
         .select(col("band"))
-      banded.join(smallBuckets, Seq("band"), "left_semi")
+      banded.join(bigBuckets, Seq("band"), "left_anti")
     }
     pruned.as("a")
       .join(pruned.as("b"),

@@ -125,15 +125,16 @@ object PipelineQueries {
       lit(i.toLong * 32768L) + shiftright(col("fp"), i * 15).bitwiseAND(32767L))
     val all = fp.select(col("id"), col("fp"),
         explode(array(bandCols: _*)).as("band"))
-    // two-phase count + semi join (the MinHashLSH/SimHash hot-bucket
-    // rule): the cap's kept set is identical to the oracle's QUALIFY,
-    // but the hot bucket partial-aggregates map-side instead of being
-    // buffered whole in one window task
-    val smallBuckets = all.groupBy(col("band"))
+    // two-phase count + anti join against overflow bands (the
+    // MinHashLSH/SimHash hot-bucket rule): the cap's kept set is
+    // identical to the oracle's QUALIFY, the hot bucket
+    // partial-aggregates map-side instead of being buffered whole in one
+    // window task, and the near-empty overflow side broadcasts
+    val bigBuckets = all.groupBy(col("band"))
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= LshMaxBucket)
+      .filter(col("bucket_n") > LshMaxBucket)
       .select(col("band"))
-    val banded = all.join(smallBuckets, Seq("band"), "left_semi")
+    val banded = all.join(bigBuckets, Seq("band"), "left_anti")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -91,9 +91,18 @@ object GraftExtensions {
       require(args.length == 6,
         s"within_box(lat, lon, nwLat, nwLon, seLat, seLon) takes 6 arguments, got ${args.length}")
       val (lat, lon) = (d(args(0)), d(args(1)))
+      val (nwLon, seLon) = (d(args(3)), d(args(5)))
+      // antimeridian wrap, same semantics as Geo.withinBox: nwLon > seLon
+      // means the box crosses the date line and the longitude test is a
+      // disjunction. Decided with an If EXPRESSION (not Scala-side) since
+      // SQL args arrive as literals — Catalyst constant-folds the branch,
+      // so the optimized tree equals the Column API's
+      val lonIn = If(LessThanOrEqual(nwLon, seLon),
+        And(GreaterThanOrEqual(lon, nwLon), LessThanOrEqual(lon, seLon)),
+        Or(GreaterThanOrEqual(lon, nwLon), LessThanOrEqual(lon, seLon)))
       And(
         And(LessThanOrEqual(lat, d(args(2))), GreaterThanOrEqual(lat, d(args(4)))),
-        And(GreaterThanOrEqual(lon, d(args(3))), LessThanOrEqual(lon, d(args(5)))))
+        lonIn)
     })
 
   private val weightedAvgDesc: FunctionDesc = (

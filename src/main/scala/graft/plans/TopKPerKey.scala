@@ -174,6 +174,12 @@ object TopK {
     */
   def perKey(df: DataFrame, keyCols: Seq[String], order: Seq[Column],
              k: Int): DataFrame = {
+    // fail the API misuse here, not as ClusteredDistribution's internal
+    // "clustering expressions should not be Nil" at execution planning;
+    // global top-k (no keys) is a sort+limit, not this operator
+    require(keyCols.nonEmpty,
+      "TopK.perKey requires at least one key column; " +
+        "for a global top-k use orderBy(...).limit(k)")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =

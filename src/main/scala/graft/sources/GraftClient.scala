@@ -71,25 +71,36 @@ object Soql {
           .withColumn("__qid",
             concat_ws("_", col("__qhash"), row_number().over(w)))
           .withColumn("__qtext", concat_ws(" ", textCols.map(col): _*))
+        // the rankers join a 'score' column onto the frame — park a
+        // caller-owned column of that name so the join can't turn
+        // ambiguous (and the cleanup drop can't eat user data)
+        val hadScore = withBag.columns.contains("score")
+        val safeBag =
+          if (hadScore) withBag.withColumnRenamed("score", "__quser_score")
+          else withBag
         val ranked = p.qScorer match {
           case "bm25" =>
-            TextFunctions.bm25Ranked(withBag, "__qid", "__qtext", terms)
+            TextFunctions.bm25Ranked(safeBag, "__qid", "__qtext", terms)
           case "tfidf" =>
-            TextFunctions.fullTextSearchRanked(withBag, "__qid", "__qtext",
+            TextFunctions.fullTextSearchRanked(safeBag, "__qid", "__qtext",
               terms)
           case other => throw new IllegalArgumentException(
             s"unknown qScorer '$other' (expected tfidf or bm25)")
         }
         df = ranked.drop("__qid", "__qtext", "score", "__qhash", "__qrow")
+        if (hadScore) df = df.withColumnRenamed("__quser_score", "score")
       } else {
         // unranked SODA $q: keep rows where ANY string column contains
         // EVERY term (token match, case-sensitive fixture semantics; the
-        // reference delegated stemming to the server)
+        // reference delegated stemming to the server). A table with NO
+        // string columns matches nothing — SODA $q searches text fields,
+        // so the truthful answer is the empty set, not the full table
         val perCol = textCols.map { c =>
           terms.trim.split("\\s+").map(t =>
             array_contains(split(col(c), " "), t)).reduce(_ && _)
         }
-        if (perCol.nonEmpty) df = df.filter(perCol.reduce(_ || _))
+        df = if (perCol.nonEmpty) df.filter(perCol.reduce(_ || _))
+             else df.filter(lit(false))
       }
     }
     p.where.foreach(w => df = df.filter(expr(w)))
@@ -194,10 +205,15 @@ class GraftClient(spark: SparkSession, dir: String) {
       private var lastShort = false
       def hasNext: Boolean = !lastShort
       def next(): DataFrame = {
+        if (lastShort) throw new NoSuchElementException(
+          s"fetchPages($table): past the final page (offset $off)")
         val page = dataFor(table,
           params.copy(limit = Some(pageSize), offset = Some(off)))
-        // one job per page, like one HTTP request per page; a short page
-        // terminates the loop (the SODA convention)
+        // one termination-probe job per page, like one HTTP request per
+        // page; a short page ends the loop (the SODA convention). The
+        // caller's consumption re-runs the page query — 2 jobs/page by
+        // design, mirroring offset paging's inherent re-sort; a Spark
+        // pipeline wanting one pass reads the table directly (see doc)
         val n = page.count()
         off += pageSize
         lastShort = n < pageSize

@@ -148,7 +148,7 @@ object SodaHttp {
     require(pageSize > 0, "pageSize must be positive")
     require(order.nonEmpty,
       "paged fetch requires $order (stable paging needs a total order)")
-    var pages = List.empty[DataFrame]
+    var pages = Vector.empty[DataFrame]
     var off = 0
     var done = false
     var n = 0
@@ -162,16 +162,15 @@ object SodaHttp {
       // cadence the local fetchPages twin documents); a short or empty
       // page terminates the loop — the SODA convention
       val rows = page.count()
-      if (rows > 0) pages ::= page
+      if (rows > 0) pages :+= page
       done = rows < pageSize
       off += pageSize
       n += 1
     }
-    pages match {
-      case Nil => spark.emptyDataFrame
-      case last :: earlier =>
-        earlier.foldLeft(last)((acc, p) =>
-          acc.unionByName(p, allowMissingColumns = true))
-    }
+    // union in FETCH order (page 1 first): the $order the caller paged by
+    // is the order the assembled frame presents, and the schema anchors on
+    // the first (full) page, not the trailing short one
+    if (pages.isEmpty) spark.emptyDataFrame
+    else pages.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 }

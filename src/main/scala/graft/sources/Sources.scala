@@ -126,6 +126,17 @@ object Sources {
     require(targetBytes > 0, s"targetBytes must be positive")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Hive-partitioned layout (key=value subdirs): compact each leaf
+    // partition directory independently. A flat rewrite would read the
+    // partition columns out of the directory names and re-land everything
+    // unpartitioned — destroying directory pruning and the external
+    // layout contract. Recursing preserves the tree exactly and sizes
+    // files per partition (multi-level key=/key= nests recurse further).
+    val partDirs = fs.listStatus(hPath)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    if (partDirs.nonEmpty)
+      return partDirs.map(d =>
+        compactParquet(spark, d.getPath.toString, targetBytes)).sum
     val staging = new org.apache.hadoop.fs.Path(
       hPath.getParent, s".${hPath.getName}.compacting")
     val old = new org.apache.hadoop.fs.Path(

@@ -58,16 +58,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q85/q94/q96 bucket cap is a two-phase band count + semi join — " +
-    "NOT a Window that would buffer the hot bucket in one task") {
+  test("q85/q94/q96 bucket cap is a two-phase band count + anti join on " +
+    "the overflow set — NOT a Window that would buffer the hot bucket") {
     Seq("q85_dedup_minhash_lsh", "q94_dedup_lsh_lang", "q96_dedup_simhash")
       .foreach { q =>
         val p = plan(q)
         // the cap survives as an aggregate on the band key feeding a
-        // LeftSemi join; partial aggregation collapses the hot bucket
+        // LeftAnti join against the (near-empty, AQE-broadcastable)
+        // overflow bands; partial aggregation collapses the hot bucket
         // map-side where the old Window shipped it whole to one task
         assert(p.contains("bucket_n"), s"$q lost the bucket cap: ${p.take(1200)}")
-        assert(p.contains("LeftSemi"), s"$q cap is not a semi join: ${p.take(1200)}")
+        assert(p.contains("LeftAnti"), s"$q cap is not an anti join: ${p.take(1200)}")
         assert(!p.contains("Window"),
           s"$q still caps via a single-task Window: ${p.take(1200)}")
       }

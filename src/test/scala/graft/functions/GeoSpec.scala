@@ -48,6 +48,12 @@ class GeoSpec extends SparkSpec {
     val normal = pts.filter(Geo.withinBox($"loc", 25.0, -160.0, 15.0, -155.0))
       .select("name").as[String].collect().toSet
     assert(normal == Set("hawaii"))
+    // the SQL surface wraps identically (constant-folded If branch)
+    graft.plans.GraftExtensions.register(spark)
+    val sqlWrap = pts.filter(
+        expr("within_box(loc.lat, loc.lon, 0.0, 175.0, -30.0, -175.0)"))
+      .select("name").as[String].collect().toSet
+    assert(sqlWrap == hits)
   }
 
   test("SQL surface via GraftExtensions: geo functions callable from $where strings") {

@@ -161,6 +161,37 @@ class GraftClientSpec extends SparkSpec {
       SoqlParams(order = Seq("n_nationkey")), pageSize = 7).count() == 25)
   }
 
+  test("$q on a table with NO text columns matches nothing (not everything)") {
+    import spark.implicits._
+    val allNum = Seq((1L, 2.0), (3L, 4.0)).toDF("a", "b")
+    // SODA $q searches text fields; with none present the truthful match
+    // set is empty — both ranked and unranked surfaces
+    assert(Soql(allNum, SoqlParams(q = Some("anything"))).count() == 0)
+    assert(Soql(allNum,
+      SoqlParams(q = Some("anything"), qRanked = true)).count() == 0)
+  }
+
+  test("ranked $q on a table that already owns a 'score' column neither " +
+    "crashes nor eats the caller's column") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta", 0.25), (2L, "alpha alpha beta", 0.5),
+      (3L, "gamma", 0.75)).toDF("id", "text", "score")
+    val got = Soql(df, SoqlParams(q = Some("alpha"), qRanked = true))
+    assert(got.columns.toSeq == Seq("id", "text", "score"),
+      s"schema mangled: ${got.columns.toSeq}")
+    val byId = got.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // the surviving 'score' values are the CALLER's, not tf-idf's
+    assert(byId == Map(1L -> 0.25, 2L -> 0.5))
+  }
+
+  test("fetchPages.next() past the final page throws NoSuchElementException") {
+    val it = client.fetchPages("nation",
+      SoqlParams(order = Seq("n_nationkey")), pageSize = 25)
+    it.next(); it.next()          // 25-row page, then the empty terminator
+    assert(!it.hasNext)
+    intercept[NoSuchElementException] { it.next() }
+  }
+
   test("unknown table falls back to schema-on-file parquet") {
     assert(client.dataFor("region").schema == Tables.regionSchema)
     intercept[Exception] {

@@ -92,6 +92,23 @@ class SodaHttpSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("MULTI-page fetch presents rows in fetch order — page 1 first, " +
+    "not reverse-paged, schema anchored on the first full page") {
+    val rows = customerRows.take(90)
+    val (base, server) = startServer(rows, "cust-order3")
+    try {
+      // 90 rows / pageSize 40 -> pages of 40, 40, 10; the assembled
+      // frame must present the server's $order end to end
+      val got = SodaHttp.readResource(spark, base, "cust-order3",
+        order = "c_custkey", pageSize = 40)
+      val keys = got.select(col("c_custkey").cast("long"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(keys == keys.sorted,
+        s"pages reassembled out of fetch order: ${keys.take(6)}...")
+      assert(keys.size == 90)
+    } finally server.stop(0)
+  }
+
   test("server-side $order desc is honored and extraParams pass through") {
     val rows = customerRows.take(10)
     val (base, server) = startServer(rows, "cust-desc")

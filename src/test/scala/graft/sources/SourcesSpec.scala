@@ -174,6 +174,29 @@ class SourcesSpec extends SparkSpec {
     assert(after.sameElements(before), "compaction changed the data")
   }
 
+  test("compaction of a HIVE-PARTITIONED table preserves the partition " +
+    "tree and repacks each leaf independently") {
+    val dir = Files.createTempDirectory("graft-compact-part").toString + "/t"
+    Tables.documents(spark, sfDir).repartition(8)
+      .write.partitionBy("lang").parquet(dir)
+    def langDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("lang=")).toSeq
+    val before = spark.read.parquet(dir)
+      .orderBy("doc_id").collect()
+    val nLangs = langDirs.size
+    assert(nLangs >= 2, "fixture should have multiple lang partitions")
+    val files = Sources.compactParquet(spark, dir)
+    // the key=value directories survive; each leaf holds plain parquet
+    assert(langDirs.size == nLangs, "compaction destroyed the hive layout")
+    assert(files >= nLangs, "expected at least one file per partition")
+    langDirs.foreach { d =>
+      assert(d.listFiles().exists(_.getName.endsWith(".parquet")),
+        s"leaf ${d.getName} lost its files")
+    }
+    val after = spark.read.parquet(dir).orderBy("doc_id").collect()
+    assert(after.sameElements(before), "partitioned compaction changed data")
+  }
+
   test("cached result equals uncached result") {
     val q = Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag").agg(round(sum("l_quantity"), 2).as("s"))
