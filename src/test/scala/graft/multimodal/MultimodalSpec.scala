@@ -215,4 +215,60 @@ class MultimodalSpec extends SparkSpec {
       .first().getAs[String]("frame_digest")
     assert(got == expDigest)
   }
+
+  test("operators stay total over corrupt payloads and reject bad params") {
+    import org.apache.spark.sql.Row
+    // truncated payloads shorter than the 8-byte fake header: every
+    // decoder misses and the fallback must not throw inside a task
+    val short = Array[Byte](1, 2, 3)
+    assert(Multimodal.decodeDims(short) == ((0, 0)))
+    val corrupt = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, "video", short, Row(0, 0, 1, "bin")),
+        Row(1L, "image", Array[Byte](), Row(0, 0, 1, "bin"))), 2),
+      Multimodal.mediaSchema)
+    val dec = Multimodal.decodeImages(corrupt).collect()
+    assert(dec.length == 2 &&
+      dec.forall(r => r.getInt(2) == 0 && r.getInt(3) == 0))
+    // resize passes un-headerable payloads through untouched — and the
+    // meta keeps describing the untouched payload instead of asserting
+    // target dims the payload never got
+    val resized = Multimodal.resize(corrupt, 224, 224)
+      .select("media_id", "payload", "meta.width", "meta.height").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3)))).toMap
+    assert(resized(0L)._1.toSeq == short.toSeq && resized(1L)._1.isEmpty)
+    assert(resized(0L)._2 == 0 && resized(0L)._3 == 0 &&
+      resized(1L)._2 == 0 && resized(1L)._3 == 0)
+    // a corrupt MJPG length field fails the parse (None) instead of
+    // attempting the multi-GB allocation the field claims
+    val bomb = java.nio.ByteBuffer.allocate(16)
+    bomb.put("MJPG".getBytes("US-ASCII")).putInt(1).putInt(0x7FFFFFF0)
+    assert(Multimodal.decodeMjpeg(bomb.array()).isEmpty)
+    val negCount = java.nio.ByteBuffer.allocate(8)
+    negCount.put("MJPG".getBytes("US-ASCII")).putInt(-3)
+    assert(Multimodal.decodeMjpeg(negCount.array()).isEmpty)
+    // ... and an implausible frame COUNT fails before the eager
+    // per-frame Range materializes (zero-length-frame amplification)
+    val countBomb = java.nio.ByteBuffer.allocate(16)
+    countBomb.put("MJPG".getBytes("US-ASCII")).putInt(1000)
+    assert(Multimodal.decodeMjpeg(countBomb.array()).isEmpty)
+    // legacy MJPG payloads resize through the shared container assembler
+    val mj = Multimodal.resize(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row(2L, "video", Multimodal.encodeMjpeg(2L, 32, 32, 3),
+            Row(32, 32, 3, "mjpg"))), 1),
+        Multimodal.mediaSchema), 224, 224)
+      .select("payload").first().getAs[Array[Byte]](0)
+    val mjFrames = Multimodal.decodeMjpeg(mj).get
+    assert(mjFrames.length == 3 && mjFrames.forall { f =>
+      val im = Multimodal.decodeImage(f).get
+      im.getWidth == 224 && im.getHeight == 224
+    })
+    // bad params are rejected at the driver, not deep in a task
+    intercept[IllegalArgumentException](Multimodal.sampleFrames(media, 0))
+    intercept[IllegalArgumentException](
+      Multimodal.extractAudioFeatures(media, window = 0))
+  }
 }
