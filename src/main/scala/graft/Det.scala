@@ -32,10 +32,16 @@ object Det {
     * positive literal `b` — the q162/q168 pmod identity
     * `(a − pmod(a, b)) DIV b`. Spark's `div` truncates toward zero, so
     * bare `a div b` mis-buckets negative numerators (pre-epoch
-    * timestamps, negative day deltas) where every oracle's `//` floors;
-    * subtracting the NONNEGATIVE `pmod` first makes truncation equal
-    * floor at any sign and magnitude. Use this for every epoch-day /
-    * epoch-week / delta bucketing instead of bare `div`.
+    * timestamps, negative day deltas); subtracting the NONNEGATIVE
+    * `pmod` first makes truncation equal floor at any sign and
+    * magnitude. Use this for every epoch-day / epoch-week / delta
+    * bucketing instead of bare `div`. NOTE on the oracle side: DuckDB's
+    * `//` ALSO truncates toward zero (verified on 1.0.0: -5 // 3 = -1),
+    * so a flooring call site here needs an explicitly-flooring oracle —
+    * `date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))` for
+    * epoch-day bucketing, or the mirrored identity
+    * `(a - ((a % b) + b) % b) // b` for general operands (DuckDB `%`
+    * matches Spark `%`, so the mirror is bit-exact at every sign).
     */
   def floorDivSql(a: String, b: String): String =
     s"((($a) - pmod(($a), $b)) div $b)"

@@ -325,10 +325,10 @@ object AggQueries {
     * reporting shape (q168 is within-week seasonality on the event log;
     * this is the calendar trend on the order book). Growth uses the
     * shift identity cents·10⁴ div prev − 10⁴ ≡ (cents−prev)·10⁴/prev so
-    * the floored division only ever sees a NON-NEGATIVE numerator —
-    * Spark DIV truncates toward zero while DuckDB // floors, and they
-    * agree only there (a shrinking month would otherwise diverge by
-    * 1 bp). First month emits NULL (no prior period), nullif-guarded.
+    * the division only ever sees a NON-NEGATIVE numerator, where the
+    * truncation both engines apply (Spark DIV and DuckDB // alike) IS
+    * floor — a shrinking month through a bare negative division would
+    * round toward zero instead. First month emits NULL (no prior period), nullif-guarded.
     *
     * Scale shape: one two-phase (month) agg collapses the order book;
     * the lag window runs over the calendar-bounded month frame (the
@@ -490,8 +490,7 @@ object AggQueries {
         |FROM g ORDER BY month""".stripMargin,
     "q219_ship_delay" ->
       """WITH d AS (SELECT o.o_orderpriority,
-        |    (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
-        |      // 86400000000 AS delay
+        |    date_diff('day', o.o_orderdate, l.l_shipdate) AS delay
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
         |hist AS (SELECT o_orderpriority, delay, count(*) AS c
         |  FROM d GROUP BY 1, 2),

@@ -545,8 +545,11 @@ object CorpusQueries {
       .select(col("source"), col("n_tokens"),
         expr("n_tokens * 1000000L div total").as("share_before_ppm"),
         expr("qs * 1000000L div sumq").as("share_after_ppm"),
+        // nullif: a source under one ppm of the corpus floors its
+        // before-share to 0 — ANSI Spark would throw DIVIDE_BY_ZERO
+        // where the oracle's `// 0` yields NULL; nullif matches NULL
         expr("((qs * 1000000L div sumq) * 1000L) div " +
-          "(n_tokens * 1000000L div total)").as("boost_milli"))
+          "nullif(n_tokens * 1000000L div total, 0L)").as("boost_milli"))
       .orderBy(col("source"))
   }
 

@@ -247,7 +247,7 @@ object DqQueries {
 
   val oracle: Map[String, String] = Map(
     "q223_srm_screen" ->
-      """WITH u AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+      """WITH u AS (SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
         |    user_id FROM events),
         |a AS (SELECT day,
         |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 4) < '8000'
@@ -280,7 +280,7 @@ object DqQueries {
         |    OVER (PARTITION BY o_orderstatus) AS BIGINT) AS share_bp
         |FROM g ORDER BY o_orderstatus, bucket""".stripMargin,
     "q206_slo_burn" ->
-      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      """WITH d AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
         |    count(*) AS n,
         |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
         |      AS BIGINT) AS n_err

@@ -730,23 +730,23 @@ object EventQueries {
     * NULL-as-total rows; NULLS FIRST pinned (Spark and DuckDB default
     * differently).
     */
-  def q176_event_rollup(spark: SparkSession, sfDir: String): DataFrame = {
+  def q176_event_rollup(spark: SparkSession, sfDir: String): DataFrame =
+    // Dataset.groupingSets (not a temp view + spark.sql): the former
+    // SQL form registered a FIXED global view name, so two concurrent
+    // q176 calls with different sfDir on one session raced on it —
+    // the only session-global mutable state in the surface
     Tables.events(spark, sfDir)
       .select(col("event_type"),
         expr("weekday(ts) + 1").cast("long").as("wday"),
         round(col("value") * 100).cast("long").as("cents"))
-      .createOrReplaceTempView("graft_events_gs")
-    spark.sql(
-      """SELECT event_type, wday, count(*) AS n,
-        |  sum(cents) AS cents,
-        |  cast(grouping(event_type) AS BIGINT) AS g_type,
-        |  cast(grouping(wday) AS BIGINT) AS g_wday
-        |FROM graft_events_gs
-        |GROUP BY GROUPING SETS ((event_type), (wday), ())
-        |ORDER BY g_type, g_wday,
-        |  event_type ASC NULLS FIRST, wday ASC NULLS FIRST
-        |""".stripMargin)
-  }
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("wday")), Seq()),
+        col("event_type"), col("wday"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("wday")).cast("long").as("g_wday"))
+      .orderBy(col("g_type"), col("g_wday"),
+        col("event_type").asc_nulls_first, col("wday").asc_nulls_first)
 
   /** q174: per-type ECDF / rank normalization — each event's value
     * percentile within its event type, in integer basis points
@@ -992,8 +992,13 @@ object EventQueries {
       .withColumn("nb", sum(col("cb")).over(wt))
       .withColumn("cuma", sum(col("ca")).over(wCum))
       .withColumn("cumb", sum(col("cb")).over(wCum))
+      // nullif: a type whose users all hash into one arm has na or nb
+      // = 0 — ANSI Spark would throw DIVIDE_BY_ZERO where the oracle's
+      // `// 0` yields NULL; nullif makes both engines emit NULL (and a
+      // NULL ks_bp for that type — the honest answer to an empty arm)
       .withColumn("dev", abs(
-        expr("cuma * 10000 div na") - expr("cumb * 10000 div nb")))
+        expr("cuma * 10000 div nullif(na, 0)") -
+          expr("cumb * 10000 div nullif(nb, 0)")))
       .groupBy(col("event_type"))
       .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
         max(col("dev")).as("ks_bp"))
@@ -1613,11 +1618,11 @@ object EventQueries {
         |ORDER BY type_a, type_b""".stripMargin,
     "q218_churn_state" ->
       """WITH u AS (SELECT user_id,
-        |    min(epoch_us(ts) // 86400000000) AS d0,
-        |    max(epoch_us(ts) // 86400000000) AS d1
+        |    min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS d0,
+        |    max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS d1
         |  FROM events GROUP BY user_id),
         |h AS (SELECT max(d1) AS hday FROM u),
-        |s AS (SELECT (d0 + 3) // 7 AS cohort_week,
+        |s AS (SELECT (d0 + 3 - (((d0 + 3) % 7) + 7) % 7) // 7 AS cohort_week,
         |    CASE WHEN hday - d1 = 0 THEN '1_active'
         |    WHEN hday - d1 = 1 THEN '2_lapsing'
         |    ELSE '3_churned' END AS state
@@ -1629,7 +1634,7 @@ object EventQueries {
         |    OVER (PARTITION BY cohort_week) AS BIGINT) AS share_bp
         |FROM g ORDER BY cohort_week, state""".stripMargin,
     "q221_value_bands" ->
-      """WITH hist AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      """WITH hist AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
         |    CAST(round(value * 100) AS BIGINT) AS cents, count(*) AS c
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
         |w AS (SELECT day, cents,
@@ -1657,7 +1662,7 @@ object EventQueries {
         |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q207_psi_drift" ->
       """WITH e AS (SELECT event_type,
-        |    epoch_us(ts) // 86400000000 AS day,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
         |    LEAST(CAST(round(value * 100) AS BIGINT) // 5000, 9) AS bucket
         |  FROM events),
         |m AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
@@ -1697,7 +1702,9 @@ object EventQueries {
         |    epoch_us(min(ts)) AS start_us,
         |    CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_us
         |  FROM s GROUP BY 1, 2),
-        |d AS (SELECT start_us // 86400000000 AS day, n_events, dur_us FROM g)
+        |d AS (SELECT (start_us - ((start_us % 86400000000) + 86400000000)
+        |      % 86400000000) // 86400000000 AS day, n_events, dur_us
+        |  FROM g)
         |SELECT day, count(*) AS n_sessions,
         |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_bounce,
@@ -1745,7 +1752,7 @@ object EventQueries {
         |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q196_new_returning" ->
       """WITH d AS (SELECT DISTINCT user_id,
-        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS fd FROM d GROUP BY 1)
         |SELECT day, count(*) AS dau,
         |  CAST(sum(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT)
@@ -1784,7 +1791,7 @@ object EventQueries {
         |    // nullif(2 * max(np) * max(nq), 0) AS BIGINT) AS auc_bp
         |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q192_kaplan_meier" ->
-      """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      """WITH d AS (SELECT user_id, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
         |    event_type FROM events),
         |per AS (SELECT user_id, min(day) AS f,
         |    min(CASE WHEN event_type = 'purchase' THEN day END) AS p
@@ -1903,7 +1910,7 @@ object EventQueries {
         |ORDER BY type_a, type_b""".stripMargin,
     "q153_day_streaks" ->
       """WITH d AS (
-        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  SELECT DISTINCT user_id, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
         |  FROM events),
         |i AS (SELECT user_id, day,
         |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
@@ -1945,7 +1952,7 @@ object EventQueries {
         "\nFROM events GROUP BY event_type ORDER BY event_type"),
     "q149_chi_square" ->
       """WITH c AS (
-        |  SELECT event_type, (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |  SELECT event_type, (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7 AS dow,
         |    count(*) AS o
         |  FROM events GROUP BY 1, 2),
         |t AS (SELECT event_type, dow, o,
@@ -1991,10 +1998,10 @@ object EventQueries {
         |GROUP BY 1 ORDER BY campaign_id""".stripMargin,
     "q144_resample_locf" ->
       """WITH p AS (
-        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |  SELECT user_id, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
         |         CAST(round(value * 100) AS BIGINT) AS cents,
         |         row_number() OVER (
-        |           PARTITION BY user_id, epoch_us(ts) // 86400000000
+        |           PARTITION BY user_id, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
         |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0),
         |d AS (SELECT user_id, day, cents FROM p WHERE rn = 1),

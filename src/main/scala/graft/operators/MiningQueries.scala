@@ -105,14 +105,16 @@ object MiningQueries {
     * numerator folded as Σ vᵢ·2^(k−1−lag) over the last ≤16 observed days
     * (newest weight 2^(k−1) — `aggregate(reverse(window list), acc·2+x)`,
     * a codegen-safe integer Horner scheme), denominator 2^k − 1, exact
-    * FLOOR division. Division semantics (round 7, closing the r6 latent
-    * divergence): Spark's `DIV` truncates toward zero while DuckDB's `//`
-    * floors — different at negative numerators (refund-heavy days). The
-    * numerator is therefore floored explicitly via the pmod identity
-    * `(num − pmod(num, denom)) DIV denom`: subtracting the NONNEGATIVE
-    * remainder makes the numerator an exact multiple, so truncation IS
-    * floor, for every numerator sign and any magnitude (no shift-constant
-    * bound to outgrow; denominator 2^k−1 > 0 always). On the nonnegative
+    * FLOOR division. Division semantics (corrected round 7): BOTH
+    * engines' integer division truncates toward zero (Spark `DIV` and
+    * DuckDB 1.0.0 `//` alike — verified -5 // 3 = -1), which mis-buckets
+    * negative numerators (refund-heavy days). Floor is therefore made
+    * EXPLICIT on both sides: Spark via the pmod identity
+    * `(num − pmod(num, denom)) DIV denom` (subtracting the NONNEGATIVE
+    * remainder makes truncation equal floor at any sign and magnitude;
+    * denominator 2^k−1 > 0 always), and the oracle via the mirrored
+    * `(num - ((num % denom) + denom) % denom) // denom` — bit-identical
+    * term by term since DuckDB `%` matches Spark `%`. On the nonnegative
     * fixture the correction term is 0 — hashes unchanged. The streaming
     * twin applies the same semantics as `Math.floorDiv`.
     * α = 1/2 makes every weight a power of two, so the
@@ -321,11 +323,12 @@ object MiningQueries {
     * result is layout-independent (the q149/q167 bounded-table family,
     * rational arithmetic instead of logs). At sums beyond ~10¹⁴ cents the
     * numerator needs the decimal widening q58 documents; the shape is
-    * unchanged. Division semantics (round 7): the numerator 10⁴·s·nt can
-    * go negative on refund-heavy weekdays, where Spark `DIV` (truncate)
-    * and DuckDB `//` (floor) diverge — floored explicitly via the q162
-    * pmod identity (subtract the nonnegative remainder, then DIV is
-    * exact), valid for any numerator at any magnitude. The denominator
+    * unchanged. Division semantics (corrected round 7): the numerator
+    * 10⁴·s·nt can go negative on refund-heavy weekdays, where bare
+    * truncating division (Spark `DIV` and DuckDB `//` BOTH truncate)
+    * would mis-index below the mean — floored explicitly on both sides,
+    * Spark via the q162 pmod identity and the oracle via its mirrored
+    * `%`-form, valid for any numerator at any magnitude. The denominator
     * st·n must stay positive (total spend > 0 per type) — that remaining
     * contract is inherent to "index relative to the overall mean", not a
     * division artifact.
@@ -465,15 +468,16 @@ object MiningQueries {
     * the decomposition behind anomaly review (q169 flags a change-point;
     * this explains how much of it is trend vs weekday shape vs noise).
     * Composes the pieces q162/q168/q169 use separately: trend = centered
-    * 7-row moving average (NULL on the 3-row edges — exact floors, sums
-    * non-negative), detrended = cents − trend, seasonal = per-(type,
+    * 7-row moving average (NULL on the 3-row edges; truncating `div 7`
+    * on both engines, engine-identical at any sign), detrended = cents − trend, seasonal = per-(type,
     * ISO-weekday) mean of the detrended series, residual = detrended −
     * seasonal.
     *
     * Exactness: the seasonal mean's numerator can be NEGATIVE, where
-    * Spark DIV (truncate) and DuckDB // (floor) disagree — the q197
-    * shift trick applies with K=10¹²: (Σdetr + K·n) div n − K is the
-    * exact floor on both engines (|detr| < K by construction at any
+    * bare truncating division (both engines truncate) is not floor — the
+    * q197 shift trick applies with K=10¹²: (Σdetr + K·n) div n − K is
+    * the exact floor on both engines (the shifted numerator is positive,
+    * where truncation IS floor) (|detr| < K by construction at any
     * fixture scale; widen K with decimal past that, q168 note). SUM and
     * COUNT over windows skip NULLs identically in both engines.
     *
@@ -728,7 +732,7 @@ object MiningQueries {
 
   val oracle: Map[String, String] = Map(
     "q217_daily_anomaly" ->
-      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      """WITH d AS (SELECT event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
         |    count(*) AS x FROM events GROUP BY 1, 2),
         |s AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
         |g AS (SELECT unnest(generate_series(d0, d1)) AS gday FROM s),
@@ -762,7 +766,7 @@ object MiningQueries {
         |FROM j WHERE rk <= 3
         |ORDER BY event_type, day""".stripMargin,
     "q215_dispersion" ->
-      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      """WITH d AS (SELECT event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
         |    count(*) AS x FROM events GROUP BY 1, 2),
         |s AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
         |g AS (SELECT unnest(generate_series(d0, d1)) AS day FROM s),
@@ -779,7 +783,7 @@ object MiningQueries {
         |    AS BIGINT) AS fano_bp
         |FROM m ORDER BY event_type""".stripMargin,
     "q210_lagged_xcorr" ->
-      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      """WITH d AS (SELECT event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
         |    count(*) AS n FROM events
         |  WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2),
         |s AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
@@ -813,7 +817,7 @@ object MiningQueries {
         |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
         |ORDER BY lag""".stripMargin,
     "q205_forecast_backtest" ->
-      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      """WITH d AS (SELECT event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |      AS cents
         |  FROM events GROUP BY 1, 2),
@@ -829,7 +833,7 @@ object MiningQueries {
         |    AS BIGINT) AS wape_bp
         |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q201_seasonal_decompose" ->
-      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      """WITH d AS (SELECT event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |      AS cents
         |  FROM events GROUP BY 1, 2),
@@ -861,7 +865,8 @@ object MiningQueries {
         |    sum(s) OVER (PARTITION BY event_type) AS st
         |  FROM cells)
         |SELECT event_type, wday, n,
-        |  CAST((10000 * s * nt) // (st * n) AS BIGINT) AS seasonal_bp
+        |  CAST((10000 * s * nt - ((10000 * s * nt % (st * n)) + (st * n))
+        |      % (st * n)) // (st * n) AS BIGINT) AS seasonal_bp
         |FROM t ORDER BY event_type, wday""".stripMargin,
     "q169_changepoint" ->
       """WITH daily AS (
@@ -1009,11 +1014,13 @@ object MiningQueries {
         |  FROM idx a JOIN idx b
         |    ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 15 AND a.rn
         |  GROUP BY a.user_id, a.day, a.rn),
+        |den AS (SELECT *,
+        |    ((CAST(1 AS BIGINT) << CAST(n_obs AS INTEGER)) - 1) AS denom
+        |  FROM ew),
         |lastd AS (SELECT user_id, day, n_obs,
-        |    num // ((CAST(1 AS BIGINT) << CAST(n_obs AS INTEGER)) - 1)
-        |      AS ewma_micro,
+        |    (num - ((num % denom) + denom) % denom) // denom AS ewma_micro,
         |    row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rd
-        |  FROM ew)
+        |  FROM den)
         |SELECT user_id, day, n_obs, CAST(ewma_micro AS BIGINT) AS ewma_micro
         |FROM lastd WHERE rd <= 3 ORDER BY user_id, day""".stripMargin,
     "q163_entity_clusters" ->

@@ -105,7 +105,7 @@ object Skyline {
         |  SELECT o_custkey AS c_custkey,
         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
         |    count(*) AS n_orders,
-        |    CAST(max(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS last_day
+        |    CAST(max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS last_day
         |  FROM orders GROUP BY 1)
         |SELECT c_custkey, total_cents, n_orders, last_day FROM c p
         |WHERE NOT EXISTS (

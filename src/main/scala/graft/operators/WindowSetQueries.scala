@@ -248,7 +248,7 @@ object WindowSetQueries {
   val oracle: Map[String, String] = Map(
     "q150_skyline" ->
       """WITH o AS (
-        |  SELECT o_orderkey, epoch_us(o_orderdate) // 86400000000 AS day,
+        |  SELECT o_orderkey, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |  FROM orders),
         |w AS (SELECT o_orderkey, day, cents,
