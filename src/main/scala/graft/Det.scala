@@ -50,4 +50,31 @@ object Det {
     * event-calendar query uses. */
   def epochDaySql(tsCol: String): String =
     floorDivSql(s"unix_micros($tsCol)", "86400000000")
+
+  /** Embedding sanity gate for every similarity/assignment operator
+    * (q82/q87/q98/q155/q158/q164/q200/q227): a vector participates iff
+    * every component is finite with |x| ≤ 10 AND at least one component
+    * is non-zero. The |x| ≤ 10 clause rejects NaN (the comparison is
+    * false on both engines — Spark treats NaN comparisons as false,
+    * DuckDB orders NaN greater than everything), ±Inf, and magnitudes
+    * that would overflow the micro-unit BIGINT quantization
+    * (|x| ≤ 10 ⇒ |round(x·10⁶)| ≤ 10⁷, squares ≤ 10¹⁴ — safe in 64-bit
+    * moment sums far past fixture scale); the non-zero clause rejects
+    * the zero-norm vector, whose cosine is 0/0 (an ANSI DIVIDE_BY_ZERO
+    * on Spark, NaN in DuckDB — a vector with no direction has no place
+    * in a similarity op). Real normalized embeddings are ‖v‖ = 1 with
+    * |x| < 1, so the gate is semantically inert on healthy corpora —
+    * it exists so one corrupt export row degrades to "excluded and
+    * countable via q197" instead of failing the whole job. q197 (the
+    * health screen) deliberately does NOT apply it: it reports the bad
+    * vectors per dimension instead.
+    */
+  def saneEmb(v: Column): Column =
+    forall(v, x => abs(x) <= lit(10.0f)) && exists(v, x => x =!= lit(0.0f))
+
+  /** [[saneEmb]]'s oracle-side mirror (DuckDB list predicates over the
+    * raw FLOAT list — same NaN/Inf verdicts, same zero test). */
+  def saneEmbSql(col: String = "embedding"): String =
+    s"(len(list_filter($col, x -> NOT (abs(x) <= 10))) = 0" +
+      s" AND len(list_filter($col, x -> x <> 0)) > 0)"
 }

@@ -55,10 +55,14 @@ object TextFunctions {
   private def array_intersect_keepdup(tok: Column, words: Seq[String]): Column =
     filter(tok, t => t.isInCollection(words))
 
-  /** punctuation-character ratio over the whole text */
+  /** punctuation-character ratio over the whole text; NULL for the
+    * empty string (0/0 is undefined — and an ANSI DIVIDE_BY_ZERO
+    * without the guard), which propagates to a NULL qualityScore:
+    * an empty doc has no quality, and NULLS-LAST descending order
+    * ranks it below every scored doc on both engines. */
   def punctRatio(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
-      .cast("double") / length(text).cast("double")
+      .cast("double") / nullif(length(text), lit(0)).cast("double")
 
   /** Composite quality score in [0,1]: rewards mid-length docs, rich
     * vocabulary, low punctuation. Weights are heuristic — the point is the

@@ -343,8 +343,14 @@ object CorpusQueries {
       .select(col("doc_id"),
         graft.expressions.WinnowIds.winnowIds(col("text"), 3, 4).as("fp"))
       .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
-        md5(concat_ws(",",
-          expr("transform(fp, x -> cast(x as string))"))).as("fp_digest"))
+        // a doc with no windows (< n+w-1 tokens, or a space-free script)
+        // has NO fingerprint — NULL digest, not md5('') (DuckDB's
+        // array_to_string([]) is NULL where concat_ws gives ''; nullif
+        // aligns the engines, and a real fingerprint list can never
+        // serialize to '' since bigint strings are non-empty)
+        md5(nullif(concat_ws(",",
+          expr("transform(fp, x -> cast(x as string))")), lit("")))
+          .as("fp_digest"))
       .orderBy(col("doc_id"))
 
   /** Bigram language-model fluency score (the CCNet/KenLM-style LM filter

@@ -190,6 +190,7 @@ object MiningQueries {
     */
   def q164_knn_label_vote(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
+      .filter(Det.saneEmb(col("embedding")))
     val probes = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
         col("embedding").as("pv"))
@@ -1064,7 +1065,9 @@ object MiningQueries {
     "q164_knn_label_vote" ->
       """WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
+        |  FROM embeddings
+        |  WHERE len(list_filter(embedding, x -> NOT (abs(x) <= 10))) = 0
+        |    AND len(list_filter(embedding, x -> x <> 0)) > 0),
         |sims AS (
         |  SELECT p.vec_id AS probe_id, p.label AS true_label,
         |    c.vec_id AS neighbor_id, c.label AS nl,

@@ -59,6 +59,7 @@ object NorthStarQueries {
     */
   def q82_knn_cosine(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
+      .filter(Det.saneEmb(col("embedding")))
     val probes = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
     val corpus = emb
@@ -86,6 +87,7 @@ object NorthStarQueries {
     */
   def q98_knn_ivf_cell(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
+      .filter(Det.saneEmb(col("embedding")))
     val probes = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("label"),
         col("embedding").as("pv"))
@@ -143,6 +145,7 @@ object NorthStarQueries {
     * and zero-corpus-shuffle argument). */
   private def clusterAssignments(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
+      .filter(Det.saneEmb(col("embedding")))
     val cent = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val corpus = emb.select(col("vec_id"), col("embedding").as("v"))
@@ -229,17 +232,24 @@ object NorthStarQueries {
     * drops to ~0 carries no information; an encoder regression or a
     * truncated export shows up here before any retrieval metric moves).
     * Complements the value-level checks (q125) with representation-level
-    * DQ next to the ANN tier (q82/q98/q158).
+    * DQ next to the ANN tier (q82/q98/q158). Per dim it also counts
+    * n_bad — components that are non-finite or |x| > 10 (the
+    * [[graft.Det.saneEmb]] component test) — and excludes them from the
+    * moments: the monitor reports the corruption the similarity tier
+    * filters out, instead of crashing on the cast that corruption would
+    * poison (round 7, from the adversarial fixture gate).
     *
-    * Exactness: each element is quantized to integer micro units ONCE
-    * (round(x·10⁶)), then all stats are BIGINT moment sums — no float
-    * accumulation race. The mean uses the shift trick
-    * (s + 10⁶·n) div n − 10⁶ so the floored division sees a
-    * non-negative numerator (Spark DIV truncates toward zero, DuckDB //
-    * floors — they only agree on non-negatives; elements are ≥ −1 by
-    * normalization so the shift is exact). Variance numerator n·Σx²−S²
-    * is ≥ 0 by Cauchy–Schwarz. Moment sums past ~10¹⁸ (n ≈ 10⁶·dims at
-    * full micro range) widen to decimal, plan unchanged (q168 note).
+    * Exactness: each good element is quantized to integer micro units
+    * ONCE (round(x·10⁶), |v| ≤ 10⁷ by the gate), then all stats are
+    * BIGINT moment sums — no float accumulation race. The mean uses the
+    * shift trick (s + 10⁷·ng) div ng − 10⁷: the shifted numerator is
+    * non-negative (|s| ≤ 10⁷·ng by the gate bound), where the
+    * truncating division BOTH engines apply (Spark DIV and DuckDB //
+    * alike) IS floor. Variance numerator ng·Σx²−S² is ≥ 0 by
+    * Cauchy–Schwarz; ng = 0 (every component of a dim bad) yields NULL
+    * stats via nullif on both engines. Moment sums past ~10¹⁸
+    * (ng ≈ 10⁴·dims at the gate's full micro range) widen to decimal,
+    * plan unchanged (q168 note).
     *
     * Scale shape: posexplode fans each vector into |dims| rows map-side
     * and the two-phase (dim) agg collapses them immediately — shuffle =
@@ -249,14 +259,26 @@ object NorthStarQueries {
     Tables.embeddings(spark, sfDir)
       .select(posexplode(col("embedding")).as(Seq("i", "x")))
       .select((col("i") + 1).cast("long").as("dim"),
-        round(col("x").cast("double") * 1000000).cast("long").as("v"))
+        col("x").cast("double").as("xd"))
+      // bad = non-finite or |x| > 10 — the [[Det.saneEmb]] component
+      // test. The health screen is the ONE embedding query that must
+      // SURVIVE such values rather than filter its input: it reports
+      // them (n_bad) and excludes them from the moment sums, so a
+      // corrupt export shows up as a count here instead of an ANSI
+      // CAST_OVERFLOW killing the monitor itself.
+      .withColumn("bad", !(abs(col("xd")) <= lit(10.0)))
+      .withColumn("v", when(col("bad"), lit(null))
+        .otherwise(round(col("xd") * 1000000).cast("long")))
       .groupBy(col("dim"))
-      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_bad"),
+        count(col("v")).as("ng"), sum(col("v")).as("s"),
         sum(col("v") * col("v")).as("s2"))
-      .select(col("dim"), col("n"),
-        expr("(s + 1000000 * n) div n - 1000000").as("mean_micro"),
-        expr("(n * s2 - s * s) div (n * n)").as("var_micro2"),
-        (expr("(n * s2 - s * s) div (n * n)") < 100L).as("dead"))
+      .select(col("dim"), col("n"), col("n_bad"),
+        expr("(s + 10000000 * ng) div nullif(ng, 0) - 10000000")
+          .as("mean_micro"),
+        expr("(ng * s2 - s * s) div nullif(ng * ng, 0)").as("var_micro2"),
+        (expr("(ng * s2 - s * s) div nullif(ng * ng, 0)") < 100L).as("dead"))
       .orderBy(col("dim"))
 
   /** ANN recall evaluation (q200): recall@5 of the cell-restricted IVF
@@ -277,6 +299,7 @@ object NorthStarQueries {
     */
   def q200_ann_recall(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
+      .filter(Det.saneEmb(col("embedding")))
     val probes = emb.filter(col("vec_id") < 50)
       .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
         col("embedding").as("pv"))
@@ -366,7 +389,9 @@ object NorthStarQueries {
   val oracle: Map[String, String] = Map(
     "q227_ann_recall_kmeans" ->
       """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |  WHERE len(list_filter(embedding, x -> NOT (abs(x) <= 10))) = 0
+        |    AND len(list_filter(embedding, x -> x <> 0)) > 0),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
         |d AS (SELECT e.vec_id, c.cid,
         |    round(list_dot_product(e.v, e.v)
@@ -405,7 +430,9 @@ object NorthStarQueries {
     "q200_ann_recall" ->
       """WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
+        |  FROM embeddings
+        |  WHERE len(list_filter(embedding, x -> NOT (abs(x) <= 10))) = 0
+        |    AND len(list_filter(embedding, x -> x <> 0)) > 0),
         |bs AS (SELECT p.vec_id AS probe_id, c.vec_id AS nb,
         |    round(list_dot_product(p.v, c.v) /
         |      (sqrt(list_dot_product(p.v, p.v)) *
@@ -431,16 +458,22 @@ object NorthStarQueries {
         |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin,
     "q197_embed_health" ->
       """WITH x AS (SELECT i AS dim,
-        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
-        |      AS v
+        |    NOT (abs(embedding[i]) <= 10) AS bad,
+        |    CASE WHEN NOT (abs(embedding[i]) <= 10) THEN NULL
+        |      ELSE CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+        |        AS BIGINT) END AS v
         |  FROM embeddings,
         |    unnest(range(1, len(embedding) + 1)) AS u(i)),
-        |d AS (SELECT dim, count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+        |d AS (SELECT dim, count(*) AS n,
+        |    CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |    count(v) AS ng, CAST(sum(v) AS BIGINT) AS s,
         |    CAST(sum(v * v) AS BIGINT) AS s2 FROM x GROUP BY dim)
-        |SELECT CAST(dim AS BIGINT) AS dim, n,
-        |  CAST((s + 1000000 * n) // n - 1000000 AS BIGINT) AS mean_micro,
-        |  CAST((n * s2 - s * s) // (n * n) AS BIGINT) AS var_micro2,
-        |  ((n * s2 - s * s) // (n * n)) < 100 AS dead
+        |SELECT CAST(dim AS BIGINT) AS dim, n, n_bad,
+        |  CAST((s + 10000000 * ng) // nullif(ng, 0) - 10000000 AS BIGINT)
+        |    AS mean_micro,
+        |  CAST((ng * s2 - s * s) // nullif(ng * ng, 0) AS BIGINT)
+        |    AS var_micro2,
+        |  ((ng * s2 - s * s) // nullif(ng * ng, 0)) < 100 AS dead
         |FROM d ORDER BY dim""".stripMargin,
     "q80_dedup_exact" ->
       """SELECT md5(text) AS hash, count(*) AS n_docs, min(doc_id) AS min_doc_id
@@ -457,7 +490,9 @@ object NorthStarQueries {
         |ORDER BY lang, id_a, id_b""".stripMargin,
     "q82_knn_cosine" ->
       """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |  WHERE len(list_filter(embedding, x -> NOT (abs(x) <= 10))) = 0
+        |    AND len(list_filter(embedding, x -> x <> 0)) > 0),
         |  sims AS (
         |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
         |      round(list_dot_product(p.v, c.v) /
@@ -472,7 +507,9 @@ object NorthStarQueries {
         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     "q98_knn_ivf_cell" ->
       """WITH e AS (SELECT vec_id, label,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |  WHERE len(list_filter(embedding, x -> NOT (abs(x) <= 10))) = 0
+        |    AND len(list_filter(embedding, x -> x <> 0)) > 0),
         |  sims AS (
         |    SELECT p.vec_id AS probe_id, p.label AS label, c.vec_id AS neighbor_id,
         |      round(list_dot_product(p.v, c.v) /
@@ -488,7 +525,9 @@ object NorthStarQueries {
         |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     "q155_kmeans_assign" ->
       """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |  WHERE len(list_filter(embedding, x -> NOT (abs(x) <= 10))) = 0
+        |    AND len(list_filter(embedding, x -> x <> 0)) > 0),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
         |d AS (SELECT e.vec_id, c.cid,
         |    round(list_dot_product(e.v, e.v)
@@ -504,7 +543,9 @@ object NorthStarQueries {
         |FROM a WHERE rk = 1 GROUP BY cid ORDER BY cid""".stripMargin,
     "q158_semdedup" ->
       """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |  WHERE len(list_filter(embedding, x -> NOT (abs(x) <= 10))) = 0
+        |    AND len(list_filter(embedding, x -> x <> 0)) > 0),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
         |d AS (SELECT e.vec_id, c.cid,
         |    round(list_dot_product(e.v, e.v)

@@ -97,7 +97,9 @@ object PipelineQueries {
     * (the IVF cell) — semantic dedup tier.
     */
   def q87_dedup_embcos(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.embeddingNearDups(Tables.embeddings(spark, sfDir), "vec_id",
+    Dedup.embeddingNearDups(
+      Tables.embeddings(spark, sfDir)
+        .filter(Det.saneEmb(col("embedding"))), "vec_id",
       "embedding", "label", threshold = 0.3)
       .withColumnRenamed("block", "label")
       .orderBy(col("label"), col("id_a"), col("id_b"))
@@ -186,7 +188,11 @@ object PipelineQueries {
     */
   def q75_dedup_incremental(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val srcNum = substring(col("source"), 4, 10).cast("int")
+    // try_cast: a source whose suffix isn't numeric (an unregistered
+    // feed) is NULL here and fails BOTH role filters below — it joins
+    // neither the corpus nor the batch, rather than aborting the job
+    // with an ANSI CAST_INVALID_INPUT (oracle mirrors via TRY_CAST)
+    val srcNum = expr("try_cast(substring(source, 4, 10) AS int)")
     val corpus = docs.filter(srcNum < 10)
     val newBatch = docs.filter(srcNum >= 10)
     Dedup.incrementalNearDedup(corpus, newBatch, "doc_id", "text", "lang",
@@ -456,7 +462,7 @@ object PipelineQueries {
       |    CAST(round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
       |      len(string_split(text, ' ')) * 10000) AS BIGINT) * 4 +
       |    (10000 - CAST(round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) /
-      |      length(text) * 10000) AS BIGINT)) * 2 +
+      |      nullif(length(text), 0) * 10000) AS BIGINT)) * 2 +
       |    (10000 - CAST(round(CAST(len(list_filter(string_split(text, ' '),
       |      t -> t IN ('join', 'filter', 'scan'))) AS DOUBLE) /
       |      len(string_split(text, ' ')) * 10000) AS BIGINT))
@@ -731,7 +737,9 @@ object PipelineQueries {
          |ORDER BY lang, id_a, id_b""".stripMargin,
     "q87_dedup_embcos" ->
       """WITH e AS (SELECT vec_id, label,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |  WHERE len(list_filter(embedding, x -> NOT (abs(x) <= 10))) = 0
+        |    AND len(list_filter(embedding, x -> x <> 0)) > 0)
         |SELECT label, id_a, id_b, cos_sim FROM (
         |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
         |    round(list_dot_product(a.v, b.v) /
@@ -754,8 +762,8 @@ object PipelineQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q75_dedup_incremental" ->
       s"""WITH d AS (SELECT doc_id, lang, source, $gramsExpr AS g FROM documents),
-         |corpus AS (SELECT * FROM d WHERE CAST(substr(source, 4) AS INT) < 10),
-         |newb AS (SELECT * FROM d WHERE CAST(substr(source, 4) AS INT) >= 10),
+         |corpus AS (SELECT * FROM d WHERE TRY_CAST(substr(source, 4) AS INT) < 10),
+         |newb AS (SELECT * FROM d WHERE TRY_CAST(substr(source, 4) AS INT) >= 10),
          |hits AS (
          |  SELECT DISTINCT n.doc_id FROM newb n
          |  JOIN corpus c ON n.lang = c.lang

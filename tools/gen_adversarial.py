@@ -15,11 +15,25 @@ divergence-prone paths end to end:
   100 years (ship-before-order -> NEGATIVE q219 delays);
 - a one-arm event type: one fresh user with event_type 'zz_adv_onearm',
   so q189's A/B split has an empty arm (na=0 or nb=0 depending on the
-  user's hash) -> the nullif guard's NULL path on both engines.
+  user's hash) -> the nullif guard's NULL path on both engines;
+- hostile documents (appended, fresh doc_ids): empty / whitespace-only
+  text, NFC-vs-NFD accents, emoji + flags, space-free CJK, a 5000-char
+  single token, regex metacharacters, RTL Arabic/Hebrew, CRLF + repeated
+  lines, punctuation spam, digit soup, exact duplicates (of an existing
+  doc and of another adversarial doc) -> tokenizers, n-gram shingles,
+  entropy/quality scores, line dedup, langid, and every dedup tier on
+  inputs real crawls actually contain;
+- hostile embeddings (appended, fresh vec_ids): the all-zero vector
+  (zero norm -> cosine 0/0), exact-duplicate pairs (cosine ties ->
+  rank tie-break determinism), a duplicate of an existing vector, and
+  near-float32-max / subnormal magnitudes (precision at the format's
+  edge). NaN components are generated only under --nan (a separate
+  probe: ANSI Spark and DuckDB both refuse NaN->BIGINT casts, so the
+  health screen's own robustness is what's under test there).
 
-Usage: python3 tools/gen_adversarial.py <src_sf_dir> <out_dir>
+Usage: python3 tools/gen_adversarial.py <src_sf_dir> <out_dir> [--nan]
 """
-import sys, os, shutil
+import sys, os, shutil, unicodedata
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pandas as pd
@@ -31,7 +45,71 @@ FORTY_Y = pd.Timedelta(days=40 * 365)
 HUNDRED_Y = pd.Timedelta(days=100 * 365)
 
 
-def main(src, out):
+ADV_TEXTS = [
+    ("empty", ""),
+    ("whitespace", "   \t\t \n\n  "),
+    ("nfc", "café résumé naïve touché café"),
+    ("nfd", "café résumé naïve touché café"),
+    ("emoji", "\U0001F680 rocket \U0001F680\U0001F680 launch "
+              "\U0001F1FA\U0001F1F8 flag done"),
+    ("cjk", "東京都に住んでいます"
+            "。日本語のテキストで"
+            "す。形態素解析は難し"
+            "い。"),
+    ("longtoken", "a" * 5000 + " end"),
+    ("regexmeta", "a.b*c?(d)[e]{2}|f\\g ^h$ i+j $1 \\k"),
+    ("rtl", "مرحبا بالعا"
+            "لم שלום עולם"
+            " hello mixed"),
+    ("crlf", "line one\r\nline one\r\nline two\r\n\r\n\r\nline two\r\nend"),
+    ("punctspam", "!!! ??? ... ,,, ;;; ::: !!! ??? ..."),
+    ("digits", "123 456 789 123 456 0.5 1e10 -42 3.14159 123"),
+]
+
+
+def adv_documents(df):
+    """Appended hostile docs: the ADV_TEXTS classes + exact duplicates
+    (of doc 0 and of the nfc doc) for the dedup tiers. n_chars follows
+    the fixture invariant n_chars == length(text) in code points."""
+    base = int(df.doc_id.max()) + 1
+    rows = []
+    for i, (_tag, text) in enumerate(ADV_TEXTS):
+        rows.append({"doc_id": base + i, "text": text, "lang": "en",
+                     "source": "src_adv", "n_chars": len(text)})
+    dup0 = str(df.loc[df.doc_id == 0, "text"].iloc[0])
+    rows.append({"doc_id": base + len(ADV_TEXTS), "text": dup0,
+                 "lang": str(df.loc[df.doc_id == 0, "lang"].iloc[0]),
+                 "source": "src_adv", "n_chars": len(dup0)})
+    nfc = ADV_TEXTS[2][1]
+    rows.append({"doc_id": base + len(ADV_TEXTS) + 1, "text": nfc,
+                 "lang": "en", "source": "src_adv", "n_chars": len(nfc)})
+    return pd.DataFrame(rows)
+
+
+def adv_embeddings(df, dims, with_nan):
+    """Appended hostile vectors: zero norm, exact-duplicate pair, a copy
+    of vec 100, near-float32-max and subnormal magnitudes; NaN only
+    under --nan (both engines refuse NaN->BIGINT, a separate probe)."""
+    base = int(df.vec_id.max()) + 1
+    unit = [1.0] + [0.0] * (dims - 1)
+    dup100 = list(df.loc[df.vec_id == 100, "embedding"].iloc[0])
+    vecs = [
+        [0.0] * dims,                       # zero norm -> cosine 0/0
+        [0.25] * dims,                      # duplicate pair member A
+        [0.25] * dims,                      # duplicate pair member B
+        dup100,                             # exact copy of vec 100
+        [3.0e38] * dims,                    # near float32 max
+        [1.0e-40] * dims,                   # float32 subnormal
+        unit,                               # axis vector (exact 0 dots)
+    ]
+    if with_nan:
+        vecs.append([float("nan")] * 4 + [0.5] * (dims - 4))
+    rows = [{"vec_id": base + i, "embedding": v, "label": i % 10}
+            for i, v in enumerate(vecs)]
+    return pd.DataFrame(rows)
+
+
+def main(src, out, with_nan=False):
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         sp = os.path.join(src, f"{t}.parquet")
@@ -62,10 +140,26 @@ def main(src, out):
             pq.write_table(
                 pa.Table.from_pandas(df, schema=schema, preserve_index=False),
                 op)
+        elif t == "documents":
+            schema = pq.read_schema(sp).remove_metadata()
+            df = pq.read_table(sp).to_pandas()
+            df = pd.concat([df, adv_documents(df)], ignore_index=True)
+            pq.write_table(
+                pa.Table.from_pandas(df, schema=schema, preserve_index=False),
+                op)
+        elif t == "embeddings":
+            schema = pq.read_schema(sp).remove_metadata()
+            df = pq.read_table(sp).to_pandas()
+            dims = len(df.embedding.iloc[0])
+            df = pd.concat([df, adv_embeddings(df, dims, with_nan)],
+                           ignore_index=True)
+            pq.write_table(
+                pa.Table.from_pandas(df, schema=schema, preserve_index=False),
+                op)
         else:
             shutil.copyfile(sp, op)
     print(f"adversarial fixture written to {out}")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], with_nan="--nan" in sys.argv[3:])
