@@ -59,7 +59,10 @@ object Det {
     * DuckDB orders NaN greater than everything), ±Inf, and magnitudes
     * that would overflow the micro-unit BIGINT quantization
     * (|x| ≤ 10 ⇒ |round(x·10⁶)| ≤ 10⁷, squares ≤ 10¹⁴ — safe in 64-bit
-    * moment sums far past fixture scale); the non-zero clause rejects
+    * moment sums far past fixture scale) as well as NULL components
+    * (isNotNull — a vector with holes is as corrupt as one with NaNs,
+    * and a NULL element poisons every dot product); the non-zero
+    * clause rejects
     * the zero-norm vector, whose cosine is 0/0 (an ANSI DIVIDE_BY_ZERO
     * on Spark, NaN in DuckDB — a vector with no direction has no place
     * in a similarity op). Real normalized embeddings are ‖v‖ = 1 with
@@ -70,11 +73,18 @@ object Det {
     * vectors per dimension instead.
     */
   def saneEmb(v: Column): Column =
-    forall(v, x => abs(x) <= lit(10.0f)) && exists(v, x => x =!= lit(0.0f))
+    forall(v, x => x.isNotNull && abs(x) <= lit(10.0f)) &&
+      exists(v, x => x =!= lit(0.0f))
 
   /** [[saneEmb]]'s oracle-side mirror (DuckDB list predicates over the
-    * raw FLOAT list — same NaN/Inf verdicts, same zero test). */
+    * raw FLOAT list — same NaN/Inf/NULL verdicts, same zero test). The
+    * explicit IS NULL clause matters on the oracle side: DuckDB's
+    * list_filter drops NULL-predicate elements, so without it a vector
+    * with NULL components would pass the gate and abort
+    * list_inner_product ("can not contain NULL values"); Spark's
+    * forall is NULL-poisoned into the same verdict but carries the
+    * mirrored isNotNull for the same explicitness. */
   def saneEmbSql(col: String = "embedding"): String =
-    s"(len(list_filter($col, x -> NOT (abs(x) <= 10))) = 0" +
+    s"(len(list_filter($col, x -> x IS NULL OR NOT (abs(x) <= 10))) = 0" +
       s" AND len(list_filter($col, x -> x <> 0)) > 0)"
 }

@@ -1066,7 +1066,8 @@ object MiningQueries {
       """WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings
-        |  WHERE len(list_filter(embedding, x -> NOT (abs(x) <= 10))) = 0
+        |  WHERE len(list_filter(embedding,
+        |    x -> x IS NULL OR NOT (abs(x) <= 10))) = 0
         |    AND len(list_filter(embedding, x -> x <> 0)) > 0),
         |sims AS (
         |  SELECT p.vec_id AS probe_id, p.label AS true_label,

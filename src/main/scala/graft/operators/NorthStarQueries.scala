@@ -260,13 +260,15 @@ object NorthStarQueries {
       .select(posexplode(col("embedding")).as(Seq("i", "x")))
       .select((col("i") + 1).cast("long").as("dim"),
         col("x").cast("double").as("xd"))
-      // bad = non-finite or |x| > 10 — the [[Det.saneEmb]] component
-      // test. The health screen is the ONE embedding query that must
+      // bad = NULL, non-finite, or |x| > 10 — the [[Det.saneEmb]]
+      // component test (n = ng + n_bad holds per dim).
+      // The health screen is the ONE embedding query that must
       // SURVIVE such values rather than filter its input: it reports
       // them (n_bad) and excludes them from the moment sums, so a
       // corrupt export shows up as a count here instead of an ANSI
       // CAST_OVERFLOW killing the monitor itself.
-      .withColumn("bad", !(abs(col("xd")) <= lit(10.0)))
+      .withColumn("bad",
+        col("xd").isNull || !(abs(col("xd")) <= lit(10.0)))
       .withColumn("v", when(col("bad"), lit(null))
         .otherwise(round(col("xd") * 1000000).cast("long")))
       .groupBy(col("dim"))
@@ -390,7 +392,8 @@ object NorthStarQueries {
     "q227_ann_recall_kmeans" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-        |  WHERE len(list_filter(embedding, x -> NOT (abs(x) <= 10))) = 0
+        |  WHERE len(list_filter(embedding,
+        |    x -> x IS NULL OR NOT (abs(x) <= 10))) = 0
         |    AND len(list_filter(embedding, x -> x <> 0)) > 0),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
         |d AS (SELECT e.vec_id, c.cid,
@@ -431,7 +434,8 @@ object NorthStarQueries {
       """WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings
-        |  WHERE len(list_filter(embedding, x -> NOT (abs(x) <= 10))) = 0
+        |  WHERE len(list_filter(embedding,
+        |    x -> x IS NULL OR NOT (abs(x) <= 10))) = 0
         |    AND len(list_filter(embedding, x -> x <> 0)) > 0),
         |bs AS (SELECT p.vec_id AS probe_id, c.vec_id AS nb,
         |    round(list_dot_product(p.v, c.v) /
@@ -458,8 +462,10 @@ object NorthStarQueries {
         |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin,
     "q197_embed_health" ->
       """WITH x AS (SELECT i AS dim,
-        |    NOT (abs(embedding[i]) <= 10) AS bad,
-        |    CASE WHEN NOT (abs(embedding[i]) <= 10) THEN NULL
+        |    (embedding[i] IS NULL
+        |      OR NOT (abs(embedding[i]) <= 10)) AS bad,
+        |    CASE WHEN embedding[i] IS NULL
+        |        OR NOT (abs(embedding[i]) <= 10) THEN NULL
         |      ELSE CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
         |        AS BIGINT) END AS v
         |  FROM embeddings,
@@ -491,7 +497,8 @@ object NorthStarQueries {
     "q82_knn_cosine" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-        |  WHERE len(list_filter(embedding, x -> NOT (abs(x) <= 10))) = 0
+        |  WHERE len(list_filter(embedding,
+        |    x -> x IS NULL OR NOT (abs(x) <= 10))) = 0
         |    AND len(list_filter(embedding, x -> x <> 0)) > 0),
         |  sims AS (
         |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
@@ -508,7 +515,8 @@ object NorthStarQueries {
     "q98_knn_ivf_cell" ->
       """WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-        |  WHERE len(list_filter(embedding, x -> NOT (abs(x) <= 10))) = 0
+        |  WHERE len(list_filter(embedding,
+        |    x -> x IS NULL OR NOT (abs(x) <= 10))) = 0
         |    AND len(list_filter(embedding, x -> x <> 0)) > 0),
         |  sims AS (
         |    SELECT p.vec_id AS probe_id, p.label AS label, c.vec_id AS neighbor_id,
@@ -526,7 +534,8 @@ object NorthStarQueries {
     "q155_kmeans_assign" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-        |  WHERE len(list_filter(embedding, x -> NOT (abs(x) <= 10))) = 0
+        |  WHERE len(list_filter(embedding,
+        |    x -> x IS NULL OR NOT (abs(x) <= 10))) = 0
         |    AND len(list_filter(embedding, x -> x <> 0)) > 0),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
         |d AS (SELECT e.vec_id, c.cid,
@@ -544,7 +553,8 @@ object NorthStarQueries {
     "q158_semdedup" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-        |  WHERE len(list_filter(embedding, x -> NOT (abs(x) <= 10))) = 0
+        |  WHERE len(list_filter(embedding,
+        |    x -> x IS NULL OR NOT (abs(x) <= 10))) = 0
         |    AND len(list_filter(embedding, x -> x <> 0)) > 0),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
         |d AS (SELECT e.vec_id, c.cid,

@@ -738,7 +738,8 @@ object PipelineQueries {
     "q87_dedup_embcos" ->
       """WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-        |  WHERE len(list_filter(embedding, x -> NOT (abs(x) <= 10))) = 0
+        |  WHERE len(list_filter(embedding,
+        |    x -> x IS NULL OR NOT (abs(x) <= 10))) = 0
         |    AND len(list_filter(embedding, x -> x <> 0)) > 0)
         |SELECT label, id_a, id_b, cos_sim FROM (
         |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,

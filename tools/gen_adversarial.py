@@ -27,9 +27,9 @@ divergence-prone paths end to end:
   (zero norm -> cosine 0/0), exact-duplicate pairs (cosine ties ->
   rank tie-break determinism), a duplicate of an existing vector, and
   near-float32-max / subnormal magnitudes (precision at the format's
-  edge). NaN components are generated only under --nan (a separate
-  probe: ANSI Spark and DuckDB both refuse NaN->BIGINT casts, so the
-  health screen's own robustness is what's under test there).
+  edge). Under --nan, two more rows: TRUE float32 NaN components and
+  NULL components (distinct classes — see nan_embeddings) exercising
+  the sanity gate's NaN and IS NULL arms and q197's n_bad reporting.
 
 Usage: python3 tools/gen_adversarial.py <src_sf_dir> <out_dir> [--nan]
 """
@@ -86,10 +86,9 @@ def adv_documents(df):
     return pd.DataFrame(rows)
 
 
-def adv_embeddings(df, dims, with_nan):
+def adv_embeddings(df, dims):
     """Appended hostile vectors: zero norm, exact-duplicate pair, a copy
-    of vec 100, near-float32-max and subnormal magnitudes; NaN only
-    under --nan (both engines refuse NaN->BIGINT, a separate probe)."""
+    of vec 100, near-float32-max and subnormal magnitudes."""
     base = int(df.vec_id.max()) + 1
     unit = [1.0] + [0.0] * (dims - 1)
     dup100 = list(df.loc[df.vec_id == 100, "embedding"].iloc[0])
@@ -102,11 +101,29 @@ def adv_embeddings(df, dims, with_nan):
         [1.0e-40] * dims,                   # float32 subnormal
         unit,                               # axis vector (exact 0 dots)
     ]
-    if with_nan:
-        vecs.append([float("nan")] * 4 + [0.5] * (dims - 4))
     rows = [{"vec_id": base + i, "embedding": v, "label": i % 10}
             for i, v in enumerate(vecs)]
     return pd.DataFrame(rows)
+
+
+def nan_embeddings(base, dims, schema):
+    """--nan probe rows, built in raw pyarrow because pandas coerces
+    NaN to null on the way in: one vector with TRUE float32 NaN
+    components and one with NULL components — distinct hostile classes
+    (NaN fails abs(x) <= 10 on both engines; NULL needs the explicit
+    IS NULL arm of the sanity gate, since DuckDB's list_filter drops
+    NULL-predicate elements and list_inner_product then aborts)."""
+    nanvec = [float("nan")] * 4 + [0.5] * (dims - 4)
+    nullvec = [None] * 4 + [0.5] * (dims - 4)
+    cols = {
+        "vec_id": pa.array([base, base + 1],
+                           type=schema.field("vec_id").type),
+        "embedding": pa.array([nanvec, nullvec],
+                              type=schema.field("embedding").type,
+                              from_pandas=False),
+        "label": pa.array([3, 4], type=schema.field("label").type),
+    }
+    return pa.table({n: cols[n] for n in schema.names})
 
 
 def main(src, out, with_nan=False):
@@ -151,11 +168,15 @@ def main(src, out, with_nan=False):
             schema = pq.read_schema(sp).remove_metadata()
             df = pq.read_table(sp).to_pandas()
             dims = len(df.embedding.iloc[0])
-            df = pd.concat([df, adv_embeddings(df, dims, with_nan)],
+            df = pd.concat([df, adv_embeddings(df, dims)],
                            ignore_index=True)
-            pq.write_table(
-                pa.Table.from_pandas(df, schema=schema, preserve_index=False),
-                op)
+            tbl = pa.Table.from_pandas(df, schema=schema,
+                                       preserve_index=False)
+            if with_nan:
+                tbl = pa.concat_tables(
+                    [tbl, nan_embeddings(int(df.vec_id.max()) + 1,
+                                         dims, schema)])
+            pq.write_table(tbl, op)
         else:
             shutil.copyfile(sp, op)
     print(f"adversarial fixture written to {out}")
