@@ -164,16 +164,33 @@ object CorpusQueries {
         md5(concat_ws(" ", col("chunk"))).as("chunk_digest"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
-  /** Text normalization surface: lowercase, non-alphanumerics to spaces,
-    * whitespace collapsed, trimmed — pure codegen'd string expressions at
-    * scan speed (the cheapest stage of a curation funnel, so it runs
-    * first). Patterns stay in the RE2 ∩ java.util.regex common subset so
-    * the oracle replays them byte-identically.
+  /** Text normalization surface: ASCII-fold to lowercase,
+    * non-alphanumerics to spaces, whitespace collapsed, trimmed — pure
+    * codegen'd string expressions at scan speed (the cheapest stage of a
+    * curation funnel, so it runs first). Patterns stay in the RE2 ∩
+    * java.util.regex common subset so the oracle replays them
+    * byte-identically.
+    *
+    * Case folding is DELIBERATELY ASCII-only (translate A-Z→a-z, not
+    * lower()): full-table lower() is engine-specific at the margins —
+    * Java (Spark) applies the Unicode FULL mappings (İ → i + combining
+    * dot U+0307, contextual final sigma ς) where utf8proc (DuckDB)
+    * applies the SIMPLE mappings (İ → i, σ everywhere) — measured
+    * divergence, see CORRECTNESS_adversarial_r07.txt. Since this
+    * normalizer strips every non-[a-z0-9 ] char anyway, folding only
+    * ASCII makes the whole pipeline a pure byte-level function with
+    * one defined answer on every engine: non-ASCII letters are treated
+    * as separators like any other symbol. A multilingual pipeline that
+    * must KEEP such scripts needs an explicit normalization policy
+    * (NFC + a pinned casefold table) — a policy choice this surface
+    * deliberately does not hide inside an engine's locale tables.
     */
   def q103_text_normalize(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        trim(regexp_replace(regexp_replace(lower(col("text")),
+        trim(regexp_replace(regexp_replace(
+          translate(col("text"),
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"),
           "[^a-z0-9 ]", " "), " +", " ")).as("norm_text"))
       .withColumn("n_tok",
         size(split(col("norm_text"), " ")).cast("long"))
@@ -1412,7 +1429,10 @@ object CorpusQueries {
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q103_text_normalize" ->
       """WITH n AS (SELECT doc_id,
-        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |  trim(regexp_replace(regexp_replace(
+        |    translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+        |      'abcdefghijklmnopqrstuvwxyz'),
+        |    '[^a-z0-9 ]', ' ', 'g'),
         |    ' +', ' ', 'g')) AS norm_text FROM documents)
         |SELECT doc_id, norm_text,
         |  CAST(len(string_split(norm_text, ' ')) AS BIGINT) AS n_tok

@@ -64,6 +64,13 @@ ADV_TEXTS = [
     ("crlf", "line one\r\nline one\r\nline two\r\n\r\n\r\nline two\r\nend"),
     ("punctspam", "!!! ??? ... ,,, ;;; ::: !!! ??? ..."),
     ("digits", "123 456 789 123 456 0.5 1e10 -42 3.14159 123"),
+    # full-vs-simple Unicode case mappings: Java (Spark) lowers
+    # U+0130 to i + combining dot and applies contextual final sigma;
+    # utf8proc (DuckDB) simple-maps both. Any query folding case with
+    # an engine's locale tables diverges on this doc (q103 folds
+    # ASCII-only for exactly this reason).
+    ("casefold", "İstanbul ΣΊΣΥΦΟ"
+                 "Σ STRASSE ß ẞ MiXeD Case"),
 ]
 
 
