@@ -599,7 +599,9 @@ object EventQueries {
   def q142_correlation(spark: SparkSession, sfDir: String): DataFrame = {
     val s = Tables.events(spark, sfDir)
       .select(col("event_type"),
-        expr("(unix_micros(ts) % 86400000000) div 1000000").as("x"),
+        // pmod: seconds-of-day must land in [0, 86400) for pre-epoch
+        // timestamps too (% is sign-of-dividend on both engines)
+        expr("pmod(unix_micros(ts), 86400000000) div 1000000").as("x"),
         round(col("value") * 100).cast("long").as("y"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
@@ -792,7 +794,11 @@ object EventQueries {
   def q149_chi_square(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.events(spark, sfDir)
       .select(col("event_type"),
-        expr(s"(${Det.epochDaySql("ts")} + 4) % 7").as("dow"))
+        // pmod, not %: both engines' % is sign-of-dividend, so a bare
+        // (day + 4) % 7 splits each weekday into a negative and a
+        // positive key on pre-epoch days (same split on both engines —
+        // the hash gate alone can't see it; oracle mirrors the pmod)
+        expr(s"pmod(${Det.epochDaySql("ts")} + 4, 7)").as("dow"))
       .groupBy(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("o"))
     val cell = c
@@ -1952,7 +1958,7 @@ object EventQueries {
         "\nFROM events GROUP BY event_type ORDER BY event_type"),
     "q149_chi_square" ->
       """WITH c AS (
-        |  SELECT event_type, (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7 AS dow,
+        |  SELECT event_type, (((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7) + 7) % 7 AS dow,
         |    count(*) AS o
         |  FROM events GROUP BY 1, 2),
         |t AS (SELECT event_type, dow, o,
@@ -2020,7 +2026,8 @@ object EventQueries {
         |    CAST(sum(x * x) AS BIGINT) AS sxx,
         |    CAST(sum(y * y) AS BIGINT) AS syy
         |  FROM (SELECT event_type,
-        |      (epoch_us(ts) % 86400000000) // 1000000 AS x,
+        |      ((epoch_us(ts) % 86400000000 + 86400000000)
+        |        % 86400000000) // 1000000 AS x,
         |      CAST(round(value * 100) AS BIGINT) AS y
         |    FROM events) GROUP BY 1),
         |v AS (SELECT event_type, n,

@@ -501,7 +501,9 @@ object MiningQueries {
       .withColumn("c7", count(lit(1)).over(w7))
       .withColumn("trend", expr("case when c7 = 7 then s7 div 7 end"))
       .withColumn("detr", col("cents") - col("trend"))
-      .withColumn("wd", expr("(day + 4) % 7"))
+      // pmod: weekday keys must stay in [0, 7) on pre-epoch days
+      // (% is sign-of-dividend on both engines; oracle mirrors)
+      .withColumn("wd", expr("pmod(day + 4, 7)"))
     val ww = Window.partitionBy(col("event_type"), col("wd"))
     t.withColumn("sd", sum(col("detr")).over(ww))
       .withColumn("cd", count(col("detr")).over(ww))
@@ -844,7 +846,8 @@ object MiningQueries {
         |  FROM d WINDOW w7 AS (PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
         |dt AS (SELECT event_type, day, cents, trend,
-        |    cents - trend AS detr, (day + 4) % 7 AS wd FROM t),
+        |    cents - trend AS detr,
+        |    (((day + 4) % 7) + 7) % 7 AS wd FROM t),
         |s AS (SELECT event_type, day, cents, trend, detr,
         |    CAST(CASE WHEN count(detr) OVER ww > 0 THEN
         |      (sum(detr) OVER ww + 1000000000000 * count(detr) OVER ww)
@@ -1063,12 +1066,10 @@ object MiningQueries {
         |SELECT id, entity_id, n_members
         |FROM cc JOIN sz ON entity_id = e2 ORDER BY id""".stripMargin,
     "q164_knn_label_vote" ->
-      """WITH e AS (SELECT vec_id, label,
+      s"""WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings
-        |  WHERE len(list_filter(embedding,
-        |    x -> x IS NULL OR NOT (abs(x) <= 10))) = 0
-        |    AND len(list_filter(embedding, x -> x <> 0)) > 0),
+        |  WHERE ${Det.saneEmbSql()}),
         |sims AS (
         |  SELECT p.vec_id AS probe_id, p.label AS true_label,
         |    c.vec_id AS neighbor_id, c.label AS nl,

@@ -193,7 +193,12 @@ object NorthStarQueries {
     * once because it feeds BOTH sides of the pair join.
     */
   def q158_semdedup(spark: SparkSession, sfDir: String): DataFrame = {
+    // gate THIS scan too, not just clusterAssignments': the join with
+    // the gated assignment frame would discard corrupt vectors anyway,
+    // but l2norm must never evaluate over them (DotProductD's contract
+    // is a null-free array, and plan reorderings may hoist the cosine)
     val e = Tables.embeddings(spark, sfDir)
+      .filter(Det.saneEmb(col("embedding")))
       .select(col("vec_id"), col("embedding").as("v"),
         Det.l2norm(col("embedding")).as("nrm"))
     val base = clusterAssignments(spark, sfDir)
@@ -390,11 +395,9 @@ object NorthStarQueries {
 
   val oracle: Map[String, String] = Map(
     "q227_ann_recall_kmeans" ->
-      """WITH e AS (SELECT vec_id,
+      s"""WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-        |  WHERE len(list_filter(embedding,
-        |    x -> x IS NULL OR NOT (abs(x) <= 10))) = 0
-        |    AND len(list_filter(embedding, x -> x <> 0)) > 0),
+        |  WHERE ${Det.saneEmbSql()}),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
         |d AS (SELECT e.vec_id, c.cid,
         |    round(list_dot_product(e.v, e.v)
@@ -431,12 +434,10 @@ object NorthStarQueries {
         |  AND i.nb = b.nb
         |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin,
     "q200_ann_recall" ->
-      """WITH e AS (SELECT vec_id, label,
+      s"""WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings
-        |  WHERE len(list_filter(embedding,
-        |    x -> x IS NULL OR NOT (abs(x) <= 10))) = 0
-        |    AND len(list_filter(embedding, x -> x <> 0)) > 0),
+        |  WHERE ${Det.saneEmbSql()}),
         |bs AS (SELECT p.vec_id AS probe_id, c.vec_id AS nb,
         |    round(list_dot_product(p.v, c.v) /
         |      (sqrt(list_dot_product(p.v, p.v)) *
@@ -495,11 +496,9 @@ object NorthStarQueries {
         |    (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.8
         |ORDER BY lang, id_a, id_b""".stripMargin,
     "q82_knn_cosine" ->
-      """WITH e AS (SELECT vec_id,
+      s"""WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-        |  WHERE len(list_filter(embedding,
-        |    x -> x IS NULL OR NOT (abs(x) <= 10))) = 0
-        |    AND len(list_filter(embedding, x -> x <> 0)) > 0),
+        |  WHERE ${Det.saneEmbSql()}),
         |  sims AS (
         |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
         |      round(list_dot_product(p.v, c.v) /
@@ -513,11 +512,9 @@ object NorthStarQueries {
         |SELECT probe_id, neighbor_id, cos_sim, rank FROM ranked
         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     "q98_knn_ivf_cell" ->
-      """WITH e AS (SELECT vec_id, label,
+      s"""WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-        |  WHERE len(list_filter(embedding,
-        |    x -> x IS NULL OR NOT (abs(x) <= 10))) = 0
-        |    AND len(list_filter(embedding, x -> x <> 0)) > 0),
+        |  WHERE ${Det.saneEmbSql()}),
         |  sims AS (
         |    SELECT p.vec_id AS probe_id, p.label AS label, c.vec_id AS neighbor_id,
         |      round(list_dot_product(p.v, c.v) /
@@ -532,11 +529,9 @@ object NorthStarQueries {
         |SELECT probe_id, label, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     "q155_kmeans_assign" ->
-      """WITH e AS (SELECT vec_id,
+      s"""WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-        |  WHERE len(list_filter(embedding,
-        |    x -> x IS NULL OR NOT (abs(x) <= 10))) = 0
-        |    AND len(list_filter(embedding, x -> x <> 0)) > 0),
+        |  WHERE ${Det.saneEmbSql()}),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
         |d AS (SELECT e.vec_id, c.cid,
         |    round(list_dot_product(e.v, e.v)
@@ -551,11 +546,9 @@ object NorthStarQueries {
         |    / count(*)) / 1000000.0, 6) AS avg_d2
         |FROM a WHERE rk = 1 GROUP BY cid ORDER BY cid""".stripMargin,
     "q158_semdedup" ->
-      """WITH e AS (SELECT vec_id,
+      s"""WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-        |  WHERE len(list_filter(embedding,
-        |    x -> x IS NULL OR NOT (abs(x) <= 10))) = 0
-        |    AND len(list_filter(embedding, x -> x <> 0)) > 0),
+        |  WHERE ${Det.saneEmbSql()}),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
         |d AS (SELECT e.vec_id, c.cid,
         |    round(list_dot_product(e.v, e.v)

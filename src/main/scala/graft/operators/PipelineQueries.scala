@@ -192,7 +192,7 @@ object PipelineQueries {
     // feed) is NULL here and fails BOTH role filters below — it joins
     // neither the corpus nor the batch, rather than aborting the job
     // with an ANSI CAST_INVALID_INPUT (oracle mirrors via TRY_CAST)
-    val srcNum = expr("try_cast(substring(source, 4, 10) AS int)")
+    val srcNum = expr("try_cast(substring(source, 4) AS int)")
     val corpus = docs.filter(srcNum < 10)
     val newBatch = docs.filter(srcNum >= 10)
     Dedup.incrementalNearDedup(corpus, newBatch, "doc_id", "text", "lang",
@@ -736,11 +736,9 @@ object PipelineQueries {
          |    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.4
          |ORDER BY lang, id_a, id_b""".stripMargin,
     "q87_dedup_embcos" ->
-      """WITH e AS (SELECT vec_id, label,
+      s"""WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-        |  WHERE len(list_filter(embedding,
-        |    x -> x IS NULL OR NOT (abs(x) <= 10))) = 0
-        |    AND len(list_filter(embedding, x -> x <> 0)) > 0)
+        |  WHERE ${Det.saneEmbSql()})
         |SELECT label, id_a, id_b, cos_sim FROM (
         |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
         |    round(list_dot_product(a.v, b.v) /

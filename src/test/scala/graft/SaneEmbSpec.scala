@@ -55,8 +55,9 @@ class SaneEmbSpec extends SparkSpec {
   }
 
   test("q197 reports hostile components as n_bad instead of crashing") {
-    // one clean corpus vector + the three component-corrupt classes:
-    // dims 1-2 corrupt in each hostile vector, the rest healthy
+    // drives the REAL declared query over a temp parquet fixture: one
+    // clean corpus vector + the three component-corrupt classes, dims
+    // 1-2 corrupt in each hostile vector, the rest healthy
     val rows = Seq(
       Row(1L, Seq(f(0.5f), f(-0.5f), f(0.25f)), 0),
       Row(2L, Seq(f(Float.NaN), f(Float.NaN), f(0.1f)), 1),
@@ -68,18 +69,41 @@ class SaneEmbSpec extends SparkSpec {
       StructField("embedding",
         ArrayType(FloatType, containsNull = true), nullable = false),
       StructField("label", IntegerType, nullable = false)))
-    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), sch)
-    val out = df
-      .select(posexplode(col("embedding")).as(Seq("i", "x")))
-      .select((col("i") + 1).cast("long").as("dim"),
-        col("x").cast("double").as("xd"))
-      .withColumn("bad",
-        col("xd").isNull || !(abs(col("xd")) <= lit(10.0)))
-      .groupBy(col("dim"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("bad"), 1L).otherwise(0L)).as("n_bad"))
-      .orderBy(col("dim"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-saneemb").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), sch)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q197_embed_health")(spark, dir)
+      .select(col("dim"), col("n"), col("n_bad"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq === Seq((1L, 4L, 3L), (2L, 4L, 3L), (3L, 4L, 0L)))
+  }
+
+  test("similarity queries exclude insane vectors via the gate") {
+    // q82 over a fixture containing the zero vector, a NaN vector, and
+    // an over-range vector: none may appear as probe or neighbor
+    val dims = 4
+    val rows = (0L to 6L).map { i =>
+      Row(i, Seq.tabulate(dims)(d => f((i + 1).toFloat / (d + 7))), 0)
+    } ++ Seq(
+      Row(7L, Seq.fill(dims)(f(0.0f)), 0),
+      Row(8L, f(Float.NaN) +: Seq.fill(dims - 1)(f(0.5f)), 0),
+      Row(9L, Seq.fill(dims)(f(3.0e38f)), 0))
+    val sch = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding",
+        ArrayType(FloatType, containsNull = true), nullable = false),
+      StructField("label", IntegerType, nullable = false)))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-saneemb-knn").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), sch)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q82_knn_cosine")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val ids = out.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(ids.intersect(Set(7L, 8L, 9L)).isEmpty,
+      s"insane vectors leaked into the knn output: $ids")
   }
 }

@@ -4,61 +4,63 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
 /** Pins the text-tier hazard semantics the round-7 adversarial fixture
-  * forced (CORRECTNESS_adversarial_r07.txt): ASCII-only case folding in
-  * the q103 normalizer, NULL winnowing digests for window-less docs,
-  * and NULL quality for the empty document.
+  * forced (CORRECTNESS_adversarial_r07.txt) — driving the REAL declared
+  * queries (via SparkEntry.queries) over a temp parquet fixture, so a
+  * regression in the operators themselves turns these red.
   */
 class TextHazardsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def normalize(s: String): String =
-    Seq(s).toDF("text")
-      .select(trim(regexp_replace(regexp_replace(
-        translate(col("text"),
-          "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"),
-        "[^a-z0-9 ]", " "), " +", " ")).as("n"))
-      .head().getString(0)
+  /** temp fixture dir with a documents.parquet in the Tables schema */
+  private lazy val hazardDir: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-texthazards").toString
+    Seq(
+      (1L, "", "en", "src_adv", 0L),                       // empty
+      (2L, "one two", "en", "src_adv", 7L),                // < n tokens
+      (3L, "東京都に住", "zh", "src_adv", 5L),  // space-free CJK
+      (4L, "a b c d e f g h i j", "en", "src_adv", 19L),   // windows
+      (5L, "İstanbul ΣΊΣΥΦΟΣ", "en", "src_adv", 16L), // casefold hazards
+      (6L, "STRASSE groß MiXeD-Case 42", "de", "src_adv", 26L),
+      (7L, "Hello, World!", "en", "src_adv", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
 
   test("q103 fold is ASCII-only: locale-table hazards become separators") {
     // Java's FULL case mappings lower U+0130 to i + combining dot and
     // apply contextual final sigma; utf8proc SIMPLE-maps both. The
     // byte-level fold sidesteps the tables entirely: every non-ASCII
     // letter is a separator, identically on any engine.
-    assert(normalize("İstanbul") === "stanbul")
-    assert(normalize("ΣΊΣΥΦΟΣ") === "")
-    assert(normalize("STRASSE groß MiXeD-Case 42") ===
-      "strasse gro mixed case 42")
-    assert(normalize("Hello, World!") === "hello world")
+    val norm = SparkEntry.queries("q103_text_normalize")(spark, hazardDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(norm(5L) === "stanbul")
+    assert(norm(6L) === "strasse gro mixed case 42")
+    assert(norm(7L) === "hello world")
+    assert(norm(1L) === "")
+    assert(norm(3L) === "")
   }
 
-  test("winnowing digest is NULL when a doc has no fingerprint window") {
-    val df = Seq(
-      (1L, ""),                                    // empty
-      (2L, "one two"),                             // < n tokens
-      (3L, "東京都に住"),      // space-free CJK
-      (4L, "a b c d e f g h i j"))                 // enough windows
-      .toDF("doc_id", "text")
-    val out = df.select(col("doc_id"),
-      graft.expressions.WinnowIds.winnowIds(col("text"), 3, 4).as("fp"))
-      .select(col("doc_id"), size(col("fp")).as("n_fp"),
-        md5(nullif(concat_ws(",",
-          expr("transform(fp, x -> cast(x as string))")), lit("")))
-          .as("fp_digest"))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.isNullAt(2))).toSeq
+  test("q110 digest is NULL when a doc has no fingerprint window") {
+    val out = SparkEntry.queries("q110_winnow_fingerprint")(spark, hazardDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2))).toSeq
     val (withWindows, without) = out.partition(_._1 == 4L)
-    assert(without.forall { case (_, n, isNull) => n == 0 && isNull },
-      "window-less docs -> 0 fingerprints, NULL digest")
+    assert(without.filter(t => Set(1L, 2L, 3L)(t._1))
+      .forall { case (_, n, isNull) => n == 0 && isNull },
+      s"window-less docs -> 0 fingerprints, NULL digest ($out)")
     assert(withWindows.forall { case (_, n, isNull) => n > 0 && !isNull })
   }
 
-  test("quality score of the empty document is NULL, not a crash") {
-    val stops = Seq("join", "filter", "scan")
-    val out = Seq(("", 0), ("the quick brown fox", 1)).toDF("text", "id")
-      .select(col("id"),
-        TextFunctions.qualityScore(col("text"), stops).as("q"))
-      .collect().map(r => r.getInt(0) -> r.isNullAt(1)).toMap
-    assert(out(0), "empty doc has no quality (ANSI-safe NULL)")
-    assert(!out(1))
+  test("q88 quality of the empty document is NULL, not a crash") {
+    val out = SparkEntry.queries("q88_text_quality")(spark, hazardDir)
+      .select(col("doc_id"), col("quality"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out(1L), "empty doc has no quality (ANSI-safe NULL)")
+    assert(!out(7L))
   }
 
   test("NULL quality sorts below every scored doc in descending order") {

@@ -83,9 +83,10 @@ def adv_documents(df):
     for i, (_tag, text) in enumerate(ADV_TEXTS):
         rows.append({"doc_id": base + i, "text": text, "lang": "en",
                      "source": "src_adv", "n_chars": len(text)})
-    dup0 = str(df.loc[df.doc_id == 0, "text"].iloc[0])
+    first = df.sort_values("doc_id").iloc[0]  # any existing doc works
+    dup0 = str(first.text)
     rows.append({"doc_id": base + len(ADV_TEXTS), "text": dup0,
-                 "lang": str(df.loc[df.doc_id == 0, "lang"].iloc[0]),
+                 "lang": str(first.lang),
                  "source": "src_adv", "n_chars": len(dup0)})
     nfc = ADV_TEXTS[2][1]
     rows.append({"doc_id": base + len(ADV_TEXTS) + 1, "text": nfc,
@@ -98,7 +99,9 @@ def adv_embeddings(df, dims):
     of vec 100, near-float32-max and subnormal magnitudes."""
     base = int(df.vec_id.max()) + 1
     unit = [1.0] + [0.0] * (dims - 1)
-    dup100 = list(df.loc[df.vec_id == 100, "embedding"].iloc[0])
+    # duplicate SOME existing vector (the last by id — present in any
+    # source fixture, unlike a hard-coded id)
+    dup100 = list(df.sort_values("vec_id").embedding.iloc[-1])
     vecs = [
         [0.0] * dims,                       # zero norm -> cosine 0/0
         [0.25] * dims,                      # duplicate pair member A
