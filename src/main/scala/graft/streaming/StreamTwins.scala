@@ -816,4 +816,83 @@ object StreamTwins {
       .withColumn("day", expr(Det.epochDaySql("ts")))
       .dropDuplicatesWithinWatermark(Seq("user_id", "day"))
       .select(col("user_id"), col("day"))
+
+  /** q153's streaming twin: per-user activity-streak maintenance.
+    * State = (anchor day, day BITSET anchored at the user's earliest
+    * seen day, current summary); each event marks its epoch day, and a
+    * (user_id, n_days, max_streak) row is emitted in Append mode
+    * whenever a batch CHANGES the user's summary — the latest emission
+    * per user equals q153's batch row on the same events.
+    *
+    * Disorder handling is exact, not order-dependent: a day EARLIER
+    * than the anchor re-anchors the bitset with a bounded shift (the
+    * bitset is horizon/8 ≈ 256 B — same state family as
+    * cohortRetention's retention bits), so any batch split of the same
+    * rows, in any order, converges to the same final summary. Days
+    * outside [anchor, anchor + horizon] after re-anchoring are dropped
+    * under the same documented horizon cap as cohortRetention's k-cap;
+    * recomputing the summary is one linear scan of the bitset per
+    * CHANGED user per batch, not per event.
+    */
+  def dayStreaks(events: DataFrame, horizonDays: Int = 2048): DataFrame = {
+    val enc = rowEnc("user_id" -> LongType, "n_days" -> LongType,
+      "max_streak" -> LongType)
+    val in = events.select(col("user_id"),
+      expr(Det.epochDaySql("ts")).as("d"))
+    type S = (Long, Array[Byte], Long, Long)
+    in.as(Encoders.row(in.schema))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState[S, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Row], state: GroupState[S]) =>
+          var (anchor, bits, n0, s0) = state.getOption.getOrElse(
+            (Long.MaxValue, new Array[Byte](horizonDays / 8 + 1), 0L, 0L))
+          def get(k: Int): Boolean = (bits(k / 8) & (1 << (k % 8))) != 0
+          def set(k: Int): Unit =
+            bits(k / 8) = (bits(k / 8) | (1 << (k % 8))).toByte
+          var changed = false
+          rows.foreach { r =>
+            val d = r.getLong(1)
+            if (anchor == Long.MaxValue) {
+              anchor = d; set(0); changed = true
+            } else if (d >= anchor) {
+              val k = d - anchor
+              if (k <= horizonDays && !get(k.toInt)) {
+                set(k.toInt); changed = true
+              }
+            } else { // re-anchor: shift every mark up by (anchor - d)
+              val shift = anchor - d
+              if (shift <= horizonDays) {
+                val nb = new Array[Byte](bits.length)
+                var k = 0
+                while (k + shift <= horizonDays) {
+                  if (get(k)) {
+                    val j = k + shift.toInt
+                    nb(j / 8) = (nb(j / 8) | (1 << (j % 8))).toByte
+                  }
+                  k += 1
+                }
+                bits = nb; anchor = d; set(0); changed = true
+              } // else: beyond the horizon window — dropped (documented)
+            }
+          }
+          if (changed) {
+            var n = 0L; var best = 0L; var cur = 0L
+            var k = 0
+            while (k <= horizonDays) {
+              if (get(k)) { n += 1; cur += 1; if (cur > best) best = cur }
+              else cur = 0
+              k += 1
+            }
+            state.update((anchor, bits, n, best))
+            if (n != n0 || best != s0) Iterator(Row(user, n, best))
+            else Iterator.empty
+          } else {
+            if (anchor != Long.MaxValue) state.update((anchor, bits, n0, s0))
+            Iterator.empty
+          }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY,
+        Encoders.scalaLong, Encoders.scalaLong), enc)
+      .toDF()
+  }
 }

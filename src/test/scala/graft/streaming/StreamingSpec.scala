@@ -924,4 +924,59 @@ class StreamingSpec extends SparkSpec {
     // ({u1,u2}), d7's week covers d1..d7 ({u1, u2})
     assert(got == Set((d0, 2L, 2L), (d0 + 1, 1L, 2L), (d0 + 7, 1L, 2L)))
   }
+
+  test("q153 twin: streak state converges under splits and DISORDER; " +
+    "latest emission per user == the batch island formula") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // u1 in order: days 0,1,2,5,6 (+ a same-day dup) -> 5 days, streak 3
+    // u2 out of order ACROSS batches: 10 first, then 8, then 9 -> the
+    // late day 8 re-anchors the bitset, day 9 merges two runs -> streak 3
+    val evs = Seq(
+      Ev(1, t("2024-03-01 10:00:00"), 1, "click", 0.0, "{}"),
+      Ev(2, t("2024-03-02 10:00:00"), 1, "click", 0.0, "{}"),
+      Ev(3, t("2024-03-02 18:00:00"), 1, "view", 0.0, "{}"),  // dup day
+      Ev(4, t("2024-03-03 10:00:00"), 1, "click", 0.0, "{}"),
+      Ev(5, t("2024-03-06 10:00:00"), 1, "click", 0.0, "{}"),
+      Ev(6, t("2024-03-07 10:00:00"), 1, "click", 0.0, "{}"),
+      Ev(7, t("2024-03-11 10:00:00"), 2, "click", 0.0, "{}"),
+      Ev(8, t("2024-03-09 10:00:00"), 2, "click", 0.0, "{}"),  // late-early
+      Ev(9, t("2024-03-10 10:00:00"), 2, "click", 0.0, "{}"))  // merges
+    def run(chunks: Seq[Seq[Ev]], name: String): Map[Long, (Long, Long)] = {
+      val mem = MemoryStream[Ev]
+      val q = StreamTwins.dayStreaks(mem.toDF()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+        // LATEST emission per user: the memory sink appends in batch
+        // order, so the last row per user is the converged summary
+        spark.table(name).collect().zipWithIndex
+          .groupBy(_._1.getLong(0))
+          .map { case (u, rows) =>
+            val r = rows.maxBy(_._2)._1
+            u -> (r.getLong(1), r.getLong(2))
+          }
+      } finally q.stop()
+    }
+    val want = Map(1L -> ((5L, 3L)), 2L -> ((3L, 3L)))
+    val one = run(Seq(evs), "tstreak1")
+    val split = run(evs.map(Seq(_)), "tstreak9") // fully split: max disorder
+    assert(one == want, s"one-shot: $one")
+    assert(split == want, s"per-event split: $split")
+    // and the batch island formula on the same rows agrees
+    val d = evs.toDF()
+      .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"day")
+    val batch = d
+      .withColumn("island", $"day" - row_number().over(w))
+      .groupBy($"user_id", $"island").agg(count(lit(1)).as("streak"))
+      .groupBy($"user_id")
+      .agg(sum($"streak").as("n_days"), max($"streak").as("max_streak"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(batch == want)
+  }
 }
