@@ -895,4 +895,49 @@ object StreamTwins {
         Encoders.scalaLong, Encoders.scalaLong), enc)
       .toDF()
   }
+
+  /** q218's streaming twin: per-user lifecycle-span maintenance. State
+    * per user is the pair (first day, last day) — 16 bytes however long
+    * the stream runs, the smallest state of any twin in this ledger —
+    * and both folds are min/max, so the converged value is independent
+    * of batch split AND arrival order by construction (no re-anchor
+    * machinery needed, unlike [[dayStreaks]]'s bitset). A
+    * (user_id, d0, d1) row is emitted in Append mode whenever a batch
+    * widens the span; the LATEST emission per user equals batch q218's
+    * per-user `agg(min(day), max(day))` row on the same events.
+    *
+    * q218's cohort×state matrix is then a stateless rollup over the
+    * |users| span frame — horizon = max(d1), cohort week =
+    * floorDiv(d0 + 3, 7), state by (horizon − d1) recency — exactly the
+    * post-collapse half of the batch plan (see
+    * [[graft.operators.EventQueries.q218_churn_state]]'s scale note:
+    * everything after the user agg runs on the collapsed frame). The
+    * spec replays that rollup from the emissions to the batch numbers.
+    */
+  def userSpan(events: DataFrame): DataFrame = {
+    val enc = rowEnc(
+      "user_id" -> LongType, "d0" -> LongType, "d1" -> LongType)
+    val in = events.select(col("user_id"),
+      expr(Det.epochDaySql("ts")).as("d"))
+    type S = (Long, Long) // (first day, last day)
+    in.as(Encoders.row(in.schema))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState[S, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Row], state: GroupState[S]) =>
+          val (p0, p1) = state.getOption.getOrElse(
+            (Long.MaxValue, Long.MinValue))
+          var (d0, d1) = (p0, p1)
+          rows.foreach { r =>
+            val d = r.getLong(1)
+            if (d < d0) d0 = d
+            if (d > d1) d1 = d
+          }
+          if (d0 != p0 || d1 != p1) {
+            state.update((d0, d1))
+            Iterator(Row(user, d0, d1))
+          } else Iterator.empty
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), enc)
+      .toDF()
+  }
 }

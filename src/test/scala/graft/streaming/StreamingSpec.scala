@@ -979,4 +979,84 @@ class StreamingSpec extends SparkSpec {
       .toMap
     assert(batch == want)
   }
+
+  test("q218 twin: span state converges under splits and DISORDER; " +
+    "the stateless rollup over spans == the batch cohort matrix") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // u1 out of order ACROSS batches: last day 03-05 arrives before the
+    // first day 03-01 (min/max folds absorb it); u2 one-day lifetime on
+    // the horizon day (active); u3 last seen 03-04 (lapsing at h=03-05)
+    val evs = Seq(
+      Ev(1, t("2024-03-05 10:00:00"), 1, "click", 0.0, "{}"),
+      Ev(2, t("2024-03-01 10:00:00"), 1, "view", 0.0, "{}"),  // late-early
+      Ev(3, t("2024-03-03 10:00:00"), 1, "click", 0.0, "{}"), // interior: no emit
+      Ev(4, t("2024-03-05 09:00:00"), 2, "click", 0.0, "{}"),
+      Ev(5, t("2024-03-01 09:00:00"), 3, "click", 0.0, "{}"),
+      Ev(6, t("2024-03-04 09:00:00"), 3, "click", 0.0, "{}"))
+    def day(s: String): Long =
+      Math.floorDiv(t(s).getTime * 1000L, 86400000000L)
+    val want = Map(
+      1L -> ((day("2024-03-01 00:00:00"), day("2024-03-05 00:00:00"))),
+      2L -> ((day("2024-03-05 00:00:00"), day("2024-03-05 00:00:00"))),
+      3L -> ((day("2024-03-01 00:00:00"), day("2024-03-04 00:00:00"))))
+    def run(chunks: Seq[Seq[Ev]], name: String): Map[Long, (Long, Long)] = {
+      val mem = MemoryStream[Ev]
+      val q = StreamTwins.userSpan(mem.toDF()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+        spark.table(name).collect().zipWithIndex
+          .groupBy(_._1.getLong(0))
+          .map { case (u, rows) =>
+            val r = rows.maxBy(_._2)._1
+            u -> (r.getLong(1), r.getLong(2))
+          }
+      } finally q.stop()
+    }
+    val one = run(Seq(evs), "tspan1")
+    val split = run(evs.map(Seq(_)), "tspan6") // fully split: max disorder
+    assert(one == want, s"one-shot: $one")
+    assert(split == want, s"per-event split: $split")
+    // an interior day widens nothing: the one-shot run emits exactly one
+    // row per user, the split run at most one row per span-widening event
+    // (u1: 2 widenings, u2: 1, u3: 2) — checked via the sink row counts
+    assert(spark.table("tspan1").count() == 3)
+    assert(spark.table("tspan6").count() == 5)
+    // q218's matrix from the spans == the batch formula on the same rows
+    def matrix(spans: DataFrame): Set[(Long, String, Long, Long)] = {
+      val h = spans.agg(max($"d1").as("hday"))
+      spans.crossJoin(broadcast(h))
+        .select(expr(graft.Det.floorDivSql("d0 + 3", "7")).as("cohort_week"),
+          ($"hday" - $"d1").as("age"))
+        .select($"cohort_week",
+          when($"age" === 0, "1_active")
+            .when($"age" === 1, "2_lapsing")
+            .otherwise("3_churned").as("state"))
+        .groupBy($"cohort_week", $"state")
+        .agg(count(lit(1)).as("n_users"))
+        .withColumn("share_bp",
+          expr("n_users * 10000 div sum(n_users) over " +
+            "(partition by cohort_week)"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    }
+    val fromTwin = matrix(
+      one.toSeq.map { case (u, (a, b)) => (u, a, b) }
+        .toDF("user_id", "d0", "d1"))
+    val fromBatch = matrix(evs.toDF()
+      .select($"user_id", expr(graft.Det.epochDaySql("ts")).as("day"))
+      .groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1")))
+    assert(fromTwin == fromBatch, s"twin: $fromTwin batch: $fromBatch")
+    // hand-check: 03-01 cohort week holds u1 (active) + u3 (lapsing),
+    // each 5000 bp; 03-05 cohort week holds u2 alone (active, 10000 bp)
+    val w1 = Math.floorDiv(day("2024-03-01 00:00:00") + 3, 7L)
+    val w2 = Math.floorDiv(day("2024-03-05 00:00:00") + 3, 7L)
+    assert(fromTwin == Set(
+      (w1, "1_active", 1L, 5000L), (w1, "2_lapsing", 1L, 5000L),
+      (w2, "1_active", 1L, 10000L)))
+  }
 }
