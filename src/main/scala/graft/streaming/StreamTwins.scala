@@ -940,4 +940,52 @@ object StreamTwins {
       }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), enc)
       .toDF()
   }
+
+  /** q122's streaming twin: live RFM feature maintenance. State per
+    * user = (last epoch day, event count, cents sum) — 24 bytes of
+    * max/count/sum folds, every one commutative, so like [[userSpan]]
+    * the converged value is batch-split- and order-invariant by
+    * construction (cents are rounded PER ROW before the sum, q122's
+    * own order-independence rule). One (user_id, last_day, f, m_cents)
+    * row is emitted per user per batch that touched them — the
+    * feature-store feed an online RFM scorer consumes, fresh after
+    * every micro-batch; the LATEST emission per user equals batch
+    * q122's per-user aggregate on the same events.
+    *
+    * q122's recency + segment label deliberately stay OUT of the
+    * state: recency is relative to the corpus max day (a 1-row
+    * broadcast), which in a live stream is "now" — a moving reference
+    * no per-user state should bake in. The spec replays the stateless
+    * (r_days, segment) rollup from the emissions to the batch rows.
+    */
+  def userRfm(events: DataFrame): DataFrame = {
+    val enc = rowEnc("user_id" -> LongType, "last_day" -> LongType,
+      "f" -> LongType, "m_cents" -> LongType)
+    val in = events.select(col("user_id"),
+      expr(Det.epochDaySql("ts")).as("d"),
+      round(col("value") * 100).cast("long").as("cents"))
+    type S = (Long, Long, Long) // (last day, count, cents sum)
+    in.as(Encoders.row(in.schema))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState[S, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Row], state: GroupState[S]) =>
+          var (ld, f, m) = state.getOption.getOrElse(
+            (Long.MinValue, 0L, 0L))
+          var any = false
+          rows.foreach { r =>
+            val d = r.getLong(1)
+            if (d > ld) ld = d
+            f += 1
+            if (!r.isNullAt(2)) m += r.getLong(2) // sum skips NULLs
+            any = true
+          }
+          if (any) {
+            state.update((ld, f, m))
+            Iterator(Row(user, ld, f, m))
+          } else Iterator.empty
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong), enc)
+      .toDF()
+  }
 }

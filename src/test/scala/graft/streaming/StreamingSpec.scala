@@ -1059,4 +1059,80 @@ class StreamingSpec extends SparkSpec {
       (w1, "1_active", 1L, 5000L), (w1, "2_lapsing", 1L, 5000L),
       (w2, "1_active", 1L, 10000L)))
   }
+
+  test("q122 twin: RFM state converges under splits and DISORDER; " +
+    "the stateless segment rollup over emissions == the batch rows") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // u1 out of order ACROSS batches (last day arrives first — the max
+    // fold absorbs it); u2 single touch two days before the horizon;
+    // u3 a zero-value event on the horizon day (counts for f, not m)
+    val evs = Seq(
+      Ev(1, t("2024-03-05 10:00:00"), 1, "purchase", 7.50, "{}"),
+      Ev(2, t("2024-03-01 10:00:00"), 1, "purchase", 5.00, "{}"),
+      Ev(3, t("2024-03-03 10:00:00"), 2, "view", 2.25, "{}"),
+      Ev(4, t("2024-03-05 09:00:00"), 3, "click", 0.0, "{}"),
+      Ev(5, t("2024-03-04 09:00:00"), 3, "purchase", 3.10, "{}"))
+    def day(s: String): Long =
+      Math.floorDiv(t(s).getTime * 1000L, 86400000000L)
+    val want = Map(
+      1L -> ((day("2024-03-05 00:00:00"), 2L, 1250L)),
+      2L -> ((day("2024-03-03 00:00:00"), 1L, 225L)),
+      3L -> ((day("2024-03-05 00:00:00"), 2L, 310L)))
+    def run(chunks: Seq[Seq[Ev]], name: String)
+        : (Map[Long, (Long, Long, Long)], Long) = {
+      val mem = MemoryStream[Ev]
+      val q = StreamTwins.userRfm(mem.toDF()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+        val latest = spark.table(name).collect().zipWithIndex
+          .groupBy(_._1.getLong(0))
+          .map { case (u, rows) =>
+            val r = rows.maxBy(_._2)._1
+            u -> (r.getLong(1), r.getLong(2), r.getLong(3))
+          }
+        (latest, spark.table(name).count())
+      } finally q.stop()
+    }
+    val (one, nOne) = run(Seq(evs), "trfm1")
+    val (split, nSplit) = run(evs.map(Seq(_)), "trfm5") // max disorder
+    assert(one == want, s"one-shot: $one")
+    assert(split == want, s"per-event split: $split")
+    // one emission per (user, batch that touched them): 3 one-shot,
+    // 5 per-event — the bounded feature-store feed, not an event echo
+    assert(nOne == 3 && nSplit == 5)
+    // batch q122's (r_days, segment) rollup replayed from the emissions
+    // == the same formula on the raw rows (fixture values are non-null,
+    // so the twin's 0-init sum matches batch sum exactly)
+    def rfmRows(perUser: DataFrame): Set[(Long, Long, Long, Long, String)] = {
+      val ref = perUser.agg(max($"last_day").as("ref_day"))
+      perUser.crossJoin(broadcast(ref))
+        .select($"user_id", ($"ref_day" - $"last_day").as("r_days"),
+          $"f", $"m_cents")
+        .withColumn("segment",
+          when($"r_days" <= 0 && $"f" >= 67, "core")
+            .when($"r_days" <= 0, "active")
+            .when($"f" >= 67, "whale")
+            .otherwise("casual"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4)))
+        .toSet
+    }
+    val fromTwin = rfmRows(
+      one.toSeq.map { case (u, (d, f, m)) => (u, d, f, m) }
+        .toDF("user_id", "last_day", "f", "m_cents"))
+    val fromBatch = rfmRows(evs.toDF()
+      .select($"user_id", expr(graft.Det.epochDaySql("ts")).as("d"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"user_id")
+      .agg(max($"d").as("last_day"), count(lit(1)).as("f"),
+        sum($"cents").as("m_cents")))
+    assert(fromTwin == fromBatch, s"twin: $fromTwin batch: $fromBatch")
+    assert(fromTwin == Set(
+      (1L, 0L, 2L, 1250L, "active"), (2L, 2L, 1L, 225L, "casual"),
+      (3L, 0L, 2L, 310L, "active")))
+  }
 }
