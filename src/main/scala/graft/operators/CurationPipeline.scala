@@ -51,11 +51,12 @@ object CurationPipeline {
       maxDupBp: Option[Int] = None,
       split: Option[(Double, Double)] = None)
 
-  /** `release()` unpersists the near-dedup cache that `curated` reads from
-    * (collectStats=true only; a no-op otherwise) — call it once the curated
-    * output has been materialized/written, so long-lived sessions don't
-    * accumulate cached DataFrames across pipeline invocations. Dropping the
-    * cache before materializing is safe too: the frame recomputes.
+  /** `release()` unpersists the pipeline cache that `curated` reads from
+    * (the materialized near-dedup output with stats, the lazy exact-dedup
+    * prefix without) — call it once the curated output has been
+    * materialized/written, so long-lived sessions don't accumulate cached
+    * DataFrames across pipeline invocations. Dropping the cache before
+    * materializing is safe too: the frame recomputes.
     */
   case class Result(curated: DataFrame, stats: Map[String, Long],
                     release: () => Unit = () => ())
@@ -121,9 +122,19 @@ object CurationPipeline {
   def run(docs: DataFrame, cfg: Config = Config(),
           collectStats: Boolean = true): Result = {
     if (!collectStats) {
-      val out = annotate(nearDedup(exactDedup(
-        repetitionGate(qualityGate(scrub(docs, cfg), cfg), cfg), cfg), cfg), cfg)
-      return Result(out, Map.empty)
+      // nearDedup consumes its input THREE times (LSH candidates, token
+      // verify join, survivor anti-join); without a cache each consumer
+      // re-runs the scan→quality→repetition→exact-dedup prefix — at
+      // 100 TB that is two extra full-corpus gate evaluations. The lazy
+      // cache fills during the first stage that touches it inside the
+      // caller's one materializing action and is reused by the rest;
+      // `release` frees it (and a between-queries Checkpoints.sweep
+      // catches callers that never do).
+      val exact = exactDedup(
+        repetitionGate(qualityGate(scrub(docs, cfg), cfg), cfg), cfg).cache()
+      val out = annotate(nearDedup(exact, cfg), cfg)
+      return Result(out, Map.empty,
+        release = () => { exact.unpersist(false); () })
     }
     // single-execution stats: observe() metrics ride along the one action
     // that materializes the exact-dedup cache, so the scan→gate→dedup

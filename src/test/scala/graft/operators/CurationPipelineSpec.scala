@@ -41,7 +41,8 @@ class CurationPipelineSpec extends SparkSpec {
     assert(r.curated.count() == r.stats("after_near_dedup"))
   }
 
-  test("release() drops the near-dedup cache; collectStats=false caches nothing") {
+  test("release() drops the near-dedup cache; collectStats=false caches " +
+    "the exact-dedup prefix lazily and release() frees it") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.size
     val r = CurationPipeline.run(docs, cfg)
@@ -52,10 +53,18 @@ class CurationPipelineSpec extends SparkSpec {
     r.release()
     assert(sc.getPersistentRDDs.size == before,
       "near-dedup cache still resident after release()")
+    // no-stats path: the exact-dedup prefix cache is LAZY — nothing
+    // resident until the caller's first action fills it (nearDedup's
+    // three consumers then share one gate evaluation) — and release()
+    // frees it
     val lazyRun = CurationPipeline.run(docs, cfg, collectStats = false)
     assert(sc.getPersistentRDDs.size == before)
-    lazyRun.release() // no-op by contract
-    assert(sc.getPersistentRDDs.size == before)
+    lazyRun.curated.count()
+    assert(sc.getPersistentRDDs.size == before + 1,
+      "exact-dedup prefix cache should be resident after materializing")
+    lazyRun.release()
+    assert(sc.getPersistentRDDs.size == before,
+      "exact-dedup prefix cache still resident after release()")
   }
 
   test("annotations present with sane domains") {
