@@ -79,16 +79,28 @@ object Checkpoints {
         }
     }
 
-  /** Free EVERY persisted RDD in the session — the between-queries sweep
-    * the bench/verify harnesses run so one query's pinned final-round
-    * checkpoint can't skew the next query's storage memory. (The final
-    * round of an iterative operator stays pinned by design — the
-    * returned plan reads it — so only a session-level sweep between
-    * queries can reclaim it.) */
+  /** Free EVERY persisted RDD and Dataset cache in the session — the
+    * between-queries sweep the bench/verify harnesses run so one query's
+    * pinned final-round checkpoint can't skew the next query's storage
+    * memory. (The final round of an iterative operator stays pinned by
+    * design — the returned plan reads it — so only a session-level sweep
+    * between queries can reclaim it.)
+    *
+    * Dataset caches MUST go through `catalog.clearCache()`, not raw
+    * RDD-level unpersist: the latter frees the blocks but leaves the
+    * plan→InMemoryRelation entry registered with a builder whose buffers
+    * RDD is now at StorageLevel.NONE, so the NEXT run of the SAME plan
+    * "hits" a cache that never re-fills — every consumer recomputes the
+    * cached subtree plus a columnar encode, worse than no cache at all
+    * (observed on q97's exact-dedup prefix: repeats never re-persisted).
+    * The RDD sweep stays for checkpoint blocks, which the CacheManager
+    * does not track. */
   def sweep(spark: org.apache.spark.sql.SparkSession,
-            blocking: Boolean = false): Unit =
+            blocking: Boolean = false): Unit = {
+    spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking))
+  }
 
   /** One loop step: eagerly checkpoint `next`, then free its now-
     * superseded predecessor `prev`. Returns the checkpointed frame. Safe

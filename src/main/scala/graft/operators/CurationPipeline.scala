@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   * prefix (scan → quality gate → exact dedup) is measured with
   * `Dataset.observe` metrics piggybacked on the one action that also
   * materializes the exact-dedup cache, and the LSH near-dedup output is
-  * cached before its count — nothing upstream ever re-executes
-  * (`collectStats=false` skips all actions and caching, staying fully
-  * lazy).
+  * cached before its count — nothing upstream ever re-executes.
+  * `collectStats=false` skips the counting actions and stays fully lazy,
+  * but still registers a LAZY cache on the exact-dedup prefix (filled
+  * during the caller's first action, shared by near-dedup's three
+  * consumers, freed by `Result.release`).
   */
 object CurationPipeline {
 

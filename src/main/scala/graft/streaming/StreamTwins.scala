@@ -964,28 +964,31 @@ object StreamTwins {
     val in = events.select(col("user_id"),
       expr(Det.epochDaySql("ts")).as("d"),
       round(col("value") * 100).cast("long").as("cents"))
-    type S = (Long, Long, Long) // (last day, count, cents sum)
+    // (last day, count, cents sum, non-null cents count) — the 4th fold
+    // reproduces SQL sum semantics exactly: a user whose every value is
+    // NULL gets m_cents = NULL, not 0, matching the batch aggregate
+    type S = (Long, Long, Long, Long)
     in.as(Encoders.row(in.schema))
       .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
       .flatMapGroupsWithState[S, Row](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[Row], state: GroupState[S]) =>
-          var (ld, f, m) = state.getOption.getOrElse(
-            (Long.MinValue, 0L, 0L))
+          var (ld, f, m, nm) = state.getOption.getOrElse(
+            (Long.MinValue, 0L, 0L, 0L))
           var any = false
           rows.foreach { r =>
             val d = r.getLong(1)
             if (d > ld) ld = d
             f += 1
-            if (!r.isNullAt(2)) m += r.getLong(2) // sum skips NULLs
+            if (!r.isNullAt(2)) { m += r.getLong(2); nm += 1 }
             any = true
           }
           if (any) {
-            state.update((ld, f, m))
-            Iterator(Row(user, ld, f, m))
+            state.update((ld, f, m, nm))
+            Iterator(Row(user, ld, f, if (nm == 0) null else m))
           } else Iterator.empty
       }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
-        Encoders.scalaLong), enc)
+        Encoders.scalaLong, Encoders.scalaLong), enc)
       .toDF()
   }
 }

@@ -9,6 +9,10 @@ import java.sql.Timestamp
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double, props: String)
 
+/** [[Ev]] with a nullable value column — exercises SQL-sum NULL parity. */
+case class EvN(event_id: Long, ts: Timestamp, user_id: Long,
+               event_type: String, value: Option[Double], props: String)
+
 case class LangDoc(lang: String, text: String)
 
 case class LangDoc2(doc_id: Long, text: String)
@@ -1104,8 +1108,7 @@ class StreamingSpec extends SparkSpec {
     // 5 per-event — the bounded feature-store feed, not an event echo
     assert(nOne == 3 && nSplit == 5)
     // batch q122's (r_days, segment) rollup replayed from the emissions
-    // == the same formula on the raw rows (fixture values are non-null,
-    // so the twin's 0-init sum matches batch sum exactly)
+    // == the same formula on the raw rows
     def rfmRows(perUser: DataFrame): Set[(Long, Long, Long, Long, String)] = {
       val ref = perUser.agg(max($"last_day").as("ref_day"))
       perUser.crossJoin(broadcast(ref))
@@ -1134,5 +1137,26 @@ class StreamingSpec extends SparkSpec {
     assert(fromTwin == Set(
       (1L, 0L, 2L, 1250L, "active"), (2L, 2L, 1L, 225L, "casual"),
       (3L, 0L, 2L, 310L, "active")))
+    // SQL-sum NULL parity: a user whose every value is NULL gets
+    // m_cents = NULL (not 0), one with a mix sums the non-nulls —
+    // exactly the batch aggregate's semantics
+    val nmem = MemoryStream[EvN]
+    val nq = StreamTwins.userRfm(nmem.toDF()).writeStream
+      .format("memory").queryName("trfmnull")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      nmem.addData(Seq(
+        EvN(1, t("2024-03-01 10:00:00"), 9, "view", None, "{}"),
+        EvN(2, t("2024-03-02 10:00:00"), 9, "view", None, "{}"),
+        EvN(3, t("2024-03-01 10:00:00"), 8, "view", None, "{}"),
+        EvN(4, t("2024-03-02 10:00:00"), 8, "purchase", Some(1.25), "{}")))
+      nq.processAllAvailable()
+      val got = spark.table("trfmnull").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))))
+        .toMap
+      assert(got == Map(9L -> ((2L, None)), 8L -> ((2L, Some(125L)))),
+        s"null-sum emissions: $got")
+    } finally nq.stop()
   }
 }
