@@ -31,16 +31,25 @@ class TextCacheSpec extends SparkSpec {
       TextCache.gramIds(spark, sfDir, 2)))
   }
 
-  test("release() unpersists every form owned by the session") {
-    val sc = spark.sparkContext
-    TextCache.base(spark, sfDir).count()
-    TextCache.tokenIds(spark, sfDir).count()
-    assert(sc.getPersistentRDDs.nonEmpty)
-    val ours = sc.getPersistentRDDs.size
+  test("forms are file-backed artifacts: sweep-immune, released on demand") {
+    val base = TextCache.base(spark, sfDir)
+    assert(base.count() > 0)
+    // materialization must NOT depend on session cache state: a harness
+    // sweep between queries (Checkpoints.sweep clears the plan cache and
+    // every persistent RDD) leaves the artifact read path untouched —
+    // the exact failure mode that cost q100 a 10x regression when the
+    // forms were persist()-backed
+    graft.functions.Checkpoints.sweep(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(TextCache.base(spark, sfDir).count() == base.count())
+    // the memoized reader scans parquet files, not an in-memory relation
+    val files = base.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("graft-textcache")),
+      s"expected materialized textcache files, got ${files.take(2).toSeq}")
     TextCache.release(spark)
-    assert(sc.getPersistentRDDs.size < ours,
-      "release() left the text-cache forms resident")
-    // cache rebuilds transparently after release
+    // files are gone after release...
+    assert(!new java.io.File(new java.net.URI(files.head).getPath).exists())
+    // ...and the form rebuilds transparently on next access
     assert(TextCache.base(spark, sfDir).count() > 0)
     TextCache.release(spark)
   }
