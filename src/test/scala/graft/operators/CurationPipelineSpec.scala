@@ -44,6 +44,11 @@ class CurationPipelineSpec extends SparkSpec {
   test("release() drops the near-dedup cache; collectStats=false caches " +
     "the exact-dedup prefix lazily and release() frees it") {
     val sc = spark.sparkContext
+    // hermetic baseline: an earlier suite in the same session may have
+    // cached the SAME plans (q97 runs this pipeline on these docs), and
+    // cacheQuery would then no-op against the pre-counted entry — clear
+    // both cache layers so the +1/-1 block accounting below is exact
+    graft.functions.Checkpoints.sweep(spark, blocking = true)
     val before = sc.getPersistentRDDs.size
     val r = CurationPipeline.run(docs, cfg)
     r.curated.count()
