@@ -8,8 +8,8 @@ import scala.collection.concurrent.TrieMap
 /** Shared materialization cache for the text tier (SURVEY §7.6 headroom 1).
   *
   * Every text-pipeline query starts from the same derivations of
-  * `documents.text` — the base scan, the interned (xxhash64) distinct token
-  * ids, the interned word-n-gram ids — and the dedup-cluster consumers
+  * `documents.text` — the interned (xxhash64) distinct token ids, the
+  * interned word-n-gram ids — and the dedup-cluster consumers
   * (q100/q108/q109/q203) all start from the same LSH+verify+connected-
   * components cluster map. This object computes each form ONCE per
   * (session, sf dir) and WRITES IT TO PARQUET, returning a reader over the
@@ -33,11 +33,22 @@ import scala.collection.concurrent.TrieMap
   *    filesystem) executor loss; the read path is partition-pruned,
   *    column-pruned scan speed like any other table.
   *
-  * Files land under `graft.textcache.dir` (Spark conf) when set — REQUIRED
-  * on a real cluster, pointing at a shared filesystem the executors can
-  * read — else under a session-scoped java temp dir (correct for
-  * local[n]). Artifacts are deleted on `release(spark)` and at application
-  * end (listener below).
+  * Artifacts land under `graft.textcache.dir` (Spark conf) when set —
+  * REQUIRED on a real cluster, pointing at a shared filesystem the
+  * executors can read — else under a java temp dir (correct for
+  * local[n]). Either way each SESSION owns a unique subdirectory
+  * (`graft-textcache-<uuid>`), so concurrent sessions sharing one
+  * configured dir never overwrite each other's live artifacts, and
+  * cleanup only ever deletes graft-created paths, never the user's
+  * directory. Deletion goes through the Hadoop FileSystem API (the
+  * [[Checkpoints.release]] discipline), so remote roots (hdfs://, s3a://)
+  * are reclaimed too — `java.io.File` would silently strand them.
+  *
+  * Lifecycle: artifacts are deleted at application end (listener below)
+  * or on `release(spark)`. Release deletes the FILES — DataFrames handed
+  * out before it become invalid readers (there is no lineage to recompute
+  * an artifact); call it only when no consumer still holds a form. Fresh
+  * accessor calls after release rebuild transparently.
   *
   * MEASURED (round 4, sf0.1 at local[32]) and deliberately NOT wired into
   * the declared bench queries: for the tok/gram forms the materialized
@@ -54,12 +65,13 @@ object TextCache {
 
   /** Spark conf key: base directory for materialized forms. Set it to a
     * shared filesystem path on cluster profiles (executors must read it);
-    * defaults to a session-scoped local temp dir, correct for local[n]. */
+    * defaults to a local java temp dir, correct for local[n]. Each session
+    * creates its own unique subdirectory underneath. */
   val DirConfKey = "graft.textcache.dir"
 
   // keyed by the session object itself (not a UUID) so two sessions never
-  // share a materialized plan; the map only ever holds a handful of
-  // readers. Entries are evicted (and files deleted) when the owning
+  // share a materialized reader; the map only ever holds a handful of
+  // them. Entries are evicted (and files deleted) when the owning
   // SparkContext ends — without that, a long-lived JVM churning sessions
   // would strand every dead session's artifacts unless callers remembered
   // release(spark).
@@ -80,7 +92,7 @@ object TextCache {
           forms.keys.filter(_._1.sparkContext eq sc)
             .foreach(forms.remove)
           roots.keys.filter(_.sparkContext eq sc).foreach { s =>
-            roots.remove(s).foreach(deleteRecursively)
+            roots.remove(s).foreach(r => deleteTree(s, r))
           }
           hookedContexts.remove(sc)
         }
@@ -88,22 +100,41 @@ object TextCache {
     })
   }
 
-  private def deleteRecursively(path: String): Unit = {
-    val f = new java.io.File(path)
-    if (f.isDirectory) f.listFiles().foreach(c => deleteRecursively(c.getPath))
-    f.delete()
+  /** Delete a graft-created artifact tree via the Hadoop FileSystem API —
+    * works for local AND remote (hdfs://, s3a://) roots, doesn't follow
+    * local symlinks file-by-file, and is a no-op on already-gone paths.
+    * Guarded to graft-created names so a misconfiguration can never wipe
+    * a user directory. */
+  private def deleteTree(spark: SparkSession, path: String): Unit = {
+    require(path.contains("graft-textcache-"),
+      s"refusing to delete non-textcache path $path")
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
     ()
   }
 
+  /** This session's unique artifact root: a fresh
+    * `graft-textcache-<uuid>` directory under the configured base (or the
+    * java temp dir). Unique per session so concurrent sessions sharing
+    * one configured base never clobber each other. */
   private def root(spark: SparkSession): String =
-    roots.getOrElseUpdate(spark,
-      spark.conf.getOption(DirConfKey).getOrElse(
-        java.nio.file.Files.createTempDirectory("graft-textcache-")
-          .toString))
+    roots.getOrElseUpdate(spark, {
+      val unique = s"graft-textcache-${java.util.UUID.randomUUID()}"
+      spark.conf.getOption(DirConfKey) match {
+        case Some(base) => s"${base.stripSuffix("/")}/$unique"
+        case None => java.nio.file.Files
+          .createTempDirectory("graft-textcache-").toString
+      }
+    })
 
+  // builds are once-per-(session, sf, form) and rare; one coarse lock
+  // makes the build+insert atomic (TrieMap.getOrElseUpdate alone may run
+  // the by-name builder twice under a race — benign for persist(), NOT
+  // benign for two overwrite-writes to one parquet path)
   private def getOrMaterialize(spark: SparkSession, sfDir: String,
                                form: String)(
-      build: => DataFrame): DataFrame = {
+      build: => DataFrame): DataFrame = synchronized {
     hookCleanup(spark)
     forms.getOrElseUpdate((spark, sfDir, form), {
       // one path per (sf dir, form); the sf dir component is digested so
@@ -117,16 +148,22 @@ object TextCache {
     })
   }
 
-  /** The documents table, scanned and decoded once per session+sf. */
-  def base(spark: SparkSession, sfDir: String): DataFrame =
-    getOrMaterialize(spark, sfDir, "base")(Tables.documents(spark, sfDir))
+  /** The documents table. NOT materialized — the source is already a
+    * columnar parquet scan, so a copy would cost a full-corpus write for
+    * a read path no faster than the original. Memoized only so repeated
+    * calls share one analyzed plan. */
+  def base(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    hookCleanup(spark)
+    forms.getOrElseUpdate((spark, sfDir, "base"),
+      Tables.documents(spark, sfDir))
+  }
 
   /** (doc_id, lang, tok): sorted distinct xxhash64 token ids — the interned
     * form consumed by the Jaccard verify loops (q81/q85/q94).
     */
   def tokenIds(spark: SparkSession, sfDir: String): DataFrame =
     getOrMaterialize(spark, sfDir, "tok")(
-      base(spark, sfDir).select(col("doc_id"), col("lang"),
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"),
         Dedup.tokenIds(col("text")).as("tok")))
 
   /** (doc_id, lang, g): sorted distinct xxhash64 word-n-gram ids (empty for
@@ -134,7 +171,7 @@ object TextCache {
     */
   def gramIds(spark: SparkSession, sfDir: String, n: Int): DataFrame =
     getOrMaterialize(spark, sfDir, s"gram$n")(
-      base(spark, sfDir).select(col("doc_id"), col("lang"),
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"),
         Dedup.gramIds(col("text"), n).as("g")))
 
   /** Generic memoized form for derivations whose cost dwarfs their
@@ -151,9 +188,12 @@ object TextCache {
     getOrMaterialize(spark, sfDir, name)(build)
 
   /** Forget every materialized form belonging to `spark` and delete its
-    * files. Forms rebuild transparently on next access. */
-  def release(spark: SparkSession): Unit = {
+    * artifact files. Frames handed out BEFORE release become invalid
+    * readers (artifacts have no lineage to recompute) — call this only
+    * when no consumer still holds one. Fresh accessor calls rebuild
+    * transparently. */
+  def release(spark: SparkSession): Unit = synchronized {
     forms.keys.filter(_._1 eq spark).foreach(forms.remove)
-    roots.remove(spark).foreach(deleteRecursively)
+    roots.remove(spark).foreach(r => deleteTree(spark, r))
   }
 }

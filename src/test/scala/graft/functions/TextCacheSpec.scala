@@ -32,8 +32,9 @@ class TextCacheSpec extends SparkSpec {
   }
 
   test("forms are file-backed artifacts: sweep-immune, released on demand") {
-    val base = TextCache.base(spark, sfDir)
-    assert(base.count() > 0)
+    val tok = TextCache.tokenIds(spark, sfDir)
+    val n = tok.count()
+    assert(n > 0)
     // materialization must NOT depend on session cache state: a harness
     // sweep between queries (Checkpoints.sweep clears the plan cache and
     // every persistent RDD) leaves the artifact read path untouched —
@@ -41,16 +42,20 @@ class TextCacheSpec extends SparkSpec {
     // forms were persist()-backed
     graft.functions.Checkpoints.sweep(spark)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
-    assert(TextCache.base(spark, sfDir).count() == base.count())
+    assert(TextCache.tokenIds(spark, sfDir).count() == n)
     // the memoized reader scans parquet files, not an in-memory relation
-    val files = base.inputFiles
+    val files = tok.inputFiles
     assert(files.nonEmpty && files.forall(_.contains("graft-textcache")),
       s"expected materialized textcache files, got ${files.take(2).toSeq}")
+    // base is deliberately NOT materialized: the source is already a
+    // parquet scan, so a copy would buy nothing (review finding)
+    assert(TextCache.base(spark, sfDir).inputFiles
+      .forall(!_.contains("graft-textcache")))
     TextCache.release(spark)
     // files are gone after release...
     assert(!new java.io.File(new java.net.URI(files.head).getPath).exists())
     // ...and the form rebuilds transparently on next access
-    assert(TextCache.base(spark, sfDir).count() > 0)
+    assert(TextCache.tokenIds(spark, sfDir).count() == n)
     TextCache.release(spark)
   }
 }
