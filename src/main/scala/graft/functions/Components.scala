@@ -177,8 +177,14 @@ object Components {
         col(edgesDf.columns(1)).cast("long").as("_2"))
       .as(edgeEnc)
     if (edgeCount <= localThreshold) {
-      // base case: exact single-task union-find
-      stars(edges.repartition(1)).toDF("id", "component")
+      // base case: exact single-task union-find. Cut eagerly: the result
+      // is tiny (≤ threshold edges' nodes) but the LAZY frame would read
+      // the input edge pipeline — typically an expensive LSH/verify or
+      // fuzzy-join — whose persist() the caller releases on return, so
+      // every downstream action would RE-RUN that pipeline. The final
+      // checkpoint stays pinned until the session sweep, like every
+      // iterative operator's last round (Checkpoints header).
+      Checkpoints.cut(stars(edges.repartition(1)).toDF("id", "component"))
     } else {
       require(levelsLeft > 0,
         "connectedComponents: contraction did not reach the local " +
