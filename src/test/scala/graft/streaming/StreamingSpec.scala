@@ -1159,4 +1159,71 @@ class StreamingSpec extends SparkSpec {
         s"null-sum emissions: $got")
     } finally nq.stop()
   }
+
+  test("randomized split-invariance: dayStreaks/userSpan converge to the " +
+    "batch formulas on seeded random streams under random batch splits") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // seeded PRNG => deterministic test; random day sets + random splits
+    // exercise the re-anchor shift paths no hand-written case covers
+    def randomEvents(seed: Int): Seq[Ev] = {
+      val rnd = new scala.util.Random(seed)
+      (1 to 40).map { i =>
+        val u = 1 + rnd.nextInt(4)
+        val d = rnd.nextInt(40) // epoch-day offset within a 40-day window
+        val ts = new Timestamp(
+          Timestamp.valueOf("2024-02-01 00:00:00").getTime +
+            d * 86400000L + rnd.nextInt(86400000).toLong)
+        Ev(i.toLong, ts, u.toLong, "click", 0.0, "{}")
+      }
+    }
+    def randomSplit(evs: Seq[Ev], seed: Int): Seq[Seq[Ev]] = {
+      val rnd = new scala.util.Random(seed * 31 + 7)
+      val shuffled = rnd.shuffle(evs) // disorder ACROSS batches too
+      shuffled.grouped(4 + rnd.nextInt(6)).toSeq // ~5-10 micro-batches
+    }
+    def latest(table: String, width: Int): Map[Long, Seq[Long]] =
+      spark.table(table).collect().zipWithIndex
+        .groupBy(_._1.getLong(0))
+        .map { case (u, rows) =>
+          val r = rows.maxBy(_._2)._1
+          u -> (1 to width).map(r.getLong(_))
+        }
+    def runTwin(f: DataFrame => DataFrame, chunks: Seq[Seq[Ev]],
+                name: String, width: Int): Map[Long, Seq[Long]] = {
+      val mem = MemoryStream[Ev]
+      val q = f(mem.toDF()).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+        latest(name, width)
+      } finally q.stop()
+    }
+    Seq(11, 42, 97).foreach { seed =>
+      val evs = randomEvents(seed)
+      val split = randomSplit(evs, seed)
+      val d = evs.toDF()
+        .select($"user_id", expr(graft.Det.epochDaySql("ts")).as("day"))
+      // batch oracles on the same rows
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"day")
+      val streakWant = d.distinct()
+        .withColumn("island", $"day" - row_number().over(w))
+        .groupBy($"user_id", $"island").agg(count(lit(1)).as("streak"))
+        .groupBy($"user_id")
+        .agg(sum($"streak").as("n_days"), max($"streak").as("max_streak"))
+        .collect().map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2)))
+        .toMap
+      val spanWant = d.groupBy($"user_id")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+        .collect().map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2)))
+        .toMap
+      val streakGot = runTwin(StreamTwins.dayStreaks(_), split,
+        s"trand_streak_$seed", 2)
+      val spanGot = runTwin(StreamTwins.userSpan, split,
+        s"trand_span_$seed", 2)
+      assert(streakGot == streakWant, s"seed=$seed dayStreaks: $streakGot")
+      assert(spanGot == spanWant, s"seed=$seed userSpan: $spanGot")
+    }
+  }
 }
