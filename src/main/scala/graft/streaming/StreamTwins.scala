@@ -991,4 +991,57 @@ object StreamTwins {
         Encoders.scalaLong, Encoders.scalaLong), enc)
       .toDF()
   }
+
+  /** q166's streaming twin: funnel-conversion detection. State per user =
+    * (first view µs, first later purchase µs) — two longs; one
+    * (user_id, vus, pus) row is emitted the moment a user CONVERTS
+    * (their first purchase STRICTLY after their first view — batch
+    * q166's `us > vus` rule, including the same-microsecond exclusion),
+    * and never again. This is the live conversion feed a funnel-latency
+    * dashboard consumes; q166's per-weekday p50/p90 latencies are a
+    * stateless rollup over the |converted users| emissions, replaying
+    * the batch formula's expressions verbatim (spec-pinned).
+    *
+    * Ordering contract: per-user in-order delivery across batches (the
+    * [[newReturning]] rule; intra-batch disorder is absorbed by the µs
+    * sort) — the first arriving view IS batch q166's `min(vus)`, and a
+    * purchase that precedes every view correctly converts nobody. A
+    * late-arriving EARLIER view could in general re-qualify an already-
+    * discarded earlier purchase, which no bounded state can recover —
+    * the reason this twin declares the in-order contract instead of the
+    * [[userSpan]]-style disorder-proof fold (its folds aren't
+    * commutative: the answer is min-purchase-ABOVE-min-view).
+    */
+  def timeToConvert(events: DataFrame): DataFrame = {
+    val enc = rowEnc(
+      "user_id" -> LongType, "vus" -> LongType, "pus" -> LongType)
+    val in = events
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        (col("event_type") === "purchase").cast("long").as("p"))
+    type S = (Long, Long) // (first view µs | MaxValue, conversion µs | MaxValue)
+    in.as(Encoders.row(in.schema))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .flatMapGroupsWithState[S, Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Row], state: GroupState[S]) =>
+          var (vus, pus) = state.getOption.getOrElse(
+            (Long.MaxValue, Long.MaxValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          // views before purchases at equal µs: a same-instant pair must
+          // NOT convert (strict > in batch q166), and processing the view
+          // first makes that exclusion order-independent within the batch
+          rows.toSeq.sortBy(r => (r.getLong(1), r.getLong(2))).foreach { r =>
+            val us = r.getLong(1)
+            if (r.getLong(2) == 0L) { if (us < vus) vus = us }
+            else if (pus == Long.MaxValue && us > vus) {
+              pus = us
+              out += Row(user, vus, pus)
+            }
+          }
+          state.update((vus, pus))
+          out.iterator
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), enc)
+      .toDF()
+  }
 }

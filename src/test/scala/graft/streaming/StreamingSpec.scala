@@ -1226,4 +1226,87 @@ class StreamingSpec extends SparkSpec {
       assert(spanGot == spanWant, s"seed=$seed userSpan: $spanGot")
     }
   }
+
+  test("q166 twin: conversion feed under in-order splits == the batch " +
+    "first-view/first-later-purchase rule; rollup replays the batch rows") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // u1 converts; u2's purchase BEFORE its first view must not count
+    // (the later one does); u3's purchase at the SAME microsecond as its
+    // view must not convert (strict >); u4 never converts (view only);
+    // u5's second view is EARLIER within the batch (intra-batch disorder:
+    // vus must still be the earlier view)
+    val evs = Seq(
+      Ev(1, t("2024-03-04 10:00:00"), 1, "view", 0.0, "{}"),
+      Ev(2, t("2024-03-04 12:00:00"), 1, "purchase", 5.0, "{}"),
+      Ev(3, t("2024-03-04 13:00:00"), 1, "purchase", 5.0, "{}"), // post-conv
+      Ev(4, t("2024-03-04 08:00:00"), 2, "purchase", 5.0, "{}"), // pre-view
+      Ev(5, t("2024-03-04 09:00:00"), 2, "view", 0.0, "{}"),
+      Ev(6, t("2024-03-05 09:30:00"), 2, "purchase", 5.0, "{}"),
+      Ev(7, t("2024-03-04 10:00:00"), 3, "view", 0.0, "{}"),
+      Ev(8, t("2024-03-04 10:00:00"), 3, "purchase", 5.0, "{}"), // same µs
+      Ev(9, t("2024-03-04 10:00:00"), 4, "view", 0.0, "{}"),
+      Ev(10, t("2024-03-06 11:00:00"), 5, "view", 0.0, "{}"),
+      Ev(11, t("2024-03-06 07:00:00"), 5, "view", 0.0, "{}"),    // earlier
+      Ev(12, t("2024-03-06 08:00:00"), 5, "purchase", 5.0, "{}"))
+    def us(s: String): Long = t(s).getTime * 1000L
+    val want = Map(
+      1L -> ((us("2024-03-04 10:00:00"), us("2024-03-04 12:00:00"))),
+      2L -> ((us("2024-03-04 09:00:00"), us("2024-03-05 09:30:00"))),
+      5L -> ((us("2024-03-06 07:00:00"), us("2024-03-06 08:00:00"))))
+    def run(chunks: Seq[Seq[Ev]], name: String): Map[Long, (Long, Long)] = {
+      val mem = MemoryStream[Ev]
+      val q = StreamTwins.timeToConvert(mem.toDF()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      } finally q.stop()
+    }
+    val one = run(Seq(evs), "tconv1")
+    // per-user in-order split (the declared contract): chunks cut along
+    // global ts order, u5's intra-batch disorder kept inside one chunk
+    val ordered = evs.sortBy(e => (e.ts.getTime, e.event_id))
+    val split = run(ordered.grouped(3).toSeq, "tconv3")
+    assert(one == want, s"one-shot: $one")
+    assert(split == want, s"in-order split: $split")
+    // exactly one emission per converted user, ever
+    assert(spark.table("tconv1").count() == 3)
+    assert(spark.table("tconv3").count() == 3)
+    // q166's weekday p50/p90 rollup replayed from the emissions == the
+    // batch formula on the raw events (expressions verbatim)
+    def rollup(perUser: DataFrame): Set[(Long, Long, Long, Long)] = {
+      val lat = perUser.select(
+        expr("weekday(timestamp_micros(vus)) + 1").cast("long").as("wday"),
+        expr("(pus - vus) DIV 1000000").as("lat_s"),
+        $"user_id")
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy($"wday").orderBy($"lat_s".asc, $"user_id".asc)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy($"wday")
+      lat.withColumn("rn", row_number().over(wOrd))
+        .withColumn("nw", count(lit(1)).over(wAll))
+        .groupBy($"wday")
+        .agg(count(lit(1)).as("n_users"),
+          min(when($"rn" * 10 >= $"nw" * 5, $"lat_s")).as("p50_s"),
+          min(when($"rn" * 10 >= $"nw" * 9, $"lat_s")).as("p90_s"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    }
+    val fromTwin = rollup(
+      one.toSeq.map { case (u, (v, p)) => (u, v, p) }
+        .toDF("user_id", "vus", "pus"))
+    val ev = evs.toDF()
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("vus"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(v, "user_id").filter($"us" > $"vus")
+      .groupBy($"user_id").agg(min($"us").as("pus"))
+    val fromBatch = rollup(p.join(v, "user_id")
+      .select($"user_id", $"vus", $"pus"))
+    assert(fromTwin == fromBatch, s"twin: $fromTwin batch: $fromBatch")
+  }
 }
