@@ -6,15 +6,29 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 
-/** True-streaming twins of the declared batch shapes q60–q63 (SURVEY §2.2.G
-  * / §5.2.3). Each takes an events-shaped DataFrame — batch or streaming
-  * (`readStream` / MemoryStream) — and applies the SAME transformation; the
-  * unit tests assert streaming output == the batch twin on identical rows,
-  * and that rows later than watermark+delay are dropped in append mode.
+/** True-streaming twins of declared batch shapes (SURVEY §2.2.G / §5.2.3):
+  * the windowed q60–q63 set plus a ledger of stateful twins
+  * (sessionization, funnels, attribution, retention, churn spans, RFM,
+  * streaks, conversion latency, SCD2, dedup, …). Each takes an
+  * events-shaped DataFrame — batch or streaming (`readStream` /
+  * MemoryStream) — and applies the SAME transformation; the unit tests
+  * assert streaming output == the batch formula on identical rows, pinned
+  * batch-split-invariant, and that rows later than watermark+delay are
+  * dropped in append mode.
   *
-  * The watermark bounds state: at 100 TB/day the aggregation state for
-  * tumbling windows is |windows in flight| × |keys|, evicted as the
-  * watermark passes — without it, state grows without bound.
+  * Two state disciplines, declared per twin:
+  *  - disorder-proof folds (commutative min/max/count/sum — userSpan,
+  *    userRfm) or exact re-anchoring state (dayStreaks): any arrival
+  *    order converges;
+  *  - per-user in-order delivery (the newReturning rule) where the batch
+  *    semantics are inherently order-sensitive (sessions, funnels,
+  *    conversion latency) — intra-batch disorder is absorbed by sorting,
+  *    and each doc says why the shape can't be disorder-proof.
+  *
+  * The watermark bounds windowed state: at 100 TB/day the aggregation
+  * state for tumbling windows is |windows in flight| × |keys|, evicted as
+  * the watermark passes — without it, state grows without bound. Keyed
+  * twins state their per-user state size (8–300 B) in each doc.
   */
 object StreamTwins {
 
