@@ -181,10 +181,16 @@ object Components {
       // is tiny (≤ threshold edges' nodes) but the LAZY frame would read
       // the input edge pipeline — typically an expensive LSH/verify or
       // fuzzy-join — whose persist() the caller releases on return, so
-      // every downstream action would RE-RUN that pipeline. The final
-      // checkpoint stays pinned until the session sweep, like every
-      // iterative operator's last round (Checkpoints header).
-      Checkpoints.cut(stars(edges.repartition(1)).toDF("id", "component"))
+      // every downstream action would RE-RUN that pipeline. Once the cut
+      // is live, the last contraction level's checkpoint is superseded
+      // and released (blocks AND, on the reliable profile, files — sweep
+      // never deletes files); only the result's own checkpoint stays
+      // pinned until the session sweep, like every iterative operator's
+      // last round (Checkpoints header).
+      val cp = Checkpoints.cut(
+        stars(edges.repartition(1)).toDF("id", "component"))
+      prevCp.foreach(Checkpoints.release)
+      cp
     } else {
       require(levelsLeft > 0,
         "connectedComponents: contraction did not reach the local " +
@@ -211,7 +217,11 @@ object Components {
         // corpus that produced it, with the local structure already
         // collapsed. Finish it with min-label propagation (node set is
         // preserved through star levels, so its labels ARE the answer).
-        propagationLoop(sym, m, maxIter = 100)
+        // The loop's returned labels read only its OWN final checkpoint,
+        // so sym is superseded once it returns — release it.
+        val out = propagationLoop(sym, m, maxIter = 100)
+        Checkpoints.release(sym)
+        out
       } else contract(sym, m, levelsLeft - 1, localThreshold, Some(sym))
     }
   }

@@ -131,10 +131,14 @@ object TextCache {
   // builds are once-per-(session, sf, form) and rare; one coarse lock
   // makes the build+insert atomic (TrieMap.getOrElseUpdate alone may run
   // the by-name builder twice under a race — benign for persist(), NOT
-  // benign for two overwrite-writes to one parquet path)
+  // benign for two overwrite-writes to one parquet path). The lock-free
+  // get first keeps cache HITS off the monitor: a thread materializing an
+  // expensive form must not stall every other thread's already-built
+  // lookups for the build's duration.
   private def getOrMaterialize(spark: SparkSession, sfDir: String,
                                form: String)(
-      build: => DataFrame): DataFrame = synchronized {
+      build: => DataFrame): DataFrame = forms.get((spark, sfDir, form))
+    .getOrElse(synchronized {
     hookCleanup(spark)
     forms.getOrElseUpdate((spark, sfDir, form), {
       // one path per (sf dir, form); the sf dir component is digested so
@@ -146,7 +150,7 @@ object TextCache {
       build.write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
     })
-  }
+  })
 
   /** The documents table. NOT materialized — the source is already a
     * columnar parquet scan, so a copy would cost a full-corpus write for
