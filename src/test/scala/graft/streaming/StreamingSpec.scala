@@ -1224,6 +1224,19 @@ class StreamingSpec extends SparkSpec {
         s"trand_span_$seed", 2)
       assert(streakGot == streakWant, s"seed=$seed dayStreaks: $streakGot")
       assert(spanGot == spanWant, s"seed=$seed userSpan: $spanGot")
+      // userRfm shares the commutative-fold family (max/count/sum): same
+      // random stream, same random split, batch q122's per-user aggregate
+      val rfmWant = evs.toDF()
+        .select($"user_id", expr(graft.Det.epochDaySql("ts")).as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"user_id")
+        .agg(max($"day").as("ld"), count(lit(1)).as("f"),
+          sum($"cents").as("m"))
+        .collect()
+        .map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val rfmGot = runTwin(StreamTwins.userRfm, split, s"trand_rfm_$seed", 3)
+      assert(rfmGot == rfmWant, s"seed=$seed userRfm: $rfmGot")
     }
   }
 
