@@ -88,8 +88,12 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""repeats":$repeats,"total_min":$totalMin,"total_max":$totalMax,""" +
         s""""spread_bp":$spreadBp,"runs":$runsJson,"sf":"$sfDir"}"""
-    val sfNum = """sf([0-9.]+)""".r.findFirstMatchIn(sfDir)
-      .map(_.group(1)).getOrElse("0")
+    // LAST sf<digits> match in the path, not the first: a path like
+    // /data/sf0.1-backup/testdata-sf1 names the sf1 fixture, and taking
+    // the first match would misfile an sf1 run over the sf0.1 ledger —
+    // exactly the clobber this routing exists to prevent.
+    val sfNum = """sf([0-9.]+)""".r.findAllMatchIn(sfDir)
+      .map(_.group(1)).toSeq.lastOption.getOrElse("0")
     // Full-precision, full-name per-query map → a repo file (the ledger's
     // source of truth; survives any stdout truncation). BENCH_LOCAL.json
     // is pinned to the sf0.1 ledger referent: a run at any other scale
@@ -98,10 +102,22 @@ object Bench {
     // comes from the PARSED sf number, not the dir basename — the sf1
     // fixture dir is named testdata-sf1, whose basename would dodge the
     // BENCH_LOCAL_sf*.json ignore pattern.
+    // Second guard (round 8): a NOISY run never clobbers the pinned
+    // ledger either. The ledger's contract is "quiet-machine median-of-3";
+    // a run whose min→max band exceeds 30% of the median (spread_bp >
+    // 3000) is a stalled-machine artifact — r2 (c78ef12) and r7 both
+    // burned a restore commit on exactly this overwrite. Such runs land
+    // in BENCH_LOCAL_noisy.json (git-ignored) with a stderr note; the
+    // stdout lines (what the driver parses) are unaffected.
     try {
       val ledger =
-        if (sfNum == "0.1") "BENCH_LOCAL.json"
-        else s"BENCH_LOCAL_sf$sfNum.json"
+        if (sfNum != "0.1") s"BENCH_LOCAL_sf$sfNum.json"
+        else if (spreadBp > 3000) {
+          System.err.println(
+            s"[bench] spread_bp=$spreadBp > 3000: noisy run diverted to " +
+              "BENCH_LOCAL_noisy.json; pinned ledger left untouched")
+          "BENCH_LOCAL_noisy.json"
+        } else "BENCH_LOCAL.json"
       val w = new java.io.PrintWriter(ledger)
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }
