@@ -59,6 +59,25 @@ object SodaCredentials {
   }
 }
 
+/** Bounded retry for the SODA transport (round 8). Socrata throttles
+  * anonymous and bursty clients with 429 and flakes with transient 5xx;
+  * without a retry, one throttled page kills a whole multi-page ingest
+  * (the paging loop raises on any non-200). Policy: exponential backoff
+  * (base × 2^attempt, capped), honoring a numeric `Retry-After` header
+  * when the server sends one (the documented throttling contract); only
+  * 429 and 5xx are retried — any other non-200 is a caller error and
+  * raises immediately, and exhausted retries still raise (hard failure
+  * stays loud). Defaults bound worst-case added latency to
+  * maxAttempts-1 sleeps of ≤ maxDelayMs each.
+  */
+final case class RetryPolicy(maxAttempts: Int = 5,
+                             baseDelayMs: Long = 500,
+                             maxDelayMs: Long = 10000) {
+  require(maxAttempts >= 1, "maxAttempts must be >= 1")
+  require(baseDelayMs >= 0 && maxDelayMs >= baseDelayMs,
+    "delays must satisfy 0 <= baseDelayMs <= maxDelayMs")
+}
+
 object SodaHttp {
 
   private lazy val client: java.net.http.HttpClient =
@@ -70,6 +89,59 @@ object SodaHttp {
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
 
+  private def retryableStatus(status: Int): Boolean =
+    status == 429 || (status >= 500 && status <= 599)
+
+  /** One GET with the bounded-backoff policy. 200 returns; non-retryable
+    * statuses raise immediately; 429/5xx and connection-level IO errors
+    * back off and retry until the attempt budget runs out, then raise
+    * (IllegalArgumentException, matching the pre-retry contract).
+    */
+  private def sendWithRetry(req: java.net.http.HttpRequest,
+                            uri: java.net.URI, what: String,
+                            retry: RetryPolicy)
+  : java.net.http.HttpResponse[String] = {
+    var attempt = 1
+    while (true) {
+      val outcome: Either[java.io.IOException,
+        java.net.http.HttpResponse[String]] =
+        try Right(client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString()))
+        catch { case e: java.io.IOException => Left(e) }
+      outcome match {
+        case Right(r) if r.statusCode() == 200 => return r
+        case Right(r) if !retryableStatus(r.statusCode()) =>
+          throw new IllegalArgumentException(
+            s"$what GET $uri failed: HTTP ${r.statusCode()}")
+        case _ if attempt >= retry.maxAttempts =>
+          outcome match {
+            case Right(r) => throw new IllegalArgumentException(
+              s"$what GET $uri failed after $attempt attempts: " +
+                s"HTTP ${r.statusCode()}")
+            case Left(e) => throw new IllegalArgumentException(
+              s"$what GET $uri failed after $attempt attempts: " +
+                s"${e.getMessage}", e)
+          }
+        case _ =>
+          // numeric Retry-After (seconds) is honored; the HTTP-date form
+          // falls back to the exponential schedule. Either way the sleep
+          // is capped so a hostile header can't park the ingest.
+          val retryAfterMs = outcome.toOption
+            .flatMap { r =>
+              val v = r.headers().firstValue("Retry-After")
+              if (v.isPresent) Some(v.get) else None
+            }
+            .flatMap(v => scala.util.Try(v.trim.toLong * 1000L).toOption)
+            .getOrElse(0L)
+          val backoffMs = retry.baseDelayMs << math.min(attempt - 1, 20)
+          Thread.sleep(
+            math.min(math.max(backoffMs, retryAfterMs), retry.maxDelayMs))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** One SODA page: a real blocking GET, returning the JSON body.
     * @param params query parameters (e.g. `$limit` / `$offset` /
     *               `$order` / `$where`), URL-encoded here
@@ -79,7 +151,8 @@ object SodaHttp {
     */
   def fetchPage(baseUrl: String, resource: String,
                 params: Seq[(String, String)],
-                appToken: Option[String] = None): String = {
+                appToken: Option[String] = None,
+                retry: RetryPolicy = RetryPolicy()): String = {
     val qs = params.map { case (k, v) => s"${enc(k)}=${enc(v)}" }
       .mkString("&")
     val uri = java.net.URI.create(
@@ -88,11 +161,7 @@ object SodaHttp {
       .header("Accept", "application/json")
     appToken.foreach(t => b = b.header("X-App-Token", t))
     val req = b.GET().build()
-    val resp = client.send(req,
-      java.net.http.HttpResponse.BodyHandlers.ofString())
-    require(resp.statusCode() == 200,
-      s"SODA GET $uri failed: HTTP ${resp.statusCode()}")
-    resp.body()
+    sendWithRetry(req, uri, "SODA", retry).body()
   }
 
   /** Parse one JSON page (a top-level array of row objects) into a
@@ -111,17 +180,15 @@ object SodaHttp {
     * [[Catalog.list]] over a fixture directory.
     */
   def listCatalog(spark: SparkSession, baseUrl: String,
-                  appToken: Option[String] = None): DataFrame = {
+                  appToken: Option[String] = None,
+                  retry: RetryPolicy = RetryPolicy()): DataFrame = {
     import spark.implicits._
     val uri = java.net.URI.create(s"$baseUrl/data.json")
     var b = java.net.http.HttpRequest.newBuilder(uri)
       .header("Accept", "application/json")
     appToken.foreach(t => b = b.header("X-App-Token", t))
     val req = b.GET().build()
-    val resp = client.send(req,
-      java.net.http.HttpResponse.BodyHandlers.ofString())
-    require(resp.statusCode() == 200,
-      s"catalog GET $uri failed: HTTP ${resp.statusCode()}")
+    val resp = sendWithRetry(req, uri, "catalog", retry)
     val ds = spark.read.json(Seq(resp.body()).toDS(): Dataset[String])
     // data.json nests datasets under "dataset"; tolerate a bare array too
     if (ds.columns.contains("dataset"))
@@ -144,7 +211,8 @@ object SodaHttp {
                    order: String, pageSize: Int = 1000,
                    extraParams: Seq[(String, String)] = Nil,
                    maxPages: Int = 100000,
-                   appToken: Option[String] = None): DataFrame = {
+                   appToken: Option[String] = None,
+                   retry: RetryPolicy = RetryPolicy()): DataFrame = {
     require(pageSize > 0, "pageSize must be positive")
     require(order.nonEmpty,
       "paged fetch requires $order (stable paging needs a total order)")
@@ -156,7 +224,7 @@ object SodaHttp {
       require(n < maxPages, s"readResource exceeded $maxPages pages")
       val body = fetchPage(baseUrl, resource, extraParams ++ Seq(
         "$order" -> order, "$limit" -> pageSize.toString,
-        "$offset" -> off.toString), appToken)
+        "$offset" -> off.toString), appToken, retry)
       val page = parsePage(spark, body)
       // one count job per page == one HTTP request per page (the same
       // cadence the local fetchPages twin documents); a short or empty

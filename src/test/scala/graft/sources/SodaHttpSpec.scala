@@ -213,6 +213,113 @@ class SodaHttpSpec extends SparkSpec {
       Map(SodaCredentials.EnvVar -> "")).contains("tok-from-file"))
   }
 
+  /** A server that answers each request for `resource` by popping the next
+    * scripted status; a popped 200 serves `rows` with SODA paging. Returns
+    * (baseUrl, server, requestCount). An exhausted script keeps serving 200.
+    */
+  private def startFlaky(rows: IndexedSeq[(Long, String)], resource: String,
+                         script: Seq[Int], retryAfter: Option[String] = None)
+  : (String, com.sun.net.httpserver.HttpServer,
+     java.util.concurrent.atomic.AtomicInteger) = {
+    val remaining = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    script.foreach(s => remaining.add(s))
+    val count = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext(s"/resource/$resource.json",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        count.incrementAndGet()
+        val status = Option(remaining.poll()).map(_.toInt).getOrElse(200)
+        if (status != 200) {
+          retryAfter.foreach(v =>
+            ex.getResponseHeaders.set("Retry-After", v))
+          val err = s"""{"error":true,"code":$status}""".getBytes("UTF-8")
+          ex.sendResponseHeaders(status, err.length)
+          ex.getResponseBody.write(err)
+          ex.close()
+        } else {
+          val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+            .split("&").filter(_.nonEmpty).map { kv =>
+              val Array(k, v) = kv.split("=", 2)
+              java.net.URLDecoder.decode(k, "UTF-8") ->
+                java.net.URLDecoder.decode(v, "UTF-8")
+            }.toMap
+          val limit = params.get("$limit").map(_.toInt).getOrElse(1000)
+          val offset = params.get("$offset").map(_.toInt).getOrElse(0)
+          val body = rows.sortBy(_._1).slice(offset, offset + limit)
+            .map(_._2).mkString("[", ",", "]").getBytes("UTF-8")
+          ex.getResponseHeaders.set("Content-Type", "application/json")
+          ex.sendResponseHeaders(200, body.length)
+          ex.getResponseBody.write(body)
+          ex.close()
+        }
+      })
+    server.start()
+    (s"http://127.0.0.1:${server.getAddress.getPort}", server, count)
+  }
+
+  test("429-throttled pages retry with backoff and the fetch completes " +
+    "row-identical (Retry-After honored)") {
+    val rows = customerRows.take(60)
+    // page 1 throttled twice, then fine; pages 2-3 clean -> 5 requests
+    val (base, server, count) = startFlaky(rows, "cust-flaky",
+      script = Seq(429, 429), retryAfter = Some("0"))
+    try {
+      val got = SodaHttp.readResource(spark, base, "cust-flaky",
+        order = "c_custkey", pageSize = 25,
+        retry = RetryPolicy(maxAttempts = 4, baseDelayMs = 1,
+          maxDelayMs = 50))
+      assert(got.count() == 60)
+      assert(got.select(col("c_custkey").cast("long")).distinct()
+        .count() == 60, "retried page duplicated or dropped rows")
+      assert(count.get() == 5, s"expected 2 retries + 3 pages: $count")
+    } finally server.stop(0)
+  }
+
+  test("transient 503 mid-pagination recovers without re-fetching " +
+    "completed pages") {
+    val rows = customerRows.take(50)
+    // page 1 clean, page 2's first attempt 503, then clean
+    val (base, server, count) = startFlaky(rows, "cust-503",
+      script = Seq(200, 503))
+    try {
+      val got = SodaHttp.readResource(spark, base, "cust-503",
+        order = "c_custkey", pageSize = 30,
+        retry = RetryPolicy(maxAttempts = 3, baseDelayMs = 1,
+          maxDelayMs = 20))
+      assert(got.count() == 50)
+      assert(count.get() == 3, s"expected 1 retry across 2 pages: $count")
+    } finally server.stop(0)
+  }
+
+  test("permanent 500 raises after the bounded attempt budget") {
+    val (base, server, count) = startFlaky(customerRows.take(5),
+      "cust-dead", script = Seq.fill(64)(500))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SodaHttp.fetchPage(base, "cust-dead", Seq("$limit" -> "5"),
+          retry = RetryPolicy(maxAttempts = 3, baseDelayMs = 1,
+            maxDelayMs = 20))
+      }
+      assert(e.getMessage.contains("after 3 attempts"), e.getMessage)
+      assert(e.getMessage.contains("HTTP 500"), e.getMessage)
+      assert(count.get() == 3, s"attempt budget not respected: $count")
+    } finally server.stop(0)
+  }
+
+  test("non-retryable 4xx raises immediately — exactly one request") {
+    val (base, server, count) = startFlaky(customerRows.take(5),
+      "cust-404", script = Seq(404))
+    try {
+      intercept[IllegalArgumentException] {
+        SodaHttp.fetchPage(base, "cust-404", Nil,
+          retry = RetryPolicy(maxAttempts = 5, baseDelayMs = 1,
+            maxDelayMs = 20))
+      }
+      assert(count.get() == 1, s"4xx must not retry: $count")
+    } finally server.stop(0)
+  }
+
   test("non-200 responses raise, and the order contract is enforced") {
     val (base, server) = startServer(customerRows.take(5), "exists")
     try {
