@@ -229,4 +229,32 @@ class GraftClient(spark: SparkSession, dir: String) {
     */
   def fetchAll(table: String, params: SoqlParams, pageSize: Int): DataFrame =
     fetchPages(table, params, pageSize).reduce(_.unionByName(_))
+
+  /** Fetch only rows at-or-past a watermark — the incremental-sync read
+    * (`$where watermarkCol >= watermark`, ANDed with any caller filter).
+    * `watermark` is a raw value ([[PortalSync.renderLiteral]] renders it);
+    * `>=` re-fetches the boundary row on purpose — see [[PortalSync]].
+    */
+  def fetchSince(table: String, watermarkCol: String, watermark: Any,
+                 params: SoqlParams = SoqlParams()): DataFrame = {
+    val pred = s"$watermarkCol >= ${PortalSync.renderLiteral(watermark)}"
+    dataFor(table, params.copy(
+      where = Some(params.where.fold(pred)(w => s"($w) AND $pred"))))
+  }
+
+  /** Incremental cache refresh over the local twin: cold cache does a
+    * full `dataFor`; a warm cache fetches [[fetchSince]] the cached
+    * high-water mark and upserts by `keys` (newest watermark wins). The
+    * live-HTTP equivalent is [[PortalSync.refreshHttp]].
+    */
+  def refreshCache(table: String, cachePath: String, keys: Seq[String],
+                   watermarkCol: String,
+                   params: SoqlParams = SoqlParams()): DataFrame = {
+    require(params.where.isEmpty,
+      "refreshCache owns $where for the watermark predicate")
+    PortalSync.refresh(spark, cachePath, keys, watermarkCol,
+      fetchFull = () => dataFor(table, params),
+      fetchDelta = pred =>
+        dataFor(table, params.copy(where = Some(pred))))
+  }
 }

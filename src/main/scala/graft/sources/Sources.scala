@@ -101,6 +101,39 @@ object Sources {
           s"materialize: unknown cacheFormat '$other' (parquet|csv)")
     }
 
+  /** Replace the parquet table at `path` with `df`, where `df`'s plan MAY
+    * read from `path` itself (the upsert-refresh pattern: merged = cache ∪
+    * delta, written back over the cache). A naive overwrite would delete
+    * the input out from under the running job; this writes to a staging
+    * dir first (fully materializing `df` while the original is still
+    * intact), then swaps with the same checked park/promote discipline as
+    * [[compactParquet]] — an abort leaves the data whole in exactly one of
+    * the two named locations, and the next call self-heals.
+    */
+  def replaceParquet(spark: SparkSession, df: DataFrame, path: String)
+  : DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      hPath.getParent, s".${hPath.getName}.replacing")
+    val old = new org.apache.hadoop.fs.Path(
+      hPath.getParent, s".${hPath.getName}.old")
+    def step(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(
+        s"replaceParquet: $what failed; data intact at " +
+          (if (fs.exists(hPath)) path else old.toString))
+    if (fs.exists(old) && !fs.exists(hPath))
+      step(fs.rename(old, hPath), s"restore of parked $old")
+    if (fs.exists(old)) step(fs.delete(old, true), s"cleanup of stale $old")
+    if (fs.exists(staging))
+      step(fs.delete(staging, true), s"cleanup of stale $staging")
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (fs.exists(hPath)) step(fs.rename(hPath, old), s"park of $path")
+    step(fs.rename(staging, hPath), s"promote of $staging")
+    fs.delete(old, true) // best-effort; next call clears a leftover
+    spark.read.parquet(path)
+  }
+
   /** Small-file compaction — the maintenance pass every long-lived table
     * needs: streaming sinks, per-batch writers, and fine-grained
     * partitionBy layouts accrete files far smaller than a parquet row
