@@ -51,4 +51,31 @@ object SocrataTypes {
     */
   def urlHost(u: Column): Column =
     parse_url(u.getField("url"), lit("HOST"))
+
+  /** Socrata `fixed_timestamp` (round 8): an ISO-8601 instant WITH a zone
+    * offset on the wire — `2014-10-13T00:00:00.000Z`,
+    * `2014-10-13T09:00:00+09:00` — unlike `floating_timestamp`, which is
+    * zoneless. Mapped to `TimestampType` (an instant: micros from the
+    * epoch), so parsing normalizes to UTC by construction — `+09:00` at
+    * 09:00 and `Z` at 00:00 are the SAME value. Accepts 0/3/6 fractional
+    * digits and `Z`/`±hh:mm`/`±hhmm` offsets; anything unparseable maps to
+    * null (`try_to_timestamp`) rather than failing the fetch — malformed
+    * portal rows are a data-quality fact, not an ingest crash.
+    */
+  def fixedTimestamp(ts: Column): Column = {
+    val s = ts.cast("string")
+    coalesce(
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS]XXX")),
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS]XX")),
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS]X")))
+  }
+
+  /** Coerce fetched JSON string columns to typed UTC timestamps — the
+    * post-fetch hop for `fixed_timestamp` columns coming off
+    * [[graft.sources.SodaHttp.readResource]] (Spark's JSON inference
+    * leaves offset-carrying ISO strings as strings).
+    */
+  def withFixedTimestamps(df: org.apache.spark.sql.DataFrame,
+                          cols: String*): org.apache.spark.sql.DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, fixedTimestamp(col(c))))
 }

@@ -44,6 +44,30 @@ class SocrataTypesSpec extends SparkSpec {
     assert(d(3L)._1 > 100000 && !d(3L)._2)        // Maui, outside circle
   }
 
+  test("fixed_timestamp parses offset-carrying ISO instants to one UTC " +
+    "timeline (round-trip incl. a non-UTC offset)") {
+    val df = Seq(
+      (1L, "2014-10-13T00:00:00.000Z"),       // UTC with millis
+      (2L, "2014-10-13T09:00:00+09:00"),      // same instant, Tokyo offset
+      (3L, "2014-10-12T14:00:00.000000-10:00"), // same instant, Honolulu µs
+      (4L, "2014-10-13T0000Z"),               // malformed → null, no crash
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "raw")
+    val got = SocrataTypes.withFixedTimestamps(df, "raw")
+    assert(got.schema("raw").dataType.typeName == "timestamp")
+    val byId = got.collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    // 1, 2, 3 are the SAME instant expressed in three zones
+    assert(byId(1L).isDefined && byId(1L) == byId(2L) && byId(2L) == byId(3L))
+    assert(byId(1L).get.toInstant.toString == "2014-10-13T00:00:00Z")
+    assert(byId(4L).isEmpty && byId(5L).isEmpty)
+    // compact ±hhmm offset form also lands on the same instant
+    val compact = Seq("2014-10-13T09:00:00+0900").toDF("raw")
+      .select(SocrataTypes.fixedTimestamp(col("raw")).as("ts"))
+      .head.getTimestamp(0)
+    assert(compact.toInstant.toString == "2014-10-13T00:00:00Z")
+  }
+
   test("url type struct + host extraction") {
     val df = rows.select(col("id"),
       SocrataTypes.url(col("u"), col("d")).as("link"))
