@@ -52,8 +52,25 @@ object Bench {
     // every run failed).
     val repeats = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
+    // Steady-state priming (round 8): each query runs ONCE untimed at the
+    // TARGET sf before its timed repeats. The sf0.001 warm-up above only
+    // covers JIT — a query's first run at the target sf still pays
+    // one-time costs the later runs don't (file-backed artifact builds
+    // like the cc94 cluster map: observed [2.94, 0.13, 0.14] s; cold
+    // parquet pages), which put a structural floor of several thousand bp
+    // under spread_bp no matter how quiet the machine is. With priming,
+    // every timed run measures steady state and the spread field reports
+    // actual run-to-run variance — the thing it exists to report.
+    // SPARK_GRAFT_BENCH_PRIME=0 restores the unprimed (cold-first) shape.
+    val prime =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIME", "1") != "0"
     val runs: Map[String, Seq[Double]] = SparkEntry.queries.map {
       case (name, fn) =>
+        if (prime) {
+          try fn(spark, sfDir).count()
+          catch { case _: Throwable => () }
+          sweep()
+        }
         name -> (1 to repeats).map { _ =>
           val t0 = System.nanoTime()
           val sec =
