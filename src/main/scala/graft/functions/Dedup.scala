@@ -72,6 +72,44 @@ object Dedup {
   def gramIds(text: Column, n: Int): Column =
     graft.expressions.ShingleIds.shingleIds(text, n)
 
+  /** Texts that are a STRICT prefix of another text in `texts` (one
+    * string column named `t`, pre-distinct'd non-empty) — the q115 core.
+    * In lexicographic order, A prefixes SOME text iff A prefixes its
+    * immediate distinct successor, so one sorted `lead` replaces a
+    * substring join. Parallel shape: range-partition on the text into
+    * `buckets` contiguous sorted runs (a knob, not a data property — this
+    * replaced round ≤7's first-character blocking, whose cardinality was
+    * an alphabet constant one hot first byte could collapse to a single
+    * corpus-sized task), run the lead window per bucket, and STITCH the
+    * boundaries — each bucket's last row checks the next non-empty
+    * bucket's first text (a ≤buckets-row broadcast frame). The flag set
+    * is invariant to where the sampled range boundaries fall: false
+    * positives are impossible (flagging exhibits an actual extension),
+    * and the stitch restores exact global adjacency so nothing is
+    * missed. Both consumers of the bucketed frame share one canonical
+    * range exchange (ReuseExchange / AQE stage reuse — plan-pinned).
+    */
+  def prefixFlags(texts: DataFrame, buckets: Int): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+    val bucketed = texts
+      .repartitionByRange(buckets, col("t").asc)
+      .withColumn("b", spark_partition_id())
+    val wIn = w.partitionBy(col("b")).orderBy(col("t"))
+    val wB = w.orderBy(col("b")) // ≤ buckets rows — bounded by the knob
+    val stitch = bucketed.groupBy(col("b")).agg(min(col("t")).as("ft"))
+      .withColumn("stitch_t", lead(col("ft"), 1).over(wB))
+      .select(col("b"), col("stitch_t"))
+    bucketed
+      .withColumn("nxt", lead(col("t"), 1).over(wIn))
+      .join(broadcast(stitch), Seq("b"), "left")
+      .withColumn("succ", coalesce(col("nxt"), col("stitch_t")))
+      .filter(col("succ").isNotNull &&
+        length(col("succ")) > length(col("t")) &&
+        col("succ").startsWith(col("t")))
+      .select(col("t"))
+  }
+
   /** Near-duplicate pairs by word-n-gram Jaccard ≥ threshold, blocked on
     * `blockCol` — the join never crosses blocks, so the quadratic term is
     * per-block, not global.

@@ -512,25 +512,35 @@ object CorpusQueries {
     * lexicographic order, A is a prefix of SOME text iff A is a prefix of
     * its immediate distinct successor (all strings sorted between A and
     * an extension of A themselves start with A) — so one sorted window
-    * with `lead` replaces an unbounded substring join. The window is
-    * partitioned by the FIRST CHARACTER (an extension always shares it),
-    * keeping the sort partition-parallel instead of a single global
-    * window; for deeper parallelism at 100 TB, range-partition with
-    * boundary stitching — same adjacency argument. Empty texts (prefix
-    * of everything, no first char) don't occur in the fixtures and are
-    * excluded by the length guard.
+    * with `lead` replaces an unbounded substring join.
+    *
+    * Scale shape (round 8; replaces first-char blocking, whose block
+    * cardinality was an alphabet constant the data outgrows — one hot
+    * first byte became one corpus-sized task): the distinct text set is
+    * RANGE-partitioned on the text (shuffle-partitions-many contiguous
+    * sorted buckets — a knob, not a data property), the lead window runs
+    * per bucket, and the bucket boundaries are STITCHED: each bucket's
+    * last row checks against the next non-empty bucket's first text (a
+    * ≤#buckets-row frame, broadcast). The adjacency argument is
+    * partition-invariant, so the flag set is independent of where the
+    * sampled range boundaries fall. False positives are structurally
+    * impossible — flagging requires exhibiting an actual extension text,
+    * and ANY extension proves prefix-ness; the per-pair spec forces the
+    * no-miss direction with prefix chains that straddle every boundary.
+    * Both consumers of the bucketed frame share one canonical range
+    * exchange (ReuseExchange / AQE stage reuse — plan-pinned in
+    * PlanShapeSpec), so the bucket ids agree by construction. Empty
+    * texts (prefix of everything, no first char) are excluded by the
+    * length guard, as before.
     *
     * Emits the flagged docs (doc_id, lang, n_chars); order by doc_id.
     */
   def q115_dedup_prefix(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val w = Window.partitionBy(substring(col("t"), 1, 1)).orderBy(col("t"))
-    val flagged = docs.filter(length(col("text")) > 0)
+    val buckets = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val texts = docs.filter(length(col("text")) > 0)
       .select(col("text").as("t")).distinct()
-      .withColumn("nxt", lead(col("t"), 1).over(w))
-      .filter(col("nxt").isNotNull &&
-        length(col("nxt")) > length(col("t")) &&
-        col("nxt").startsWith(col("t")))
+    val flagged = graft.functions.Dedup.prefixFlags(texts, buckets)
       .select(col("t").as("text"))
     docs.join(flagged, "text")
       .select(col("doc_id"), col("lang"), col("n_chars"))

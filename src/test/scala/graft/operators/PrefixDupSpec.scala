@@ -1,23 +1,21 @@
 package graft.operators
 
 import graft.SparkSpec
+import graft.functions.Dedup
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 class PrefixDupSpec extends SparkSpec {
   import spark.implicits._
 
-  // the q115 core, inlined over an arbitrary frame for edge-case control
-  private def flagged(texts: Seq[String]): Set[String] = {
-    val w = Window.partitionBy(substring(col("t"), 1, 1)).orderBy(col("t"))
-    texts.toDF("text").filter(length(col("text")) > 0)
-      .select(col("text").as("t")).distinct()
-      .withColumn("nxt", lead(col("t"), 1).over(w))
-      .filter(col("nxt").isNotNull &&
-        length(col("nxt")) > length(col("t")) &&
-        col("nxt").startsWith(col("t")))
+  // the REAL q115 core (range buckets + boundary stitching), over an
+  // arbitrary frame for edge-case control; small bucket counts force
+  // cross-boundary adjacency through the stitch path
+  private def flagged(texts: Seq[String], buckets: Int = 4): Set[String] =
+    Dedup.prefixFlags(
+      texts.toDF("text").filter(length(col("text")) > 0)
+        .select(col("text").as("t")).distinct(),
+      buckets)
       .collect().map(_.getString(0)).toSet
-  }
 
   test("strict prefixes flagged; exact dups and non-prefixes are not") {
     val got = flagged(Seq(
@@ -27,7 +25,7 @@ class PrefixDupSpec extends SparkSpec {
       "alphabet",              // shares chars but not a token-or-char prefix path: "alpha beta" < "alphabet"? ' '(0x20) < 'b' so sorted between — still correctly unflagged
       "zeta",                  // no extension → not flagged
       "ze",                    // prefix of zeta → flagged
-      "q"))                    // singleton block → not flagged
+      "q"))                    // singleton → not flagged
     assert(got == Set("alpha beta", "ze"))
   }
 
@@ -42,5 +40,49 @@ class PrefixDupSpec extends SparkSpec {
     val got = flagged(Seq("ab", "abz", "ac middle text", "abq"))
     // "ab" < "abq" < "abz" — ab's successor is abq (extension) → flagged
     assert(got == Set("ab"))
+  }
+
+  test("boundary stitching: a 200-link prefix chain where EVERY adjacent " +
+    "pair is a prefix pair survives any bucket-boundary placement") {
+    // s_i = "a"*i — sorted order is i ascending, every adjacent pair is a
+    // prefix pair, and all texts share the first character (the exact
+    // corpus the old first-char blocking serialized into one task). With
+    // 8 buckets, ~7 prefix pairs straddle bucket boundaries — ANY missed
+    // stitch loses a flag and fails the equality below.
+    val chain = (1 to 200).map("a" * _)
+    val got = flagged(scala.util.Random.shuffle(chain), buckets = 8)
+    assert(got == chain.dropRight(1).toSet,
+      s"missed ${(chain.dropRight(1).toSet -- got).map(_.length).toSeq.sorted}")
+  }
+
+  test("all-same-first-char corpus spreads across range buckets (the " +
+    "skew shape that collapsed first-char blocking to one task)") {
+    val texts = (1 to 1000).map(i => f"the common crawl boilerplate $i%04d")
+    val bucketed = texts.toDF("t")
+      .repartitionByRange(8, col("t").asc)
+      .withColumn("b", spark_partition_id())
+    val used = bucketed.select("b").distinct().count()
+    assert(used >= 4,
+      s"range partitioner left a hot single bucket: $used of 8 used")
+    // and the operator still answers correctly on that corpus
+    val withPrefix = texts :+ "the common crawl boilerplate 0007 extended"
+    assert(flagged(withPrefix, buckets = 8) ==
+      Set("the common crawl boilerplate 0007"))
+  }
+
+  test("plan pin: both consumers share ONE range exchange (bucket ids " +
+    "agree by construction), and no single-partition corpus-sized sort") {
+    val df = Dedup.prefixFlags(
+      (1 to 500).map("x" * _).toDF("t"), buckets = 8)
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    val ranges = "rangepartitioning".r
+      .findAllIn(plan.toLowerCase).size
+    val reused = plan.contains("ReusedExchange") ||
+      plan.contains("StageReuse") || plan.contains("ReusedQueryStage")
+    assert(ranges >= 1, "range exchange missing from the plan")
+    assert(reused || ranges == 1,
+      s"two independent range exchanges would sample different " +
+        s"boundaries and break the stitch:\n$plan")
   }
 }
