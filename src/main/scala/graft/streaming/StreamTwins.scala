@@ -9,7 +9,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 /** True-streaming twins of declared batch shapes (SURVEY §2.2.G / §5.2.3):
   * the windowed q60–q63 set plus a ledger of stateful twins
   * (sessionization, funnels, attribution, retention, churn spans, RFM,
-  * streaks, conversion latency, SCD2, dedup, …). Each takes an
+  * streaks, conversion latency, SCD2, dedup, and the composed q97
+  * curation funnel: [[funnelAccepts]] → [[funnelNearDupRejects]]). Each
+  * takes an
   * events-shaped DataFrame — batch or streaming (`readStream` /
   * MemoryStream) — and applies the SAME transformation; the unit tests
   * assert streaming output == the batch formula on identical rows, pinned
@@ -1057,5 +1059,105 @@ object StreamTwins {
           out.iterator
       }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), enc)
       .toDF()
+  }
+
+  /** merge-intersect Jaccard over sorted distinct id arrays — the scala
+    * mirror of [[graft.functions.Dedup.jaccardSortedIds]] for use inside
+    * streaming state (both-empty → no match, like the batch NaN ≥ θ).
+    */
+  private def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** q97 curation-funnel streaming twin, stage 1 of 2 (round 8): quality
+    * gate → ingest-time exact dedup. The gate is the SAME stateless
+    * expression as the batch funnel ([[graft.operators.CurationPipeline
+    * .qualityGate]] — shared code, not a re-implementation); exact dedup
+    * is `dropDuplicatesWithinWatermark` on the batch funnel's content
+    * digest, so state is evicted as the watermark passes (a dup arriving
+    * after eviction re-emits — the honest streaming contract; unbounded
+    * exactness needs the batch pass).
+    *
+    * Ordering contract (same family as newReturning): batch exact dedup
+    * keeps the MIN id per digest; a stream keeps the FIRST ARRIVAL.
+    * These agree under id-ascending arrival (the replay discipline the
+    * spec pins); out-of-order arrival picks a different representative of
+    * the same dup cluster — cluster membership is arrival-invariant.
+    */
+  def funnelAccepts(docs: DataFrame, textCol: String = "text",
+                    tsCol: String = "ts", watermark: String = "1 hour",
+                    minQuality: Double = 0.5,
+                    stopwords: Seq[String] = Seq("join", "filter", "scan"))
+  : DataFrame = {
+    val cfg = graft.operators.CurationPipeline.Config(
+      textCol = textCol, minQuality = minQuality, stopwords = stopwords)
+    graft.operators.CurationPipeline.qualityGate(docs, cfg)
+      .withColumn("__digest", md5(to_json(struct(col(textCol)))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("__digest"))
+      .drop("__digest")
+  }
+
+  /** q97 curation-funnel streaming twin, stage 2 of 2: ingest-time LSH
+    * near-dup rejection over the accepted stream (stage 1's output — in
+    * production a checkpointed topic/files hop, since Spark can't chain
+    * flatMapGroupsWithState behind another stateful operator in one
+    * query). State per MinHash band bucket: up to `maxBucket`
+    * (id, token-id-array) members. An arriving doc is REJECTED if any
+    * already-seen co-member verifies at Jaccard ≥ `minJaccard` — exactly
+    * the batch loser rule (larger id loses every verified pair; batch
+    * losers also keep rejecting others, so members store regardless of
+    * verdict) under id-ascending arrival. Bucket overflow kills the
+    * bucket like [[lshCandidatePairs]] (the batch path drops overflowing
+    * buckets retroactively; a stream cannot retract). A rejected id is
+    * emitted once per bucket that catches it — serving dedups (toSet /
+    * distinct at read time), because append mode cannot re-aggregate.
+    * Survivors = stage-1 accepts MINUS these rejects, the lambda-serving
+    * anti-join the spec replays.
+    */
+  def funnelNearDupRejects(accepted: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text", k: Int = 8,
+                           bands: Int = 4, maxBucket: Int = 200,
+                           minJaccard: Double = 0.9): DataFrame = {
+    import accepted.sparkSession.implicits._
+    val banded = accepted
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.Dedup.tokenIds(col(textCol)).as("tok"),
+        explode(graft.expressions.MinHashBands.bandKeys(
+          col(textCol), k, bands)).as("bandStr"))
+      .select(col("id"), col("tok"), xxhash64(col("bandStr")).as("band"))
+    type S = (List[(Long, Array[Long])], Boolean) // (members, dead)
+    banded.as[(Long, Array[Long], Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[S, Long](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Array[Long], Long)],
+         state: GroupState[S]) =>
+          var (members, dead) = state.getOption.getOrElse(
+            (List.empty[(Long, Array[Long])], false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+          // id-sorted within the batch — rejection is deterministic under
+          // any batching of the same arrivals (the split-invariance pin)
+          rows.toSeq.sortBy(_._1).foreach { case (id, tok, _) =>
+            if (!dead && !members.exists(_._1 == id)) {
+              if (members.size + 1 > maxBucket) { dead = true; members = Nil }
+              else {
+                if (members.exists(m => jaccardSorted(m._2, tok)
+                    >= minJaccard)) out += id
+                members ::= ((id, tok))
+              }
+            }
+          }
+          state.update((members, dead))
+          out.iterator
+      }(Encoders.kryo[S], Encoders.scalaLong)
+      .toDF(idCol)
   }
 }

@@ -17,6 +17,8 @@ case class LangDoc(lang: String, text: String)
 
 case class LangDoc2(doc_id: Long, text: String)
 
+case class TsDoc(doc_id: Long, ts: Timestamp, text: String)
+
 /** Streaming-equivalence suite (SURVEY §5.2.3): the q60–q63 streaming twins
   * produce the same rows as their batch twins on identical input, and the
   * watermark actually drops late data in append mode.
@@ -1321,5 +1323,79 @@ class StreamingSpec extends SparkSpec {
     val fromBatch = rollup(p.join(v, "user_id")
       .select($"user_id", $"vus", $"pus"))
     assert(fromTwin == fromBatch, s"twin: $fromTwin batch: $fromBatch")
+  }
+
+  test("q97 funnel twin: streaming survivors (accepts minus LSH rejects) " +
+    "== batch CurationPipeline survivors, batch-split-invariant") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    def words(off: Int, drop: Seq[Int] = Nil,
+              extra: Seq[String] = Nil): String =
+      (((off until off + 20).filterNot(drop.contains).map(i => f"tok$i%03d"))
+        ++ extra).mkString(" ")
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ts(i: Int) = new Timestamp(base + i * 60000L)
+    val docs = Seq(
+      TsDoc(1L, ts(1), words(0)),                         // survivor
+      TsDoc(2L, ts(2), words(0)),                         // exact dup of 1
+      TsDoc(3L, ts(3), words(0, drop = Seq(19),           // near dup of 1:
+        extra = Seq("tok999"))),                          // J = 19/21 ≈ .905
+      TsDoc(4L, ts(4), words(100)),                       // survivor
+      TsDoc(5L, ts(5), "join join join !!!"),             // fails the gate
+      TsDoc(6L, ts(6), words(100, drop = Seq(119),
+        extra = Seq("tok998"))),                          // near dup of 4
+      TsDoc(7L, ts(7), words(200)),                       // survivor
+      TsDoc(8L, ts(8), words(100)),                       // exact dup of 4
+      TsDoc(9L, ts(9), words(0, drop = Seq(18, 19),       // near dup of the
+        extra = Seq("tok999", "tok997"))))                // REJECTED 3 only:
+    // doc3 = {tok000..018, tok999}, doc9 = {tok000..017, tok999, tok997}:
+    // J(3,9)=19/21 ≥ .9 but J(1,9)=18/22 < .9 — pins the batch rule that
+    // losers keep rejecting others (id 9 must fall via already-loser 3)
+    val cfg = graft.operators.CurationPipeline.Config()
+    val want = graft.operators.CurationPipeline
+      .run(docs.toDF(), cfg, collectStats = false)
+      .curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(want == Set(1L, 4L, 7L), s"batch fixture drifted: $want")
+    def runFunnel(chunks: Seq[Seq[TsDoc]], name: String)
+    : (Set[Long], Set[Long]) = {
+      val memDocs = MemoryStream[TsDoc]
+      val memAcc = MemoryStream[LangDoc2]
+      val q1 = StreamTwins.funnelAccepts(memDocs.toDF())
+        .writeStream.format("memory").queryName(s"${name}_acc")
+        .outputMode(OutputMode.Append()).start()
+      val q2 = StreamTwins.funnelNearDupRejects(memAcc.toDF(),
+          maxBucket = cfg.maxBucket, minJaccard = cfg.nearDupJaccard,
+          k = cfg.minhashK, bands = cfg.minhashBands)
+        .writeStream.format("memory").queryName(s"${name}_rej")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // the production layout: stage 1's append output feeds stage 2
+        // through a checkpointed hop — replayed here chunk by chunk
+        var fed = 0L
+        chunks.foreach { c =>
+          memDocs.addData(c); q1.processAllAvailable()
+          val acc = spark.table(s"${name}_acc")
+            .select("doc_id", "text").collect()
+            .map(r => LangDoc2(r.getLong(0), r.getString(1)))
+          memAcc.addData(acc.drop(fed.toInt).toSeq); fed = acc.length
+          q2.processAllAvailable()
+        }
+        (spark.table(s"${name}_acc").select("doc_id").collect()
+            .map(_.getLong(0)).toSet,
+          spark.table(s"${name}_rej").collect().map(_.getLong(0)).toSet)
+      } finally { q1.stop(); q2.stop() }
+    }
+    Seq(11, 42, 97).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // id-ascending arrival (the documented ordering contract), split at
+      // random boundaries — invariance over WHERE the batches cut
+      val chunks = docs.grouped(1 + rnd.nextInt(4)).toSeq
+      val (accepts, rejects) = runFunnel(chunks, s"funnel$seed")
+      assert(accepts == Set(1L, 3L, 4L, 6L, 7L, 9L),
+        s"seed=$seed stage-1 accepts: $accepts")
+      assert(rejects == Set(3L, 6L, 9L), s"seed=$seed rejects: $rejects")
+      assert(accepts -- rejects == want,
+        s"seed=$seed survivors != batch: ${accepts -- rejects} vs $want")
+    }
   }
 }
