@@ -734,15 +734,35 @@ object PipelineQueries {
          |WHERE CAST(len(list_intersect(da.tok, db.tok)) AS DOUBLE) /
          |    (len(da.tok) + len(db.tok) - len(list_intersect(da.tok, db.tok))) >= 0.8
          |ORDER BY c.lang, c.id_a, c.id_b""".stripMargin,
+    // Inverted-index replay (round 8): the previous per-pair
+    // list_intersect over all pairs within a lang exceeded a 30-minute
+    // DuckDB budget at sf1. This replays the SAME result as ONE grouped
+    // self-join on the exploded gram table: count(*) per (id_a, id_b)
+    // IS |∩| exactly (grams are list_distinct per doc), J filters on
+    // ov/(sza+szb-ov), and pairs sharing no gram have J = 0 < 0.4 so the
+    // inner join loses nothing. The 5·min >= 2·max size guard (J <=
+    // min/max) prunes groups cheaply and exactly. Two CTE levels, one
+    // two-sided join — nothing for the optimizer to misorder (a staged
+    // 3-way candidate→verify variant planned a gram×gram cross first and
+    // ran 2-threaded for 30+ min; this shape is hash-join + aggregate
+    // end to end: 10 s at sf1, 50k docs).
     "q86_dedup_ngram" ->
-      s"""WITH d AS (SELECT doc_id, lang, $gramsExpr AS g FROM documents)
-         |SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
-         |  round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-         |    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4) AS jaccard
-         |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |WHERE len(a.g) + len(b.g) > 0
-         |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-         |    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.4
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, lang, $gramsExpr AS g FROM documents),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, lang, len(g) AS sz, unnest(g) AS gram
+         |  FROM d WHERE len(g) > 0),
+         |inter AS MATERIALIZED (
+         |  SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.sz AS sza, b.sz AS szb, count(*) AS ov
+         |  FROM tok a JOIN tok b
+         |    ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+         |  WHERE 5 * least(a.sz, b.sz) >= 2 * greatest(a.sz, b.sz)
+         |  GROUP BY 1, 2, 3, 4, 5)
+         |SELECT lang, id_a, id_b,
+         |  round(CAST(ov AS DOUBLE) / (sza + szb - ov), 4) AS jaccard
+         |FROM inter
+         |WHERE CAST(ov AS DOUBLE) / (sza + szb - ov) >= 0.4
          |ORDER BY lang, id_a, id_b""".stripMargin,
     "q87_dedup_embcos" ->
       s"""WITH e AS (SELECT vec_id, label,
@@ -768,16 +788,28 @@ object PipelineQueries {
          |    len(string_split(text, ' ')), 4) AS stop_ratio,
          |  $qualityExpr AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // same inverted-index staging as the q86 oracle (see that comment),
+    // with the grouped self-join restricted to new-batch × corpus
     "q75_dedup_incremental" ->
-      s"""WITH d AS (SELECT doc_id, lang, source, $gramsExpr AS g FROM documents),
-         |corpus AS (SELECT * FROM d WHERE TRY_CAST(substr(source, 4) AS INT) < 10),
-         |newb AS (SELECT * FROM d WHERE TRY_CAST(substr(source, 4) AS INT) >= 10),
-         |hits AS (
-         |  SELECT DISTINCT n.doc_id FROM newb n
-         |  JOIN corpus c ON n.lang = c.lang
-         |  WHERE len(n.g) + len(c.g) > 0
-         |    AND CAST(len(list_intersect(n.g, c.g)) AS DOUBLE) /
-         |      (len(n.g) + len(c.g) - len(list_intersect(n.g, c.g))) >= 0.4)
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, lang, source,
+         |    CASE WHEN TRY_CAST(substr(source, 4) AS INT) < 10 THEN 'c'
+         |         WHEN TRY_CAST(substr(source, 4) AS INT) >= 10 THEN 'n'
+         |    END AS grp, $gramsExpr AS g FROM documents),
+         |newb AS MATERIALIZED (
+         |  SELECT doc_id, lang, source FROM d WHERE grp = 'n'),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, lang, grp, len(g) AS sz, unnest(g) AS gram
+         |  FROM d WHERE len(g) > 0),
+         |hits AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT n.doc_id, n.sz AS szn, c.sz AS szc, count(*) AS ov
+         |    FROM tok n JOIN tok c
+         |      ON n.gram = c.gram AND n.lang = c.lang
+         |    WHERE n.grp = 'n' AND c.grp = 'c'
+         |      AND 5 * least(n.sz, c.sz) >= 2 * greatest(n.sz, c.sz)
+         |    GROUP BY 1, 2, 3, c.doc_id)
+         |  WHERE CAST(ov AS DOUBLE) / (szn + szc - ov) >= 0.4)
          |SELECT doc_id, lang, source FROM newb
          |WHERE doc_id NOT IN (SELECT doc_id FROM hits)
          |ORDER BY doc_id""".stripMargin,
