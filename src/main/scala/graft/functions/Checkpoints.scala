@@ -94,7 +94,14 @@ object Checkpoints {
     * cached subtree plus a columnar encode, worse than no cache at all
     * (observed on q97's exact-dedup prefix: repeats never re-persisted).
     * The RDD sweep stays for checkpoint blocks, which the CacheManager
-    * does not track. */
+    * does not track.
+    *
+    * SCOPE: both `clearCache()` (shared CacheManager) and the persistent-
+    * RDD sweep act on the whole SparkContext — including caches owned by
+    * OTHER sessions sharing that context. Correct for the single-session
+    * bench/verify harnesses this serves; do NOT call it from a shared-
+    * context app expecting session isolation (evicted caches recompute —
+    * a performance surprise, not a correctness one). */
   def sweep(spark: org.apache.spark.sql.SparkSession,
             blocking: Boolean = false): Unit = {
     spark.catalog.clearCache()

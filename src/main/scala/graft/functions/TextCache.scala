@@ -76,7 +76,7 @@ object TextCache {
   // would strand every dead session's artifacts unless callers remembered
   // release(spark).
   private val forms =
-    TrieMap.empty[(SparkSession, String, String), DataFrame]
+    TrieMap.empty[(SparkSession, String, String), Holder]
 
   private val roots = TrieMap.empty[SparkSession, String]
 
@@ -117,30 +117,48 @@ object TextCache {
   /** This session's unique artifact root: a fresh
     * `graft-textcache-<uuid>` directory under the configured base (or the
     * java temp dir). Unique per session so concurrent sessions sharing
-    * one configured base never clobber each other. */
+    * one configured base never clobber each other.
+    *
+    * ENFORCED (round 8): on a non-local master the conf is REQUIRED —
+    * the java-temp fallback is a driver-local path that executors would
+    * resolve to per-machine local disks, silently breaking every
+    * materialized read. Failing the first materialization beats
+    * debugging partial artifact reads on a cluster.
+    */
   private def root(spark: SparkSession): String =
-    roots.getOrElseUpdate(spark, {
-      val unique = s"graft-textcache-${java.util.UUID.randomUUID()}"
-      spark.conf.getOption(DirConfKey) match {
-        case Some(base) => s"${base.stripSuffix("/")}/$unique"
-        case None => java.nio.file.Files
-          .createTempDirectory("graft-textcache-").toString
-      }
-    })
+    roots.synchronized {
+      roots.getOrElseUpdate(spark, {
+        val unique = s"graft-textcache-${java.util.UUID.randomUUID()}"
+        spark.conf.getOption(DirConfKey) match {
+          case Some(base) => s"${base.stripSuffix("/")}/$unique"
+          case None =>
+            require(spark.sparkContext.isLocal,
+              s"TextCache on a non-local master requires spark conf " +
+                s"'$DirConfKey' to point at a shared filesystem the " +
+                "executors can read; the java-temp fallback is driver-" +
+                "local and would break materialized reads")
+            java.nio.file.Files
+              .createTempDirectory("graft-textcache-").toString
+        }
+      })
+    }
 
-  // builds are once-per-(session, sf, form) and rare; one coarse lock
-  // makes the build+insert atomic (TrieMap.getOrElseUpdate alone may run
-  // the by-name builder twice under a race — benign for persist(), NOT
-  // benign for two overwrite-writes to one parquet path). The lock-free
-  // get first keeps cache HITS off the monitor: a thread materializing an
-  // expensive form must not stall every other thread's already-built
-  // lookups for the build's duration.
+  // Builds are once-per-(session, sf, form). Each key holds a lazy
+  // Holder: TrieMap.getOrElseUpdate may construct a losing Holder under a
+  // race (cheap — its lazy body never runs), but exactly one wins the
+  // insert, and the build runs once under THAT holder's own lazy-val
+  // monitor. Cache hits stay lock-free, and a thread materializing an
+  // expensive form no longer stalls unrelated sessions'/forms' builds
+  // the way the previous single global synchronized did.
+  private final class Holder(build: () => DataFrame) {
+    lazy val df: DataFrame = build()
+  }
+
   private def getOrMaterialize(spark: SparkSession, sfDir: String,
                                form: String)(
-      build: => DataFrame): DataFrame = forms.get((spark, sfDir, form))
-    .getOrElse(synchronized {
-    hookCleanup(spark)
-    forms.getOrElseUpdate((spark, sfDir, form), {
+      build: => DataFrame): DataFrame =
+    forms.getOrElseUpdate((spark, sfDir, form), new Holder(() => {
+      hookCleanup(spark)
       // one path per (sf dir, form); the sf dir component is digested so
       // two fixture dirs never collide under one session root
       val key = java.security.MessageDigest.getInstance("MD5")
@@ -149,18 +167,17 @@ object TextCache {
       val path = s"${root(spark)}/$key/$form"
       build.write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
-    })
-  })
+    })).df
 
   /** The documents table. NOT materialized — the source is already a
     * columnar parquet scan, so a copy would cost a full-corpus write for
     * a read path no faster than the original. Memoized only so repeated
     * calls share one analyzed plan. */
-  def base(spark: SparkSession, sfDir: String): DataFrame = synchronized {
-    hookCleanup(spark)
-    forms.getOrElseUpdate((spark, sfDir, "base"),
-      Tables.documents(spark, sfDir))
-  }
+  def base(spark: SparkSession, sfDir: String): DataFrame =
+    forms.getOrElseUpdate((spark, sfDir, "base"), new Holder(() => {
+      hookCleanup(spark)
+      Tables.documents(spark, sfDir)
+    })).df
 
   /** (doc_id, lang, tok): sorted distinct xxhash64 token ids — the interned
     * form consumed by the Jaccard verify loops (q81/q85/q94).
@@ -194,10 +211,14 @@ object TextCache {
   /** Forget every materialized form belonging to `spark` and delete its
     * artifact files. Frames handed out BEFORE release become invalid
     * readers (artifacts have no lineage to recompute) — call this only
-    * when no consumer still holds one. Fresh accessor calls rebuild
+    * when no consumer still holds one AND no build is in flight (an
+    * in-flight build counts as a consumer: release mid-write strands a
+    * reader over deleted files). Fresh accessor calls rebuild
     * transparently. */
   def release(spark: SparkSession): Unit = synchronized {
     forms.keys.filter(_._1 eq spark).foreach(forms.remove)
-    roots.remove(spark).foreach(r => deleteTree(spark, r))
+    roots.synchronized {
+      roots.remove(spark).foreach(r => deleteTree(spark, r))
+    }
   }
 }

@@ -406,14 +406,19 @@ object AggQueries {
     * rows, never the fact (the ExactPercentile argument).
     */
   def q219_ship_delay(spark: SparkSession, sfDir: String): DataFrame = {
+    // CALENDAR day difference (both operands truncated to dates), matching
+    // the oracle's date_diff('day', …) exactly: the previous floor of the
+    // instant difference in µs agreed only for midnight-aligned timestamps
+    // (true of the TPC-H-style fixtures — hashes unchanged) and would
+    // diverge if the date columns ever carried time-of-day
     val hist = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), unix_micros(col("l_shipdate")).as("sus"))
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
       .join(Tables.orders(spark, sfDir)
         .select(col("o_orderkey"), col("o_orderpriority"),
-          unix_micros(col("o_orderdate")).as("ous")),
+          to_date(col("o_orderdate")).as("od")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderpriority"),
-        expr(Det.floorDivSql("sus - ous", "86400000000")).as("delay"))
+        datediff(col("sd"), col("od")).cast("long").as("delay"))
       .groupBy(col("o_orderpriority"), col("delay"))
       .agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy(col("o_orderpriority"))
