@@ -31,4 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Extra flags for the forked app JVM (e.g. -Xms to pin the heap and
+  // stop resize-driven GC variance during bench runs). Space-separated.
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+    .flatMap(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))

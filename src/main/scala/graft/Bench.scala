@@ -126,6 +126,26 @@ object Bench {
     // burned a restore commit on exactly this overwrite. Such runs land
     // in BENCH_LOCAL_noisy.json (git-ignored) with a stderr note; the
     // stdout lines (what the driver parses) are unaffected.
+    // Third guard: never replace the pinned ledger with a STRICTLY WORSE
+    // run — higher total AND higher spread than the ledger it would
+    // overwrite (the machine runs in fast/slow phases; a slow-phase run
+    // that sneaks under the 3000 bp gate once clobbered a 52.8 s / 2668 bp
+    // pin with a 70.4 s / 2922 bp one). A faster-or-quieter run still
+    // replaces freely, so a stale ledger can't survive a code change that
+    // improves either axis.
+    def strictlyWorseThanPinned: Boolean =
+      try {
+        val pinned = scala.io.Source.fromFile("BENCH_LOCAL.json")
+        val line = try pinned.mkString finally pinned.close()
+        def num(field: String): Option[Double] = {
+          val m = ("\"" + field + "\":(-?[0-9.eE+]+)").r.findFirstMatchIn(line)
+          m.map(_.group(1).toDouble)
+        }
+        (num("value"), num("spread_bp")) match {
+          case (Some(v), Some(s)) => total > v && spreadBp > s
+          case _ => false
+        }
+      } catch { case _: Throwable => false }
     try {
       val ledger =
         if (sfNum != "0.1") s"BENCH_LOCAL_sf$sfNum.json"
@@ -133,6 +153,12 @@ object Bench {
           System.err.println(
             s"[bench] spread_bp=$spreadBp > 3000: noisy run diverted to " +
               "BENCH_LOCAL_noisy.json; pinned ledger left untouched")
+          "BENCH_LOCAL_noisy.json"
+        } else if (strictlyWorseThanPinned) {
+          System.err.println(
+            s"[bench] run (total=$total, spread_bp=$spreadBp) is strictly " +
+              "worse than the pinned ledger on both axes: diverted to " +
+              "BENCH_LOCAL_noisy.json")
           "BENCH_LOCAL_noisy.json"
         } else "BENCH_LOCAL.json"
       val w = new java.io.PrintWriter(ledger)
