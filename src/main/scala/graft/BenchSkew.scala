@@ -81,7 +81,12 @@ object BenchSkew {
 
   private val skewQueries = Seq("q80_dedup_exact", "q85_dedup_minhash_lsh",
     "q94_dedup_lsh_lang", "q96_dedup_simhash", "q97_curation_pipeline",
-    "q100_dedup_components")
+    "q100_dedup_components",
+    // every skew-corpus text begins with the same first character (the
+    // vocab is "w<i>") — under q115's old first-character blocking the
+    // whole distinct corpus was ONE window task; the range-partitioned
+    // rework must keep this flat
+    "q115_dedup_prefix")
 
   /** Event-tier skew targets: the binned range join (the measured claim:
     * (key, bin) bucketing keeps the hot user's candidate pairs linear in
