@@ -126,26 +126,24 @@ object Bench {
     // burned a restore commit on exactly this overwrite. Such runs land
     // in BENCH_LOCAL_noisy.json (git-ignored) with a stderr note; the
     // stdout lines (what the driver parses) are unaffected.
-    // Third guard: never replace the pinned ledger with a STRICTLY WORSE
-    // run — higher total AND higher spread than the ledger it would
-    // overwrite (the machine runs in fast/slow phases; a slow-phase run
-    // that sneaks under the 3000 bp gate once clobbered a 52.8 s / 2668 bp
-    // pin with a 70.4 s / 2922 bp one). A faster-or-quieter run still
-    // replaces freely, so a stale ledger can't survive a code change that
-    // improves either axis.
-    def strictlyWorseThanPinned: Boolean =
-      try {
-        val pinned = scala.io.Source.fromFile("BENCH_LOCAL.json")
-        val line = try pinned.mkString finally pinned.close()
-        def num(field: String): Option[Double] = {
-          val m = ("\"" + field + "\":(-?[0-9.eE+]+)").r.findFirstMatchIn(line)
-          m.map(_.group(1).toDouble)
-        }
-        (num("value"), num("spread_bp")) match {
-          case (Some(v), Some(s)) => total > v && spreadBp > s
-          case _ => false
-        }
-      } catch { case _: Throwable => false }
+    // Third guard: never replace the pinned ledger with a slow-phase run.
+    // The host runs in fast/slow phases (identical code measured 52.8 s
+    // and then 70–78 s minutes apart), and a slow-phase run can be
+    // UNIFORMLY slow — quieter spread, worse total — so spread alone
+    // cannot arbitrate. A run replaces the pin only if its total is
+    // within 15% of the pinned total (same phase or better); anything
+    // slower is a phase artifact and goes to the noisy file. A code
+    // change that genuinely slows the suite needs a deliberate re-pin:
+    // SPARK_GRAFT_BENCH_FORCE=1 bypasses this guard (not the sf or
+    // spread gates).
+    def slowPhaseVsPinned: Boolean =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FORCE", "0") != "1" &&
+        (try {
+          val pinned = scala.io.Source.fromFile("BENCH_LOCAL.json")
+          val line = try pinned.mkString finally pinned.close()
+          """"value":(-?[0-9.eE+]+)""".r.findFirstMatchIn(line)
+            .map(_.group(1).toDouble).exists(v => total > v * 1.15)
+        } catch { case _: Throwable => false })
     try {
       val ledger =
         if (sfNum != "0.1") s"BENCH_LOCAL_sf$sfNum.json"
@@ -154,11 +152,11 @@ object Bench {
             s"[bench] spread_bp=$spreadBp > 3000: noisy run diverted to " +
               "BENCH_LOCAL_noisy.json; pinned ledger left untouched")
           "BENCH_LOCAL_noisy.json"
-        } else if (strictlyWorseThanPinned) {
+        } else if (slowPhaseVsPinned) {
           System.err.println(
-            s"[bench] run (total=$total, spread_bp=$spreadBp) is strictly " +
-              "worse than the pinned ledger on both axes: diverted to " +
-              "BENCH_LOCAL_noisy.json")
+            s"[bench] run total=$total is >15% over the pinned ledger's " +
+              "(slow host phase): diverted to BENCH_LOCAL_noisy.json; " +
+              "set SPARK_GRAFT_BENCH_FORCE=1 to re-pin deliberately")
           "BENCH_LOCAL_noisy.json"
         } else "BENCH_LOCAL.json"
       val w = new java.io.PrintWriter(ledger)
