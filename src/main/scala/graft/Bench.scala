@@ -1,6 +1,53 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Scale-factor suffix parsed from a fixture path: the LAST sf<digits>
+    * match, not the first — a path like /data/sf0.1-backup/testdata-sf1
+    * names the sf1 fixture, and taking the first match would misfile an
+    * sf1 run over the sf0.1 ledger, exactly the clobber the routing
+    * exists to prevent. "0" when no match (routes away from the ledger).
+    */
+  def parseSf(sfDir: String): String =
+    """sf([0-9.]+)""".r.findAllMatchIn(sfDir)
+      .map(_.group(1)).toSeq.lastOption.getOrElse("0")
+
+  /** Ledger-file routing for a finished run — pure, spec'd
+    * (BenchLedgerSpec). The pinned BENCH_LOCAL.json's contract is
+    * "quiet-machine fast-phase median-of-N at sf0.1"; three clobber
+    * classes each cost a restore commit before the guards existed:
+    *
+    *  1. wrong scale (r6/r7): any non-sf0.1 run → BENCH_LOCAL_sf<N>.json
+    *     (suffix from the PARSED sf, not the dir basename — the sf1
+    *     fixture dir "testdata-sf1" would dodge the ignore pattern);
+    *  2. stalled machine (r2 c78ef12, r7): spread_bp > 3000 (min→max band
+    *     over 30% of the median total) → BENCH_LOCAL_noisy.json;
+    *  3. slow host phase (r8): the host alternates fast/slow phases
+    *     (identical code measured 52.8 s then 70–78 s minutes apart) and
+    *     a slow phase can be UNIFORMLY slow — quieter spread, worse
+    *     total — so spread alone cannot arbitrate. total > 1.15× the
+    *     pinned total → BENCH_LOCAL_noisy.json, unless `force`
+    *     (SPARK_GRAFT_BENCH_FORCE=1: a code change that genuinely slows
+    *     the suite needs a deliberate re-pin; force does not bypass the
+    *     sf or spread gates).
+    *
+    * Returns (fileName, optional stderr note).
+    */
+  def ledgerFor(sfNum: String, spreadBp: Long, total: Double,
+                pinnedTotal: Option[Double],
+                force: Boolean): (String, Option[String]) =
+    if (sfNum != "0.1") (s"BENCH_LOCAL_sf$sfNum.json", None)
+    else if (spreadBp > 3000)
+      ("BENCH_LOCAL_noisy.json", Some(
+        s"spread_bp=$spreadBp > 3000: noisy run diverted to " +
+          "BENCH_LOCAL_noisy.json; pinned ledger left untouched"))
+    else if (!force && pinnedTotal.exists(v => total > v * 1.15))
+      ("BENCH_LOCAL_noisy.json", Some(
+        s"run total=$total is >15% over the pinned ledger's (slow host " +
+          "phase): diverted to BENCH_LOCAL_noisy.json; set " +
+          "SPARK_GRAFT_BENCH_FORCE=1 to re-pin deliberately"))
+    else ("BENCH_LOCAL.json", None)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -105,60 +152,24 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""repeats":$repeats,"total_min":$totalMin,"total_max":$totalMax,""" +
         s""""spread_bp":$spreadBp,"runs":$runsJson,"sf":"$sfDir"}"""
-    // LAST sf<digits> match in the path, not the first: a path like
-    // /data/sf0.1-backup/testdata-sf1 names the sf1 fixture, and taking
-    // the first match would misfile an sf1 run over the sf0.1 ledger —
-    // exactly the clobber this routing exists to prevent.
-    val sfNum = """sf([0-9.]+)""".r.findAllMatchIn(sfDir)
-      .map(_.group(1)).toSeq.lastOption.getOrElse("0")
+    val sfNum = Bench.parseSf(sfDir)
     // Full-precision, full-name per-query map → a repo file (the ledger's
-    // source of truth; survives any stdout truncation). BENCH_LOCAL.json
-    // is pinned to the sf0.1 ledger referent: a run at any other scale
-    // lands in BENCH_LOCAL_sf<N>.json (git-ignored) instead of clobbering
-    // the ledger (which twice cost a restore commit, r6/r7). The suffix
-    // comes from the PARSED sf number, not the dir basename — the sf1
-    // fixture dir is named testdata-sf1, whose basename would dodge the
-    // BENCH_LOCAL_sf*.json ignore pattern.
-    // Second guard (round 8): a NOISY run never clobbers the pinned
-    // ledger either. The ledger's contract is "quiet-machine median-of-3";
-    // a run whose min→max band exceeds 30% of the median (spread_bp >
-    // 3000) is a stalled-machine artifact — r2 (c78ef12) and r7 both
-    // burned a restore commit on exactly this overwrite. Such runs land
-    // in BENCH_LOCAL_noisy.json (git-ignored) with a stderr note; the
-    // stdout lines (what the driver parses) are unaffected.
-    // Third guard: never replace the pinned ledger with a slow-phase run.
-    // The host runs in fast/slow phases (identical code measured 52.8 s
-    // and then 70–78 s minutes apart), and a slow-phase run can be
-    // UNIFORMLY slow — quieter spread, worse total — so spread alone
-    // cannot arbitrate. A run replaces the pin only if its total is
-    // within 15% of the pinned total (same phase or better); anything
-    // slower is a phase artifact and goes to the noisy file. A code
-    // change that genuinely slows the suite needs a deliberate re-pin:
-    // SPARK_GRAFT_BENCH_FORCE=1 bypasses this guard (not the sf or
-    // spread gates).
-    def slowPhaseVsPinned: Boolean =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_FORCE", "0") != "1" &&
-        (try {
+    // source of truth; survives any stdout truncation). Which file gets
+    // this run is [[Bench.ledgerFor]]'s decision — see its scaladoc for
+    // the three clobber classes the routing guards against. The stdout
+    // lines (what the driver parses) are unaffected by the routing.
+    try {
+      val pinnedTotal =
+        try {
           val pinned = scala.io.Source.fromFile("BENCH_LOCAL.json")
           val line = try pinned.mkString finally pinned.close()
           """"value":(-?[0-9.eE+]+)""".r.findFirstMatchIn(line)
-            .map(_.group(1).toDouble).exists(v => total > v * 1.15)
-        } catch { case _: Throwable => false })
-    try {
-      val ledger =
-        if (sfNum != "0.1") s"BENCH_LOCAL_sf$sfNum.json"
-        else if (spreadBp > 3000) {
-          System.err.println(
-            s"[bench] spread_bp=$spreadBp > 3000: noisy run diverted to " +
-              "BENCH_LOCAL_noisy.json; pinned ledger left untouched")
-          "BENCH_LOCAL_noisy.json"
-        } else if (slowPhaseVsPinned) {
-          System.err.println(
-            s"[bench] run total=$total is >15% over the pinned ledger's " +
-              "(slow host phase): diverted to BENCH_LOCAL_noisy.json; " +
-              "set SPARK_GRAFT_BENCH_FORCE=1 to re-pin deliberately")
-          "BENCH_LOCAL_noisy.json"
-        } else "BENCH_LOCAL.json"
+            .map(_.group(1).toDouble)
+        } catch { case _: Throwable => None }
+      val force = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORCE", "0") == "1"
+      val (ledger, note) =
+        Bench.ledgerFor(sfNum, spreadBp, total, pinnedTotal, force)
+      note.foreach(n => System.err.println(s"[bench] $n"))
       val w = new java.io.PrintWriter(ledger)
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench-ledger routing cost three restore commits (r2, r7, r8)
+  * before it was extracted to a pure function — these pin the three
+  * clobber classes and the re-pin override.
+  */
+class BenchLedgerSpec extends AnyFunSuite {
+
+  test("parseSf takes the LAST sf<digits> match, not the first") {
+    assert(Bench.parseSf("/root/testdata/sf0.1") == "0.1")
+    assert(Bench.parseSf("/tmp/testdata-sf1") == "1")
+    // the ADVICE r7 case: a backup-dir prefix must not misfile an sf1
+    // run over the sf0.1 ledger
+    assert(Bench.parseSf("/data/sf0.1-backup/testdata-sf1") == "1")
+    assert(Bench.parseSf("/no/scale/here") == "0")
+  }
+
+  test("non-sf0.1 runs land in their own suffixed file") {
+    assert(Bench.ledgerFor("0.001", 100L, 30.0, Some(50.0), force = false)
+      ._1 == "BENCH_LOCAL_sf0.001.json")
+    assert(Bench.ledgerFor("1", 100L, 500.0, Some(50.0), force = false)
+      ._1 == "BENCH_LOCAL_sf1.json")
+    // and never produce a note (expected routing, not a diversion)
+    assert(Bench.ledgerFor("0.001", 100L, 30.0, Some(50.0), force = false)
+      ._2.isEmpty)
+  }
+
+  test("a stalled-machine run (spread_bp > 3000) is diverted with a note") {
+    val (file, note) =
+      Bench.ledgerFor("0.1", 3001L, 45.0, Some(50.0), force = false)
+    assert(file == "BENCH_LOCAL_noisy.json")
+    assert(note.exists(_.contains("spread_bp=3001")))
+    // boundary: exactly 3000 still pins
+    assert(Bench.ledgerFor("0.1", 3000L, 45.0, Some(50.0), force = false)
+      ._1 == "BENCH_LOCAL.json")
+  }
+
+  test("a slow-phase run (>15% over the pinned total) is diverted even " +
+    "when its spread is quiet") {
+    // the r8 clobber: 71.4 s / 2541 bp replaced a 52.8 s / 2668 bp pin
+    // because spread alone arbitrated
+    val (file, note) =
+      Bench.ledgerFor("0.1", 2541L, 71.35, Some(52.79), force = false)
+    assert(file == "BENCH_LOCAL_noisy.json")
+    assert(note.exists(_.contains("slow host phase")))
+    // within the 15% band → pins
+    assert(Bench.ledgerFor("0.1", 2541L, 60.0, Some(52.79), force = false)
+      ._1 == "BENCH_LOCAL.json")
+    // no pinned ledger yet → first run always pins
+    assert(Bench.ledgerFor("0.1", 2541L, 71.35, None, force = false)
+      ._1 == "BENCH_LOCAL.json")
+  }
+
+  test("force re-pins over the slow-phase guard but NOT over the sf or " +
+    "spread gates") {
+    assert(Bench.ledgerFor("0.1", 1500L, 100.0, Some(50.0), force = true)
+      ._1 == "BENCH_LOCAL.json")
+    assert(Bench.ledgerFor("0.1", 3001L, 100.0, Some(50.0), force = true)
+      ._1 == "BENCH_LOCAL_noisy.json")
+    assert(Bench.ledgerFor("1", 1500L, 100.0, Some(50.0), force = true)
+      ._1 == "BENCH_LOCAL_sf1.json")
+  }
+
+  test("a faster run always replaces the pin (a stale ledger cannot " +
+    "survive a code change that speeds the suite)") {
+    assert(Bench.ledgerFor("0.1", 1500L, 40.0, Some(52.79), force = false)
+      ._1 == "BENCH_LOCAL.json")
+  }
+}
