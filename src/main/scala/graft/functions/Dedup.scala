@@ -72,29 +72,72 @@ object Dedup {
   def gramIds(text: Column, n: Int): Column =
     graft.expressions.ShingleIds.shingleIds(text, n)
 
+  /** Value-deterministic contiguous bucket assignment for
+    * [[prefixFlags]]: cut points are string LITERALS estimated by one
+    * bounded driver action (deterministic hash-order bottom-k sample —
+    * the [[Reservoir]] trick: layout-independent, seedless), and the
+    * bucket id is `count(cuts <= t)` — a pure function of `t`, monotone
+    * in lexicographic order, so ordering by (b, t) IS ordering by t.
+    *
+    * Why literals and not `repartitionByRange`: the stitch in
+    * [[prefixFlags]] joins two consumers of the bucketed frame, and a
+    * sampled RangePartitioner materialized twice (exchange reuse off,
+    * AQE off, or a future plan change splitting the subplans) samples
+    * boundaries independently per materialization — the two sides could
+    * place the SAME text in DIFFERENT buckets and the stitch would
+    * silently miss flags. Literal cuts make every recomputation agree by
+    * construction, and drop an exchange: the old shape paid a range
+    * exchange AND a hash re-exchange on the derived partition id; this
+    * shape pays one hash exchange on `b` (the window's own requirement).
+    */
+  private[graft] def prefixBuckets(texts: DataFrame, buckets: Int,
+                                   cutSource: Option[DataFrame] = None)
+      : DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val sampleN = math.max(buckets * 32, 256)
+    // `cutSource` lets the caller hand a CHEAPER frame for the cut
+    // estimate (e.g. the pre-distinct text projection: scan +
+    // TakeOrdered, no aggregation exchange — the distinct then computes
+    // once, in the main action). Duplicate values only bias cut
+    // PLACEMENT, never correctness: the flag set is invariant to where
+    // the cuts fall.
+    val sample = cutSource.getOrElse(texts).select(col("t"))
+      .orderBy(xxhash64(col("t")), col("t")).limit(sampleN)
+      .collect().map(_.getString(0)).distinct.sorted
+    val cuts: Array[String] =
+      if (sample.length < 2 || buckets == 1) Array.empty
+      else (1 until buckets)
+        .map(i => sample((i.toLong * sample.length / buckets).toInt))
+        .distinct.sorted.toArray
+    // b = count of cut points <= t: a chain of <=buckets-1 codegen'd
+    // string comparisons per row — cheaper than the window's own sort
+    val bk = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col("t") >= lit(c), 1).otherwise(0)
+    }
+    texts.withColumn("b", bk)
+  }
+
   /** Texts that are a STRICT prefix of another text in `texts` (one
     * string column named `t`, pre-distinct'd non-empty) — the q115 core.
     * In lexicographic order, A prefixes SOME text iff A prefixes its
     * immediate distinct successor, so one sorted `lead` replaces a
-    * substring join. Parallel shape: range-partition on the text into
-    * `buckets` contiguous sorted runs (a knob, not a data property — this
-    * replaced round ≤7's first-character blocking, whose cardinality was
-    * an alphabet constant one hot first byte could collapse to a single
-    * corpus-sized task), run the lead window per bucket, and STITCH the
-    * boundaries — each bucket's last row checks the next non-empty
-    * bucket's first text (a ≤buckets-row broadcast frame). The flag set
-    * is invariant to where the sampled range boundaries fall: false
-    * positives are impossible (flagging exhibits an actual extension),
-    * and the stitch restores exact global adjacency so nothing is
-    * missed. Both consumers of the bucketed frame share one canonical
-    * range exchange (ReuseExchange / AQE stage reuse — plan-pinned).
+    * substring join. Parallel shape: bucket the texts into `buckets`
+    * contiguous sorted runs via [[prefixBuckets]] (a knob, not a data
+    * property — this replaced round ≤7's first-character blocking, whose
+    * cardinality was an alphabet constant one hot first byte could
+    * collapse to a single corpus-sized task), run the lead window per
+    * bucket, and STITCH the boundaries — each bucket's last row checks
+    * the next non-empty bucket's first text (a ≤buckets-row broadcast
+    * frame; bucket ids are a pure function of the text, so the stitch
+    * frame and the window frame agree under ANY recomputation). The flag
+    * set is invariant to where the cut points fall: false positives are
+    * impossible (flagging exhibits an actual extension), and the stitch
+    * restores exact global adjacency so nothing is missed.
     */
-  def prefixFlags(texts: DataFrame, buckets: Int): DataFrame = {
-    require(buckets >= 1, "buckets must be >= 1")
+  def prefixFlags(texts: DataFrame, buckets: Int,
+                  cutSource: Option[DataFrame] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val bucketed = texts
-      .repartitionByRange(buckets, col("t").asc)
-      .withColumn("b", spark_partition_id())
+    val bucketed = prefixBuckets(texts, buckets, cutSource)
     val wIn = w.partitionBy(col("b")).orderBy(col("t"))
     val wB = w.orderBy(col("b")) // ≤ buckets rows — bounded by the knob
     val stitch = bucketed.groupBy(col("b")).agg(min(col("t")).as("ft"))

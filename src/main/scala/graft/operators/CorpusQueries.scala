@@ -538,9 +538,13 @@ object CorpusQueries {
   def q115_dedup_prefix(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val buckets = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    val texts = docs.filter(length(col("text")) > 0)
-      .select(col("text").as("t")).distinct()
-    val flagged = graft.functions.Dedup.prefixFlags(texts, buckets)
+    val raw = docs.filter(length(col("text")) > 0)
+      .select(col("text").as("t"))
+    // cut estimation samples the RAW projection (scan + TakeOrdered, no
+    // aggregation exchange) so the distinct computes exactly once, in
+    // the main action
+    val flagged = graft.functions.Dedup
+      .prefixFlags(raw.distinct(), buckets, cutSource = Some(raw))
       .select(col("t").as("text"))
     docs.join(flagged, "text")
       .select(col("doc_id"), col("lang"), col("n_chars"))

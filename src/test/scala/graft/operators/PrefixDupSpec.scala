@@ -55,34 +55,50 @@ class PrefixDupSpec extends SparkSpec {
       s"missed ${(chain.dropRight(1).toSet -- got).map(_.length).toSeq.sorted}")
   }
 
-  test("all-same-first-char corpus spreads across range buckets (the " +
-    "skew shape that collapsed first-char blocking to one task)") {
+  test("all-same-first-char corpus spreads across buckets (the skew " +
+    "shape that collapsed first-char blocking to one task)") {
     val texts = (1 to 1000).map(i => f"the common crawl boilerplate $i%04d")
-    val bucketed = texts.toDF("t")
-      .repartitionByRange(8, col("t").asc)
-      .withColumn("b", spark_partition_id())
+    val bucketed = Dedup.prefixBuckets(texts.toDF("t"), 8)
     val used = bucketed.select("b").distinct().count()
     assert(used >= 4,
-      s"range partitioner left a hot single bucket: $used of 8 used")
+      s"literal cut points left a hot single bucket: $used of 8 used")
     // and the operator still answers correctly on that corpus
     val withPrefix = texts :+ "the common crawl boilerplate 0007 extended"
     assert(flagged(withPrefix, buckets = 8) ==
       Set("the common crawl boilerplate 0007"))
   }
 
-  test("plan pin: both consumers share ONE range exchange (bucket ids " +
-    "agree by construction), and no single-partition corpus-sized sort") {
+  test("bucket ids are a pure function of the text: any two " +
+    "materializations agree (the stitch's correctness precondition, " +
+    "formerly carried by exchange reuse)") {
+    val texts = scala.util.Random.shuffle((1 to 500).map("x" * _)).toDF("t")
+    val a = Dedup.prefixBuckets(texts, 8)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val b = Dedup.prefixBuckets(texts.repartition(13), 8)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(a == b, "bucket assignment depends on physical layout")
+    // contiguity/monotonicity: sorting by (b, t) IS sorting by t
+    val byBT = a.toSeq.sortBy { case (t, bk) => (bk, t) }.map(_._1)
+    assert(byBT == a.keys.toSeq.sorted)
+  }
+
+  test("plan pin: no sampled range exchange anywhere (literal cuts), " +
+    "the window runs on a hash exchange over b, and no single-partition " +
+    "corpus-sized sort") {
     val df = Dedup.prefixFlags(
       (1 to 500).map("x" * _).toDF("t"), buckets = 8)
     df.collect() // materialize so AQE finalizes the plan
     val plan = df.queryExecution.executedPlan.toString
-    val ranges = "rangepartitioning".r
-      .findAllIn(plan.toLowerCase).size
-    val reused = plan.contains("ReusedExchange") ||
-      plan.contains("StageReuse") || plan.contains("ReusedQueryStage")
-    assert(ranges >= 1, "range exchange missing from the plan")
-    assert(reused || ranges == 1,
-      s"two independent range exchanges would sample different " +
-        s"boundaries and break the stitch:\n$plan")
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"a sampled range exchange reintroduces the boundary-agreement " +
+        s"hazard:\n$plan")
+    assert("hashpartitioning\\(b#".r.findFirstIn(plan).isDefined,
+      s"window's bucket exchange missing:\n$plan")
+    // the corpus-sized lead must be partitioned by b — a window spec
+    // that ORDERS by t with no partition column is the one-task shape
+    // (the <=buckets-row stitch frame's single-partition lead over b is
+    // fine: its input is bounded by the bucket knob, not the corpus)
+    assert(!plan.contains("windowspecdefinition(t#"),
+      s"unpartitioned corpus-sized window over t:\n$plan")
   }
 }
