@@ -109,12 +109,13 @@ object Dedup {
       else (1 until buckets)
         .map(i => sample((i.toLong * sample.length / buckets).toInt))
         .distinct.sorted.toArray
-    // b = count of cut points <= t: a chain of <=buckets-1 codegen'd
-    // string comparisons per row — cheaper than the window's own sort
-    val bk = cuts.foldLeft(lit(0)) { (acc, c) =>
-      acc + when(col("t") >= lit(c), 1).otherwise(0)
-    }
-    texts.withColumn("b", bk)
+    // b = count of cut points <= t: one codegen'd binary search per row
+    // ([[graft.expressions.SortedLowerBound]]) — O(log buckets) string
+    // comparisons and constant-size generated code at ANY bucket count
+    // (the when-chain alternative grows its CaseWhen linearly and falls
+    // out of codegen at cluster-scale bucket knobs)
+    texts.withColumn("b",
+      graft.expressions.SortedLowerBound.bucketOf(col("t"), cuts))
   }
 
   /** Texts that are a STRICT prefix of another text in `texts` (one
