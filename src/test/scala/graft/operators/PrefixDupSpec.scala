@@ -82,6 +82,31 @@ class PrefixDupSpec extends SparkSpec {
     assert(byBT == a.keys.toSeq.sorted)
   }
 
+  test("randomized brute-force equivalence: flags == {t | ∃u≠t: u " +
+    "startsWith t}, across corpora shapes and bucket counts") {
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 6).foreach { trial =>
+      // corpora engineered for heavy shared prefixes: small alphabet,
+      // repeated extension, plus plain random strings
+      val alphabet = "abct "
+      def randStr(n: Int) =
+        (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val seeds = (1 to 30).map(_ => randStr(1 + rnd.nextInt(6)))
+      val extended = seeds.flatMap(s =>
+        (0 until rnd.nextInt(4)).scanLeft(s)((acc, _) =>
+          acc + randStr(1 + rnd.nextInt(3))))
+      val corpus = (seeds ++ extended ++ (1 to 20).map(_ =>
+        randStr(1 + rnd.nextInt(10)))).filter(_.nonEmpty).distinct
+      val expect = corpus.filter(t =>
+        corpus.exists(u => u != t && u.startsWith(t))).toSet
+      val buckets = 1 + rnd.nextInt(9) // incl. the 1-bucket degenerate
+      val got = flagged(scala.util.Random.shuffle(corpus), buckets)
+      assert(got == expect,
+        s"trial $trial buckets=$buckets: missed=${expect -- got} " +
+          s"extra=${got -- expect}")
+    }
+  }
+
   test("plan pin: no sampled range exchange anywhere (literal cuts), " +
     "the window runs on a hash exchange over b, and no single-partition " +
     "corpus-sized sort") {
