@@ -33,6 +33,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++
   // Extra flags for the forked app JVM (e.g. -Xms to pin the heap and
-  // stop resize-driven GC variance during bench runs). Space-separated.
+  // stop resize-driven GC variance during bench runs). Space-separated —
+  // NO quoting support: an option whose VALUE contains spaces (e.g.
+  // -XX:OnOutOfMemoryError="kill -9 %p") is mangled into broken args.
+  // Every flag this knob exists for (-Xms, -XX sizing, -D toggles) is
+  // space-free; if a spaceful option is ever needed, add it to
+  // javaOptions here instead of routing it through the env var.
   sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
     .flatMap(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))

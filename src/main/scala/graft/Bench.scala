@@ -159,13 +159,25 @@ object Bench {
     // the three clobber classes the routing guards against. The stdout
     // lines (what the driver parses) are unaffected by the routing.
     try {
+      // anchored to the metric, not the first "value": — field reordering
+      // or format drift must not silently disable the slow-phase guard.
+      // A ledger that exists but doesn't parse gets a LOUD stderr note
+      // (the guard then defaults open: first-run-always-pins).
       val pinnedTotal =
-        try {
-          val pinned = scala.io.Source.fromFile("BENCH_LOCAL.json")
-          val line = try pinned.mkString finally pinned.close()
-          """"value":(-?[0-9.eE+]+)""".r.findFirstMatchIn(line)
-            .map(_.group(1).toDouble)
-        } catch { case _: Throwable => None }
+        if (!new java.io.File("BENCH_LOCAL.json").isFile) None
+        else {
+          val parsed = try {
+            val pinned = scala.io.Source.fromFile("BENCH_LOCAL.json")
+            val line = try pinned.mkString finally pinned.close()
+            """"metric":"total","value":(-?[0-9.eE+]+)""".r
+              .findFirstMatchIn(line).map(_.group(1).toDouble)
+          } catch { case _: Throwable => None }
+          if (parsed.isEmpty) System.err.println(
+            "[bench] BENCH_LOCAL.json exists but its total did not parse " +
+              "(expected \"metric\":\"total\",\"value\":N) — the slow-" +
+              "phase clobber guard is DISABLED for this run")
+          parsed
+        }
       val force = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORCE", "0") == "1"
       val (ledger, note) =
         Bench.ledgerFor(sfNum, spreadBp, total, pinnedTotal, force)

@@ -21,11 +21,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * search per row — O(log |cuts|) comparisons — against a shared
   * reference array, inside WholeStageCodegen at any bucket count.
   *
-  * Precondition: `cuts` sorted ascending and duplicate-free (the caller
-  * builds them via `.distinct.sorted`). Null input → null (unary
-  * null-intolerant default).
+  * Precondition: `cuts` sorted ascending and duplicate-free UNDER
+  * `UTF8String.compareTo` (byte/code-point order — the order this
+  * expression and Spark's string sort both use; JVM `String` sorting is
+  * UTF-16 code-unit order, which DIVERGES once supplementary-plane
+  * characters meet U+E000–U+FFFF, so callers must sort with the UTF8
+  * comparator, not `.sorted`). Null input → null (unary null-intolerant
+  * default).
+  *
+  * `cuts` is an `IndexedSeq`, not an `Array`: case-class equality on an
+  * array field is reference identity, which breaks
+  * `semanticEquals`/canonicalization (two identical bucket-assign
+  * expressions would never dedup under common-subexpression elimination
+  * or exchange reuse). The codegen path materializes the backing array
+  * once per compiled plan.
   */
-case class SortedLowerBound(child: Expression, cuts: Array[UTF8String])
+case class SortedLowerBound(child: Expression, cuts: IndexedSeq[UTF8String])
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -42,7 +53,7 @@ case class SortedLowerBound(child: Expression, cuts: Array[UTF8String])
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t => {
-      val arr = ctx.addReferenceObj("cuts", cuts,
+      val arr = ctx.addReferenceObj("cuts", cuts.toArray,
         "org.apache.spark.unsafe.types.UTF8String[]")
       val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi")
       val mid = ctx.freshName("mid")
@@ -65,7 +76,7 @@ object SortedLowerBound {
   /** The shared eval: first index whose cut exceeds `t` == count of cuts
     * at or below `t` (classic upper-bound binary search).
     */
-  def countLeq(cuts: Array[UTF8String], t: UTF8String): Int = {
+  def countLeq(cuts: IndexedSeq[UTF8String], t: UTF8String): Int = {
     var lo = 0
     var hi = cuts.length
     while (lo < hi) {
@@ -75,8 +86,23 @@ object SortedLowerBound {
     lo
   }
 
-  /** Column API: count of `cuts` (pre-sorted, distinct) at or below `t`. */
+  /** Column API: count of `cuts` at or below `t`. `cuts` must be sorted
+    * ascending under [[utf8Ordering]] (NOT `String.compareTo` — see the
+    * class doc) and duplicate-free.
+    */
   def bucketOf(t: Column, cuts: Array[String]): Column =
     GraftColumn(SortedLowerBound(GraftColumn.expr(t),
-      cuts.map(UTF8String.fromString)))
+      cuts.map(UTF8String.fromString).toIndexedSeq))
+
+  /** `String` ordering that agrees with `UTF8String.compareTo` (UTF-8
+    * byte order == code-point order) — the order Spark sorts strings in.
+    * JVM `String.compareTo` is UTF-16 code-unit order: surrogate pairs
+    * (U+10000 and up) compare BELOW U+E000–U+FFFF there, so `.sorted`
+    * cut points can violate this expression's sortedness precondition
+    * the moment emoji meet private-use/BMP-tail characters.
+    */
+  val utf8Ordering: Ordering[String] = new Ordering[String] {
+    override def compare(a: String, b: String): Int =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+  }
 }

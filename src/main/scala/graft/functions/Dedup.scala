@@ -101,14 +101,7 @@ object Dedup {
     // once, in the main action). Duplicate values only bias cut
     // PLACEMENT, never correctness: the flag set is invariant to where
     // the cuts fall.
-    val sample = cutSource.getOrElse(texts).select(col("t"))
-      .orderBy(xxhash64(col("t")), col("t")).limit(sampleN)
-      .collect().map(_.getString(0)).distinct.sorted
-    val cuts: Array[String] =
-      if (sample.length < 2 || buckets == 1) Array.empty
-      else (1 until buckets)
-        .map(i => sample((i.toLong * sample.length / buckets).toInt))
-        .distinct.sorted.toArray
+    val cuts = prefixCuts(cutSource.getOrElse(texts), buckets, sampleN)
     // b = count of cut points <= t: one codegen'd binary search per row
     // ([[graft.expressions.SortedLowerBound]]) — O(log buckets) string
     // comparisons and constant-size generated code at ANY bucket count
@@ -116,6 +109,34 @@ object Dedup {
     // out of codegen at cluster-scale bucket knobs)
     texts.withColumn("b",
       graft.expressions.SortedLowerBound.bucketOf(col("t"), cuts))
+  }
+
+  /** Literal cut points for [[prefixBuckets]]: ≤ buckets−1 strings picked
+    * at quantiles of a bounded deterministic sample of `texts.t`.
+    *
+    * Sample and cuts sort under UTF8String byte order (== Spark's string
+    * sort and [[graft.expressions.SortedLowerBound]]'s compare), NOT
+    * `String.sorted`: UTF-16 code-unit order diverges once
+    * supplementary-plane characters (emoji, U+10000+) meet U+E000–U+FFFF.
+    * Flags were never at risk even with mis-sorted cuts — a fixed
+    * binary-search decision tree partitions the value axis into contiguous
+    * intervals with monotone outputs whatever the array order, so bucket
+    * runs stay contiguous — but mis-sorted cuts break the documented
+    * `b = count(cuts <= t)` semantics (buckets go empty, parallelism
+    * skews) and violate the expression's sortedness precondition. Sort in
+    * the order the comparison actually uses (spec-pinned in PrefixDupSpec
+    * with a corpus saturating the divergence zone).
+    */
+  private[graft] def prefixCuts(texts: DataFrame, buckets: Int,
+                                sampleN: Int): Array[String] = {
+    val utf8Ord = graft.expressions.SortedLowerBound.utf8Ordering
+    val sample = texts.select(col("t"))
+      .orderBy(xxhash64(col("t")), col("t")).limit(sampleN)
+      .collect().map(_.getString(0)).distinct.sorted(utf8Ord)
+    if (sample.length < 2 || buckets == 1) Array.empty
+    else (1 until buckets)
+      .map(i => sample((i.toLong * sample.length / buckets).toInt))
+      .distinct.sorted(utf8Ord).toArray
   }
 
   /** Texts that are a STRICT prefix of another text in `texts` (one

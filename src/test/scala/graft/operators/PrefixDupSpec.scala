@@ -107,6 +107,45 @@ class PrefixDupSpec extends SparkSpec {
     }
   }
 
+  test("supplementary-plane corpus: emoji (U+1F600) and BMP-tail " +
+    "(U+E000/U+FFFD) texts coexist — cut order must be UTF-8, " +
+    "not UTF-16 (.sorted cuts silently lose flags here)") {
+    // Under UTF-16 code units 😀 (D83D DE00) < U+E000; under UTF-8 bytes
+    // (what Spark's sort and SortedLowerBound compare) 😀 > U+FFFD >
+    // U+E000. A corpus saturating the cut sample with both families
+    // makes at least one cut land in the divergence zone; prefix chains
+    // inside each family then catch any non-monotone bucket assignment
+    // as a MISSING flag (the advisor's false-negative class).
+    val emoji = (1 to 120).map("\ud83d\ude00" * _)
+    val pua = (1 to 120).map("\ue000" * _)
+    val repl = (1 to 120).map("\ufffd" * _)
+    val corpus = emoji ++ pua ++ repl
+    val expectFlags = (emoji.dropRight(1) ++ pua.dropRight(1) ++
+      repl.dropRight(1)).toSet
+    (2 to 9).foreach { buckets =>
+      val got = flagged(scala.util.Random.shuffle(corpus), buckets)
+      assert(got == expectFlags,
+        s"buckets=$buckets: missed=${(expectFlags -- got).size} " +
+          s"extra=${(got -- expectFlags).size}")
+    }
+    // the fix's direct pin: cuts come out sorted under the UTF-8
+    // comparator (SortedLowerBound's precondition), and the assigned
+    // bucket is exactly count(cuts <= t) under that order \u2014 UTF-16
+    // .sorted cuts fail BOTH on this corpus (the families transpose)
+    val ord = graft.expressions.SortedLowerBound.utf8Ordering
+    val df = corpus.toDF("t")
+    val cuts = Dedup.prefixCuts(df, buckets = 8, sampleN = 256)
+    assert(cuts.toSeq == cuts.sorted(ord).toSeq,
+      s"cuts not UTF-8-sorted: ${cuts.mkString(",")}")
+    assert(cuts.sameElements(cuts.distinct))
+    val got = Dedup.prefixBuckets(df, 8)
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    got.foreach { case (t, b) =>
+      assert(b == cuts.count(c => ord.compare(c, t) <= 0),
+        s"bucket of ${t.length}-char text != count(cuts <= t) under UTF-8")
+    }
+  }
+
   test("plan pin: no sampled range exchange anywhere (literal cuts), " +
     "the window runs on a hash exchange over b, and no single-partition " +
     "corpus-sized sort") {
