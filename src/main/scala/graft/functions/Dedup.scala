@@ -157,9 +157,23 @@ object Dedup {
     * restores exact global adjacency so nothing is missed.
     */
   def prefixFlags(texts: DataFrame, buckets: Int,
-                  cutSource: Option[DataFrame] = None): DataFrame = {
+                  cutSource: Option[DataFrame] = None): DataFrame =
+    prefixFlagsFromBuckets(prefixBuckets(texts, buckets, cutSource))
+
+  /** [[prefixFlags]] over a pre-bucketed `(t, b)` frame — the entry point
+    * for callers holding a MATERIALIZED bucketed distinct projection
+    * ([[TextCache.form]] — the q115 shape). Materializing first means the
+    * per-invocation plan pays NO corpus scan, NO distinct aggregation,
+    * and NO driver cut-point sample: both consumers below (the per-bucket
+    * lead window and the ≤buckets-row stitch aggregate) read the same
+    * tiny-schema parquet artifact, whose stored bucket ids agree by
+    * storage — even stronger than the literal-cut by-construction
+    * agreement. Input contract: `t` distinct non-empty, `b` monotone
+    * non-decreasing in `t`'s sort order with contiguous runs (what
+    * [[prefixBuckets]] emits).
+    */
+  def prefixFlagsFromBuckets(bucketed: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val bucketed = prefixBuckets(texts, buckets, cutSource)
     val wIn = w.partitionBy(col("b")).orderBy(col("t"))
     val wB = w.orderBy(col("b")) // ≤ buckets rows — bounded by the knob
     val stitch = bucketed.groupBy(col("b")).agg(min(col("t")).as("ft"))

@@ -514,22 +514,23 @@ object CorpusQueries {
     * an extension of A themselves start with A) — so one sorted window
     * with `lead` replaces an unbounded substring join.
     *
-    * Scale shape (round 8; replaces first-char blocking, whose block
-    * cardinality was an alphabet constant the data outgrows — one hot
-    * first byte became one corpus-sized task): the distinct text set is
-    * RANGE-partitioned on the text (shuffle-partitions-many contiguous
-    * sorted buckets — a knob, not a data property), the lead window runs
-    * per bucket, and the bucket boundaries are STITCHED: each bucket's
-    * last row checks against the next non-empty bucket's first text (a
-    * ≤#buckets-row frame, broadcast). The adjacency argument is
-    * partition-invariant, so the flag set is independent of where the
-    * sampled range boundaries fall. False positives are structurally
-    * impossible — flagging requires exhibiting an actual extension text,
-    * and ANY extension proves prefix-ness; the per-pair spec forces the
-    * no-miss direction with prefix chains that straddle every boundary.
-    * Both consumers of the bucketed frame share one canonical range
-    * exchange (ReuseExchange / AQE stage reuse — plan-pinned in
-    * PlanShapeSpec), so the bucket ids agree by construction. Empty
+    * Scale shape (round 8 bucketing + round 9 materialize-once; replaces
+    * first-char blocking, whose block cardinality was an alphabet
+    * constant the data outgrows — one hot first byte became one
+    * corpus-sized task): the distinct text set is bucketed into
+    * shuffle-partitions-many contiguous sorted runs at literal cut points
+    * (a knob, not a data property; [[graft.functions.Dedup.prefixBuckets]])
+    * and WRITTEN ONCE as a (t, b) parquet artifact; the lead window runs
+    * per bucket over the artifact, and the bucket boundaries are
+    * STITCHED: each bucket's last row checks against the next non-empty
+    * bucket's first text (a ≤#buckets-row frame aggregated from the SAME
+    * artifact, broadcast). The flag set is invariant to where the cut
+    * points fall. False positives are structurally impossible — flagging
+    * requires exhibiting an actual extension text, and ANY extension
+    * proves prefix-ness; the per-pair spec forces the no-miss direction
+    * with prefix chains that straddle every boundary. Both consumers read
+    * the stored bucket ids, so they agree by storage (round ≤8's
+    * by-construction literal-cut agreement, made unconditional). Empty
     * texts (prefix of everything, no first char) are excluded by the
     * length guard, as before.
     *
@@ -538,13 +539,28 @@ object CorpusQueries {
   def q115_dedup_prefix(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val buckets = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    val raw = docs.filter(length(col("text")) > 0)
-      .select(col("text").as("t"))
-    // cut estimation samples the RAW projection (scan + TakeOrdered, no
-    // aggregation exchange) so the distinct computes exactly once, in
-    // the main action
-    val flagged = graft.functions.Dedup
-      .prefixFlags(raw.distinct(), buckets, cutSource = Some(raw))
+    // The bucketed distinct text projection is a MATERIALIZE-ONCE
+    // artifact ([[graft.functions.TextCache.form]] — the cc94 cluster-map
+    // discipline): the corpus scan, the distinct aggregation, and the
+    // bounded driver cut-point sample all happen once, at artifact-build
+    // time. Every invocation after the first — and BOTH plan branches
+    // below (the per-bucket lead window and the ≤buckets-row stitch
+    // aggregate) — read the (t, b) parquet artifact instead of re-scanning
+    // and re-aggregating the corpus (at 100 TB the stitch branch's old
+    // second full-data pass produced ≤buckets rows). Stored bucket ids
+    // agree across consumers by storage, closing the recompute-agreement
+    // hazard class outright.
+    val bucketed = graft.functions.TextCache
+      .form(spark, sfDir, s"prefixb$buckets") {
+        val raw = docs.filter(length(col("text")) > 0)
+          .select(col("text").as("t"))
+        // cut estimation samples the RAW projection (scan + TakeOrdered,
+        // no aggregation exchange) so the distinct computes exactly once,
+        // in the artifact write
+        graft.functions.Dedup
+          .prefixBuckets(raw.distinct(), buckets, cutSource = Some(raw))
+      }
+    val flagged = graft.functions.Dedup.prefixFlagsFromBuckets(bucketed)
       .select(col("t").as("text"))
     docs.join(flagged, "text")
       .select(col("doc_id"), col("lang"), col("n_chars"))

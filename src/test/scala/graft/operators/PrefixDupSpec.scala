@@ -146,6 +146,41 @@ class PrefixDupSpec extends SparkSpec {
     }
   }
 
+  test("q115 steady-state plan: ONE corpus scan (the join-back), both " +
+    "flag branches read the materialized (t, b) artifact, no distinct " +
+    "aggregation over the corpus, no sampled range exchange") {
+    val sfDir = "/root/testdata/sf0.001"
+    // AQE's toString dumps Final AND Initial plans — count in the final
+    // section only, or every scan double-counts
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val df = graft.operators.CorpusQueries.q115_dedup_prefix(spark, sfDir)
+    df.collect() // builds the artifact (once) and finalizes AQE
+    val plan = finalPlan(df)
+    // the round-9 materialize-once contract: the distinct text
+    // aggregation and the driver cut sample live in the artifact BUILD,
+    // not in the per-invocation plan — both the lead-window branch and
+    // the stitch branch scan the textcache parquet artifact
+    assert(plan.contains("graft-textcache-"),
+      s"flag branches must read the materialized artifact:\n$plan")
+    val corpusScans = "documents\\.parquet".r.findAllIn(plan).size
+    assert(corpusScans == 1,
+      s"expected exactly one corpus scan (the join-back), got " +
+        s"$corpusScans:\n$plan")
+    // the output orderBy(doc_id) is a legitimate range exchange; the
+    // hazard class is a sampled range exchange over the TEXT (two
+    // consumers sampling boundaries independently)
+    assert(!"rangepartitioning\\((t|text)#".r.findFirstIn(plan).isDefined,
+      s"sampled range exchange over the text reintroduced:\n$plan")
+    // re-invocation reuses the artifact: the second plan is also
+    // single-corpus-scan (nothing rebuilt, no extra actions)
+    val df2 = graft.operators.CorpusQueries.q115_dedup_prefix(spark, sfDir)
+    df2.collect()
+    val plan2 = finalPlan(df2)
+    assert("documents\\.parquet".r.findAllIn(plan2).size == 1 &&
+      plan2.contains("graft-textcache-"))
+  }
+
   test("plan pin: no sampled range exchange anywhere (literal cuts), " +
     "the window runs on a hash exchange over b, and no single-partition " +
     "corpus-sized sort") {
