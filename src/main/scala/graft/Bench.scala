@@ -48,6 +48,21 @@ object Bench {
           "SPARK_GRAFT_BENCH_FORCE=1 to re-pin deliberately"))
     else ("BENCH_LOCAL.json", None)
 
+  /** Outlier policy for per-query timing — pure, spec'd (BenchLedgerSpec).
+    * The bench host alternates fast/slow phases (BASELINE.md): a phase
+    * spike that outlasts median-of-3 leaves a 6–18× per-query artifact a
+    * reader cannot tell from a plan regression. When the successful runs'
+    * max exceeds `maxRatio` × their min, the query has earned extra
+    * repeats (up to a caller-enforced cap); the reported value is then
+    * the median of ALL successful runs, which a one-off spike can no
+    * longer carry, and the per-query `n_extra` count marks the spike in
+    * the artifact itself. Fewer than two successes → no signal → false.
+    */
+  def needsExtraRepeat(runs: Seq[Double], maxRatio: Double): Boolean = {
+    val ok = runs.filter(_ >= 0.0)
+    ok.size >= 2 && ok.max > maxRatio * ok.min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -111,14 +126,25 @@ object Bench {
     // SPARK_GRAFT_BENCH_PRIME=0 restores the unprimed (cold-first) shape.
     val prime =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIME", "1") != "0"
-    val runs: Map[String, Seq[Double]] = SparkEntry.queries.map {
-      case (name, fn) =>
+    // Outlier-triggered extra repeats (round 9): a query whose repeat
+    // band is wider than OUTLIER_RATIO earns up to maxExtra more runs —
+    // the median then sits on 4-5 samples instead of 3, and `n_extra` in
+    // the artifact marks which values carry spike evidence (the
+    // self-interpreting-artifact fix: a reader distinguishes a host phase
+    // spike, n_extra>0 with a quiet median, from a plan regression,
+    // uniformly slow runs with n_extra=0 or a slow median despite extras).
+    val outlierRatio = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_OUTLIER_RATIO", "3.0").toDouble
+    val maxExtra = math.max(0,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "2").toInt)
+    val runsWithExtra: Map[String, (Seq[Double], Int)] =
+      SparkEntry.queries.map { case (name, fn) =>
         if (prime) {
           try fn(spark, sfDir).count()
           catch { case _: Throwable => () }
           sweep()
         }
-        name -> (1 to repeats).map { _ =>
+        def once(): Double = {
           val t0 = System.nanoTime()
           val sec =
             try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -128,6 +154,16 @@ object Bench {
           sweep()
           sec
         }
+        var rs = (1 to repeats).map(_ => once())
+        var extra = 0
+        while (extra < maxExtra && Bench.needsExtraRepeat(rs, outlierRatio)) {
+          rs :+= once()
+          extra += 1
+        }
+        name -> (rs, extra)
+      }
+    val runs: Map[String, Seq[Double]] = runsWithExtra.map {
+      case (k, (rs, _)) => k -> rs
     }
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0.0).sorted
@@ -148,10 +184,17 @@ object Bench {
     val runsJson = runs.map { case (k, v) =>
       "\"" + k + "\":[" + v.mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // per-query extra-repeat counts (only queries that earned any — the
+    // spike-evidence map stays empty on a quiet run)
+    val nExtraJson = runsWithExtra.collect {
+      case (k, (_, e)) if e > 0 => "\"" + k + "\":" + e
+    }.mkString("{", ",", "}")
+    val totalExtra = runsWithExtra.valuesIterator.map(_._2).sum
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""repeats":$repeats,"total_min":$totalMin,"total_max":$totalMax,""" +
-        s""""spread_bp":$spreadBp,"runs":$runsJson,"sf":"$sfDir"}"""
+        s""""spread_bp":$spreadBp,"n_extra":$nExtraJson,""" +
+        s""""runs":$runsJson,"sf":"$sfDir"}"""
     val sfNum = Bench.parseSf(sfDir)
     // Full-precision, full-name per-query map → a repo file (the ledger's
     // source of truth; survives any stdout truncation). Which file gets
@@ -224,7 +267,7 @@ object Bench {
     println(fullLine)
     // median + spread in the tail-surviving compact line (the driver keeps
     // only the last ~2000 chars of stdout — see the note above compactQs)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeats":$repeats,"spread_bp":$spreadBp,"queries_unit":"$compactUnit%s","queries":$compactQs,"sf":$sfNum}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeats":$repeats,"spread_bp":$spreadBp,"extra_runs":$totalExtra,"queries_unit":"$compactUnit%s","queries":$compactQs,"sf":$sfNum}""")
     spark.stop()
   }
 }

@@ -68,4 +68,24 @@ class BenchLedgerSpec extends AnyFunSuite {
     assert(Bench.ledgerFor("0.1", 1500L, 40.0, Some(52.79), force = false)
       ._1 == "BENCH_LOCAL.json")
   }
+
+  test("needsExtraRepeat: a >ratio spike earns extras; quiet bands, " +
+    "single runs, and all-failed runs do not") {
+    // quiet band: 10% variance at ratio 3 -> no extras
+    assert(!Bench.needsExtraRepeat(Seq(0.10, 0.11, 0.105), 3.0))
+    // the observed phase-spike shape (q23: 1.8 s vs 0.12 s quiet)
+    assert(Bench.needsExtraRepeat(Seq(0.12, 1.80, 0.13), 3.0))
+    // exactly at the ratio is NOT an outlier (strictly greater trips)
+    assert(!Bench.needsExtraRepeat(Seq(0.10, 0.30), 3.0))
+    assert(Bench.needsExtraRepeat(Seq(0.10, 0.301), 3.0))
+    // failures are excluded from the band, not treated as zeros
+    assert(!Bench.needsExtraRepeat(Seq(-1.0, 0.10, 0.11), 3.0))
+    assert(Bench.needsExtraRepeat(Seq(-1.0, 0.10, 0.50), 3.0))
+    // fewer than two successes -> no signal
+    assert(!Bench.needsExtraRepeat(Seq(0.10), 3.0))
+    assert(!Bench.needsExtraRepeat(Seq(-1.0, -1.0, 0.10), 3.0))
+    assert(!Bench.needsExtraRepeat(Nil, 3.0))
+    // a degenerate 0-second run makes any positive run an outlier
+    assert(Bench.needsExtraRepeat(Seq(0.0, 0.2), 3.0))
+  }
 }
