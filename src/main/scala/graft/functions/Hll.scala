@@ -98,4 +98,13 @@ object Hll {
   /** untyped Column form: `agg(Hll.sketch(col, p))` → register bytes */
   def sketch(col: Column, p: Int = 12): Column =
     udaf(new Hll(p), Encoders.STRING).apply(col)
+
+  /** [[estimate]] as a Column over register bytes. A Scala UDF is
+    * acceptable HERE only because it runs post-aggregation on
+    * group-cardinality-bounded rows (|groups| sketches), never on the
+    * scan path — the scan-side work is the codegen'd/udaf sketch agg.
+    */
+  def estimateCol(registers: Column): Column =
+    org.apache.spark.sql.functions
+      .udf((b: Array[Byte]) => estimate(b)).apply(registers)
 }

@@ -987,13 +987,30 @@ object CorpusQueries {
     */
   def q186_distinct_ngrams(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.documents(spark, sfDir)
-    def tier(n: Int): DataFrame = base
-      .select(col("lang"),
+    // The documented Hll escalation is a real code path (round 9): past
+    // graft.scale.distinct.escalateBytes (default NEVER — estimates
+    // change the emitted values ~1.6% rsd at p=12, so the approx trade
+    // is an explicit opt-in, like approx_count_distinct) the exact
+    // distinct swaps to Hll register sketches; the estimate runs on the
+    // |langs|-row post-agg frame. ScaleEscalationSpec pins the rsd band
+    // vs the exact tier via a synthetic 1-byte threshold.
+    def tier(n: Int): DataFrame = {
+      val grams = base.select(col("lang"),
         explode(WordNgrams.wordNgramsAll(col("text"), n)).as("g"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("total_grams"),
-        countDistinct(col("g")).as("uniq_grams"))
-      .withColumn("n", lit(n.toLong))
+      val agged =
+        if (graft.functions.Escalation.escalateDistinct(grams))
+          grams.groupBy(col("lang"))
+            .agg(count(lit(1)).as("total_grams"),
+              graft.functions.Hll.sketch(col("g")).as("__sk"))
+            .withColumn("uniq_grams",
+              graft.functions.Hll.estimateCol(col("__sk")))
+            .drop("__sk")
+        else
+          grams.groupBy(col("lang"))
+            .agg(count(lit(1)).as("total_grams"),
+              countDistinct(col("g")).as("uniq_grams"))
+      agged.withColumn("n", lit(n.toLong))
+    }
     tier(1).unionByName(tier(2)).unionByName(tier(3))
       .withColumn("distinct_bp", expr("uniq_grams * 10000L div total_grams"))
       .select(col("lang"), col("n"), col("total_grams"), col("uniq_grams"),
@@ -1073,8 +1090,18 @@ object CorpusQueries {
   def q211_vocab_growth(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val wRank = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-    val d = docs.select(col("lang"), col("doc_id"))
-      .withColumn("rn", row_number().over(wRank).cast("long"))
+    // The documented ScalableRank escalation is a real code path (round
+    // 9): past graft.scale.rank.escalateBytes the per-lang rank swaps to
+    // the bucketed two-phase form (max task ≈ idBucketWidth however
+    // skewed the langs are). EXACT either way — ScaleEscalationSpec pins
+    // branch equality over the fixtures via a synthetic 1-byte threshold.
+    val base = docs.select(col("lang"), col("doc_id"))
+    val d =
+      if (graft.functions.Escalation.escalateRank(base))
+        graft.functions.ScalableRank
+          .rowNumbers(base, Seq("lang"), "doc_id", "doc_id")
+          .select(col("lang"), col("doc_id"), col("rn"))
+      else base.withColumn("rn", row_number().over(wRank).cast("long"))
     // fresh exprIds per branch (flang/klang/glang) — d, firstSeen, and ks
     // all descend from `docs`, and Spark's ambiguous-self-join check
     // rejects reused attribute ids across join sides
