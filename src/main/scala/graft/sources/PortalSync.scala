@@ -63,26 +63,57 @@ object PortalSync {
       spark.read.parquet(cachePath).agg(max(col(watermarkCol))).head.get(0))
   }
 
+  /** Single-writer discipline (round 9): two concurrent refreshes on one
+    * cachePath could interleave [[Sources.replaceParquet]]'s staged swap
+    * (one writer's promote racing the other's park). A refresh therefore
+    * holds an exclusive lock file `<cachePath>.lock` for its duration —
+    * acquired with an atomic create-if-absent (atomic on HDFS and local
+    * filesystems; object stores without atomic create need an external
+    * coordinator, the standard caveat). A held lock fails the second
+    * refresh LOUDLY rather than queueing it: refreshes are idempotent
+    * cron work, and a blocked waiter would just re-do what the holder is
+    * finishing. A crash strands the lock; the error message names the
+    * path so an operator (or a wrapper checking mtime age) deletes it —
+    * deliberate over a TTL auto-steal, which can revive a split-brain
+    * writer that was merely slow.
+    */
+  private def withCacheLock[A](spark: SparkSession, cachePath: String)(
+      body: => A): A = {
+    val lock = new org.apache.hadoop.fs.Path(cachePath + ".lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val acquired =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!acquired) throw new IllegalStateException(
+      s"refresh of $cachePath is locked by $lock — another refresh is " +
+        "running; if none is (a crashed holder), delete the lock file " +
+        "and re-run")
+    try body finally fs.delete(lock, false)
+  }
+
   /** Generic refresh core: fetch-full on a cold cache, else fetch-delta
     * from the watermark and upsert. `fetchDelta` receives the rendered
     * `$where`-ready predicate `"<watermarkCol> >= <literal>"`.
     * Returns the refreshed cache frame (reading the parquet copy).
+    * Holds the [[withCacheLock]] single-writer lock for the duration.
     */
   def refresh(spark: SparkSession, cachePath: String, keys: Seq[String],
               watermarkCol: String, fetchFull: () => DataFrame,
               fetchDelta: String => DataFrame): DataFrame = {
     require(keys.nonEmpty, "refresh needs at least one key column")
-    cachedWatermark(spark, cachePath, watermarkCol) match {
-      case None =>
-        Sources.materialize(spark, fetchFull(), cachePath)
-      case Some(wm) =>
-        val base = spark.read.parquet(cachePath)
-        val delta =
-          fetchDelta(s"$watermarkCol >= ${renderLiteral(wm)}")
-        if (delta.isEmpty) base
-        else Sources.replaceParquet(spark,
-          Upsert(base, delta.select(base.columns.map(col).toSeq: _*),
-            keys, versionCol = Some(watermarkCol)), cachePath)
+    withCacheLock(spark, cachePath) {
+      cachedWatermark(spark, cachePath, watermarkCol) match {
+        case None =>
+          Sources.materialize(spark, fetchFull(), cachePath)
+        case Some(wm) =>
+          val base = spark.read.parquet(cachePath)
+          val delta =
+            fetchDelta(s"$watermarkCol >= ${renderLiteral(wm)}")
+          if (delta.isEmpty) base
+          else Sources.replaceParquet(spark,
+            Upsert(base, delta.select(base.columns.map(col).toSeq: _*),
+              keys, versionCol = Some(watermarkCol)), cachePath)
+      }
     }
   }
 

@@ -204,6 +204,20 @@ object SodaHttp {
     * duplicate/drop rows across pages (the same contract
     * [[GraftClient.fetchPages]] enforces locally).
     *
+    * SCHEMA-DRIFT POLICY (a portal adding/removing a column
+    * mid-pagination, or SODA's omit-null-fields serialization making a
+    * column page-local): FILL-NULL, not fail — pages union BY NAME with
+    * missing columns null-filled, so the assembled frame's schema is the
+    * UNION of all page schemas and a row is null exactly where its page
+    * carried no value (spec-pinned in SodaHttpSpec, both directions).
+    * A column whose inferred TYPE drifts across pages coerces under
+    * Spark's ANSI union rules: the string side casts to the typed side
+    * (bigint + string → bigint), losslessly for numeric-shaped strings,
+    * and RAISES at action time for values that cannot coerce — fail-loud,
+    * never a silent null (both spec-pinned). A caller expecting messy
+    * mixed-type columns should `$select` them cast server-side, or read
+    * with an explicit schema after assembly.
+    *
     * @param extraParams passed through on every page request (e.g.
     *                    `$where`, `$select`) — server-side SoQL
     */

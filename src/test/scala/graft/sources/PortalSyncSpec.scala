@@ -166,4 +166,36 @@ class PortalSyncSpec extends SparkSpec {
         s"delta $$where: $whereSeen")
     } finally server.stop(0)
   }
+
+  test("single-writer lock: a held lock fails a second refresh loudly " +
+    "and leaves the cache untouched; the lock is released on success " +
+    "AND when the fetch throws") {
+    val cache = tmp("psync-lock")
+    val lock = new java.io.File(cache + ".lock")
+    // a normal refresh acquires and releases the lock
+    assertSame(PortalSync.refresh(spark, cache, Seq("id"), "updated_at",
+      fetchFull = () => df(v1), fetchDelta = _ => df(v1)), df(v1))
+    assert(!lock.exists, "lock must not outlive a successful refresh")
+    // a held lock (concurrent refresh, or a crashed holder) fails LOUDLY,
+    // names the lock path, and leaves the cache bytes untouched
+    assert(lock.createNewFile())
+    val e = intercept[IllegalStateException] {
+      PortalSync.refresh(spark, cache, Seq("id"), "updated_at",
+        fetchFull = () => df(v2), fetchDelta = _ => df(v2))
+    }
+    assert(e.getMessage.contains(".lock"), e.getMessage)
+    assertSame(spark.read.parquet(cache), df(v1))
+    assert(lock.delete())
+    // the lock is released even when the fetch throws mid-refresh
+    intercept[RuntimeException] {
+      PortalSync.refresh(spark, cache, Seq("id"), "updated_at",
+        fetchFull = () => df(v1),
+        fetchDelta = _ => sys.error("portal down"))
+    }
+    assert(!lock.exists, "lock must be released on a failed refresh")
+    // and the path is fully usable again afterwards
+    assertSame(PortalSync.refresh(spark, cache, Seq("id"), "updated_at",
+      fetchFull = () => df(v2), fetchDelta = _ => df(v2)), df(v2))
+    assert(!lock.exists)
+  }
 }

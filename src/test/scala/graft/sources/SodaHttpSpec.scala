@@ -332,4 +332,69 @@ class SodaHttpSpec extends SparkSpec {
       }
     } finally server.stop(0)
   }
+
+  test("schema drift mid-pagination fills null by name, both directions " +
+    "(column added on a later page; column absent from a later page)") {
+    // page 1 (ids 1-2): no `extra`; page 2 (ids 3-4): carries `extra`
+    // but drops `note` — the portal-added-a-column case AND the
+    // SODA-omits-null-fields case in one fixture
+    val rows = IndexedSeq[(Long, String)](
+      1L -> """{"id":1,"note":"a"}""",
+      2L -> """{"id":2,"note":"b"}""",
+      3L -> """{"id":3,"extra":"x"}""",
+      4L -> """{"id":4,"extra":"y"}""")
+    val (base, server) = startServer(rows, "drifty")
+    try {
+      val got = SodaHttp.readResource(spark, base, "drifty",
+        order = "id", pageSize = 2)
+      // assembled schema = union of page schemas
+      assert(got.columns.sorted.toSeq == Seq("extra", "id", "note"))
+      val byId = got.collect()
+        .map(r => r.getAs[Long]("id") ->
+          (Option(r.getAs[String]("note")), Option(r.getAs[String]("extra"))))
+        .toMap
+      assert(byId == Map(
+        1L -> (Some("a"), None), 2L -> (Some("b"), None),
+        3L -> (None, Some("x")), 4L -> (None, Some("y"))),
+        s"fill-null by name violated: $byId")
+    } finally server.stop(0)
+  }
+
+  test("type drift across pages coerces under ANSI union rules: " +
+    "numeric-shaped strings cast losslessly to the typed side...") {
+    val rows = IndexedSeq[(Long, String)](
+      1L -> """{"id":1,"v":12}""",
+      2L -> """{"id":2,"v":13}""",
+      3L -> """{"id":3,"v":"14"}""",
+      4L -> """{"id":4,"v":"15"}""")
+    val (base, server) = startServer(rows, "typedrift")
+    try {
+      val got = SodaHttp.readResource(spark, base, "typedrift",
+        order = "id", pageSize = 2)
+      assert(got.schema("v").dataType ==
+        org.apache.spark.sql.types.LongType)
+      val byId = got.collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("v")).toMap
+      assert(byId == Map(1L -> 12L, 2L -> 13L, 3L -> 14L, 4L -> 15L))
+    } finally server.stop(0)
+  }
+
+  test("...and a value that cannot coerce RAISES at action time — " +
+    "fail-loud, never a silent null") {
+    val rows = IndexedSeq[(Long, String)](
+      1L -> """{"id":1,"v":12}""",
+      2L -> """{"id":2,"v":13}""",
+      3L -> """{"id":3,"v":"not a number"}""",
+      4L -> """{"id":4,"v":"also text"}""")
+    val (base, server) = startServer(rows, "typedrift2")
+    try {
+      val got = SodaHttp.readResource(spark, base, "typedrift2",
+        order = "id", pageSize = 2)
+      val e = intercept[Exception] { got.collect() }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.toString +: chain(t.getCause)
+      assert(chain(e).exists(s => s.contains("CAST_INVALID_INPUT") ||
+        s.contains("cannot be cast")), s"unexpected failure: ${chain(e)}")
+    } finally server.stop(0)
+  }
 }
