@@ -1398,4 +1398,83 @@ class StreamingSpec extends SparkSpec {
         s"seed=$seed survivors != batch: ${accepts -- rejects} vs $want")
     }
   }
+
+  test("q97 funnel END-TO-END: stage 1 -> IdempotentSink file hop -> " +
+    "file-source stage 2, with a mid-stream stage-2 crash-restart from " +
+    "checkpoint - survivors == batch CurationPipeline") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    def words(off: Int, drop: Seq[Int] = Nil,
+              extra: Seq[String] = Nil): String =
+      (((off until off + 20).filterNot(drop.contains).map(i => f"tok$i%03d"))
+        ++ extra).mkString(" ")
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ts(i: Int) = new Timestamp(base + i * 60000L)
+    val docs = Seq(
+      TsDoc(1L, ts(1), words(0)),                         // survivor
+      TsDoc(2L, ts(2), words(0)),                         // exact dup of 1
+      TsDoc(3L, ts(3), words(0, drop = Seq(19), extra = Seq("tok999"))),
+      TsDoc(4L, ts(4), words(100)),                       // survivor
+      TsDoc(5L, ts(5), "join join join !!!"),             // fails the gate
+      TsDoc(6L, ts(6), words(100, drop = Seq(119), extra = Seq("tok998"))),
+      TsDoc(7L, ts(7), words(200)),                       // survivor
+      TsDoc(8L, ts(8), words(100)),                       // exact dup of 4
+      TsDoc(9L, ts(9), words(0, drop = Seq(18, 19),       // near dup of the
+        extra = Seq("tok999", "tok997"))))                // REJECTED 3 only
+    val cfg = graft.operators.CurationPipeline.Config()
+    val want = graft.operators.CurationPipeline
+      .run(docs.toDF(), cfg, collectStats = false)
+      .curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(want == Set(1L, 4L, 7L), s"batch fixture drifted: $want")
+
+    val root = java.nio.file.Files.createTempDirectory("funnel-e2e")
+      .toString
+    val hop = s"$root/accepts"; val rej = s"$root/rejects"
+    val memDocs = MemoryStream[TsDoc]
+    // stage 1: quality gate + watermarked exact dedup -> exactly-once
+    // parquet hop (the production layout the in-memory twin test replays
+    // by hand)
+    val q1 = StreamTwins.funnelAccepts(memDocs.toDF())
+      .writeStream.option("checkpointLocation", s"$root/cp1")
+      .foreachBatch(IdempotentSink.parquetExactlyOnce(hop) _)
+      .outputMode(OutputMode.Append()).start()
+    // stage 2: a real file SOURCE over the hop directory (batch=N dirs;
+    // the _commits marker dir is underscore-hidden from the source) ->
+    // per-band-bucket LSH rejection -> its own exactly-once sink
+    def startStage2() = {
+      val accStream = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[TsDoc].schema)
+        .parquet(s"$hop/batch=*")
+      StreamTwins.funnelNearDupRejects(accStream,
+          maxBucket = cfg.maxBucket, minJaccard = cfg.nearDupJaccard,
+          k = cfg.minhashK, bands = cfg.minhashBands)
+        .writeStream.option("checkpointLocation", s"$root/cp2")
+        .foreachBatch(IdempotentSink.parquetExactlyOnce(rej) _)
+        .outputMode(OutputMode.Append()).start()
+    }
+    // chunk 1 flows end-to-end: accepts {1,3}, stage 2 rejects {3}
+    memDocs.addData(docs.take(3)); q1.processAllAvailable()
+    var q2 = startStage2()
+    q2.processAllAvailable()
+    q2.stop() // CRASH stage 2; stage 1 keeps ingesting meanwhile
+    memDocs.addData(docs.slice(3, 6)); q1.processAllAvailable()
+    memDocs.addData(docs.slice(6, 9)); q1.processAllAvailable()
+    // RESTART from the checkpoint: file-source offsets must skip the
+    // already-processed batch=0 files, and the restored per-bucket state
+    // must still hold already-loser doc 3 so doc 9 falls via it (the
+    // losers-keep-rejecting rule ACROSS the restart)
+    q2 = startStage2()
+    q2.processAllAvailable()
+    q2.stop(); q1.stop()
+    val accepts = IdempotentSink.committedRead(spark, hop)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rejects = IdempotentSink.committedRead(spark, rej)
+      .collect().map(_.getLong(0)).toSet
+    assert(accepts == Set(1L, 3L, 4L, 6L, 7L, 9L), s"accepts: $accepts")
+    assert(rejects == Set(3L, 6L, 9L),
+      s"rejects (9 requires doc 3's state to survive the restart): " +
+        s"$rejects")
+    assert(accepts -- rejects == want,
+      s"survivors != batch: ${accepts -- rejects} vs $want")
+  }
 }
