@@ -48,6 +48,16 @@ object Bench {
           "SPARK_GRAFT_BENCH_FORCE=1 to re-pin deliberately"))
     else ("BENCH_LOCAL.json", None)
 
+  /** The pinned ledger's total, parsed ANCHORED to the metric field —
+    * pure, spec'd (BenchLedgerSpec). A bare first-"value" regex silently
+    * disabled the slow-phase clobber guard under any field reordering
+    * (ADVICE r8); anchoring plus the caller's loud unparsed-ledger note
+    * keeps the guard's failure mode visible.
+    */
+  def parsePinnedTotal(ledgerLine: String): Option[Double] =
+    """"metric":"total","value":(-?[0-9.eE+]+)""".r
+      .findFirstMatchIn(ledgerLine).map(_.group(1).toDouble)
+
   /** Outlier policy for per-query timing — pure, spec'd (BenchLedgerSpec).
     * The bench host alternates fast/slow phases (BASELINE.md): a phase
     * spike that outlasts median-of-3 leaves a 6–18× per-query artifact a
@@ -212,8 +222,7 @@ object Bench {
           val parsed = try {
             val pinned = scala.io.Source.fromFile("BENCH_LOCAL.json")
             val line = try pinned.mkString finally pinned.close()
-            """"metric":"total","value":(-?[0-9.eE+]+)""".r
-              .findFirstMatchIn(line).map(_.group(1).toDouble)
+            Bench.parsePinnedTotal(line)
           } catch { case _: Throwable => None }
           if (parsed.isEmpty) System.err.println(
             "[bench] BENCH_LOCAL.json exists but its total did not parse " +

@@ -88,4 +88,20 @@ class BenchLedgerSpec extends AnyFunSuite {
     // a degenerate 0-second run makes any positive run an outlier
     assert(Bench.needsExtraRepeat(Seq(0.0, 0.2), 3.0))
   }
+
+  test("parsePinnedTotal anchors to the metric field: field reordering " +
+    "or a stray earlier value cannot silently feed the clobber guard") {
+    // the real ledger shape: total first
+    assert(Bench.parsePinnedTotal(
+      """{"metric":"total","value":51.8,"unit":"sec"}""").contains(51.8))
+    // a stray value BEFORE the anchored pair must not win
+    assert(Bench.parsePinnedTotal(
+      """{"queries":{"q1":0.1},"metric":"total","value":42.5}""")
+      .contains(42.5))
+    // drifted format (no anchored pair) -> None, never a wrong number
+    assert(Bench.parsePinnedTotal(
+      """{"value":9.9,"metric":"total"}""").isEmpty)
+    assert(Bench.parsePinnedTotal("not json at all").isEmpty)
+    assert(Bench.parsePinnedTotal("").isEmpty)
+  }
 }
