@@ -49,8 +49,13 @@ object Escalation {
     * lever.
     */
   def escalate(df: DataFrame, key: String, defaultBytes: Long): Boolean = {
-    val threshold = df.sparkSession.conf.getOption(key)
-      .map(_.toLong).getOrElse(defaultBytes)
+    val threshold = df.sparkSession.conf.getOption(key).map { v =>
+      try v.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"spark conf $key must be a byte count (long), got '$v'")
+      }
+    }.getOrElse(defaultBytes)
     planBytes(df) >= BigInt(threshold)
   }
 

@@ -81,9 +81,20 @@ object PortalSync {
       body: => A): A = {
     val lock = new org.apache.hadoop.fs.Path(cachePath + ".lock")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // only an already-exists failure means "lock held" — any other create
+    // failure (permissions, quota, dead filesystem) propagates as itself
+    // rather than masquerading as a concurrent refresh
     val acquired =
       try { fs.create(lock, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        // Hadoop's local ChecksumFileSystem predates the typed exception
+        // on some paths and raises a bare IOException naming the file
+        case e: java.io.IOException
+          if Option(e.getMessage).exists(_.toLowerCase.contains("exist")) =>
+          false
+      }
     if (!acquired) throw new IllegalStateException(
       s"refresh of $cachePath is locked by $lock — another refresh is " +
         "running; if none is (a crashed holder), delete the lock file " +

@@ -37,6 +37,14 @@ class ScaleEscalationSpec extends SparkSpec {
     }
     // distinct NEVER escalates unless conf'd (value-changing swap)
     assert(!Escalation.escalateDistinct(df))
+    // a malformed threshold fails with the conf key named, not a bare
+    // NumberFormatException from somewhere inside a query plan
+    val e = withConf(Escalation.RankEscalateBytesKey, "lots") {
+      intercept[IllegalArgumentException] {
+        Escalation.escalate(df, Escalation.RankEscalateBytesKey, 1L)
+      }
+    }
+    assert(e.getMessage.contains(Escalation.RankEscalateBytesKey))
   }
 
   test("q211: the ScalableRank branch emits EXACTLY the window branch's " +
