@@ -15,6 +15,15 @@ object BenchOne extends App {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false").getOrCreate()
   spark.sparkContext.setLogLevel("ERROR")
+  // SPARK_GRAFT_CONF="k=v;k2=v2" sets runtime confs before the query
+  // builds — the lever for timing the graft.scale.* escalation branches
+  // (ScaleEscalationSpec pins their EQUALITY; this measures their cost).
+  sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+    kv.split("=", 2) match {
+      case Array(k, v) if k.trim.nonEmpty => spark.conf.set(k.trim, v.trim)
+      case _ => sys.error(s"SPARK_GRAFT_CONF entry '$kv' is not k=v")
+    }
+  })
   val fn = SparkEntry.queries(name)
   fn(spark, warmDir).count() // warm (JIT; target-sf page cache only if warmDir == sfDir)
   // sweep the warm run's pinned final-round checkpoint blocks BEFORE the

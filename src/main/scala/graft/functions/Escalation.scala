@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Size-triggered scale escalations (round 9) — the documented
   * extreme-scale swaps made CODE PATHS instead of prose.
@@ -34,10 +34,28 @@ object Escalation {
   val RankEscalateBytesKey = "graft.scale.rank.escalateBytes"
   val DistinctEscalateBytesKey = "graft.scale.distinct.escalateBytes"
 
+  /** Above this, q151's triangle enumeration orients edges by DEGREE
+    * (Suri–Vassilvitskii) instead of id — wedge volume Σmin-deg² instead
+    * of Σdeg², the skew bound. EXACT either way (spec-pinned), so the
+    * flip is implicit like [[RankEscalateBytesKey]]. */
+  val TriangleEscalateBytesKey = "graft.scale.triangle.escalateBytes"
+
+  /** q145/q163's entity-resolution blocking-key width in suffix digits
+    * (default 3 — the fixture perturbation model's full stable suffix).
+    * Output is width-invariant wherever the key stays blocking-valid
+    * (spec-pinned at widths 1..3); production data widens past 3 by
+    * choosing keys from ITS stable fields. */
+  val FuzzyBlockWidthKey = "graft.scale.fuzzy.blockWidth"
+
   /** 64 GiB: past this a single group's sort no longer belongs in one
     * window task. Deliberately conservative — ScalableRank is exact, so
     * a premature flip costs only an extra bounded shuffle. */
   val RankDefaultBytes: Long = 64L << 30
+
+  /** 64 GiB: past this the degree agg + two edge joins the degree
+    * orientation costs are cheap insurance against wedge skew. Exact
+    * either way, so conservative is safe here too. */
+  val TriangleDefaultBytes: Long = 64L << 30
 
   /** Plan-estimated size of `df` in bytes — metadata only, no action. */
   def planBytes(df: DataFrame): BigInt =
@@ -64,4 +82,29 @@ object Escalation {
 
   def escalateDistinct(df: DataFrame): Boolean =
     escalate(df, DistinctEscalateBytesKey, Long.MaxValue)
+
+  def escalateTriangles(df: DataFrame): Boolean =
+    escalate(df, TriangleEscalateBytesKey, TriangleDefaultBytes)
+
+  /** A validated numeric knob from Spark conf — the same named-key
+    * failure discipline as [[escalate]]'s threshold parse: a malformed
+    * value fails with the conf key in the message, never a bare
+    * NumberFormatException from inside a query plan. */
+  def confDouble(spark: SparkSession, key: String, default: Double): Double =
+    spark.conf.getOption(key).map { v =>
+      try v.trim.toDouble
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"spark conf $key must be numeric, got '$v'")
+      }
+    }.getOrElse(default)
+
+  def confInt(spark: SparkSession, key: String, default: Int): Int =
+    spark.conf.getOption(key).map { v =>
+      try v.trim.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"spark conf $key must be an integer, got '$v'")
+      }
+    }.getOrElse(default)
 }

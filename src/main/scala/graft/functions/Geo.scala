@@ -16,6 +16,31 @@ object Geo {
 
   val EarthRadiusM: Double = 6371000.0
 
+  /** Spark-conf knob for the proximity-join grid cell size in degrees
+    * (default 0.1°). The sf1 ledger's documented guidance — "finer grid
+    * at higher density" — as a code path: a finer grid shrinks cell
+    * occupancy (fewer candidates per bucket) while [[ringFor]] widens
+    * the neighbor ring so the radius stays provably covered; output is
+    * knob-invariant (pinned in ScaleEscalationSpec).
+    */
+  val CellDegKey = "graft.scale.geo.cellDeg"
+
+  /** Meters per degree of latitude at the equator — the WGS84 minimum,
+    * so a ring sized with it always covers the radius in latitude. */
+  val MinMetersPerDegLat: Double = 110574.0
+
+  /** Neighbor-ring radius (in cells) that covers `radiusM` at cell size
+    * `cellDeg`: any two points within `radiusM` differ by at most this
+    * many lat cells (ceil of the conservative degree radius), so the
+    * (2·ring+1)² neighborhood provably covers latitude; longitude keeps
+    * the existing low-latitude contract (ring·cellDeg degrees of lon
+    * must span `radiusM` at the data's latitudes). At the default
+    * cellDeg=0.1 and the fixture radii (8–10 km) this is 1 — the
+    * original 3×3 neighborhood, unchanged.
+    */
+  def ringFor(radiusM: Double, cellDeg: Double): Int =
+    math.max(1, math.ceil(radiusM / (cellDeg * MinMetersPerDegLat)).toInt)
+
   /** build a location struct from lat/lon columns */
   def location(lat: Column, lon: Column): Column =
     struct(lat.cast("double").as("lat"), lon.cast("double").as("lon"))
@@ -93,14 +118,27 @@ object Geo {
     * lon=±180 still meets); latitude does not wrap — radius semantics
     * within ~1 cell of the poles need a dedicated polar cap cell.
     */
-  def neighborCells(loc: Column, cellDeg: Double): Column = {
+  def neighborCells(loc: Column, cellDeg: Double): Column =
+    neighborCells(loc, cellDeg, 1)
+
+  /** The (2·ring+1)×(2·ring+1) cell neighborhood — the generalized form
+    * for grids finer than the radius ([[ringFor]] picks the covering
+    * ring). The ids stay pairwise distinct (the no-dedup join property)
+    * as long as the neighborhood is narrower than the longitude ring,
+    * which the require below enforces.
+    */
+  def neighborCells(loc: Column, cellDeg: Double, ring: Int): Column = {
     require(cellDeg >= 0.005, s"cellDeg=$cellDeg under the id-stride floor")
-    val ring = lonRing(cellDeg)
+    require(ring >= 1, s"ring=$ring must be >= 1")
+    val lonCells = lonRing(cellDeg)
+    require(2L * ring + 1 <= lonCells,
+      s"ring=$ring wraps the whole longitude ring ($lonCells cells) — " +
+        "neighbor ids would collide and pairs would double-count")
     val la = latCell(loc, cellDeg)
     val lo = lonCell(loc, cellDeg)
-    val ids = for (i <- -1 to 1; j <- -1 to 1)
+    val ids = for (i <- -ring to ring; j <- -ring to ring)
       yield (la + lit(i.toLong)) * lit(CellStride) +
-        pmod(lo + lit(j.toLong), lit(ring))
+        pmod(lo + lit(j.toLong), lit(lonCells))
     array(ids: _*)
   }
 }

@@ -205,13 +205,26 @@ object JoinQueries {
     * `levenshtein ≤ 1` residual, best match per dirty row by (distance,
     * id). The blocking key caps comparisons at n²/1000 instead of n² —
     * the standard ER blocking bound; at larger corpora the key widens
-    * (more suffix digits ⇒ finer blocks), the shape is unchanged. Real
+    * (more suffix digits ⇒ finer blocks), the shape is unchanged. The
+    * width is a real knob (`graft.scale.fuzzy.blockWidth`, default 3):
+    * output is width-invariant wherever the key stays blocking-valid —
+    * ScaleEscalationSpec pins widths 1..3 emit identical rows (a coarser
+    * key is a strict candidate superset and the levenshtein residual is
+    * exact). 3 is the fixture perturbation model's FULL stable suffix
+    * (positions 1–6 may be edited), so the knob caps there; production
+    * data widens past 3 by choosing keys from ITS stable fields. Real
     * collisions occur (dist-0 matches to a DIFFERENT customer whose name
     * IS the dirty string — 2267 of 15000 at sf0.1), so the tie-break
     * discipline is genuinely exercised. Emit (dirty_id, match_id, dist);
     * order by dirty_id.
     */
   def q145_fuzzy_match(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Escalation
+    val bw = Escalation.confInt(spark, Escalation.FuzzyBlockWidthKey, 3)
+    require(bw >= 1 && bw <= 3,
+      s"${Escalation.FuzzyBlockWidthKey}=$bw outside [1,3] — the fixture " +
+        "perturbation edits suffix positions 1-6, so only the last 3 " +
+        "digits are blocking-valid; wider keys would drop true matches")
     val c = Tables.customer(spark, sfDir)
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
     val hash = md5(col("id").cast("string"))
@@ -226,8 +239,8 @@ object JoinQueries {
         expr("cast((cast(substring(sfx, int(p) + 1, 1) as bigint)" +
           " + 1 + off) % 10 as string)"),
         expr("substring(sfx, int(p) + 2)")).as("dname"),
-      expr("substring(sfx, 7, 3)").as("blk"))
-    val clean = c.withColumn("blk", expr("substring(name, 16, 3)"))
+      expr(s"substring(sfx, ${10 - bw}, $bw)").as("blk"))
+    val clean = c.withColumn("blk", expr(s"substring(name, ${19 - bw}, $bw)"))
     val w = Window.partitionBy(col("dirty_id"))
       .orderBy(col("dist"), col("id"))
     dirty.join(clean, Seq("blk"))

@@ -156,12 +156,19 @@ object ScalarQueries {
     * Requires cellDeg·111 km ≥ radiusM at the data's latitudes (q139's
     * provable-coverage rule). */
   private def geoPairs(pts: DataFrame, radiusM: Long): DataFrame = {
-    import graft.functions.Geo
-    val cellDeg = 0.1
+    import graft.functions.{Escalation, Geo}
+    // The cell size is the documented density knob (sf1 ledger row): a
+    // denser corpus sets graft.scale.geo.cellDeg finer, ringFor widens
+    // the neighbor ring so the radius stays covered, and the output is
+    // knob-invariant (ScaleEscalationSpec pins q139 across grids). The
+    // default reproduces the original 3×3 plan bit-for-bit.
+    val cellDeg = Escalation.confDouble(
+      pts.sparkSession, Geo.CellDegKey, 0.1)
+    val ring = Geo.ringFor(radiusM.toDouble, cellDeg)
     val a = pts.select(col("id").as("id_a"), col("loc").as("loc_a"),
       Geo.cellId(col("loc"), cellDeg).as("cell"))
     val b = pts.select(col("id").as("id_b"), col("loc").as("loc_b"),
-      explode(Geo.neighborCells(col("loc"), cellDeg)).as("cell"))
+      explode(Geo.neighborCells(col("loc"), cellDeg, ring)).as("cell"))
     a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist_m",
@@ -189,8 +196,9 @@ object ScalarQueries {
     * Wedge volume is Σdeg², bounded here by grid-cell occupancy; on
     * skewed graphs the production refinement orders edges by DEGREE
     * instead of id (Suri–Vassilvitskii's MapReduce triangle trick —
-    * public literature), which this shape accepts by swapping the
-    * orientation comparator. The vertex set is a grid-WALK layout
+    * public literature) — a real escalation branch below, flipped by
+    * [[graft.functions.Escalation.escalateTriangles]] and exact either
+    * way. The vertex set is a grid-WALK layout
     * (q139's diagonal lattice is triangle-free below coincidence scale —
     * a vacuous gate; the % 10 subset keeps fixture density bounded so
     * the triangle count stays graph-sized, not clique-combinatorial).
@@ -207,19 +215,31 @@ object ScalarQueries {
           .as("loc"))
     val e = geoPairs(pts, 8000L).select(col("id_a").as("a"),
       col("id_b").as("b"))
-    // renamed projections per join role — self-join references to shared
-    // attribute ids otherwise depend on Spark's ambiguity resolution
-    val e2 = e.select(col("a").as("m"), col("b").as("c"))
-    val e3 = e.select(col("a").as("x3"), col("b").as("z3"))
-    val tri = e
-      .join(e2, col("b") === col("m"))
-      .join(e3, col("a") === col("x3") && col("c") === col("z3"))
-      .select(col("a").as("x"), col("b").as("y"), col("c").as("z"))
-    tri.select(col("x").as("id"))
-      .unionByName(tri.select(col("y").as("id")))
-      .unionByName(tri.select(col("z").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
-      .orderBy(col("id"))
+    // The documented skew swap is a real code path (round 9): past
+    // graft.scale.triangle.escalateBytes the enumeration routes through
+    // [[Triangles.perVertexDegreeOrdered]] — wedges owned by the
+    // (deg, id)-smallest vertex, O(m^{3/2}) total, the hub-skew killer
+    // its spec measures (19900 → ≤500 wedges on a 200-spoke hub). EXACT
+    // either way (each triangle enumerated once under any strict total
+    // order), so the flip is implicit; ScaleEscalationSpec pins branch
+    // equality via a synthetic 1-byte threshold.
+    if (graft.functions.Escalation.escalateTriangles(pts)) {
+      Triangles.perVertexDegreeOrdered(e).orderBy(col("id"))
+    } else {
+      // renamed projections per join role — self-join references to shared
+      // attribute ids otherwise depend on Spark's ambiguity resolution
+      val e2 = e.select(col("a").as("m"), col("b").as("c"))
+      val e3 = e.select(col("a").as("x3"), col("b").as("z3"))
+      val tri = e
+        .join(e2, col("b") === col("m"))
+        .join(e3, col("a") === col("x3") && col("c") === col("z3"))
+        .select(col("a").as("x"), col("b").as("y"), col("c").as("z"))
+      tri.select(col("x").as("id"))
+        .unionByName(tri.select(col("y").as("id")))
+        .unionByName(tri.select(col("z").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+        .orderBy(col("id"))
+    }
   }
 
   /** PageRank on the proximity graph (q157): 5 damped rounds of

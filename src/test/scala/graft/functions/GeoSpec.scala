@@ -128,6 +128,54 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("ringFor covers the radius; defaults reproduce the 3x3 ring") {
+    // the fixture radii at the default grid stay ring 1 (the original
+    // 3x3 plan, bit-for-bit)
+    assert(Geo.ringFor(10000.0, 0.1) == 1)
+    assert(Geo.ringFor(8000.0, 0.1) == 1)
+    // finer grids widen the ring: ceil(radius / (cellDeg * 110574 m))
+    assert(Geo.ringFor(10000.0, 0.05) == 2)
+    assert(Geo.ringFor(10000.0, 0.025) == 4)
+    assert(Geo.ringFor(8000.0, 0.025) == 3)
+    // never below 1, even when the cell dwarfs the radius
+    assert(Geo.ringFor(100.0, 1.0) == 1)
+  }
+
+  test("a finer grid with the covering ring misses no pair (ring 2)") {
+    // same property as the 3x3 test, on a grid HALF the radius: cellDeg
+    // 0.05 < 10 km, so ring 1 would miss pairs — ringFor's ring 2 must
+    // cover, each pair in exactly one bucket
+    val pts = (1 to 400).map { i =>
+      (i.toLong, 20.0 + (i * 37 % 100) / 100.0, -157.0 + (i * 73 % 100) / 100.0)
+    }.toDF("id", "lat", "lon").withColumn("loc", Geo.location(col("lat"), col("lon")))
+    val naive = pts.as("a").join(pts.as("b"),
+        col("a.id") < col("b.id") &&
+          Geo.distanceInMeters(col("a.loc"), col("b.loc")) <= 10000.0)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    val ring = Geo.ringFor(10000.0, 0.05)
+    val a = pts.select(col("id").as("id_a"), col("loc").as("loc_a"),
+      Geo.cellId(col("loc"), 0.05).as("cell"))
+    val b = pts.select(col("id").as("id_b"), col("loc").as("loc_b"),
+      explode(Geo.neighborCells(col("loc"), 0.05, ring)).as("cell"))
+    val celled = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b") &&
+        Geo.distanceInMeters(col("loc_a"), col("loc_b")) <= 10000.0)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
+    assert(celled.toSet == naive)
+    assert(celled.length == celled.toSet.size, "pair matched in >1 bucket")
+  }
+
+  test("a ring wrapping the whole longitude circle is rejected") {
+    val e = intercept[IllegalArgumentException] {
+      // cellDeg 90 -> 4 lon cells; ring 2 spans 5 > 4 -> ids collide
+      Geo.neighborCells(col("loc"), 90.0, 2)
+    }
+    assert(e.getMessage.contains("longitude ring"))
+    intercept[IllegalArgumentException] {
+      Geo.neighborCells(col("loc"), 0.1, 0)
+    }
+  }
+
   test("the 9 neighbor cell ids are distinct and include the own cell") {
     val one = Seq((21.3069, -157.8583)).toDF("lat", "lon")
       .withColumn("loc", Geo.location(col("lat"), col("lon")))

@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.SparkSpec
-import graft.operators.CorpusQueries
+import graft.operators.{CorpusQueries, JoinQueries, MiningQueries, ScalarQueries}
 
 /** The documented extreme-scale swaps (SCALE.md) as FORCED code paths:
   * a synthetic 1-byte threshold drives the escalated branch over the
@@ -61,6 +61,88 @@ class ScaleEscalationSpec extends SparkSpec {
       assert(esc.queryExecution.executedPlan.toString.contains("__ib"),
         "escalated branch must rank through the id-range sub-buckets")
     }
+  }
+
+  test("confDouble/confInt: defaults, overrides, and named-key failures") {
+    assert(Escalation.confDouble(spark, Geo.CellDegKey, 0.1) == 0.1)
+    withConf(Geo.CellDegKey, "0.025") {
+      assert(Escalation.confDouble(spark, Geo.CellDegKey, 0.1) == 0.025)
+    }
+    val eD = withConf(Geo.CellDegKey, "fine") {
+      intercept[IllegalArgumentException] {
+        Escalation.confDouble(spark, Geo.CellDegKey, 0.1)
+      }
+    }
+    assert(eD.getMessage.contains(Geo.CellDegKey))
+    assert(Escalation.confInt(spark, Escalation.FuzzyBlockWidthKey, 3) == 3)
+    val eI = withConf(Escalation.FuzzyBlockWidthKey, "wide") {
+      intercept[IllegalArgumentException] {
+        Escalation.confInt(spark, Escalation.FuzzyBlockWidthKey, 3)
+      }
+    }
+    assert(eI.getMessage.contains(Escalation.FuzzyBlockWidthKey))
+  }
+
+  test("q139: a finer geo grid emits EXACTLY the default grid's rows " +
+    "(the sf1 density knob is output-invariant)") {
+    val dflt = ScalarQueries.q139_geo_cell_join(spark, fixtureDir)
+    val dfltRows = dflt.collect().map(_.toSeq).toSeq
+    assert(!dflt.queryExecution.executedPlan.toString.contains("0.025"),
+      "default branch must stay on the 0.1-degree grid")
+    withConf(Geo.CellDegKey, "0.025") {
+      val fine = ScalarQueries.q139_geo_cell_join(spark, fixtureDir)
+      assert(fine.queryExecution.executedPlan.toString.contains("0.025"),
+        "the knob must reach the cell quantization")
+      assert(fine.collect().map(_.toSeq).toSeq == dfltRows,
+        "finer grid + covering ring must be exact (same rows, same order)")
+    }
+  }
+
+  test("q151: the degree-oriented branch emits EXACTLY the id-oriented " +
+    "branch's triangle counts") {
+    val dflt = ScalarQueries.q151_triangle_count(spark, fixtureDir)
+    val dfltRows = dflt.collect().map(_.toSeq).toSeq
+    // the degree-ordered operator's wedge-rank attributes (dx/dy) are the
+    // branch fingerprint that survives projection collapse
+    assert(!dflt.queryExecution.executedPlan.toString.contains("dx#"),
+      "default branch must stay id-oriented (no degree attach)")
+    withConf(Escalation.TriangleEscalateBytesKey, "1") {
+      val esc = ScalarQueries.q151_triangle_count(spark, fixtureDir)
+      assert(esc.queryExecution.executedPlan.toString.contains("dx#"),
+        "escalated branch must route through the degree-ordered operator")
+      assert(esc.collect().map(_.toSeq).toSeq == dfltRows,
+        "degree orientation must be exact (same rows, same order)")
+    }
+  }
+
+  test("q145/q163: narrower blocking widths emit EXACTLY the default " +
+    "width's rows (output is knob-invariant while the key is valid)") {
+    val dflt = JoinQueries.q145_fuzzy_match(spark, fixtureDir)
+    val dfltRows = dflt.collect().map(_.toSeq).toSeq
+    val ccDflt = MiningQueries.q163_entity_clusters(spark, fixtureDir)
+      .collect().map(_.toSeq).toSeq
+    for (w <- Seq("1", "2")) withConf(Escalation.FuzzyBlockWidthKey, w) {
+      val narrow = JoinQueries.q145_fuzzy_match(spark, fixtureDir)
+      assert(narrow.queryExecution.executedPlan.toString
+          .contains(s"${10 - w.toInt}, $w)"),
+        s"width $w must reach the dirty-side blocking key")
+      assert(narrow.collect().map(_.toSeq).toSeq == dfltRows,
+        s"width $w: coarser blocks are a candidate superset; the exact " +
+          "residual must keep the output identical")
+    }
+    withConf(Escalation.FuzzyBlockWidthKey, "1") {
+      assert(MiningQueries.q163_entity_clusters(spark, fixtureDir)
+          .collect().map(_.toSeq).toSeq == ccDflt,
+        "the ER clustering downstream of the knob must be invariant too")
+    }
+    // widths past the perturbation model's stable suffix are rejected
+    // with the knob named, not silently wrong
+    val e = withConf(Escalation.FuzzyBlockWidthKey, "4") {
+      intercept[IllegalArgumentException] {
+        JoinQueries.q145_fuzzy_match(spark, fixtureDir)
+      }
+    }
+    assert(e.getMessage.contains(Escalation.FuzzyBlockWidthKey))
   }
 
   test("q186: the Hll branch matches the exact tier's total_grams " +
