@@ -79,6 +79,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Split scans at 8 MiB, not the 128 MiB default: the fixtures are
+      // single ~1-115 MiB parquet files, so default sizing reads a whole
+      // table in ONE task at sf1 (113 MiB lineitem) however many cores
+      // the host has — the documented maxPartitionBytes-vs-fixture knob.
+      // ≤ sf0.1 the files are single-row-group ≤12 MiB, so pinned sf0.1
+      // ledgers are unaffected (splits without a row-group midpoint read
+      // nothing).
+      .config("spark.sql.files.maxPartitionBytes", s"${8L * 1024 * 1024}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

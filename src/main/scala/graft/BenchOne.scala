@@ -13,6 +13,9 @@ object BenchOne extends App {
   val spark = SparkSession.builder().master(s"local[$cpus]")
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.session.timeZone", "UTC")
+    // mirror Bench's scan-split sizing (see Bench.scala) so single-query
+    // timings are comparable to ledger rows
+    .config("spark.sql.files.maxPartitionBytes", s"${8L * 1024 * 1024}")
     .config("spark.ui.enabled", "false").getOrCreate()
   spark.sparkContext.setLogLevel("ERROR")
   // SPARK_GRAFT_CONF="k=v;k2=v2" sets runtime confs before the query

@@ -74,7 +74,17 @@ object GenScale {
         .filter(_.dataType == org.apache.spark.sql.types.TimestampType)
         .foldLeft(df)((d, f) =>
           d.withColumn(f.name, col(f.name).cast("timestamp_ntz")))
-      naive.coalesce(1).write.mode("overwrite").parquet(staging)
+      // Bounded row groups (8 MiB vs the 128 MiB default): coalesce(1)
+      // otherwise lands e.g. sf1's 6M-row lineitem in ONE row group, and
+      // a one-row-group file is ONE scan task at any maxPartitionBytes —
+      // every scan-bound sf1 number then measures single-thread I/O, not
+      // the plan (the BASELINE q20 17× artifact). Small groups keep the
+      // one-file DuckDB contract while letting split-sized readers
+      // parallelize; the driver's own fixtures are ≤12 MiB so their
+      // single group never bit.
+      naive.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", 8L * 1024 * 1024)
+        .parquet(staging)
       val part = new java.io.File(staging).listFiles()
         .find(f => f.getName.startsWith("part-") &&
           f.getName.endsWith(".parquet"))
