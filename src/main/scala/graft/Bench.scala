@@ -22,14 +22,19 @@ object Bench {
     *     fixture dir "testdata-sf1" would dodge the ignore pattern);
     *  2. stalled machine (r2 c78ef12, r7): spread_bp > 3000 (min→max band
     *     over 30% of the median total) → BENCH_LOCAL_noisy.json;
-    *  3. slow host phase (r8): the host alternates fast/slow phases
-    *     (identical code measured 52.8 s then 70–78 s minutes apart) and
-    *     a slow phase can be UNIFORMLY slow — quieter spread, worse
-    *     total — so spread alone cannot arbitrate. total > 1.15× the
-    *     pinned total → BENCH_LOCAL_noisy.json, unless `force`
-    *     (SPARK_GRAFT_BENCH_FORCE=1: a code change that genuinely slows
-    *     the suite needs a deliberate re-pin; force does not bypass the
-    *     sf or spread gates).
+    *  3. slow host phase (r8, tightened at the r9 close-out): the host
+    *     alternates fast/slow phases (identical code measured 52.8 s
+    *     then 70–78 s minutes apart) and a slow phase can be UNIFORMLY
+    *     slow — quieter spread, worse total — so spread alone cannot
+    *     arbitrate. ANY total worse than the pinned one →
+    *     BENCH_LOCAL_noisy.json, unless `force`. The original >1.15×
+    *     tolerance let CONSECUTIVE slow-phase runs ratchet the pin up
+    *     15% at a time (observed: 52.3 → 59.2 → 62.5 on identical
+    *     sf0.1 plans, both runs uniformly ×1.18 incl. scan-free
+    *     queries); a worse-but-quiet run adds no information over the
+    *     existing pin, and a code change that genuinely slows the suite
+    *     is exactly what SPARK_GRAFT_BENCH_FORCE=1 is for (force does
+    *     not bypass the sf or spread gates).
     *
     * Returns (fileName, optional stderr note).
     */
@@ -41,9 +46,9 @@ object Bench {
       ("BENCH_LOCAL_noisy.json", Some(
         s"spread_bp=$spreadBp > 3000: noisy run diverted to " +
           "BENCH_LOCAL_noisy.json; pinned ledger left untouched"))
-    else if (!force && pinnedTotal.exists(v => total > v * 1.15))
+    else if (!force && pinnedTotal.exists(v => total > v))
       ("BENCH_LOCAL_noisy.json", Some(
-        s"run total=$total is >15% over the pinned ledger's (slow host " +
+        s"run total=$total is over the pinned ledger's (slow host " +
           "phase): diverted to BENCH_LOCAL_noisy.json; set " +
           "SPARK_GRAFT_BENCH_FORCE=1 to re-pin deliberately"))
     else ("BENCH_LOCAL.json", None)

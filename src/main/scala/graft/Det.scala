@@ -7,6 +7,18 @@ import org.apache.spark.sql.functions._
   * total order and round every double to a fixed scale so that the DuckDB
   * oracle hash-matches across engines (sums of doubles differ in final ulps
   * depending on accumulation order — rounding absorbs that).
+  *
+  * CAVEAT (round-9 close-out): rounding absorbs order-dependent ulps only
+  * while the true sum sits AWAY from a rounding boundary. When an
+  * order-perturbed double sum lands within an ulp of a half-cent, `r2`
+  * flips the last cent between engines — observed once at sf1 on q11 when
+  * the scan-split change reordered partial sums. The robust discipline for
+  * MONEY sums over exact-2-dp inputs is decimal accumulation (cast inputs
+  * to decimal, sum exactly, cast the exact sum to double, then round) —
+  * order-independent by construction; q11 is the template. Double sums +
+  * rounding remain acceptable for ratio/log-scale outputs where the
+  * nearest boundary is not semantically meaningful, but any remaining
+  * r2-on-double-sum site is a latent boundary flip at a large enough sf.
   */
 object Det {
   /** money-scale rounding (2 dp) */

@@ -31,6 +31,16 @@ object JoinQueries {
 
   /** TPC-H Q5 shape: revenue by nation for ASIA customers whose supplier is
     * in the same nation. Facts join facts on keys; all four dims broadcast.
+    *
+    * Revenue accumulates in DECIMAL, not double (round-9 close-out): a
+    * double sum's final ulps depend on accumulation order, and `round(_,2)`
+    * only absorbs that while the true sum sits away from a half-cent
+    * boundary — at sf1 the scan-split change moved one nation's sum across
+    * such a boundary and flipped the last cent vs the oracle. The inputs
+    * are exact 2-dp money (fixture-verified), so casting them to
+    * decimal(12,2) is lossless and the decimal sum is exact and
+    * order-independent; the final cast to double rounds the same exact
+    * value on both engines. The oracle mirrors every cast.
     */
   def q11_join_multiway(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
@@ -46,8 +56,9 @@ object JoinQueries {
       .join(broadcast(Tables.region(spark, sfDir)),
         col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
       .groupBy(col("n_name"))
-      .agg(Det.r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-        .as("revenue"))
+      .agg(Det.r2(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(12,2)")))
+        .cast("double")).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
   def q12_join_left_outer(spark: SparkSession, sfDir: String): DataFrame =
@@ -295,7 +306,10 @@ object JoinQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey LIMIT 1000""".stripMargin,
     "q11_join_multiway" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      """SELECT n_name,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |    AS DOUBLE), 2) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

@@ -37,16 +37,21 @@ class BenchLedgerSpec extends AnyFunSuite {
       ._1 == "BENCH_LOCAL.json")
   }
 
-  test("a slow-phase run (>15% over the pinned total) is diverted even " +
-    "when its spread is quiet") {
+  test("any run worse than the pinned total is diverted even when its " +
+    "spread is quiet (no slow-phase ratchet)") {
     // the r8 clobber: 71.4 s / 2541 bp replaced a 52.8 s / 2668 bp pin
     // because spread alone arbitrated
     val (file, note) =
       Bench.ledgerFor("0.1", 2541L, 71.35, Some(52.79), force = false)
     assert(file == "BENCH_LOCAL_noisy.json")
     assert(note.exists(_.contains("slow host phase")))
-    // within the 15% band → pins
+    // the r9 ratchet: a worse-but-within-15% run used to REPLACE the pin,
+    // so consecutive slow-phase runs walked it 52.3 → 59.2 → 62.5 on
+    // identical plans; any worse total now diverts
     assert(Bench.ledgerFor("0.1", 2541L, 60.0, Some(52.79), force = false)
+      ._1 == "BENCH_LOCAL_noisy.json")
+    // equal-or-better still pins
+    assert(Bench.ledgerFor("0.1", 2541L, 52.79, Some(52.79), force = false)
       ._1 == "BENCH_LOCAL.json")
     // no pinned ledger yet → first run always pins
     assert(Bench.ledgerFor("0.1", 2541L, 71.35, None, force = false)
