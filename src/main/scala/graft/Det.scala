@@ -8,21 +8,52 @@ import org.apache.spark.sql.functions._
   * oracle hash-matches across engines (sums of doubles differ in final ulps
   * depending on accumulation order — rounding absorbs that).
   *
-  * CAVEAT (round-9 close-out): rounding absorbs order-dependent ulps only
-  * while the true sum sits AWAY from a rounding boundary. When an
-  * order-perturbed double sum lands within an ulp of a half-cent, `r2`
-  * flips the last cent between engines — observed once at sf1 on q11 when
-  * the scan-split change reordered partial sums. The robust discipline for
-  * MONEY sums over exact-2-dp inputs is decimal accumulation (cast inputs
-  * to decimal, sum exactly, cast the exact sum to double, then round) —
-  * order-independent by construction; q11 is the template. Double sums +
-  * rounding remain acceptable for ratio/log-scale outputs where the
-  * nearest boundary is not semantically meaningful, but any remaining
-  * r2-on-double-sum site is a latent boundary flip at a large enough sf.
+  * THE MONEY-SUM RULE (round-9 close-out, swept repo-wide in round 10):
+  * rounding absorbs order-dependent ulps only while the true sum sits AWAY
+  * from a rounding boundary. When an order-perturbed double sum lands
+  * within an ulp of a half-cent, `r2` flips the last cent between engines —
+  * observed at sf1 on q11 when the scan-split change reordered partial
+  * sums. Therefore every `r2(sum(...))` over a money-scale column MUST
+  * accumulate in decimal ([[sumMoney]]/[[sumMoneyOver]], oracle mirror
+  * [[sumMoneySql]]): the inputs are exact 2-dp (FIXTURES.md pins every
+  * money column), so the decimal cast is lossless, the decimal sum is
+  * exact and order-independent, and the single cast of the exact total
+  * back to double rounds the same rational on both engines. The ONLY
+  * double sums allowed under `r2` are integral-valued columns
+  * (l_quantity ∈ {1..50}): every partial sum is an exact integer far
+  * below 2^53 (100 TB ≈ 6e11 rows × 50 < 2^45), so the double sum is
+  * already exact at any accumulation order — each such site says so in
+  * its scaladoc. Money AVERAGES divide the exact decimal numerator (cast
+  * to double — one exact value on both engines) by the group count in ONE
+  * double division, so no accumulation order survives into the quotient.
+  * Double sums + rounding remain acceptable for ratio/log-scale outputs
+  * (r4/r6 sites) where the nearest boundary is not semantically
+  * meaningful.
   */
 object Det {
   /** money-scale rounding (2 dp) */
   def r2(c: Column): Column = round(c, 2)
+
+  /** Exact money sum (the money-sum rule above): lossless decimal(12,2)
+    * cast of an exact-2-dp input, exact order-independent decimal
+    * accumulation (Spark widens the sum to decimal(22,2) — no overflow
+    * below 10^20 cents ≈ 10^6 × the 100 TB corpus total), one cast of the
+    * exact total back to double. Wrap in [[r2]]; mirror with
+    * [[sumMoneySql]].
+    */
+  def sumMoney(c: Column): Column =
+    sum(c.cast("decimal(12,2)")).cast("double")
+
+  /** [[sumMoney]] over a window frame (running/moving money sums). */
+  def sumMoneyOver(c: Column,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(c.cast("decimal(12,2)")).over(w).cast("double")
+
+  /** [[sumMoney]]'s oracle-side mirror (DuckDB widens the sum to
+    * decimal(38,2) — exact). Every cast is mirrored so both engines round
+    * the identical rational to double. */
+  def sumMoneySql(expr: String): String =
+    s"CAST(sum(CAST($expr AS DECIMAL(12,2))) AS DOUBLE)"
   /** ratio-scale rounding (4 dp) */
   def r4(c: Column): Column = round(c, 4)
   /** similarity/log-scale rounding (6 dp) */

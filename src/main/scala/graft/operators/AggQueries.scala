@@ -14,23 +14,40 @@ import org.apache.spark.sql.functions._
   */
 object AggQueries {
 
-  /** Flagship — TPC-H Q1 shape (SURVEY.md §2.2 q20). */
-  def q20_agg_hash(spark: SparkSession, sfDir: String): DataFrame =
+  /** Flagship — TPC-H Q1 shape (SURVEY.md §2.2 q20).
+    *
+    * Money sums follow the money-sum rule (Det.scala): exact decimal
+    * accumulation, order-independent by construction. Precision audit:
+    * price decimal(12,2) × (1±disc/tax) decimal(4,2) factors →
+    * decimal(22,6) products, summed at decimal(32,6) — no overflow, no
+    * precision cap. `sum_qty` stays a double sum because l_quantity is
+    * INTEGRAL (1–50, FIXTURES.md:88): every partial sum is an exact
+    * integer far below 2^53, so the double sum is exact at any
+    * accumulation order. The averages divide an exact numerator (integer
+    * double sum, or exact decimal sum cast once to double) by the group
+    * count in one double division — no accumulation order survives.
+    * The oracle mirrors every cast.
+    */
+  def q20_agg_hash(spark: SparkSession, sfDir: String): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val discF = lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")
+    val taxF  = lit(1).cast("decimal(3,2)") + col("l_tax").cast("decimal(3,2)")
+    val n = count(lit(1))
     Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         Det.r2(sum(col("l_quantity"))).as("sum_qty"),
-        Det.r2(sum(col("l_extendedprice"))).as("sum_base_price"),
-        Det.r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
-          .as("sum_disc_price"),
-        Det.r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-          (lit(1.0) + col("l_tax")))).as("sum_charge"),
-        Det.r2(avg(col("l_quantity"))).as("avg_qty"),
-        Det.r2(avg(col("l_extendedprice"))).as("avg_price"),
-        Det.r2(avg(col("l_discount"))).as("avg_disc"),
-        count(lit(1)).as("count_order"))
+        Det.r2(sum(price).cast("double")).as("sum_base_price"),
+        Det.r2(sum(price * discF).cast("double")).as("sum_disc_price"),
+        Det.r2(sum(price * discF * taxF).cast("double")).as("sum_charge"),
+        Det.r2(sum(col("l_quantity")) / n).as("avg_qty"),
+        Det.r2(sum(price).cast("double") / n).as("avg_price"),
+        Det.r2(sum(col("l_discount").cast("decimal(3,2)")).cast("double") / n)
+          .as("avg_disc"),
+        n.as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
 
   def q21_agg_distinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
@@ -51,7 +68,7 @@ object AggQueries {
       .rollup(col("r_name"), col("n_name"))
       .agg(
         grouping_id().cast("int").as("gid"),
-        Det.r2(sum(col("c_acctbal"))).as("sum_bal"),
+        Det.r2(Det.sumMoney(col("c_acctbal"))).as("sum_bal"),
         count(lit(1)).as("n"))
       .orderBy(col("gid"), col("r_name").asc_nulls_first,
         col("n_name").asc_nulls_first)
@@ -62,17 +79,18 @@ object AggQueries {
       .agg(
         grouping_id().cast("int").as("gid"),
         count(lit(1)).as("n"),
-        Det.r2(sum(col("o_totalprice"))).as("sum_price"))
+        Det.r2(Det.sumMoney(col("o_totalprice"))).as("sum_price"))
       .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
   def q25_agg_having(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total_raw"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).as("total_raw"))
       .filter(col("n") >= 3 && col("total_raw") > 150000)
       .select(col("o_custkey"), col("n"),
-        Det.r2(col("total_raw")).as("total"))
+        Det.r2(col("total_raw").cast("double")).as("total"))
       .orderBy(col("o_custkey"))
 
   /** Exact interpolated percentiles (SoQL/`Enumerable` stats surface):
@@ -193,7 +211,7 @@ object AggQueries {
       .groupBy(col("o_orderstatus"))
       .pivot("o_orderpriority",
         Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
-      .agg(Det.r2(sum(col("o_totalprice"))))
+      .agg(Det.r2(Det.sumMoney(col("o_totalprice"))))
       .orderBy(col("o_orderstatus"))
 
   /** Ordered string aggregation (round 3): LISTAGG/string_agg semantics
@@ -235,8 +253,8 @@ object AggQueries {
       col("l_partkey"),
       round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
         .cast("long").as("cents"))
-    val sup = broadcast(Tables.supplier(spark, sfDir)
-      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("nation")))
+    val sup = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("nation"))
     val pp = li.join(sup, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("nation"), col("l_partkey"))
       .agg(sum(col("cents")).as("cents"))
@@ -275,8 +293,8 @@ object AggQueries {
     val li = Tables.lineitem(spark, sfDir).select(col("l_suppkey"),
       round(col("l_extendedprice") * 100).cast("long").as("cents"),
       col("l_quantity").cast("long").as("w"))
-    val sup = broadcast(Tables.supplier(spark, sfDir)
-      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("nation")))
+    val sup = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("nation"))
     val wCum = Window.partitionBy(col("nation")).orderBy(col("cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wTot = Window.partitionBy(col("nation"))
@@ -600,11 +618,11 @@ object AggQueries {
         |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q45_pivot" ->
       """SELECT o_orderstatus,
-        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS "1-URGENT",
-        |  round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS "2-HIGH",
-        |  round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS "3-MEDIUM",
-        |  round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS "4-NOT SPECIFIED",
-        |  round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS "5-LOW"
+        |  round(CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE), 2) AS "1-URGENT",
+        |  round(CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE), 2) AS "2-HIGH",
+        |  round(CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE), 2) AS "3-MEDIUM",
+        |  round(CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE), 2) AS "4-NOT SPECIFIED",
+        |  round(CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE), 2) AS "5-LOW"
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q48_string_agg" ->
       """SELECT r_name,
@@ -615,12 +633,15 @@ object AggQueries {
     "q20_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-        |  round(avg(l_quantity), 2) AS avg_qty,
-        |  round(avg(l_extendedprice), 2) AS avg_price,
-        |  round(avg(l_discount), 2) AS avg_disc,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) *
+        |    (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE), 2) AS sum_charge,
+        |  round(sum(l_quantity) / count(*), 2) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 2) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*), 2) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -633,7 +654,7 @@ object AggQueries {
     "q22_agg_rollup" ->
       """SELECT r_name, n_name,
         |  CAST(GROUPING(r_name, n_name) AS INTEGER) AS gid,
-        |  round(sum(c_acctbal), 2) AS sum_bal,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_bal,
         |  count(*) AS n
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
@@ -644,14 +665,15 @@ object AggQueries {
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
         |  count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS sum_price
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q25_agg_having" ->
-      """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      """SELECT o_custkey, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total
         |FROM orders GROUP BY o_custkey
-        |HAVING count(*) >= 3 AND sum(o_totalprice) > 150000
+        |HAVING count(*) >= 3 AND sum(CAST(o_totalprice AS DECIMAL(12,2))) > 150000
         |ORDER BY o_custkey""".stripMargin,
     "q26_agg_stats" ->
       """SELECT event_type,

@@ -9,11 +9,18 @@ import org.apache.spark.sql.functions._
   * Ruby Enumerable (SURVEY.md §2.1); here every join is declarative so
   * Catalyst/AQE pick the physical algorithm.
   *
-  * Scale notes (100 TB): dimension tables (region 5, nation 25, supplier,
-  * part, customer) are explicitly `broadcast()`-hinted where they join a
-  * fact table — a broadcast-hash join ships the dim to every executor once
-  * and avoids shuffling the fact side entirely. The multiway q11 joins
-  * facts first on their co-partitioned keys, dims last. The as-of join
+  * Scale notes (100 TB): only the CARDINALITY-BOUNDED dimensions (region:
+  * 5 rows, nation: 25 rows — fixed by the data model at any sf) carry an
+  * explicit `broadcast()` hint. customer/supplier/part GROW LINEARLY with
+  * the corpus (FIXTURES.md: 150→15,000 rows across three decades of sf;
+  * ~15 B customer rows at 100 TB), so hinting them would bypass Spark's
+  * size threshold unconditionally and OOM every executor at scale — the
+  * q92 rule (never hint a frame whose cardinality scales with the corpus).
+  * Unhinted, Spark still picks a broadcast-hash join whenever the side is
+  * actually under `autoBroadcastJoinThreshold` (it is at every fixture
+  * sf — PlanShapeSpec pins q11's five BHJs), and degrades to a shuffle
+  * join, not an OOM, when it is not. The multiway q11 joins facts first
+  * on their co-partitioned keys, dims last. The as-of join
   * (q16) is a union + running `last(..., ignoreNulls)` window — one shuffle
   * by user_id, no range-join explosion, and it scales linearly with events
   * per user.
@@ -22,7 +29,7 @@ object JoinQueries {
 
   def q10_join_inner(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
-      .join(broadcast(Tables.customer(spark, sfDir)),
+      .join(Tables.customer(spark, sfDir),
         col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"),
         Det.r2(col("o_totalprice")).as("o_totalprice"))
@@ -46,9 +53,9 @@ object JoinQueries {
     Tables.lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, sfDir)),
+      .join(Tables.customer(spark, sfDir),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(spark, sfDir)),
+      .join(Tables.supplier(spark, sfDir),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(Tables.nation(spark, sfDir)),
@@ -86,9 +93,14 @@ object JoinQueries {
       .select(col("c_custkey"))
       .orderBy(col("c_custkey"))
 
+  /** Theta join. `sum_qty` is the money-sum rule's documented exception
+    * (Det.scala): l_quantity is integral (1–50, FIXTURES.md:88), so every
+    * partial double sum is an exact integer far below 2^53 — exact at any
+    * accumulation order, no decimal accumulation needed.
+    */
   def q15_join_theta(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
-      .join(broadcast(Tables.part(spark, sfDir)),
+      .join(Tables.part(spark, sfDir),
         col("l_partkey") === col("p_partkey") &&
           col("l_quantity") > col("p_size"))
       .groupBy(col("p_brand"))

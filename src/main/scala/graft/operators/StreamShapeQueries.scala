@@ -21,7 +21,8 @@ object StreamShapeQueries {
   def q60_window_tumbling(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("n"), Det.r2(sum(col("value"))).as("sum_v"))
+      .agg(count(lit(1)).as("n"),
+        Det.r2(Det.sumMoney(col("value"))).as("sum_v"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_v"))
       .orderBy(col("window_start"), col("event_type"))
@@ -36,7 +37,8 @@ object StreamShapeQueries {
   def q62_session_window(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"), Det.r2(sum(col("value"))).as("sum_v"))
+      .agg(count(lit(1)).as("n_events"),
+        Det.r2(Det.sumMoney(col("value"))).as("sum_v"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("sum_v"))
       .orderBy(col("user_id"), col("session_start"))
@@ -54,7 +56,8 @@ object StreamShapeQueries {
   val oracle: Map[String, String] = Map(
     "q60_window_tumbling" ->
       """SELECT date_trunc('day', ts) AS window_start, event_type,
-        |  count(*) AS n, round(sum(value), 2) AS sum_v
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_v
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     // Spark's sliding windows start at epoch + k*slide; with a 6h slide the
     // candidate starts are every 6h mark. Grid = all 6h marks from one day
@@ -73,7 +76,7 @@ object StreamShapeQueries {
     // only a STRICTLY greater gap starts a new session.
     "q62_session_window" ->
       """SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-        |  round(sum(value), 2) AS sum_v
+        |  round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_v
         |FROM (
         |  SELECT user_id, ts, value,
         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id

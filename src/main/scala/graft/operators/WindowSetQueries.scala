@@ -36,7 +36,7 @@ object WindowSetQueries {
     val moving = base.rowsBetween(-2, 0)
     Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      .withColumn("run_sum", Det.r2(sum(col("value")).over(running)))
+      .withColumn("run_sum", Det.r2(Det.sumMoneyOver(col("value"), running)))
       .withColumn("mov_avg", Det.r4(avg(col("value")).over(moving)))
       .select(col("user_id"), col("ts"), col("event_id"),
         col("run_sum"), col("mov_avg"))
@@ -279,8 +279,9 @@ object WindowSetQueries {
         |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "q31_window_frame" ->
       """SELECT user_id, ts, event_id,
-        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
+        |  round(CAST(sum(CAST(value AS DECIMAL(12,2)))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS run_sum,
         |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
         |FROM events ORDER BY user_id, ts, event_id""".stripMargin,

@@ -49,7 +49,8 @@ object StreamTwins {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("n"), Det.r2(sum(col("value"))).as("sum_v"))
+      .agg(count(lit(1)).as("n"),
+        Det.r2(Det.sumMoney(col("value"))).as("sum_v"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_v"))
 
@@ -66,7 +67,8 @@ object StreamTwins {
     events
       .withWatermark("ts", watermark)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"), Det.r2(sum(col("value"))).as("sum_v"))
+      .agg(count(lit(1)).as("n_events"),
+        Det.r2(Det.sumMoney(col("value"))).as("sum_v"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("sum_v"))
 

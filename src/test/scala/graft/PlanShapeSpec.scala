@@ -12,9 +12,28 @@ class PlanShapeSpec extends SparkSpec {
     SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
 
   test("q11 multiway join: all five dim joins are broadcast-hash") {
+    // customer/supplier are UNhinted since round 10 (they scale with sf);
+    // at fixture scale Spark's size threshold still picks BHJ for them,
+    // and at 100 TB the same plan degrades to a shuffle join, not an OOM
     val p = plan("q11_join_multiway")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 5, p.take(1500))
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("scaling-table joins carry no broadcast hint (the q92 rule): " +
+    "customer/supplier/part broadcasts are threshold-chosen, never forced") {
+    for (q <- Seq("q10_join_inner", "q15_join_theta", "q147_pareto",
+        "q152_weighted_median")) {
+      val op = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+      assert(!op.contains("strategy=broadcast"),
+        s"$q forces a broadcast on an sf-proportional table:\n${op.take(1200)}")
+    }
+    // q11 keeps hints ONLY on the cardinality-bounded dims (region 5 rows,
+    // nation 25 rows): at most those two forced broadcasts may remain
+    val op11 = SparkEntry.queries("q11_join_multiway")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert("strategy=broadcast".r.findAllIn(op11).size <= 2, op11.take(1500))
   }
 
   test("q02 filter predicates are pushed into the parquet scan") {
