@@ -63,6 +63,26 @@ object Bench {
     """"metric":"total","value":(-?[0-9.eE+]+)""".r
       .findFirstMatchIn(ledgerLine).map(_.group(1).toDouble)
 
+  /** Consecutive slow-phase diverts already recorded in the noisy ledger
+    * AGAINST THE SAME PIN — pure, spec'd (BenchLedgerSpec). ADVICE r9:
+    * the slow-phase gate diverts ANY worse-than-pin total, so a genuine
+    * code regression could hide behind the phase-noise rationale
+    * indefinitely. The counter rides in the noisy file itself
+    * (`"slow_diverts":N,"slow_diverts_vs":pin`) so no extra state file
+    * exists; a deliberate re-pin changes the `vs` value and resets the
+    * count naturally. The caller increments it on each slow-phase divert
+    * and escalates LOUDLY once it reaches 3 — three consecutive
+    * worse-than-pin totals against one pin is no longer explainable as
+    * a host phase.
+    */
+  def slowDivertCount(noisyLine: String, pinnedTotal: Double): Int =
+    """"slow_diverts":(\d+),"slow_diverts_vs":(-?[0-9.eE+]+)""".r
+      .findFirstMatchIn(noisyLine) match {
+        case Some(m) if m.group(2).toDouble == pinnedTotal =>
+          m.group(1).toInt
+        case _ => 0
+      }
+
   /** Outlier policy for per-query timing — pure, spec'd (BenchLedgerSpec).
     * The bench host alternates fast/slow phases (BASELINE.md): a phase
     * spike that outlasts median-of-3 leaves a 6–18× per-query artifact a
@@ -247,8 +267,31 @@ object Bench {
       val (ledger, note) =
         Bench.ledgerFor(sfNum, spreadBp, total, pinnedTotal, force)
       note.foreach(n => System.err.println(s"[bench] $n"))
+      // slow-phase diverts carry a consecutive-divert counter in the
+      // written line (see Bench.slowDivertCount) — 3 in a row against
+      // the same pin escalates from "host phase" to "likely regression"
+      val slowPhase = ledger == "BENCH_LOCAL_noisy.json" &&
+        spreadBp <= 3000 && pinnedTotal.exists(total > _)
+      val lineOut =
+        if (!slowPhase) fullLine
+        else {
+          val prev = try {
+            val src = scala.io.Source.fromFile("BENCH_LOCAL_noisy.json")
+            try Bench.slowDivertCount(src.mkString, pinnedTotal.get)
+            finally src.close()
+          } catch { case _: Throwable => 0 }
+          val n = prev + 1
+          if (n >= 3) System.err.println(
+            s"[bench] $n CONSECUTIVE runs totaled worse than the pinned " +
+              "ledger against the same pin — no longer explainable as a " +
+              "host phase. If code changed since the pin this is likely " +
+              "a REAL regression: investigate, then re-pin deliberately " +
+              "with SPARK_GRAFT_BENCH_FORCE=1")
+          fullLine.dropRight(1) +
+            s""","slow_diverts":$n,"slow_diverts_vs":${pinnedTotal.get}}"""
+        }
       val w = new java.io.PrintWriter(ledger)
-      try w.println(fullLine) finally w.close()
+      try w.println(lineOut) finally w.close()
     } catch { case _: Throwable => () }
     // The harness that wraps this main keeps only the TAIL of stdout
     // (observed: last 2000 chars), and the full 100-query line is ~3.4 KB —

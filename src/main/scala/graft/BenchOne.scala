@@ -21,12 +21,17 @@ object BenchOne extends App {
   // SPARK_GRAFT_CONF="k=v;k2=v2" sets runtime confs before the query
   // builds — the lever for timing the graft.scale.* escalation branches
   // (ScaleEscalationSpec pins their EQUALITY; this measures their cost).
-  sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
-    kv.split("=", 2) match {
-      case Array(k, v) if k.trim.nonEmpty => spark.conf.set(k.trim, v.trim)
-      case _ => sys.error(s"SPARK_GRAFT_CONF entry '$kv' is not k=v")
-    }
-  })
+  // blank entries (empty env value, leading/trailing/double ';') are
+  // skipped, not fatal; an empty VALUE ('k=') is rejected loudly — it
+  // would silently set an empty-string conf (ADVICE r9)
+  sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').map(_.trim)
+    .filter(_.nonEmpty).foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty && v.trim.nonEmpty =>
+          spark.conf.set(k.trim, v.trim)
+        case _ => sys.error(s"SPARK_GRAFT_CONF entry '$kv' is not k=v")
+      }
+    })
   val fn = SparkEntry.queries(name)
   fn(spark, warmDir).count() // warm (JIT; target-sf page cache only if warmDir == sfDir)
   // sweep the warm run's pinned final-round checkpoint blocks BEFORE the

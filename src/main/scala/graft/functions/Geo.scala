@@ -29,17 +29,45 @@ object Geo {
     * so a ring sized with it always covers the radius in latitude. */
   val MinMetersPerDegLat: Double = 110574.0
 
+  /** Meters per degree of LONGITUDE at the equator; shrinks as
+    * cos(latitude) away from it — the reason [[ringFor]] needs the
+    * data's latitude bound to size the east–west coverage. */
+  val MetersPerDegLonEquator: Double = 111320.0
+
   /** Neighbor-ring radius (in cells) that covers `radiusM` at cell size
-    * `cellDeg`: any two points within `radiusM` differ by at most this
-    * many lat cells (ceil of the conservative degree radius), so the
-    * (2·ring+1)² neighborhood provably covers latitude; longitude keeps
-    * the existing low-latitude contract (ring·cellDeg degrees of lon
-    * must span `radiusM` at the data's latitudes). At the default
-    * cellDeg=0.1 and the fixture radii (8–10 km) this is 1 — the
-    * original 3×3 neighborhood, unchanged.
+    * `cellDeg` for data whose latitudes satisfy |lat| ≤ `maxAbsLatDeg`:
+    * the ring is the max of the latitude requirement (ring·cellDeg·
+    * 110574 m ≥ radiusM — latitude degree length is within 0.6% of
+    * constant, floored at the WGS84 minimum) and the LONGITUDE
+    * requirement (ring·cellDeg·111320·cos(maxAbsLat) ≥ radiusM —
+    * longitude degrees shrink toward the poles, so a ring sized at the
+    * equator under-covers east–west once |lat| exceeds ~7°; round-10
+    * advisor finding). At the default cellDeg=0.1 and the fixture radii
+    * (8–10 km, |lat| ≤ 5°) this is 1 — the original 3×3 neighborhood,
+    * unchanged. Within ~1 ring of a pole the cosine bound collapses
+    * (cells become slivers); such data needs a dedicated polar cap cell
+    * — the require makes that contract loud instead of silently
+    * dropping pairs.
     */
+  def ringFor(radiusM: Double, cellDeg: Double,
+              maxAbsLatDeg: Double): Int = {
+    require(maxAbsLatDeg >= 0 && maxAbsLatDeg < 89.0,
+      s"maxAbsLatDeg=$maxAbsLatDeg: within ~1° of a pole the lon-cell " +
+        "width collapses — use a polar cap cell, not a wider ring")
+    val mPerDegLon =
+      MetersPerDegLonEquator * math.cos(math.toRadians(maxAbsLatDeg))
+    val latRing = math.ceil(radiusM / (cellDeg * MinMetersPerDegLat))
+    val lonRing = math.ceil(radiusM / (cellDeg * mPerDegLon))
+    math.max(1, math.max(latRing, lonRing).toInt)
+  }
+
+  /** Equatorial-band form of [[ringFor]] (maxAbsLat = 0): valid ONLY
+    * while the longitude degree length at the data's latitudes stays
+    * ≥ the latitude degree length used for sizing, i.e. |lat| ≤ ~6.6°
+    * (cos⁻¹(110574/111320)). Callers with wider latitude ranges must
+    * pass their bound to the 3-arg overload. */
   def ringFor(radiusM: Double, cellDeg: Double): Int =
-    math.max(1, math.ceil(radiusM / (cellDeg * MinMetersPerDegLat)).toInt)
+    ringFor(radiusM, cellDeg, 0.0)
 
   /** build a location struct from lat/lon columns */
   def location(lat: Column, lon: Column): Column =

@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   * does). Deterministic start (basis vector of the largest diagonal
   * entry) — no randomness anywhere.
   *
-  * 100 TB shape: one pass, state O(d²) longs per task merged map-side —
-  * the classic covariance-sketch reduction. Moment sums overflow int64
+  * 100 TB shape: one pass, state O(d²) longs per task merged in a
+  * treeReduce — the classic covariance-sketch reduction; driver state is
+  * ONE O(d²) buffer independent of partition count. Moment sums overflow
+  * int64
   * past ~10⁹ rows at full micro range (q_d·q_e ≤ 10¹² each); shard the
   * fit per day/source and average covariances, or widen the buffer to
   * 128-bit — the plan shape is unchanged.
@@ -59,9 +61,14 @@ object Pca {
   private def moments(df: DataFrame, vecCol: String,
                       dim: Int): (Long, Array[Long], Array[Long]) = {
     // per-partition imperative fold (the shape the sketch tier uses):
-    // one Moments per partition, d(d+1)/2 longs of state, merged on the
-    // driver — integer adds, so the result is layout-independent
-    val parts = df.select(col(vecCol)).rdd.mapPartitions { it =>
+    // one Moments per partition, d(d+1)/2 longs of state, merged in a
+    // treeReduce — integer adds are commutative AND associative, so any
+    // merge-tree shape yields the identical sums (PcaSpec pins 1/4/32
+    // layouts to the bit), and the driver receives exactly ONE O(d²)
+    // buffer regardless of partition count (at d=512 over 10k partitions
+    // a driver-side merge would hold ~10 GiB; the tree holds one ~1 MiB
+    // buffer per executor level)
+    val rdd = df.select(col(vecCol)).rdd.mapPartitions { it =>
       val m = new Moments(dim)
       it.foreach { r =>
         val v = r.getSeq[Float](0)
@@ -83,16 +90,18 @@ object Pca {
         }
       }
       Iterator.single((m.n, m.s, m.c))
-    }.collect()
-    val tot = new Moments(dim)
-    parts.foreach { case (n, s, c) =>
-      tot.n += n
-      var i = 0
-      while (i < s.length) { tot.s(i) += s(i); i += 1 }
-      i = 0
-      while (i < c.length) { tot.c(i) += c(i); i += 1 }
     }
-    (tot.n, tot.s, tot.c)
+    if (rdd.getNumPartitions == 0)
+      (0L, new Array[Long](dim), new Array[Long](dim * (dim + 1) / 2))
+    else rdd.treeReduce { case ((n1, s1, c1), (n2, s2, c2)) =>
+      // mutate the left buffers in place: each is partition-local or a
+      // previous merge product, never shared
+      var i = 0
+      while (i < s1.length) { s1(i) += s2(i); i += 1 }
+      i = 0
+      while (i < c1.length) { c1(i) += c2(i); i += 1 }
+      (n1 + n2, s1, c1)
+    }
   }
 
   /** Fit the top-k components from one exact-moment pass. */

@@ -764,14 +764,21 @@ object PipelineQueries {
          |FROM inter
          |WHERE CAST(ov AS DOUBLE) / (sza + szb - ov) >= 0.4
          |ORDER BY lang, id_a, id_b""".stripMargin,
+    // Norms precomputed once per vector (round 10): the inline form
+    // recomputed both norms per PAIR — 3 dot products instead of 1 —
+    // which is what kept this replay out of the sf1 gate. Equality with
+    // the inline form verified value-for-value at sf0.1 (sqrt of the
+    // same exact-double self-dot — no rounding drift), and the replay
+    // now runs at sf1 (~2M pairs/label block).
     "q87_dedup_embcos" ->
-      s"""WITH e AS (SELECT vec_id, label,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-        |  WHERE ${Det.saneEmbSql()})
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, label, v,
+        |    sqrt(list_dot_product(v, v)) AS nrm
+        |  FROM (SELECT vec_id, label,
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |    FROM embeddings WHERE ${Det.saneEmbSql()}))
         |SELECT label, id_a, id_b, cos_sim FROM (
         |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
-        |    round(list_dot_product(a.v, b.v) /
-        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cos_sim >= 0.3
         |ORDER BY label, id_a, id_b""".stripMargin,

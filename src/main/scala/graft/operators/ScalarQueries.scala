@@ -150,11 +150,19 @@ object ScalarQueries {
     * Scale: fan-out ×9 on one side, per-bucket cost bounded by cell
     * occupancy — the maxBucket analog; never all-pairs.
     */
+  /** All graft geo point sets derive lat = (key % 100)·0.05 ∈ [0°, 4.95°]
+    * (q59/q139's synthetic grid), so this is the latitude bound
+    * [[graft.functions.Geo.ringFor]] sizes the neighbor ring's east–west
+    * coverage from. A caller with real-world latitudes must pass its own
+    * bound — the ring grows as 1/cos(maxAbsLat). */
+  private val GeoMaxAbsLatDeg = 4.95
+
   /** Grid-cell-blocked proximity pairs (id_a < id_b) within `radiusM` of
     * a point set ("id", "loc") — the q139/q151 join core: equi-join on
-    * cell (3×3 neighbor explode on one side), exact haversine residual.
-    * Requires cellDeg·111 km ≥ radiusM at the data's latitudes (q139's
-    * provable-coverage rule). */
+    * cell ((2·ring+1)² neighbor explode on one side, [[Geo.ringFor]]
+    * sizing the ring so it provably covers `radiusM` both north–south
+    * AND east–west at the data's latitude bound), exact haversine
+    * residual. */
   private def geoPairs(pts: DataFrame, radiusM: Long): DataFrame = {
     import graft.functions.{Escalation, Geo}
     // The cell size is the documented density knob (sf1 ledger row): a
@@ -164,7 +172,7 @@ object ScalarQueries {
     // default reproduces the original 3×3 plan bit-for-bit.
     val cellDeg = Escalation.confDouble(
       pts.sparkSession, Geo.CellDegKey, 0.1)
-    val ring = Geo.ringFor(radiusM.toDouble, cellDeg)
+    val ring = Geo.ringFor(radiusM.toDouble, cellDeg, GeoMaxAbsLatDeg)
     val a = pts.select(col("id").as("id_a"), col("loc").as("loc_a"),
       Geo.cellId(col("loc"), cellDeg).as("cell"))
     val b = pts.select(col("id").as("id_b"), col("loc").as("loc_b"),

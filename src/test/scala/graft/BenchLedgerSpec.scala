@@ -109,4 +109,19 @@ class BenchLedgerSpec extends AnyFunSuite {
     assert(Bench.parsePinnedTotal("not json at all").isEmpty)
     assert(Bench.parsePinnedTotal("").isEmpty)
   }
+
+  test("slowDivertCount counts only diverts against the SAME pin: a " +
+    "re-pin resets the escalation naturally") {
+    val line = """{"metric":"total","value":60.1,"unit":"sec",""" +
+      """"slow_diverts":2,"slow_diverts_vs":52.28}"""
+    // same pin -> the recorded count carries forward
+    assert(Bench.slowDivertCount(line, 52.28) == 2)
+    // a different pin (deliberate re-pin happened) -> reset to 0
+    assert(Bench.slowDivertCount(line, 51.9) == 0)
+    // no counter recorded yet (first divert, or legacy noisy file) -> 0
+    assert(Bench.slowDivertCount(
+      """{"metric":"total","value":60.1,"unit":"sec"}""", 52.28) == 0)
+    assert(Bench.slowDivertCount("", 52.28) == 0)
+    assert(Bench.slowDivertCount("not json", 52.28) == 0)
+  }
 }

@@ -141,6 +141,48 @@ class GeoSpec extends SparkSpec {
     assert(Geo.ringFor(100.0, 1.0) == 1)
   }
 
+  test("ringFor widens with the latitude bound (lon degrees shrink as " +
+    "cos(lat)); near-pole bounds are rejected") {
+    // at the equator the 3-arg form matches the equatorial-band form
+    assert(Geo.ringFor(10000.0, 0.025, 0.0) == Geo.ringFor(10000.0, 0.025))
+    // the fixture bound (|lat| <= 4.95 deg) changes nothing: cos(4.95) is
+    // still above 110574/111320
+    assert(Geo.ringFor(10000.0, 0.025, 4.95) == 4)
+    assert(Geo.ringFor(10000.0, 0.1, 4.95) == 1)
+    // the advisor's case: 10 km at 0.025 deg and 40N needs ring 5 —
+    // the equator-sized ring 4 spans only 4*0.025*111320*cos(40) ~ 8.5 km
+    // east-west and silently drops true pairs
+    assert(Geo.ringFor(10000.0, 0.025, 40.0) == 5)
+    assert(Geo.ringFor(10000.0, 0.025, 40.0) > Geo.ringFor(10000.0, 0.025))
+    // within ~1 deg of a pole the cosine bound collapses: loud, not wrong
+    intercept[IllegalArgumentException] {
+      Geo.ringFor(10000.0, 0.025, 89.5)
+    }
+  }
+
+  test("mid-latitude fine grid with the lat-aware ring misses no pair " +
+    "(40N, cellDeg 0.025 — the advisor scenario)") {
+    val pts = (1 to 300).map { i =>
+      (i.toLong, 40.0 + (i * 37 % 100) / 100.0, -74.0 + (i * 73 % 100) / 100.0)
+    }.toDF("id", "lat", "lon")
+      .withColumn("loc", Geo.location(col("lat"), col("lon")))
+    val naive = pts.as("a").join(pts.as("b"),
+        col("a.id") < col("b.id") &&
+          Geo.distanceInMeters(col("a.loc"), col("b.loc")) <= 10000.0)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    val ring = Geo.ringFor(10000.0, 0.025, 41.0)
+    val a = pts.select(col("id").as("id_a"), col("loc").as("loc_a"),
+      Geo.cellId(col("loc"), 0.025).as("cell"))
+    val b = pts.select(col("id").as("id_b"), col("loc").as("loc_b"),
+      explode(Geo.neighborCells(col("loc"), 0.025, ring)).as("cell"))
+    val celled = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b") &&
+        Geo.distanceInMeters(col("loc_a"), col("loc_b")) <= 10000.0)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
+    assert(celled.toSet == naive)
+    assert(celled.length == celled.toSet.size, "pair matched in >1 bucket")
+  }
+
   test("a finer grid with the covering ring misses no pair (ring 2)") {
     // same property as the 3x3 test, on a grid HALF the radius: cellDeg
     // 0.05 < 10 km, so ring 1 would miss pairs — ringFor's ring 2 must
