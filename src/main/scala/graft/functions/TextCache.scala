@@ -44,11 +44,15 @@ import scala.collection.concurrent.TrieMap
   * [[Checkpoints.release]] discipline), so remote roots (hdfs://, s3a://)
   * are reclaimed too — `java.io.File` would silently strand them.
   *
-  * Lifecycle: artifacts are deleted at application end (listener below)
-  * or on `release(spark)`. Release deletes the FILES — DataFrames handed
-  * out before it become invalid readers (there is no lineage to recompute
-  * an artifact); call it only when no consumer still holds a form. Fresh
-  * accessor calls after release rebuild transparently.
+  * Lifecycle: session-local artifacts are deleted at application end
+  * (listener below) or on `release(spark)`. Release deletes the FILES —
+  * DataFrames handed out before it become invalid readers (there is no
+  * lineage to recompute an artifact); call it only when no consumer still
+  * holds a form. Fresh accessor calls after release rebuild
+  * transparently. Artifacts in the CROSS-SESSION tier
+  * ([[SharedDirConfKey]]) are never deleted by graft — surviving the
+  * session is their purpose; see the key's scaladoc for the fingerprint
+  * keying, lock discipline, and retention contract.
   *
   * MEASURED (round 4, sf0.1 at local[32]) and deliberately NOT wired into
   * the declared bench queries: for the tok/gram forms the materialized
@@ -68,6 +72,46 @@ object TextCache {
     * defaults to a local java temp dir, correct for local[n]. Each session
     * creates its own unique subdirectory underneath. */
   val DirConfKey = "graft.textcache.dir"
+
+  /** Spark conf key: base directory for the CROSS-SESSION artifact tier
+    * (round 10, VERDICT item 6). Unset (the default), every session
+    * builds its own artifacts under [[DirConfKey]] and deletes them at
+    * application end — correct, but a second session rebuilds the
+    * cc94/prefix artifacts from scratch, which at 100 TB is exactly the
+    * cost the materialize-once argument exists to avoid. Set, completed
+    * forms land under
+    * `<base>/graft-textcache-shared/<corpusFingerprint>/<form>-v<N>`:
+    *
+    *  - keyed by a CONTENT FINGERPRINT of the fixture dir (sorted
+    *    relative-path:length:mtime of every file — one filesystem
+    *    listing, no data scan), so a changed corpus lands in a fresh
+    *    subdirectory and stale artifacts are never read (invalidation
+    *    by key, not by deletion);
+    *  - single-writer via the PortalSync lock discipline (atomic
+    *    create-if-absent of `<form>.lock`; only already-exists means
+    *    "held" — permission/quota/FS errors propagate as themselves);
+    *    the winner builds into a hidden temp dir and RENAMES it into
+    *    place, so readers only ever see complete artifacts;
+    *  - losers poll for the artifact up to [[SharedWaitMsKey]] ms and
+    *    then fall back to a session-local build (duplicate work, never
+    *    a wrong answer, never an indefinite wait on a crashed holder);
+    *  - shared artifacts are deliberately NOT deleted at application
+    *    end — surviving the session is their purpose; the operator owns
+    *    the shared dir's retention (drop old fingerprint subdirs).
+    *
+    * `-v<N>` is [[FormLayoutVersion]]: bump it when any built-in form's
+    * derivation changes semantics, so upgraded code never reads a
+    * stale-schema artifact from an older binary. */
+  val SharedDirConfKey = "graft.textcache.shared.dir"
+
+  /** Spark conf key: how long (ms) a session that lost the shared-build
+    * lock polls for the winner's artifact before falling back to a
+    * session-local build. Default 600000 (10 min) — at corpus scale the
+    * build is minutes; locally specs set it to ~0 to exercise the
+    * fallback. */
+  val SharedWaitMsKey = "graft.textcache.shared.waitMs"
+
+  private val FormLayoutVersion = 1
 
   // keyed by the session object itself (not a UUID) so two sessions never
   // share a materialized reader; the map only ever holds a handful of
@@ -154,19 +198,109 @@ object TextCache {
     lazy val df: DataFrame = build()
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+
+  /** Content fingerprint of a fixture dir for the shared tier: MD5 over
+    * the sorted `relativePath:length:mtime` lines of every file under it
+    * — one recursive filesystem listing, no data scan. A re-crawled or
+    * appended corpus changes length/mtime of at least one file, so its
+    * artifacts key to a fresh subdirectory (stale invalidation by key).
+    */
+  def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(sfDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val prefix = fs.makeQualified(p).toString.stripSuffix("/") + "/"
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toString.stripPrefix(prefix)
+      lines += s"$rel:${st.getLen}:${st.getModificationTime}"
+    }
+    md5hex(lines.sorted.mkString("\n"))
+  }
+
+  /** Shared-tier materialization (see [[SharedDirConfKey]]): read the
+    * completed artifact if present; else take the single-writer lock,
+    * build into a hidden temp dir, rename into place; on a held lock,
+    * poll then fall back to a session-local build. */
+  private def sharedMaterialize(spark: SparkSession, sfDir: String,
+                                form: String, sharedBase: String)(
+      build: => DataFrame): DataFrame = {
+    val fp = corpusFingerprint(spark, sfDir)
+    val destStr = s"${sharedBase.stripSuffix("/")}/graft-textcache-shared/" +
+      s"$fp/$form-v$FormLayoutVersion"
+    val dest = new org.apache.hadoop.fs.Path(destStr)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dest)) return spark.read.parquet(destStr)
+    val lock = new org.apache.hadoop.fs.Path(destStr + ".lock")
+    // PortalSync discipline: only already-exists means "held"
+    val acquired =
+      try { fs.create(lock, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case e: java.io.IOException
+          if Option(e.getMessage).exists(_.toLowerCase.contains("exist")) =>
+          false
+      }
+    if (acquired) {
+      try {
+        if (fs.exists(dest)) spark.read.parquet(destStr) // raced a winner
+        else {
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"${dest.getParent}/.build-$form-v$FormLayoutVersion-" +
+              java.util.UUID.randomUUID())
+          build.write.mode("overwrite").parquet(tmp.toString)
+          if (!fs.rename(tmp, dest)) {
+            // rename refuses when dest appeared concurrently (shouldn't
+            // under the lock) — any other refusal is a real FS problem
+            if (!fs.exists(dest)) sys.error(
+              s"TextCache shared artifact rename $tmp -> $dest failed")
+            fs.delete(tmp, true)
+          }
+          spark.read.parquet(destStr)
+        }
+      } finally { fs.delete(lock, false); () }
+    } else {
+      val waitMs = spark.conf.getOption(SharedWaitMsKey)
+        .map(_.toLong).getOrElse(600000L)
+      val deadline = System.nanoTime() + waitMs * 1000000L
+      while (!fs.exists(dest) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      if (fs.exists(dest)) spark.read.parquet(destStr)
+      else {
+        System.err.println(s"[textcache] shared build of $form is locked " +
+          s"by $lock and no artifact appeared within ${waitMs} ms — " +
+          "building session-locally (duplicate work, not an error); if " +
+          "the lock holder crashed, delete the lock file")
+        sessionLocalMaterialize(spark, sfDir, form)(build)
+      }
+    }
+  }
+
+  private def sessionLocalMaterialize(spark: SparkSession, sfDir: String,
+                                      form: String)(
+      build: => DataFrame): DataFrame = {
+    // one path per (sf dir, form); the sf dir component is digested so
+    // two fixture dirs never collide under one session root
+    val path = s"${root(spark)}/${md5hex(sfDir)}/$form"
+    build.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
   private def getOrMaterialize(spark: SparkSession, sfDir: String,
                                form: String)(
       build: => DataFrame): DataFrame =
     forms.getOrElseUpdate((spark, sfDir, form), new Holder(() => {
       hookCleanup(spark)
-      // one path per (sf dir, form); the sf dir component is digested so
-      // two fixture dirs never collide under one session root
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(sfDir.getBytes("UTF-8")).take(8)
-        .map(b => f"$b%02x").mkString
-      val path = s"${root(spark)}/$key/$form"
-      build.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
+      spark.conf.getOption(SharedDirConfKey) match {
+        case Some(sharedBase) =>
+          sharedMaterialize(spark, sfDir, form, sharedBase)(build)
+        case None => sessionLocalMaterialize(spark, sfDir, form)(build)
+      }
     })).df
 
   /** The documents table. NOT materialized — the source is already a
