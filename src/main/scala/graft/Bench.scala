@@ -104,6 +104,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Session-age guard (round 10, VERDICT item 3): with -Xms32g the
+      // driver's old gen almost never fills, so full GCs almost never
+      // run — and ContextCleaner only reclaims shuffle files/broadcasts
+      // when their references are GC'd. Over a long pass the dead
+      // shuffle files accumulate on disk, evict the page cache, and
+      // shuffle-heavy queries degrade in-session (q91 25→43 s at sf1
+      // vs 3-4 s standalone — BASELINE §4.0b). Spark's own remedy is
+      // periodic forced GC on the cleaner thread; the default interval
+      // is 30 min — longer than the whole pass. 90 s keeps cleanup
+      // continuous at sf1 while a ≤60 s sf0.1 pass sees at most one.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "90s"))
       // Split scans at 8 MiB, not the 128 MiB default: the fixtures are
       // single ~1-115 MiB parquet files, so default sizing reads a whole
       // table in ONE task at sf1 (113 MiB lineitem) however many cores
@@ -138,14 +150,35 @@ object Bench {
         case null => "/root/testdata/sf0.001"
         case p => new java.io.File(p, "sf0.001").getPath
       })
+    // Bisect knobs (round 10, dev-only; the driver sets neither):
+    // SPARK_GRAFT_BENCH_ONLY=q91_x,q20_y restricts the TIMED set;
+    // SPARK_GRAFT_BENCH_WARM_ONLY=1 restricts the sf0.001 JIT warm-up to
+    // the same set (default: warm everything, like a full pass). Together
+    // they isolate whether an in-pass artifact comes from the warm-up
+    // state (plans/broadcasts of 210 queries) or from the timed
+    // predecessors.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val warmOnly =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_ONLY", "0") == "1"
+    val timedQueries = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val warmQueries = if (warmOnly) timedQueries else SparkEntry.queries
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.values.foreach { fn =>
+      warmQueries.values.foreach { fn =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
         sweep()
       }
     else
       try SparkEntry.queries.get("q20_agg_hash").foreach(_(spark, sfDir).count())
       catch { case _: Throwable => () }
+    // Post-warm-up settle (round-10 bisect): warming 210 queries floods
+    // the C2 compile queue with thousands of methods; the first
+    // compute-dense timed query then runs its hot generated code at
+    // interpreter/C1 tier until C2 drains — a stochastic 6-10×
+    // first-runs artifact (q91 at sf1). An optional settle pause lets
+    // the queue drain before timing starts.
+    sys.env.get("SPARK_GRAFT_BENCH_WARM_SETTLE_MS").map(_.toLong)
+      .filter(_ > 0).foreach(Thread.sleep)
     // Median-of-N timing (round 6, default 3): a single-shot run lands
     // anywhere in the ±20% I/O-variance band (BASELINE.md item 16) and
     // every round needed sentinel-query forensics to interpret it; the
@@ -180,8 +213,43 @@ object Bench {
       "SPARK_GRAFT_BENCH_OUTLIER_RATIO", "3.0").toDouble
     val maxExtra = math.max(0,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "2").toInt)
+    // SPARK_GRAFT_BENCH_DIAG=1: append one JSON line per query to
+    // BENCH_DIAG.jsonl with session-age telemetry — driver heap in use,
+    // cumulative GC time/count, and bytes held by this JVM's shuffle
+    // dirs (blockmgr-*) — the bisect instrumentation for the in-pass
+    // degradation (VERDICT r9 item 3). Appended incrementally so a
+    // killed run keeps its evidence.
+    val diag = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIAG", "0") == "1"
+    def gcStats: (Long, Long) = {
+      import scala.jdk.CollectionConverters._
+      val bs = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala
+      (bs.map(_.getCollectionTime).sum, bs.map(_.getCollectionCount).sum)
+    }
+    def heapMb: Long = {
+      val r = Runtime.getRuntime
+      (r.totalMemory - r.freeMemory) / (1024L * 1024)
+    }
+    def duRec(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(duRec).sum).getOrElse(0L)
+    def shuffleMb: Long = Option(
+      new java.io.File(System.getProperty("java.io.tmpdir")).listFiles)
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("blockmgr-") && f.isDirectory)
+      .map(duRec).sum / (1024L * 1024)
+    def jitMs: Long = java.lang.management.ManagementFactory
+      .getCompilationMXBean.getTotalCompilationTime
+    def diagLine(name: String, rs: Seq[Double]): Unit = if (diag) try {
+      val (gms, gn) = gcStats
+      val line = s"""{"q":"$name","runs":[${rs.mkString(",")}],""" +
+        s""""heap_mb":$heapMb,"gc_ms_cum":$gms,"gc_n_cum":$gn,""" +
+        s""""shuffle_mb":$shuffleMb,"jit_ms_cum":$jitMs}"""
+      val w = new java.io.FileWriter("BENCH_DIAG.jsonl", true)
+      try w.write(line + "\n") finally w.close()
+    } catch { case _: Throwable => () }
     val runsWithExtra: Map[String, (Seq[Double], Int)] =
-      SparkEntry.queries.map { case (name, fn) =>
+      timedQueries.map { case (name, fn) =>
         if (prime) {
           try fn(spark, sfDir).count()
           catch { case _: Throwable => () }
@@ -203,6 +271,7 @@ object Bench {
           rs :+= once()
           extra += 1
         }
+        diagLine(name, rs)
         name -> (rs, extra)
       }
     val runs: Map[String, Seq[Double]] = runsWithExtra.map {
@@ -244,7 +313,9 @@ object Bench {
     // this run is [[Bench.ledgerFor]]'s decision — see its scaladoc for
     // the three clobber classes the routing guards against. The stdout
     // lines (what the driver parses) are unaffected by the routing.
-    try {
+    // a restricted (BENCH_ONLY) run writes NO ledger file: its partial
+    // total would clobber a full-surface pin as a spuriously "faster" run
+    try if (only.isEmpty) {
       // anchored to the metric, not the first "value": — field reordering
       // or format drift must not silently disable the slow-phase guard.
       // A ledger that exists but doesn't parse gets a LOUD stderr note

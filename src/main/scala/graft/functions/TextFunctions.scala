@@ -260,9 +260,26 @@ object TextFunctions {
       case Some(c) => docs.withColumn("__rid", col(c))
       case None => docs.withColumn("__rid", xxhash64(docs.columns.map(col): _*))
     }
+    // Compute-dense-projection guard (round 10): the per-(doc, lang)
+    // overlap scoring below costs ~100× the scan feeding it, and it runs
+    // in the SCAN's stage (it precedes the window exchange). When the
+    // corpus fits in fewer splits than cores — the sf1 fixture's
+    // documents table is ONE sub-8-MiB row group — the whole scoring
+    // stage inherits 1-task parallelism and runs 30× slower than the
+    // same work spread over the cores (measured at sf1: 25-50 s vs
+    // 3-4 s; the misdiagnosed "session-age" artifact, BASELINE §4.0c).
+    // Spread only when the scan is genuinely narrower than half the
+    // cores: on any real corpus (scan splits ≫ cores) this branch is the
+    // identity and adds NO exchange at scale. Round-robin repartition is
+    // output-safe here: every downstream step is keyed (window by __rid,
+    // final orderBy), so row placement never reaches the result.
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (withId.rdd.getNumPartitions * 2 < cores) withId.repartition(cores)
+      else withId
     val wBest = Window.partitionBy(col("__rid"))
       .orderBy(col("lang_overlap").desc, col("lang_p").asc)
-    withId
+    spread
       .crossJoin(broadcast(profiles))
       .withColumn("lang_overlap",
         size(array_intersect(array_distinct(split(col(textCol), " ")),

@@ -221,6 +221,12 @@ object NorthStarQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-(lang, source) corpus stats. The r2(avg) sites are inside the
+    * money-sum rule's integral exception (Det.scala): n_chars and the
+    * token count are INTEGERS, so the avg's numerator is an exact
+    * integer double sum (order-independent far below 2^53) and the
+    * single division is deterministic on both engines.
+    */
   def q84_text_langstats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .groupBy(col("lang"), col("source"))
