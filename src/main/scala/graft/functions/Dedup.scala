@@ -328,7 +328,14 @@ object Dedup {
     // stage then does a single dot product per candidate
     val e = emb.select(col(blockCol).as("block"), col(idCol).as("id"),
       col(vecCol).as("v"), Det.l2norm(col(vecCol)).as("nrm"))
-    e.as("a").join(e.as("b"),
+    // a sub-threshold embedding table gets broadcast, so the pairwise
+    // dot-product probe executes in the stream side's SCAN stage — one
+    // task when the corpus fits in one split (the q91/q145 pathology,
+    // BASELINE §4.0c). Spread the stream side in exactly that regime;
+    // identity on a real corpus. Output-safe: every emitted column is a
+    // pure per-pair function and callers impose a total order.
+    val es = Escalation.spreadIfNarrow(e)
+    es.as("a").join(e.as("b"),
         col("a.block") === col("b.block") && col("a.id") < col("b.id"))
       // round-then-filter: boundary pairs behave identically across engines
       .withColumn("cos_sim", Det.r6(Det.dotD(col("a.v"), col("b.v")) /

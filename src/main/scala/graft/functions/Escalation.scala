@@ -107,4 +107,21 @@ object Escalation {
           s"spark conf $key must be an integer, got '$v'")
       }
     }.getOrElse(default)
+
+  /** Compute-dense-stage guard (round 10, BASELINE §4.0c): a projection
+    * or broadcast-join probe that costs ≫ its scan executes in the
+    * SCAN's stage, so when the input fits in fewer splits than cores
+    * (small fixture files, one parquet row group) the whole stage runs
+    * near-single-task — q91's scoring ran on 1 of 32 cores at sf1, and
+    * q145's levenshtein probe behind a broadcast join likewise. Spread
+    * the input across the cores ONLY in that regime: on a real corpus
+    * (splits ≫ cores) this is the identity and adds NO exchange at
+    * scale. Output-safe wherever downstream is keyed (windows, aggs,
+    * final total orders) — round-robin placement never reaches a keyed
+    * result; callers assert that property in their own scaladoc.
+    */
+  def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < cores) df.repartition(cores) else df
+  }
 }

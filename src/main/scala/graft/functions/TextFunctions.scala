@@ -273,10 +273,7 @@ object TextFunctions {
     // identity and adds NO exchange at scale. Round-robin repartition is
     // output-safe here: every downstream step is keyed (window by __rid,
     // final orderBy), so row placement never reaches the result.
-    val cores = docs.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (withId.rdd.getNumPartitions * 2 < cores) withId.repartition(cores)
-      else withId
+    val spread = Escalation.spreadIfNarrow(withId)
     val wBest = Window.partitionBy(col("__rid"))
       .orderBy(col("lang_overlap").desc, col("lang_p").asc)
     spread

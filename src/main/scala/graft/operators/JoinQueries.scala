@@ -266,7 +266,14 @@ object JoinQueries {
     val clean = c.withColumn("blk", expr(s"substring(name, ${19 - bw}, $bw)"))
     val w = Window.partitionBy(col("dirty_id"))
       .orderBy(col("dist"), col("id"))
-    dirty.join(clean, Seq("blk"))
+    // The clean side is ~5 MB at sf1, so Spark broadcasts it and the
+    // quadratic levenshtein probe executes in the DIRTY side's scan
+    // stage — one sub-8-MiB split = one task at any core count (the
+    // q91 pathology, BASELINE §4.0c; measured 85 s single-task at sf1).
+    // spreadIfNarrow parallelizes exactly that regime and is the
+    // identity on a real corpus. Output-safe: the best-match window and
+    // the final order are keyed by dirty_id.
+    Escalation.spreadIfNarrow(dirty).join(clean, Seq("blk"))
       .withColumn("dist", levenshtein(col("dname"), col("name")))
       .filter(col("dist") <= 1)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

@@ -198,7 +198,12 @@ object MiningQueries {
       col("label").as("nl"), col("embedding").as("cv"))
     val wK = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    val top5 = broadcast(probes).crossJoin(corpus)
+    // the probe side broadcasts, so the 400×|corpus| dot-product probe
+    // executes in the corpus SCAN's stage — one task when embeddings fit
+    // in one split (the q91/q145 pathology, BASELINE §4.0c); spread in
+    // exactly that regime, identity at scale. Keyed windows downstream.
+    val top5 = broadcast(probes)
+      .crossJoin(graft.functions.Escalation.spreadIfNarrow(corpus))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", Det.r6(Det.dotD(col("pv"), col("cv")) /
         (Det.l2norm(col("pv")) * Det.l2norm(col("cv")))))
