@@ -12,6 +12,13 @@ object Bench {
     """sf([0-9.]+)""".r.findAllMatchIn(sfDir)
       .map(_.group(1)).toSeq.lastOption.getOrElse("0")
 
+  /** How much slower than the pinned run's calibration probe a run's
+    * probe may be and still count as "the known fast band". Observed
+    * slow phases inflate pure-CPU work ×1.18–1.35 uniformly; 1.15 sits
+    * under the slowest observed phase and over probe jitter (<±5% on a
+    * quiet host). */
+  val CalibTolerance = 1.15
+
   /** Ledger-file routing for a finished run — pure, spec'd
     * (BenchLedgerSpec). The pinned BENCH_LOCAL.json's contract is
     * "quiet-machine fast-phase median-of-N at sf0.1"; three clobber
@@ -35,17 +42,41 @@ object Bench {
     *     existing pin, and a code change that genuinely slows the suite
     *     is exactly what SPARK_GRAFT_BENCH_FORCE=1 is for (force does
     *     not bypass the sf or spread gates).
+    *  4. phase-labeled pins (round 11, VERDICT item 2): every run times
+    *     a fixed scan-free calibration probe ([[calibProbe]]) before and
+    *     after the pass and records both in the ledger line. When the
+    *     PINNED line carries calibration evidence, a new pin is accepted
+    *     only if this run's WORSE probe time sits within
+    *     [[CalibTolerance]] of the pinned run's BETTER one — so the host
+    *     phase is labeled by measurement at pin time, not adjudicated
+    *     from totals after the fact. A faster-total run measured in a
+    *     slow phase is genuinely faster code, but pinning it would
+    *     poison the calibration band for every later run, so it diverts
+    *     with an explicit "re-run in a fast phase" note (`force`
+    *     overrides, recording its own calibration as the new band).
+    *     Legacy pins without calibration fields gate on rules 1–3 only.
     *
     * Returns (fileName, optional stderr note).
     */
   def ledgerFor(sfNum: String, spreadBp: Long, total: Double,
                 pinnedTotal: Option[Double],
-                force: Boolean): (String, Option[String]) =
+                force: Boolean,
+                calibMs: Option[Long] = None,
+                pinnedCalibMs: Option[Long] = None): (String, Option[String]) =
     if (sfNum != "0.1") (s"BENCH_LOCAL_sf$sfNum.json", None)
     else if (spreadBp > 3000)
       ("BENCH_LOCAL_noisy.json", Some(
         s"spread_bp=$spreadBp > 3000: noisy run diverted to " +
           "BENCH_LOCAL_noisy.json; pinned ledger left untouched"))
+    else if (!force && calibMs.zip(pinnedCalibMs).exists {
+        case (c, p) => c > CalibTolerance * p })
+      ("BENCH_LOCAL_noisy.json", Some(
+        s"calibration probe ${calibMs.get} ms is outside the pinned " +
+          s"fast band (${pinnedCalibMs.get} ms × $CalibTolerance): slow " +
+          "host phase measured directly; diverted to " +
+          "BENCH_LOCAL_noisy.json — re-run when the probe is back in " +
+          "band (tools/pin_ledger.sh polls for that), or " +
+          "SPARK_GRAFT_BENCH_FORCE=1 to re-pin with a new band"))
     else if (!force && pinnedTotal.exists(v => total > v))
       ("BENCH_LOCAL_noisy.json", Some(
         s"run total=$total is over the pinned ledger's (slow host " +
@@ -62,6 +93,76 @@ object Bench {
   def parsePinnedTotal(ledgerLine: String): Option[Double] =
     """"metric":"total","value":(-?[0-9.eE+]+)""".r
       .findFirstMatchIn(ledgerLine).map(_.group(1).toDouble)
+
+  /** The pinned ledger's calibration evidence, parsed anchored to the
+    * `calib_ms` field — pure, spec'd (BenchLedgerSpec). Returns the
+    * BETTER (smaller) of the pinned run's before/after probe times: the
+    * fast-band reference a new run's WORSE probe time is compared
+    * against (conservative on both sides — a run that straddled a phase
+    * boundary can neither set a slow band nor sneak in on its fast
+    * half). None on legacy lines without the field. */
+  def parsePinnedCalib(ledgerLine: String): Option[Long] =
+    """"calib_ms":\[(\d+),(\d+)\]""".r
+      .findFirstMatchIn(ledgerLine)
+      .map(m => math.min(m.group(1).toLong, m.group(2).toLong))
+
+  /** Compact per-query encoding for the tail-surviving stdout line —
+    * pure, spec'd (BenchLedgerSpec). VERDICT r10 item 3: the decisecond
+    * quanta the old compact tiers bottomed out at made 122 of 210
+    * queries (all ≤0.2 s) untrackable round-over-round. Milliseconds as
+    * a JSON OBJECT don't fit the ~2000-char stdout tail the driver
+    * keeps (measured 2082 chars at 210 queries), so the map is encoded
+    * as ONE JSON STRING of `key:value` pairs — `"queries":"01:123,
+    * 92:5049,…"` — which drops two quote chars per entry and fits with
+    * ~200 chars to spare. Keys are the bare query numbers (unique by
+    * construction); a failed query is -1000 (ms for the sentinel -1.0 s,
+    * never a plausible time). If a future surface outgrows `budget`
+    * the values degrade to centiseconds then deciseconds, flagged by
+    * `queries_unit` in the line itself. The full-precision seconds map
+    * still goes to the ledger file and the full stdout line.
+    */
+  def encodeCompact(results: Map[String, Double],
+                    budget: Int = 1700): (String, String) = {
+    def enc(unit: Double): String = results.map { case (k, v) =>
+      k.drop(1).takeWhile(_ != '_') + ":" + math.round(v * unit)
+    }.mkString(",")
+    val ms = enc(1000)
+    if (ms.length <= budget) ("ms", ms)
+    else {
+      val cs = enc(100)
+      if (cs.length <= budget) ("centisec", cs) else ("decisec", enc(10))
+    }
+  }
+
+  /** Fixed scan-free calibration probe (VERDICT r10 item 2): a seeded
+    * xxhash64 fold over `spark.range` — pure CPU, one narrow stage, no
+    * file I/O, no shuffle beyond the 1-row final agg — so its wall time
+    * tracks the HOST PHASE (cpu frequency / noisy-neighbor state) and
+    * nothing else. Run once untimed (JIT), then `rounds` timed; the MIN
+    * lands in the ledger line as the run's phase label — min, not
+    * median, because transient scheduler/neighbor interference only ever
+    * ADDS time (measured: medians span 980–1220 ms across quiet-host
+    * JVMs, ±12%, while a uniformly slow phase inflates even the best
+    * round — the r8/r9 phases slowed scan-free queries 1.18–1.22×
+    * uniformly), so the min is the stable capacity signal the 1.15
+    * tolerance needs. ~1 s per round in the fast band at 32 cores: long
+    * enough to ride out scheduler jitter, short enough to poll for a
+    * fast phase (tools/pin_ledger.sh) without meaningfully occupying the
+    * window it detects. */
+  def calibProbe(spark: SparkSession, rounds: Int = 4): Long = {
+    import org.apache.spark.sql.functions._
+    val p = spark.sparkContext.defaultParallelism
+    def once(): Long = {
+      val t0 = System.nanoTime()
+      // max, not sum: an ANSI long sum over ~3e9 hash values overflows;
+      // max is the same per-row hash work with an overflow-free fold
+      spark.range(0L, 3200000000L, 1L, p)
+        .select(max(xxhash64(col("id"), lit(42)))).head()
+      (System.nanoTime() - t0) / 1000000L
+    }
+    once()
+    (1 to math.max(1, rounds)).map(_ => once()).min
+  }
 
   /** Consecutive slow-phase diverts already recorded in the noisy ledger
     * AGAINST THE SAME PIN — pure, spec'd (BenchLedgerSpec). ADVICE r9:
@@ -127,6 +228,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Phase calibration (round 11, VERDICT item 2): time the fixed probe
+    // BEFORE the warm-up and AFTER the timed pass; both land in every
+    // output line as the run's measured phase label. CALIB_ONLY=1 runs
+    // just the probe and exits — the cheap poll tools/pin_ledger.sh uses
+    // to wait for a fast phase before spending a full ledger run.
+    val calibOn = sys.env.getOrElse("SPARK_GRAFT_CALIB", "1") != "0"
+    if (sys.env.getOrElse("SPARK_GRAFT_CALIB_ONLY", "0") == "1") {
+      val c = Bench.calibProbe(spark)
+      println(s"""{"metric":"calib","value":$c,"unit":"ms"}""")
+      spark.stop()
+      return
+    }
+    val calibBefore = if (calibOn) Bench.calibProbe(spark) else -1L
     // Iterative operators (PageRank/BFS/k-core/components/…) leave their
     // FINAL round's checkpoint blocks pinned — the returned lazy frame
     // reads them, so the operator itself cannot free them. Across 209
@@ -302,10 +416,15 @@ object Bench {
       case (k, (_, e)) if e > 0 => "\"" + k + "\":" + e
     }.mkString("{", ",", "}")
     val totalExtra = runsWithExtra.valuesIterator.map(_._2).sum
+    // post-pass probe: a run that STARTED fast but finished slow straddled
+    // a phase boundary — the ledger gate compares the run's WORSE probe
+    // against the pin's BETTER one, so straddlers divert too
+    val calibAfter = if (calibOn) Bench.calibProbe(spark) else -1L
+    val calibJson = s"[$calibBefore,$calibAfter]"
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""repeats":$repeats,"total_min":$totalMin,"total_max":$totalMax,""" +
-        s""""spread_bp":$spreadBp,"n_extra":$nExtraJson,""" +
+        s""""spread_bp":$spreadBp,"calib_ms":$calibJson,"n_extra":$nExtraJson,""" +
         s""""runs":$runsJson,"sf":"$sfDir"}"""
     val sfNum = Bench.parseSf(sfDir)
     // Full-precision, full-name per-query map → a repo file (the ledger's
@@ -320,38 +439,41 @@ object Bench {
       // or format drift must not silently disable the slow-phase guard.
       // A ledger that exists but doesn't parse gets a LOUD stderr note
       // (the guard then defaults open: first-run-always-pins).
-      val pinnedTotal =
+      val pinnedLine =
         if (!new java.io.File("BENCH_LOCAL.json").isFile) None
-        else {
-          val parsed = try {
-            val pinned = scala.io.Source.fromFile("BENCH_LOCAL.json")
-            val line = try pinned.mkString finally pinned.close()
-            Bench.parsePinnedTotal(line)
-          } catch { case _: Throwable => None }
-          if (parsed.isEmpty) System.err.println(
-            "[bench] BENCH_LOCAL.json exists but its total did not parse " +
-              "(expected \"metric\":\"total\",\"value\":N) — the slow-" +
-              "phase clobber guard is DISABLED for this run")
-          parsed
-        }
+        else try {
+          val pinned = scala.io.Source.fromFile("BENCH_LOCAL.json")
+          Some(try pinned.mkString finally pinned.close())
+        } catch { case _: Throwable => None }
+      val pinnedTotal = pinnedLine.flatMap(Bench.parsePinnedTotal)
+      if (pinnedLine.isDefined && pinnedTotal.isEmpty) System.err.println(
+        "[bench] BENCH_LOCAL.json exists but its total did not parse " +
+          "(expected \"metric\":\"total\",\"value\":N) — the slow-" +
+          "phase clobber guard is DISABLED for this run")
+      val pinnedCalib = pinnedLine.flatMap(Bench.parsePinnedCalib)
+      // the gate compares this run's WORSE probe time (see calibAfter's
+      // straddle note); a disabled probe (-1) gates on rules 1-3 only
+      val calibWorst =
+        if (calibOn) Some(math.max(calibBefore, calibAfter)) else None
       val force = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORCE", "0") == "1"
-      val (ledger, note) =
-        Bench.ledgerFor(sfNum, spreadBp, total, pinnedTotal, force)
+      val (ledger, note) = Bench.ledgerFor(
+        sfNum, spreadBp, total, pinnedTotal, force, calibWorst, pinnedCalib)
       note.foreach(n => System.err.println(s"[bench] $n"))
       // slow-phase diverts carry a consecutive-divert counter in the
       // written line (see Bench.slowDivertCount) — 3 in a row against
       // the same pin escalates from "host phase" to "likely regression"
       val slowPhase = ledger == "BENCH_LOCAL_noisy.json" &&
-        spreadBp <= 3000 && pinnedTotal.exists(total > _)
+        spreadBp <= 3000 && (pinnedTotal.exists(total > _) ||
+          calibWorst.zip(pinnedCalib).exists {
+            case (c, p) => c > Bench.CalibTolerance * p })
+      def prevDiverts: Int = try {
+        val src = scala.io.Source.fromFile("BENCH_LOCAL_noisy.json")
+        try Bench.slowDivertCount(src.mkString, pinnedTotal.getOrElse(-1.0))
+        finally src.close()
+      } catch { case _: Throwable => 0 }
       val lineOut =
-        if (!slowPhase) fullLine
-        else {
-          val prev = try {
-            val src = scala.io.Source.fromFile("BENCH_LOCAL_noisy.json")
-            try Bench.slowDivertCount(src.mkString, pinnedTotal.get)
-            finally src.close()
-          } catch { case _: Throwable => 0 }
-          val n = prev + 1
+        if (slowPhase) {
+          val n = prevDiverts + 1
           if (n >= 3) System.err.println(
             s"[bench] $n CONSECUTIVE runs totaled worse than the pinned " +
               "ledger against the same pin — no longer explainable as a " +
@@ -360,50 +482,35 @@ object Bench {
               "with SPARK_GRAFT_BENCH_FORCE=1")
           fullLine.dropRight(1) +
             s""","slow_diverts":$n,"slow_diverts_vs":${pinnedTotal.get}}"""
-        }
+        } else if (ledger == "BENCH_LOCAL_noisy.json" &&
+            pinnedTotal.isDefined && prevDiverts > 0)
+          // ADVICE r10: a spread-noisy run between slow-phase diverts must
+          // CARRY the counter forward unchanged, not overwrite it away —
+          // alternating noise classes could otherwise reset the 3-divert
+          // escalation indefinitely and hide a real regression
+          fullLine.dropRight(1) +
+            s""","slow_diverts":$prevDiverts,""" +
+            s""""slow_diverts_vs":${pinnedTotal.get}}"""
+        else fullLine
       val w = new java.io.PrintWriter(ledger)
       try w.println(lineOut) finally w.close()
     } catch { case _: Throwable => () }
     // The harness that wraps this main keeps only the TAIL of stdout
-    // (observed: last 2000 chars), and the full 100-query line is ~3.4 KB —
+    // (observed: last 2000 chars), and the full 210-query line is ~19 KB —
     // it gets beheaded and never parses. So the LAST line printed is a
-    // compact variant that fits whole inside that window: keys shortened to
-    // their qNN prefix (unique by construction), values at millisecond
-    // precision, sf as a number. The full line still goes out first for
-    // anyone reading complete logs.
-    // The compact map must stay under the ~2000-char tail window at ANY
-    // surface size: keys are the bare query numbers ("q191_auc_roc" →
-    // "191", unique by construction), values are seconds with trailing
-    // zeros stripped ("0.10" → "0.1", "1.00" → "1"). If the line still
-    // outgrows the window (209 queries broke the 1-decimal tier in r6 —
-    // the artifact's parse came back null) the values degrade to INTEGER
-    // DECISECONDS, flagged by "queries_unit":"decisec" in the line itself
-    // (divide by 10 for seconds; a failed query is -10). The
-    // full-precision seconds map is always in BENCH_LOCAL.json; the
-    // compact line only has to parse whole with the headline total.
-    def stripz(s: String): String = {
-      val t = if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse
-              else s
-      if (t.endsWith(".")) t.dropRight(1) else t
-    }
-    def compact(fmt: Double => String): String = results.map { case (k, v) =>
-      "\"" + k.drop(1).takeWhile(_ != '_') + "\":" + stripz(fmt(v))
-    }.mkString("{", ",", "}")
-    // keep ~250 chars of headroom under the 2000-char tail for the
-    // envelope fields and a safety margin
-    val (compactQs, compactUnit) = {
-      val c2 = compact(v => f"$v%.2f")
-      lazy val c1 = compact(v => f"$v%.1f")
-      if (c2.length <= 1500) (c2, "sec")
-      else if (c1.length <= 1500) (c1, "sec")
-      else (results.map { case (k, v) =>
-        "\"" + k.drop(1).takeWhile(_ != '_') + "\":" + math.round(v * 10)
-      }.mkString("{", ",", "}"), "decisec")
-    }
+    // compact variant that fits whole inside that window, per-query values
+    // in MILLISECONDS (VERDICT r10 item 3 — decisecond quanta made the
+    // 122 sub-0.2 s queries untrackable round-over-round). Encoding and
+    // its degrade ladder live in [[Bench.encodeCompact]]; tools/
+    // bench_compare.py decodes every historical format. The full-
+    // precision seconds map is always in the ledger file and the full
+    // stdout line above; the compact line only has to parse whole with
+    // the headline total.
+    val (compactUnit, compactQs) = Bench.encodeCompact(results)
     println(fullLine)
     // median + spread in the tail-surviving compact line (the driver keeps
-    // only the last ~2000 chars of stdout — see the note above compactQs)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeats":$repeats,"spread_bp":$spreadBp,"extra_runs":$totalExtra,"queries_unit":"$compactUnit%s","queries":$compactQs,"sf":$sfNum}""")
+    // only the last ~2000 chars of stdout — see the note above)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeats":$repeats,"spread_bp":$spreadBp,"extra_runs":$totalExtra,"calib_ms":$calibJson%s,"queries_unit":"$compactUnit%s","queries":"$compactQs%s","sf":$sfNum}""")
     spark.stop()
   }
 }

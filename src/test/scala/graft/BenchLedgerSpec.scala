@@ -110,6 +110,69 @@ class BenchLedgerSpec extends AnyFunSuite {
     assert(Bench.parsePinnedTotal("").isEmpty)
   }
 
+  test("calibration gate: a run probing outside the pinned fast band is " +
+    "diverted even when its total would otherwise pin") {
+    // pinned band 1000 ms; 1.15 tolerance → 1151 ms is out of band
+    val (file, note) = Bench.ledgerFor("0.1", 1500L, 48.0, Some(52.0),
+      force = false, calibMs = Some(1151L), pinnedCalibMs = Some(1000L))
+    assert(file == "BENCH_LOCAL_noisy.json")
+    assert(note.exists(_.contains("calibration probe")))
+    // exactly at tolerance still pins (strictly-greater trips)
+    assert(Bench.ledgerFor("0.1", 1500L, 48.0, Some(52.0), force = false,
+      calibMs = Some(1150L), pinnedCalibMs = Some(1000L))
+      ._1 == "BENCH_LOCAL.json")
+    // legacy pin without calibration fields → rules 1-3 only
+    assert(Bench.ledgerFor("0.1", 1500L, 48.0, Some(52.0), force = false,
+      calibMs = Some(9999L), pinnedCalibMs = None)
+      ._1 == "BENCH_LOCAL.json")
+    // probe disabled this run → rules 1-3 only
+    assert(Bench.ledgerFor("0.1", 1500L, 48.0, Some(52.0), force = false,
+      calibMs = None, pinnedCalibMs = Some(1000L))
+      ._1 == "BENCH_LOCAL.json")
+    // force records a new band over a slow probe (deliberate re-pin)
+    assert(Bench.ledgerFor("0.1", 1500L, 48.0, Some(52.0), force = true,
+      calibMs = Some(9999L), pinnedCalibMs = Some(1000L))
+      ._1 == "BENCH_LOCAL.json")
+    // the calibration gate never outranks the sf or spread gates
+    assert(Bench.ledgerFor("1", 1500L, 48.0, Some(52.0), force = false,
+      calibMs = Some(1000L), pinnedCalibMs = Some(1000L))
+      ._1 == "BENCH_LOCAL_sf1.json")
+  }
+
+  test("parsePinnedCalib returns the BETTER probe time of the pinned " +
+    "run; legacy lines without the field parse to None") {
+    assert(Bench.parsePinnedCalib(
+      """{"metric":"total","value":52.3,"calib_ms":[980,1065]}""")
+      .contains(980L))
+    assert(Bench.parsePinnedCalib(
+      """{"calib_ms":[1065,980],"metric":"total"}""").contains(980L))
+    assert(Bench.parsePinnedCalib(
+      """{"metric":"total","value":52.3}""").isEmpty)
+    assert(Bench.parsePinnedCalib("").isEmpty)
+  }
+
+  test("encodeCompact emits millisecond key:value pairs and degrades to " +
+    "coarser units only when the budget demands it") {
+    val r = Map("q01_scan_project" -> 0.1234, "q191_auc_roc" -> 2.6049,
+      "q85_dedup_minhash_lsh" -> -1.0)
+    val (unit, s) = Bench.encodeCompact(r)
+    assert(unit == "ms")
+    val m = s.split(",").map(_.split(":")).map(a => a(0) -> a(1).toLong).toMap
+    assert(m("01") == 123L && m("191") == 2605L)
+    // a failed query is the -1.0 s sentinel in ms — never a plausible time
+    assert(m("85") == -1000L)
+    // a 210-query surface at the real sf0.1 value distribution (3-digit
+    // ms medians; the measured r10 string form is ~1530 chars) fits the
+    // documented tail budget in ms — a uniformly-4-digit surface (sf1
+    // totals) is exactly what the degrade ladder below is for
+    val big = (1 to 210).map(i => f"q$i%02d_x" -> 0.1234).toMap
+    val (u2, s2) = Bench.encodeCompact(big)
+    assert(u2 == "ms" && s2.length <= 1700)
+    // squeezed budget degrades: centisec, then decisec
+    assert(Bench.encodeCompact(big, budget = s2.length - 1)._1 == "centisec")
+    assert(Bench.encodeCompact(big, budget = 10)._1 == "decisec")
+  }
+
   test("slowDivertCount counts only diverts against the SAME pin: a " +
     "re-pin resets the escalation naturally") {
     val line = """{"metric":"total","value":60.1,"unit":"sec",""" +
