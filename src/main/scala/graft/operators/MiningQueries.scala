@@ -166,9 +166,9 @@ object MiningQueries {
     // downstream consumption (the component map is consumed twice below)
     val edges = JoinQueries.q145_fuzzy_match(spark, sfDir)
       .select(col("dirty_id").as("a"), col("match_id").as("b"))
-      .localCheckpoint(true)
+      .transform(graft.functions.Checkpoints.cut(_))
     val cc = Components.connectedComponents(edges, "a", "b")
-      .localCheckpoint(true)
+      .transform(graft.functions.Checkpoints.cut(_))
     val sizes = cc.groupBy(col("component"))
       .agg(count(lit(1)).as("n_members"))
     cc.join(sizes, "component")

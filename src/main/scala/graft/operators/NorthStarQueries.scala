@@ -189,7 +189,7 @@ object NorthStarQueries {
     * Scale shape: the pair join is cluster-blocked — SemDeDup's whole
     * point is k grows with the corpus so per-cluster occupancy stays
     * bounded (the n²/k trade, same family as q81's lang blocks and
-    * q145's name blocks); the assignment+norm frame is localCheckpoint'd
+    * q145's name blocks); the assignment+norm frame is lineage-cut (Checkpoints.cut)
     * once because it feeds BOTH sides of the pair join.
     */
   def q158_semdedup(spark: SparkSession, sfDir: String): DataFrame = {
@@ -204,7 +204,7 @@ object NorthStarQueries {
     val base = clusterAssignments(spark, sfDir)
       .select(col("vec_id"), col("cid"))
       .join(e, "vec_id")
-      .localCheckpoint(true)
+      .transform(graft.functions.Checkpoints.cut(_))
     val x = base.select(col("cid"), col("vec_id").as("ia"),
       col("v").as("va"), col("nrm").as("na"))
     val y = base.select(col("cid").as("cid_b"), col("vec_id").as("ib"),

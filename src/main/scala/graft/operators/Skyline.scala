@@ -69,12 +69,13 @@ object Skyline {
   /** Exact skyline of `df` maximizing the LongType columns `dims`. */
   def of(df: DataFrame, dims: Seq[String]): DataFrame = {
     val dimIdx = dims.map(df.schema.fieldIndex).toArray
-    // eager localCheckpoint: the survivor set feeds BOTH sides of the
+    // eager lineage cut (Checkpoints.cut: local checkpoint, reliable on
+    // the cluster profile): the survivor set feeds BOTH sides of the
     // merge join — without it each side recomputes the upstream plan +
     // prune (same RDD, two uncached scans)
     val pruned = df.sparkSession
       .createDataFrame(df.rdd.mapPartitions(localPrune(_, dimIdx)), df.schema)
-      .localCheckpoint(true)
+      .transform(graft.functions.Checkpoints.cut(_))
     val ge = dims.map(d => col(s"q.$d") >= col(s"p.$d")).reduce(_ && _)
     val gt = dims.map(d => col(s"q.$d") > col(s"p.$d")).reduce(_ || _)
     pruned.as("p").join(broadcast(pruned.as("q")), ge && gt, "left_anti")
