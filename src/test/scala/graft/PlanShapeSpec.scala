@@ -36,6 +36,41 @@ class PlanShapeSpec extends SparkSpec {
     assert("strategy=broadcast".r.findAllIn(op11).size <= 2, op11.take(1500))
   }
 
+  test("de-hinted join escalation (VERDICT r10 item 6): q10/q11/q15/q147/" +
+    "q152 flip BHJ -> SMJ when the dim side exceeds the broadcast " +
+    "thresholds, instead of OOMing on a forced broadcast") {
+    // The r10 hint-drop left these joins threshold-chosen; this pins the
+    // escalation with plan evidence. Growing the fixture dim past 10 MB
+    // is not possible here, so the synthetic equivalent disables the
+    // static AND adaptive broadcast thresholds — exactly the decision
+    // Spark makes when the dim side outgrows them at 100 TB.
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      keys.foreach(conf.set(_, "-1"))
+      for (q <- Seq("q10_join_inner", "q15_join_theta", "q147_pareto",
+          "q152_weighted_median")) {
+        val p = plan(q)
+        assert(!p.contains("BroadcastHashJoin"),
+          s"$q still broadcasts with thresholds disabled — a hint crept " +
+            s"back:\n${p.take(1200)}")
+        assert(p.contains("SortMergeJoin"),
+          s"$q lost its sort-merge escalation path:\n${p.take(1200)}")
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"$q degenerated to a non-equi plan:\n${p.take(1200)}")
+      }
+      // q11: ONLY the two cardinality-bounded hinted dims (region 5 rows,
+      // nation 25) may stay broadcast; every threshold-chosen join flips
+      val p11 = plan("q11_join_multiway")
+      assert("BroadcastHashJoin".r.findAllIn(p11).size <= 2, p11.take(1500))
+      assert(p11.contains("SortMergeJoin"), p11.take(1500))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("q02 filter predicates are pushed into the parquet scan") {
     val p = plan("q02_filter_where")
     // toString elides the filter list tail — assert on the visible head
