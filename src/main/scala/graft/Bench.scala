@@ -62,27 +62,38 @@ object Bench {
                 pinnedTotal: Option[Double],
                 force: Boolean,
                 calibMs: Option[Long] = None,
-                pinnedCalibMs: Option[Long] = None): (String, Option[String]) =
+                pinnedCalibMs: Option[Long] = None,
+                calibMemMs: Option[Long] = None,
+                pinnedCalibMemMs: Option[Long] = None)
+      : (String, Option[String]) = {
+    // first calibration dimension measured outside the pinned fast band
+    // (CPU fold, then the memory/shuffle-bandwidth probe — the dimension
+    // the r11 forensics showed actually moves; BASELINE §4.0e)
+    val outOfBand = Seq(
+      ("cpu", calibMs, pinnedCalibMs),
+      ("mem", calibMemMs, pinnedCalibMemMs)).collectFirst {
+      case (dim, Some(c), Some(p)) if c > CalibTolerance * p => (dim, c, p)
+    }
     if (sfNum != "0.1") (s"BENCH_LOCAL_sf$sfNum.json", None)
     else if (spreadBp > 3000)
       ("BENCH_LOCAL_noisy.json", Some(
         s"spread_bp=$spreadBp > 3000: noisy run diverted to " +
           "BENCH_LOCAL_noisy.json; pinned ledger left untouched"))
-    else if (!force && calibMs.zip(pinnedCalibMs).exists {
-        case (c, p) => c > CalibTolerance * p })
-      ("BENCH_LOCAL_noisy.json", Some(
-        s"calibration probe ${calibMs.get} ms is outside the pinned " +
-          s"fast band (${pinnedCalibMs.get} ms × $CalibTolerance): slow " +
+    else if (!force && outOfBand.isDefined)
+      ("BENCH_LOCAL_noisy.json", outOfBand.map { case (dim, c, p) =>
+        s"calibration probe [$dim] $c ms is outside the pinned " +
+          s"fast band ($p ms × $CalibTolerance): slow " +
           "host phase measured directly; diverted to " +
           "BENCH_LOCAL_noisy.json — re-run when the probe is back in " +
           "band (tools/pin_ledger.sh polls for that), or " +
-          "SPARK_GRAFT_BENCH_FORCE=1 to re-pin with a new band"))
+          "SPARK_GRAFT_BENCH_FORCE=1 to re-pin with a new band" })
     else if (!force && pinnedTotal.exists(v => total > v))
       ("BENCH_LOCAL_noisy.json", Some(
         s"run total=$total is over the pinned ledger's (slow host " +
           "phase): diverted to BENCH_LOCAL_noisy.json; set " +
           "SPARK_GRAFT_BENCH_FORCE=1 to re-pin deliberately"))
     else ("BENCH_LOCAL.json", None)
+  }
 
   /** The pinned ledger's total, parsed ANCHORED to the metric field —
     * pure, spec'd (BenchLedgerSpec). A bare first-"value" regex silently
@@ -100,9 +111,12 @@ object Bench {
     * fast-band reference a new run's WORSE probe time is compared
     * against (conservative on both sides — a run that straddled a phase
     * boundary can neither set a slow band nor sneak in on its fast
-    * half). None on legacy lines without the field. */
-  def parsePinnedCalib(ledgerLine: String): Option[Long] =
-    """"calib_ms":\[(\d+),(\d+)\]""".r
+    * half). None on legacy lines without the field. `field` selects the
+    * dimension: "calib_ms" (CPU fold) or "calib_mem_ms" (bandwidth
+    * probe — see [[calibProbeMem]]). */
+  def parsePinnedCalib(ledgerLine: String,
+                       field: String = "calib_ms"): Option[Long] =
+    ("\"" + field + "\":\\[(\\d+),(\\d+)\\]").r
       .findFirstMatchIn(ledgerLine)
       .map(m => math.min(m.group(1).toLong, m.group(2).toLong))
 
@@ -158,6 +172,31 @@ object Bench {
       // max is the same per-row hash work with an overflow-free fold
       spark.range(0L, 3200000000L, 1L, p)
         .select(max(xxhash64(col("id"), lit(42)))).head()
+      (System.nanoTime() - t0) / 1000000L
+    }
+    once()
+    (1 to math.max(1, rounds)).map(_ => once()).min
+  }
+
+  /** Memory/shuffle-bound calibration probe — the second phase dimension
+    * (round 11 forensics, BASELINE §4.0e): the host entered a state where
+    * the shuffle/window-heavy tier ran 1.3–1.8× the pinned values while
+    * [[calibProbe]] stayed flat in its fast band AND the r9-pin-era code
+    * measured side-by-side was equally inflated — i.e. the slow dimension
+    * is memory/shuffle bandwidth, invisible to a pure-CPU fold. This
+    * probe is a fixed wide hash aggregation (random access over a
+    * 2²¹-key map per task, partial+final agg with a real shuffle): its
+    * wall time tracks the bandwidth/contention state the heavy tier
+    * actually lives in. Same min-of-rounds policy as the CPU probe. */
+  def calibProbeMem(spark: SparkSession, rounds: Int = 4): Long = {
+    import org.apache.spark.sql.functions._
+    val p = spark.sparkContext.defaultParallelism
+    def once(): Long = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 100000000L, 1L, p)
+        .groupBy((col("id") % 2097152L).as("k"))
+        .agg(count(lit(1)).as("n"))
+        .select(max(col("n"))).head()
       (System.nanoTime() - t0) / 1000000L
     }
     once()
@@ -236,11 +275,13 @@ object Bench {
     val calibOn = sys.env.getOrElse("SPARK_GRAFT_CALIB", "1") != "0"
     if (sys.env.getOrElse("SPARK_GRAFT_CALIB_ONLY", "0") == "1") {
       val c = Bench.calibProbe(spark)
-      println(s"""{"metric":"calib","value":$c,"unit":"ms"}""")
+      val m = Bench.calibProbeMem(spark)
+      println(s"""{"metric":"calib","value":$c,"mem_ms":$m,"unit":"ms"}""")
       spark.stop()
       return
     }
     val calibBefore = if (calibOn) Bench.calibProbe(spark) else -1L
+    val calibMemBefore = if (calibOn) Bench.calibProbeMem(spark) else -1L
     // Iterative operators (PageRank/BFS/k-core/components/…) leave their
     // FINAL round's checkpoint blocks pinned — the returned lazy frame
     // reads them, so the operator itself cannot free them. Across 209
@@ -420,11 +461,14 @@ object Bench {
     // a phase boundary — the ledger gate compares the run's WORSE probe
     // against the pin's BETTER one, so straddlers divert too
     val calibAfter = if (calibOn) Bench.calibProbe(spark) else -1L
+    val calibMemAfter = if (calibOn) Bench.calibProbeMem(spark) else -1L
     val calibJson = s"[$calibBefore,$calibAfter]"
+    val calibMemJson = s"[$calibMemBefore,$calibMemAfter]"
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""repeats":$repeats,"total_min":$totalMin,"total_max":$totalMax,""" +
-        s""""spread_bp":$spreadBp,"calib_ms":$calibJson,"n_extra":$nExtraJson,""" +
+        s""""spread_bp":$spreadBp,"calib_ms":$calibJson,""" +
+        s""""calib_mem_ms":$calibMemJson,"n_extra":$nExtraJson,""" +
         s""""runs":$runsJson,"sf":"$sfDir"}"""
     val sfNum = Bench.parseSf(sfDir)
     // Full-precision, full-name per-query map → a repo file (the ledger's
@@ -450,21 +494,27 @@ object Bench {
         "[bench] BENCH_LOCAL.json exists but its total did not parse " +
           "(expected \"metric\":\"total\",\"value\":N) — the slow-" +
           "phase clobber guard is DISABLED for this run")
-      val pinnedCalib = pinnedLine.flatMap(Bench.parsePinnedCalib)
+      val pinnedCalib = pinnedLine.flatMap(Bench.parsePinnedCalib(_))
+      val pinnedCalibMem =
+        pinnedLine.flatMap(Bench.parsePinnedCalib(_, "calib_mem_ms"))
       // the gate compares this run's WORSE probe time (see calibAfter's
       // straddle note); a disabled probe (-1) gates on rules 1-3 only
       val calibWorst =
         if (calibOn) Some(math.max(calibBefore, calibAfter)) else None
+      val calibMemWorst =
+        if (calibOn) Some(math.max(calibMemBefore, calibMemAfter)) else None
       val force = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORCE", "0") == "1"
       val (ledger, note) = Bench.ledgerFor(
-        sfNum, spreadBp, total, pinnedTotal, force, calibWorst, pinnedCalib)
+        sfNum, spreadBp, total, pinnedTotal, force, calibWorst, pinnedCalib,
+        calibMemWorst, pinnedCalibMem)
       note.foreach(n => System.err.println(s"[bench] $n"))
       // slow-phase diverts carry a consecutive-divert counter in the
       // written line (see Bench.slowDivertCount) — 3 in a row against
       // the same pin escalates from "host phase" to "likely regression"
       val slowPhase = ledger == "BENCH_LOCAL_noisy.json" &&
         spreadBp <= 3000 && (pinnedTotal.exists(total > _) ||
-          calibWorst.zip(pinnedCalib).exists {
+          Seq(calibWorst.zip(pinnedCalib),
+              calibMemWorst.zip(pinnedCalibMem)).flatten.exists {
             case (c, p) => c > Bench.CalibTolerance * p })
       def prevDiverts: Int = try {
         val src = scala.io.Source.fromFile("BENCH_LOCAL_noisy.json")
@@ -510,7 +560,7 @@ object Bench {
     println(fullLine)
     // median + spread in the tail-surviving compact line (the driver keeps
     // only the last ~2000 chars of stdout — see the note above)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeats":$repeats,"spread_bp":$spreadBp,"extra_runs":$totalExtra,"calib_ms":$calibJson%s,"queries_unit":"$compactUnit%s","queries":"$compactQs%s","sf":$sfNum}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","repeats":$repeats,"spread_bp":$spreadBp,"extra_runs":$totalExtra,"calib_ms":$calibJson%s,"calib_mem_ms":$calibMemJson%s,"queries_unit":"$compactUnit%s","queries":"$compactQs%s","sf":$sfNum}""")
     spark.stop()
   }
 }

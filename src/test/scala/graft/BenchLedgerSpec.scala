@@ -137,6 +137,20 @@ class BenchLedgerSpec extends AnyFunSuite {
     assert(Bench.ledgerFor("1", 1500L, 48.0, Some(52.0), force = false,
       calibMs = Some(1000L), pinnedCalibMs = Some(1000L))
       ._1 == "BENCH_LOCAL_sf1.json")
+    // second dimension (r11 forensics): a run whose MEMORY probe is out
+    // of band diverts even when the CPU probe is fine — the observed
+    // host state where shuffle-heavy queries inflate 1.3-1.8x while the
+    // pure-CPU fold stays flat
+    val (f2, n2) = Bench.ledgerFor("0.1", 1500L, 48.0, Some(52.0),
+      force = false, calibMs = Some(1000L), pinnedCalibMs = Some(1000L),
+      calibMemMs = Some(2000L), pinnedCalibMemMs = Some(1500L))
+    assert(f2 == "BENCH_LOCAL_noisy.json")
+    assert(n2.exists(_.contains("[mem]")))
+    // both dims in band -> pins
+    assert(Bench.ledgerFor("0.1", 1500L, 48.0, Some(52.0), force = false,
+      calibMs = Some(1000L), pinnedCalibMs = Some(1000L),
+      calibMemMs = Some(1500L), pinnedCalibMemMs = Some(1400L))
+      ._1 == "BENCH_LOCAL.json")
   }
 
   test("parsePinnedCalib returns the BETTER probe time of the pinned " +
@@ -149,6 +163,10 @@ class BenchLedgerSpec extends AnyFunSuite {
     assert(Bench.parsePinnedCalib(
       """{"metric":"total","value":52.3}""").isEmpty)
     assert(Bench.parsePinnedCalib("").isEmpty)
+    // the memory dimension parses by field name and never cross-reads
+    val two = """{"calib_ms":[980,1065],"calib_mem_ms":[1450,1390]}"""
+    assert(Bench.parsePinnedCalib(two, "calib_mem_ms").contains(1390L))
+    assert(Bench.parsePinnedCalib(two).contains(980L))
   }
 
   test("encodeCompact emits millisecond key:value pairs and degrades to " +

@@ -26,14 +26,25 @@ except FileNotFoundError: s = ''
 m = re.search(r'\"calib_ms\":\[(\d+),(\d+)\]', s)
 print(min(int(m.group(1)), int(m.group(2))) if m else 1000)")
 fi
+# second dimension: the memory/shuffle-bandwidth probe (BASELINE §4.0e —
+# the dimension that actually moved while the CPU probe stayed flat);
+# unknown band (legacy pin) -> very permissive until a calibrated pin exists
+MEMBAND=$(python3 -c "
+import re
+try: s = open('BENCH_LOCAL.json').read()
+except FileNotFoundError: s = ''
+m = re.search(r'\"calib_mem_ms\":\[(\d+),(\d+)\]', s)
+print(min(int(m.group(1)), int(m.group(2))) if m else 10**9)")
 CUT=$(python3 -c "print(int($BAND * 1.15))")
-echo "[pin] fast band: probe <= $CUT ms (reference $BAND ms x 1.15)"
+MEMCUT=$(python3 -c "print(int($MEMBAND * 1.15))")
+echo "[pin] fast band: cpu probe <= $CUT ms, mem probe <= $MEMCUT ms"
 for i in $(seq 1 "$ATTEMPTS"); do
-  C=$(SPARK_GRAFT_CALIB_ONLY=1 SPARK_GRAFT_CPUS=32 \
-      tools/bench_java.sh graft.Bench 2>/dev/null | tail -1 \
-      | sed -E 's/.*"value":([0-9]+).*/\1/')
-  echo "[pin] attempt $i/$ATTEMPTS: probe $C ms"
-  if [ "$C" -le "$CUT" ]; then
+  LINE=$(SPARK_GRAFT_CALIB_ONLY=1 SPARK_GRAFT_CPUS=32 \
+      tools/bench_java.sh graft.Bench 2>/dev/null | tail -1)
+  C=$(echo "$LINE" | sed -E 's/.*"value":([0-9]+).*/\1/')
+  M=$(echo "$LINE" | sed -E 's/.*"mem_ms":([0-9]+).*/\1/')
+  echo "[pin] attempt $i/$ATTEMPTS: cpu $C ms, mem $M ms"
+  if [ "$C" -le "$CUT" ] && [ "$M" -le "$MEMCUT" ]; then
     echo "[pin] in band — launching full bench at $SF"
     SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 \
       tools/bench_java.sh graft.Bench
