@@ -42,19 +42,23 @@ object Bench {
     *     existing pin, and a code change that genuinely slows the suite
     *     is exactly what SPARK_GRAFT_BENCH_FORCE=1 is for (force does
     *     not bypass the sf or spread gates).
-    *  4. phase-labeled pins (round 11, VERDICT item 2): every run times
-    *     a fixed scan-free calibration probe ([[calibProbe]]) before and
-    *     after the pass and records both in the ledger line. When the
-    *     PINNED line carries calibration evidence, a new pin is accepted
-    *     only if this run's WORSE probe time sits within
-    *     [[CalibTolerance]] of the pinned run's BETTER one — so the host
-    *     phase is labeled by measurement at pin time, not adjudicated
-    *     from totals after the fact. A faster-total run measured in a
-    *     slow phase is genuinely faster code, but pinning it would
-    *     poison the calibration band for every later run, so it diverts
-    *     with an explicit "re-run in a fast phase" note (`force`
-    *     overrides, recording its own calibration as the new band).
-    *     Legacy pins without calibration fields gate on rules 1–3 only.
+    *  4. phase-labeled diverts (round 11, VERDICT item 2): every run
+    *     times two fixed probes ([[calibProbe]] CPU, [[calibProbeMem]]
+    *     bandwidth) before and after the pass and records both pairs in
+    *     the ledger line, so the host phase is labeled by measurement.
+    *     The probes refine the DIVERT evidence, not the acceptance:
+    *     under rule 3 only totals ≤ the pin can ever pin, and a faster
+    *     total measured under SLOW probes is the most conservative,
+    *     most reproducible pin possible ("even in a slower host state
+    *     the code beat the old pin") — blocking it was measured to
+    *     reject a genuine 50.8 s improvement against a 52.3-era pin
+    *     whose straddle into an anomalous 713 ms probe floor made the
+    *     band unreachable (r11). So: a WORSE total with out-of-band
+    *     probes diverts as "slow host phase, measured directly"; a
+    *     worse total with IN-BAND probes diverts with a
+    *     likely-real-regression escalation (the phase excuse is
+    *     measured away). Accepted pins always record their own probe
+    *     pairs as the next band.
     *
     * Returns (fileName, optional stderr note).
     */
@@ -66,32 +70,41 @@ object Bench {
                 calibMemMs: Option[Long] = None,
                 pinnedCalibMemMs: Option[Long] = None)
       : (String, Option[String]) = {
-    // first calibration dimension measured outside the pinned fast band
-    // (CPU fold, then the memory/shuffle-bandwidth probe — the dimension
-    // the r11 forensics showed actually moves; BASELINE §4.0e)
-    val outOfBand = Seq(
+    // calibration dimensions with both sides measured (CPU fold, then the
+    // memory/shuffle-bandwidth probe — the dimension the r11 forensics
+    // showed actually moves; BASELINE §4.0e)
+    val compared = Seq(
       ("cpu", calibMs, pinnedCalibMs),
-      ("mem", calibMemMs, pinnedCalibMemMs)).collectFirst {
-      case (dim, Some(c), Some(p)) if c > CalibTolerance * p => (dim, c, p)
+      ("mem", calibMemMs, pinnedCalibMemMs)).collect {
+      case (dim, Some(c), Some(p)) => (dim, c, p)
     }
+    val outOfBand = compared.find {
+      case (_, c, p) => c > CalibTolerance * p }
     if (sfNum != "0.1") (s"BENCH_LOCAL_sf$sfNum.json", None)
     else if (spreadBp > 3000)
       ("BENCH_LOCAL_noisy.json", Some(
         s"spread_bp=$spreadBp > 3000: noisy run diverted to " +
           "BENCH_LOCAL_noisy.json; pinned ledger left untouched"))
-    else if (!force && outOfBand.isDefined)
-      ("BENCH_LOCAL_noisy.json", outOfBand.map { case (dim, c, p) =>
-        s"calibration probe [$dim] $c ms is outside the pinned " +
-          s"fast band ($p ms × $CalibTolerance): slow " +
-          "host phase measured directly; diverted to " +
-          "BENCH_LOCAL_noisy.json — re-run when the probe is back in " +
-          "band (tools/pin_ledger.sh polls for that), or " +
-          "SPARK_GRAFT_BENCH_FORCE=1 to re-pin with a new band" })
     else if (!force && pinnedTotal.exists(v => total > v))
-      ("BENCH_LOCAL_noisy.json", Some(
-        s"run total=$total is over the pinned ledger's (slow host " +
-          "phase): diverted to BENCH_LOCAL_noisy.json; set " +
-          "SPARK_GRAFT_BENCH_FORCE=1 to re-pin deliberately"))
+      ("BENCH_LOCAL_noisy.json", Some(outOfBand match {
+        case Some((dim, c, p)) =>
+          s"run total=$total is over the pinned ledger's AND the [$dim] " +
+            s"probe $c ms is outside the pinned fast band ($p ms × " +
+            s"$CalibTolerance): slow host phase, measured directly; " +
+            "diverted to BENCH_LOCAL_noisy.json (tools/pin_ledger.sh " +
+            "polls for a fast phase)"
+        case None if compared.nonEmpty =>
+          s"run total=$total is over the pinned ledger's WITH all " +
+            "calibration probes in the pinned fast band — the host-phase " +
+            "excuse is measured away: if code changed since the pin this " +
+            "is likely a REAL regression; diverted to " +
+            "BENCH_LOCAL_noisy.json, investigate before " +
+            "SPARK_GRAFT_BENCH_FORCE=1"
+        case None =>
+          s"run total=$total is over the pinned ledger's (slow host " +
+            "phase): diverted to BENCH_LOCAL_noisy.json; set " +
+            "SPARK_GRAFT_BENCH_FORCE=1 to re-pin deliberately"
+      }))
     else ("BENCH_LOCAL.json", None)
   }
 
@@ -107,18 +120,20 @@ object Bench {
 
   /** The pinned ledger's calibration evidence, parsed anchored to the
     * `calib_ms` field — pure, spec'd (BenchLedgerSpec). Returns the
-    * BETTER (smaller) of the pinned run's before/after probe times: the
-    * fast-band reference a new run's WORSE probe time is compared
-    * against (conservative on both sides — a run that straddled a phase
-    * boundary can neither set a slow band nor sneak in on its fast
-    * half). None on legacy lines without the field. `field` selects the
-    * dimension: "calib_ms" (CPU fold) or "calib_mem_ms" (bandwidth
-    * probe — see [[calibProbeMem]]). */
+    * WORSE (larger) of the pinned run's before/after probe times: the
+    * pin's own upper bound of its quiet state, the reference a new
+    * run's worse probe is compared against. (The first implementation
+    * took the MIN — and a pin whose after-probe straddled into an
+    * anomalous 713 ms floor then labeled every normal 900–960 ms quiet
+    * probe "slow", diverting a genuine 50.8 s improvement; r11.) None
+    * on legacy lines without the field. `field` selects the dimension:
+    * "calib_ms" (CPU fold) or "calib_mem_ms" (bandwidth probe — see
+    * [[calibProbeMem]]). */
   def parsePinnedCalib(ledgerLine: String,
                        field: String = "calib_ms"): Option[Long] =
     ("\"" + field + "\":\\[(\\d+),(\\d+)\\]").r
       .findFirstMatchIn(ledgerLine)
-      .map(m => math.min(m.group(1).toLong, m.group(2).toLong))
+      .map(m => math.max(m.group(1).toLong, m.group(2).toLong))
 
   /** Compact per-query encoding for the tail-surviving stdout line —
     * pure, spec'd (BenchLedgerSpec). VERDICT r10 item 3: the decisecond

@@ -110,63 +110,70 @@ class BenchLedgerSpec extends AnyFunSuite {
     assert(Bench.parsePinnedTotal("").isEmpty)
   }
 
-  test("calibration gate: a run probing outside the pinned fast band is " +
-    "diverted even when its total would otherwise pin") {
-    // pinned band 1000 ms; 1.15 tolerance → 1151 ms is out of band
-    val (file, note) = Bench.ledgerFor("0.1", 1500L, 48.0, Some(52.0),
+  test("calibration labels diverts, never blocks improvements: a faster " +
+    "total pins regardless of probes; a worse total's note names the " +
+    "measured phase or escalates when probes are in band") {
+    // a FASTER total under out-of-band probes is the most conservative
+    // pin possible — it must pin (the r11 measured case: 50.8 s beat a
+    // 52.3-era pin but a min-anchored 713 ms band diverted it)
+    assert(Bench.ledgerFor("0.1", 1500L, 48.0, Some(52.0), force = false,
+      calibMs = Some(1151L), pinnedCalibMs = Some(1000L))
+      ._1 == "BENCH_LOCAL.json")
+    // a WORSE total with an out-of-band probe: slow phase, measured
+    val (file, note) = Bench.ledgerFor("0.1", 1500L, 55.0, Some(52.0),
       force = false, calibMs = Some(1151L), pinnedCalibMs = Some(1000L))
     assert(file == "BENCH_LOCAL_noisy.json")
-    assert(note.exists(_.contains("calibration probe")))
-    // exactly at tolerance still pins (strictly-greater trips)
-    assert(Bench.ledgerFor("0.1", 1500L, 48.0, Some(52.0), force = false,
+    assert(note.exists(n => n.contains("[cpu]") &&
+      n.contains("slow host phase, measured directly")))
+    // a WORSE total with IN-BAND probes: the phase excuse is measured
+    // away — the note escalates to likely-real-regression
+    val (f3, n3) = Bench.ledgerFor("0.1", 1500L, 55.0, Some(52.0),
+      force = false, calibMs = Some(1000L), pinnedCalibMs = Some(1000L),
+      calibMemMs = Some(1400L), pinnedCalibMemMs = Some(1400L))
+    assert(f3 == "BENCH_LOCAL_noisy.json")
+    assert(n3.exists(_.contains("REAL regression")))
+    // exactly at tolerance is still in band (strictly-greater trips)
+    assert(Bench.ledgerFor("0.1", 1500L, 55.0, Some(52.0), force = false,
       calibMs = Some(1150L), pinnedCalibMs = Some(1000L))
-      ._1 == "BENCH_LOCAL.json")
-    // legacy pin without calibration fields → rules 1-3 only
-    assert(Bench.ledgerFor("0.1", 1500L, 48.0, Some(52.0), force = false,
-      calibMs = Some(9999L), pinnedCalibMs = None)
-      ._1 == "BENCH_LOCAL.json")
-    // probe disabled this run → rules 1-3 only
-    assert(Bench.ledgerFor("0.1", 1500L, 48.0, Some(52.0), force = false,
-      calibMs = None, pinnedCalibMs = Some(1000L))
-      ._1 == "BENCH_LOCAL.json")
-    // force records a new band over a slow probe (deliberate re-pin)
-    assert(Bench.ledgerFor("0.1", 1500L, 48.0, Some(52.0), force = true,
-      calibMs = Some(9999L), pinnedCalibMs = Some(1000L))
-      ._1 == "BENCH_LOCAL.json")
-    // the calibration gate never outranks the sf or spread gates
-    assert(Bench.ledgerFor("1", 1500L, 48.0, Some(52.0), force = false,
-      calibMs = Some(1000L), pinnedCalibMs = Some(1000L))
-      ._1 == "BENCH_LOCAL_sf1.json")
-    // second dimension (r11 forensics): a run whose MEMORY probe is out
-    // of band diverts even when the CPU probe is fine — the observed
-    // host state where shuffle-heavy queries inflate 1.3-1.8x while the
-    // pure-CPU fold stays flat
-    val (f2, n2) = Bench.ledgerFor("0.1", 1500L, 48.0, Some(52.0),
+      ._2.exists(_.contains("REAL regression")))
+    // second dimension (r11 forensics): an out-of-band MEMORY probe
+    // labels the slow phase even when the CPU probe is fine — the
+    // observed host state where shuffle-heavy queries inflate 1.3-1.8x
+    // while the pure-CPU fold stays flat
+    val (f2, n2) = Bench.ledgerFor("0.1", 1500L, 55.0, Some(52.0),
       force = false, calibMs = Some(1000L), pinnedCalibMs = Some(1000L),
       calibMemMs = Some(2000L), pinnedCalibMemMs = Some(1500L))
     assert(f2 == "BENCH_LOCAL_noisy.json")
     assert(n2.exists(_.contains("[mem]")))
-    // both dims in band -> pins
-    assert(Bench.ledgerFor("0.1", 1500L, 48.0, Some(52.0), force = false,
-      calibMs = Some(1000L), pinnedCalibMs = Some(1000L),
-      calibMemMs = Some(1500L), pinnedCalibMemMs = Some(1400L))
+    // legacy pin without calibration fields → worse total still diverts
+    // (with the regression-leaning note, since nothing measured a phase)
+    assert(Bench.ledgerFor("0.1", 1500L, 55.0, Some(52.0), force = false,
+      calibMs = Some(9999L), pinnedCalibMs = None)
+      ._1 == "BENCH_LOCAL_noisy.json")
+    // force pins over everything except the sf and spread gates
+    assert(Bench.ledgerFor("0.1", 1500L, 55.0, Some(52.0), force = true,
+      calibMs = Some(9999L), pinnedCalibMs = Some(1000L))
       ._1 == "BENCH_LOCAL.json")
+    assert(Bench.ledgerFor("1", 1500L, 48.0, Some(52.0), force = false,
+      calibMs = Some(1000L), pinnedCalibMs = Some(1000L))
+      ._1 == "BENCH_LOCAL_sf1.json")
   }
 
-  test("parsePinnedCalib returns the BETTER probe time of the pinned " +
-    "run; legacy lines without the field parse to None") {
+  test("parsePinnedCalib returns the WORSE probe time of the pinned " +
+    "run (its quiet-state upper bound — a min anchor on a straddling " +
+    "pin made the band unreachable); legacy lines parse to None") {
     assert(Bench.parsePinnedCalib(
       """{"metric":"total","value":52.3,"calib_ms":[980,1065]}""")
-      .contains(980L))
+      .contains(1065L))
     assert(Bench.parsePinnedCalib(
-      """{"calib_ms":[1065,980],"metric":"total"}""").contains(980L))
+      """{"calib_ms":[1065,980],"metric":"total"}""").contains(1065L))
     assert(Bench.parsePinnedCalib(
       """{"metric":"total","value":52.3}""").isEmpty)
     assert(Bench.parsePinnedCalib("").isEmpty)
     // the memory dimension parses by field name and never cross-reads
     val two = """{"calib_ms":[980,1065],"calib_mem_ms":[1450,1390]}"""
-    assert(Bench.parsePinnedCalib(two, "calib_mem_ms").contains(1390L))
-    assert(Bench.parsePinnedCalib(two).contains(980L))
+    assert(Bench.parsePinnedCalib(two, "calib_mem_ms").contains(1450L))
+    assert(Bench.parsePinnedCalib(two).contains(1065L))
   }
 
   test("encodeCompact emits millisecond key:value pairs and degrades to " +

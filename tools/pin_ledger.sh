@@ -24,7 +24,7 @@ import re
 try: s = open('BENCH_LOCAL.json').read()
 except FileNotFoundError: s = ''
 m = re.search(r'\"calib_ms\":\[(\d+),(\d+)\]', s)
-print(min(int(m.group(1)), int(m.group(2))) if m else 1000)")
+print(max(int(m.group(1)), int(m.group(2))) if m else 1000)")
 fi
 # second dimension: the memory/shuffle-bandwidth probe (BASELINE §4.0e —
 # the dimension that actually moved while the CPU probe stayed flat);
@@ -34,7 +34,7 @@ import re
 try: s = open('BENCH_LOCAL.json').read()
 except FileNotFoundError: s = ''
 m = re.search(r'\"calib_mem_ms\":\[(\d+),(\d+)\]', s)
-print(min(int(m.group(1)), int(m.group(2))) if m else 10**9)")
+print(max(int(m.group(1)), int(m.group(2))) if m else 10**9)")
 CUT=$(python3 -c "print(int($BAND * 1.15))")
 MEMCUT=$(python3 -c "print(int($MEMBAND * 1.15))")
 echo "[pin] fast band: cpu probe <= $CUT ms, mem probe <= $MEMCUT ms"
