@@ -218,6 +218,32 @@ object Bench {
     (1 to math.max(1, rounds)).map(_ => once()).min
   }
 
+  /** Shuffle-file-write calibration probe — the third candidate phase
+    * dimension (BASELINE §4.0e closing observation): the day's slowest
+    * passes carried the FASTEST CPU probes and in-band memory probes,
+    * with inflation concentrated in the checkpoint/shuffle-WRITE-heavy
+    * tier — so the remaining suspect is disk/page-cache write
+    * throughput, which neither earlier probe touches (the mem probe's
+    * partial agg shuffles only ~2M rows). This one round-trips a full
+    * ~1.2 GB shuffle: every range row is written to shuffle files and
+    * read back (hash repartition on a value-derived key prevents any
+    * coalesce short-circuit), so its wall time tracks the shuffle-file
+    * write+read path the heavy tier lives on. Same min-of-rounds
+    * policy. */
+  def calibProbeIo(spark: SparkSession, rounds: Int = 3): Long = {
+    import org.apache.spark.sql.functions._
+    val p = spark.sparkContext.defaultParallelism
+    def once(): Long = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 150000000L, 1L, p)
+        .repartition(p * 2, col("id") % 997L)
+        .select(max(col("id"))).head()
+      (System.nanoTime() - t0) / 1000000L
+    }
+    once()
+    (1 to math.max(1, rounds)).map(_ => once()).min
+  }
+
   /** Consecutive slow-phase diverts already recorded in the noisy ledger
     * AGAINST THE SAME PIN — pure, spec'd (BenchLedgerSpec). ADVICE r9:
     * the slow-phase gate diverts ANY worse-than-pin total, so a genuine
@@ -291,7 +317,9 @@ object Bench {
     if (sys.env.getOrElse("SPARK_GRAFT_CALIB_ONLY", "0") == "1") {
       val c = Bench.calibProbe(spark)
       val m = Bench.calibProbeMem(spark)
-      println(s"""{"metric":"calib","value":$c,"mem_ms":$m,"unit":"ms"}""")
+      val io = Bench.calibProbeIo(spark)
+      println(s"""{"metric":"calib","value":$c,"mem_ms":$m,""" +
+        s""""io_ms":$io,"unit":"ms"}""")
       spark.stop()
       return
     }
