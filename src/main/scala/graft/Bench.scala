@@ -313,7 +313,14 @@ object Bench {
     // output line as the run's measured phase label. CALIB_ONLY=1 runs
     // just the probe and exits — the cheap poll tools/pin_ledger.sh uses
     // to wait for a fast phase before spending a full ledger run.
-    val calibOn = sys.env.getOrElse("SPARK_GRAFT_CALIB", "1") != "0"
+    // Probes are FIXED work sized for the pinned-ledger config (32
+    // cores, ~1 s and ~4.5 s there): at the default local[4] they cost
+    // ~8x that, several silent minutes around a one-minute smoke — so
+    // they default ON only at >=16 cores (pin-config runs; probe values
+    // are only band-comparable at one core count anyway). Env overrides
+    // both ways: SPARK_GRAFT_CALIB=1 forces on, =0 forces off.
+    val calibOn = sys.env.get("SPARK_GRAFT_CALIB")
+      .map(_ != "0").getOrElse(cpus.toInt >= 16)
     if (sys.env.getOrElse("SPARK_GRAFT_CALIB_ONLY", "0") == "1") {
       val c = Bench.calibProbe(spark)
       val m = Bench.calibProbeMem(spark)
@@ -526,22 +533,28 @@ object Bench {
       // or format drift must not silently disable the slow-phase guard.
       // A ledger that exists but doesn't parse gets a LOUD stderr note
       // (the guard then defaults open: first-run-always-pins).
+      val pinExists = new java.io.File("BENCH_LOCAL.json").isFile
       val pinnedLine =
-        if (!new java.io.File("BENCH_LOCAL.json").isFile) None
+        if (!pinExists) None
         else try {
           val pinned = scala.io.Source.fromFile("BENCH_LOCAL.json")
           Some(try pinned.mkString finally pinned.close())
         } catch { case _: Throwable => None }
       val pinnedTotal = pinnedLine.flatMap(Bench.parsePinnedTotal)
-      if (pinnedLine.isDefined && pinnedTotal.isEmpty) System.err.println(
-        "[bench] BENCH_LOCAL.json exists but its total did not parse " +
-          "(expected \"metric\":\"total\",\"value\":N) — the slow-" +
-          "phase clobber guard is DISABLED for this run")
+      // warn on unreadable AND on read-but-unparseable alike (review
+      // r11: the refactor to pinnedLine had silently dropped the
+      // unreadable case) — either way the guard defaults open
+      if (pinExists && pinnedTotal.isEmpty) System.err.println(
+        "[bench] BENCH_LOCAL.json exists but its total could not be " +
+          "read/parsed (expected \"metric\":\"total\",\"value\":N) — the " +
+          "slow-phase clobber guard is DISABLED for this run")
       val pinnedCalib = pinnedLine.flatMap(Bench.parsePinnedCalib(_))
       val pinnedCalibMem =
         pinnedLine.flatMap(Bench.parsePinnedCalib(_, "calib_mem_ms"))
-      // the gate compares this run's WORSE probe time (see calibAfter's
-      // straddle note); a disabled probe (-1) gates on rules 1-3 only
+      // the gate compares this run's WORSE probe time against the pin's
+      // WORSE one (parsePinnedCalib takes the max of the pinned pair —
+      // its quiet-state upper bound); a disabled probe (-1) gates on
+      // rules 1-3 only
       val calibWorst =
         if (calibOn) Some(math.max(calibBefore, calibAfter)) else None
       val calibMemWorst =
@@ -554,11 +567,11 @@ object Bench {
       // slow-phase diverts carry a consecutive-divert counter in the
       // written line (see Bench.slowDivertCount) — 3 in a row against
       // the same pin escalates from "host phase" to "likely regression"
+      // (noisy + quiet spread) can only come from ledgerFor's worse-
+      // than-pin branch, so no calibration re-check belongs here — a
+      // duplicate of rule 4's logic could silently drift from it
       val slowPhase = ledger == "BENCH_LOCAL_noisy.json" &&
-        spreadBp <= 3000 && (pinnedTotal.exists(total > _) ||
-          Seq(calibWorst.zip(pinnedCalib),
-              calibMemWorst.zip(pinnedCalibMem)).flatten.exists {
-            case (c, p) => c > Bench.CalibTolerance * p })
+        spreadBp <= 3000 && pinnedTotal.exists(total > _)
       def prevDiverts: Int = try {
         val src = scala.io.Source.fromFile("BENCH_LOCAL_noisy.json")
         try Bench.slowDivertCount(src.mkString, pinnedTotal.getOrElse(-1.0))

@@ -235,9 +235,10 @@ object TextCache {
     * acquire and the rename-refuses-onto-existing fallback bound the
     * worst case at a duplicate build — never a wrong or partial artifact.
     * A JVM crash mid-build leaves its `.build-*` temp dir behind; the
-    * next same-form winner sweeps crashed siblings after its rename
-    * (safe: the lock serializes same-form builders, so no live builder
-    * of this form exists besides the winner), and [[gc]] clears the rest. */
+    * next same-form winner sweeps crashed siblings OLDER THAN AN HOUR
+    * after its rename (age-guarded precisely because the local-FS lock
+    * may not have serialized same-form builders — a fresh sibling can be
+    * a live racer's in-flight write), and [[gc]] clears the rest. */
   private def sharedMaterialize(spark: SparkSession, sfDir: String,
                                 form: String, sharedBase: String)(
       build: => DataFrame): DataFrame = {
@@ -274,12 +275,19 @@ object TextCache {
             fs.delete(tmp, true)
           }
           // sweep same-form temp dirs stranded by CRASHED prior builders
-          // (safe: the lock serialized same-form builders, so the only
-          // live same-form temp dir was ours and it was just renamed)
+          // — AGE-GUARDED (review r11): on a local FS the lock is
+          // check-then-create, so a racing live builder of the same form
+          // can exist; deleting its in-flight temp dir would upgrade the
+          // documented duplicate-build worst case to a failed query. A
+          // crashed builder's dir is old by the time the next winner
+          // runs; a live racer's is minutes fresh. One hour matches
+          // [[gc]]'s in-flight guard.
+          val now = System.currentTimeMillis()
           val stale = try fs.globStatus(new org.apache.hadoop.fs.Path(
             s"${dest.getParent}/.build-$form-v$FormLayoutVersion-*"))
           catch { case _: java.io.IOException => null }
           Option(stale).getOrElse(Array.empty)
+            .filter(st => now - st.getModificationTime > 3600000L)
             .foreach(st => fs.delete(st.getPath, true))
           spark.read.parquet(destStr)
         }
@@ -390,10 +398,13 @@ object TextCache {
     *    disables the age protection, for tests and forced sweeps).
     *
     * Also sweeps crashed builders' `.build-*` temp dirs and orphaned
-    * `*.lock` files INSIDE surviving fingerprint dirs once they are older
-    * than `maxAgeMs` (a live build's lock/temp is always younger, so the
-    * single-writer discipline is preserved; the winner's own post-rename
-    * sweep handles the common case sooner).
+    * `*.lock` files INSIDE surviving fingerprint dirs once they are
+    * older than `debrisAgeMs` — a SEPARATE knob from `maxAgeMs` (review
+    * r11: a forced stale-dir sweep with `maxAgeMs <= 0` must not also
+    * delete the lock/temp of a build that is running RIGHT NOW; and a
+    * legitimately long build needs a debris threshold sized to build
+    * time, not to retention policy). `debrisAgeMs <= 0` force-deletes
+    * live locks too — tests only.
     *
     * Lock-safe by the tier's own invariants: completed artifacts are
     * immutable (rename-into-place), eviction is whole-subdir deletion of
@@ -404,7 +415,8 @@ object TextCache {
     */
   def gc(spark: SparkSession, sharedBase: String, keepN: Int = 4,
          maxAgeMs: Long = 3600000L,
-         protectSfDirs: Seq[String] = Nil): Seq[String] = {
+         protectSfDirs: Seq[String] = Nil,
+         debrisAgeMs: Long = 6 * 3600000L): Seq[String] = {
     val rootStr = s"${sharedBase.stripSuffix("/")}/graft-textcache-shared"
     val rootPath = new org.apache.hadoop.fs.Path(rootStr)
     val fs = rootPath.getFileSystem(
@@ -427,7 +439,7 @@ object TextCache {
       fs.listStatus(st.getPath).filter { f =>
         val n = f.getPath.getName
         (n.startsWith(".build-") || n.endsWith(".lock")) &&
-          now - f.getModificationTime > maxAgeMs
+          now - f.getModificationTime > debrisAgeMs
       }.map { f => fs.delete(f.getPath, true); f.getPath.toString }
     }
     (deletedDirs ++ debris).toSeq

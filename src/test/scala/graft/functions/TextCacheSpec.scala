@@ -119,10 +119,12 @@ class TextCacheSpec extends SparkSpec {
     assert(crashedTmp.mkdirs())
     val orphanLock = new java.io.File(liveDir, "spec-gc-dead-v1.lock")
     assert(orphanLock.createNewFile())
-    // keepN=1 with age protection OFF: the older stale dir must go, the
-    // newer stale dir stays, the live dir is protected regardless
+    // keepN=1 with age protections OFF (maxAgeMs for stale dirs,
+    // debrisAgeMs for live-looking locks/temps — forced, tests only):
+    // the older stale dir must go, the newer stale dir stays, the live
+    // dir is protected regardless
     val deleted1 = TextCache.gc(s, shared, keepN = 1, maxAgeMs = -1,
-      protectSfDirs = Seq(sfDir))
+      protectSfDirs = Seq(sfDir), debrisAgeMs = -1)
     assert(deleted1.exists(_.endsWith(staleOld.getName)))
     assert(!staleOld.exists() && staleNew.exists() && liveDir.exists())
     // debris in the live dir went with the same pass
@@ -139,6 +141,13 @@ class TextCacheSpec extends SparkSpec {
     assert(young.mkdirs())
     TextCache.gc(s, shared, keepN = 0, protectSfDirs = Seq(sfDir))
     assert(young.exists())
+    // debris protection is a SEPARATE age: a forced stale-dir sweep
+    // (maxAgeMs=-1) must NOT take the lock of a build running right now
+    val liveLock = new java.io.File(liveDir, "spec-gc-live2-v1.lock")
+    assert(liveLock.createNewFile())
+    TextCache.gc(s, shared, keepN = 0, maxAgeMs = -1,
+      protectSfDirs = Seq(sfDir))
+    assert(liveLock.exists(), "gc swept a fresh (live-build) lock")
   }
 
   test("shared tier: a held lock falls back to a session-local build " +

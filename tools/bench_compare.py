@@ -46,23 +46,27 @@ def main(old_path, new_path, min_delta_ms=100):
           if to else f"total: {tn:.2f} s")
     if co or cn:
         print(f"calib_ms: {co} -> {cn}")
-    rows = []
+    rows, only_one = [], []
     for k in sorted(set(qo) | set(qn), key=lambda s: int(s)):
         a, b = qo.get(k), qn.get(k)
         if a is None or b is None:
-            rows.append((float("inf"), k, a, b, "only-one-side"))
+            only_one.append((k, a, b))
             continue
         delta_ms = (b - a) * 1000
         if abs(delta_ms) >= min_delta_ms:
             rows.append((delta_ms, k, a, b,
                          f"{b / a:.2f}x" if a > 0 else "n/a"))
-    rows.sort(key=lambda r: -r[0] if r[0] != float("inf") else -1e18)
+    rows.sort(key=lambda r: -r[0])
     if not rows:
         print(f"no per-query delta >= {min_delta_ms} ms")
     for delta, k, a, b, note in rows:
-        fa = "-" if a is None else f"{a * 1000:7.0f}"
-        fb = "-" if b is None else f"{b * 1000:7.0f}"
-        print(f"q{k:>3}: {fa} -> {fb} ms  {note}")
+        print(f"q{k:>3}: {a * 1000:7.0f} -> {b * 1000:7.0f} ms  {note}")
+    # queries present on only one side go LAST (worst regressions lead;
+    # a restricted/partial run must not bury them under a wall of these)
+    for k, a, b in only_one:
+        fa = "-" if a is None else f"{a * 1000:.0f}"
+        fb = "-" if b is None else f"{b * 1000:.0f}"
+        print(f"q{k:>3}: {fa:>7} -> {fb:>7} ms  only-one-side")
 
 
 if __name__ == "__main__":

@@ -21,18 +21,26 @@ jar cf "$JAR" -C target/scala-2.13/classes .
 CKPT=$(mktemp -d /tmp/graft-ckpt-XXXXXX)
 TC=$(mktemp -d /tmp/graft-tc-XXXXXX)
 
-# killer: SIGKILL one live executor JVM every 15 s, three times, starting
-# after the session is up — each kill lands inside the iterative tier's
-# runtime window on this fixture
+# killer: SIGKILL one of THIS TEST'S executor JVMs every 15 s, three
+# times, starting after the session is up — each kill lands inside the
+# iterative tier's runtime window on this fixture. Scoped to executors
+# whose parent is OUR driver (local-cluster workers run in the driver
+# JVM, so executors are its direct children) — a bare pgrep on
+# CoarseGrainedExecutorBackend would kill executors of any concurrent
+# Spark job on the box (review r11).
 (
   for i in 1 2 3; do
     sleep 15
-    PID=$(pgrep -f CoarseGrainedExecutorBackend | head -1 || true)
+    DRIVER=$(pgrep -f "graft.Verify $SF $OUT" | head -1 || true)
+    PID=""
+    if [ -n "$DRIVER" ]; then
+      PID=$(pgrep -P "$DRIVER" -f CoarseGrainedExecutorBackend | head -1 || true)
+    fi
     if [ -n "$PID" ]; then
       echo "[kill-test] SIGKILL executor pid $PID (kill #$i)" >&2
       kill -9 "$PID" 2>/dev/null || true
     else
-      echo "[kill-test] no executor alive at kill #$i" >&2
+      echo "[kill-test] no executor of this test alive at kill #$i" >&2
     fi
   done
 ) &

@@ -8,9 +8,10 @@
 # host that is measurably slow before it starts.
 #
 # Usage: tools/pin_ledger.sh [sfDir] [bandMs] [maxAttempts]
-#   bandMs default: the pinned ledger's own calib_ms (min of the pair);
-#   1000 when no calibrated pin exists yet (the measured quiet-host band
-#   is 925-965 ms at 32 cores).
+#   bandMs default: the pinned ledger's own calib_ms (the WORSE of the
+#   pair — the pin's quiet-state upper bound, matching
+#   Bench.parsePinnedCalib); 1000 when no calibrated pin exists yet (the
+#   measured quiet-host band is 925-965 ms at 32 cores).
 # Env: SPARK_DRIVER_MEM / SPARK_GRAFT_JAVA_OPTS pass through (sf1 pins
 #   need 32g: SPARK_DRIVER_MEM=32g SPARK_GRAFT_JAVA_OPTS=-Xms32g).
 set -euo pipefail
