@@ -93,13 +93,25 @@ object Bench {
             s"$CalibTolerance): slow host phase, measured directly; " +
             "diverted to BENCH_LOCAL_noisy.json (tools/pin_ledger.sh " +
             "polls for a fast phase)"
-        case None if compared.nonEmpty =>
+        case None if compared.size == 2 =>
           s"run total=$total is over the pinned ledger's WITH all " +
             "calibration probes in the pinned fast band — the host-phase " +
             "excuse is measured away: if code changed since the pin this " +
             "is likely a REAL regression; diverted to " +
             "BENCH_LOCAL_noisy.json, investigate before " +
             "SPARK_GRAFT_BENCH_FORCE=1"
+        case None if compared.nonEmpty =>
+          // only ONE dimension comparable (e.g. a legacy pin without
+          // calib_mem_ms): the in-band evidence is visibly weaker — the
+          // unmeasured dimension (the one the r11 forensics showed
+          // actually moves) could still be the cause, so no
+          // "measured away" claim (ADVICE r11)
+          s"run total=$total is over the pinned ledger's; the only " +
+            s"comparable probe dimension [${compared.map(_._1).mkString(",")}] " +
+            "is in the pinned fast band, but the other dimension is " +
+            "unmeasured on the pin — possibly a real regression, " +
+            "possibly an unmeasured host phase; diverted to " +
+            "BENCH_LOCAL_noisy.json"
         case None =>
           s"run total=$total is over the pinned ledger's (slow host " +
             "phase): diverted to BENCH_LOCAL_noisy.json; set " +
@@ -282,8 +294,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Distributed-performance profile (round 12, VERDICT item 1): the
+    // same env contract as Verify/tools/cluster_gate.sh — a local-cluster
+    // master (real executor JVMs, netty shuffle/broadcast transport,
+    // executor-fetched app jar) so the perf ledger can be MEASURED under
+    // real serialization, not just local[n]'s in-process exchange. A run
+    // under a non-default master routes to its own BENCH_CLUSTER_sf*.json
+    // ledger below — it must never touch the local[32] pin (the pin's
+    // contract is one fixed config; cluster numbers are a different
+    // population).
+    val masterEnv = sys.env.get("SPARK_GRAFT_MASTER")
+    val builder = SparkSession.builder()
+      .master(masterEnv.getOrElse(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       // Session-age guard (round 10, VERDICT item 3): with -Xms32g the
       // driver's old gen almost never fills, so full GCs almost never
@@ -306,7 +328,18 @@ object Bench {
       // nothing).
       .config("spark.sql.files.maxPartitionBytes", s"${8L * 1024 * 1024}")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // cluster-profile plumbing (shared with Verify): app jar for the
+    // executors' classpath, executor memory, shared-filesystem TextCache
+    sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
+    sys.env.get("SPARK_GRAFT_EXEC_MEM")
+      .foreach(builder.config("spark.executor.memory", _))
+    sys.env.get("SPARK_GRAFT_TEXTCACHE_DIR")
+      .foreach(builder.config(graft.functions.TextCache.DirConfKey, _))
+    val spark = builder.getOrCreate()
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").foreach { dir =>
+      spark.sparkContext.setCheckpointDir(dir)
+      spark.conf.set(graft.functions.Checkpoints.ReliableConfKey, "true")
+    }
     spark.sparkContext.setLogLevel("WARN")
     // Phase calibration (round 11, VERDICT item 2): time the fixed probe
     // BEFORE the warm-up and AFTER the timed pass; both land in every
@@ -509,7 +542,8 @@ object Bench {
     val totalExtra = runsWithExtra.valuesIterator.map(_._2).sum
     // post-pass probe: a run that STARTED fast but finished slow straddled
     // a phase boundary — the ledger gate compares the run's WORSE probe
-    // against the pin's BETTER one, so straddlers divert too
+    // against the pin's WORSE one (its quiet-state upper bound; see
+    // parsePinnedCalib), so straddlers divert too
     val calibAfter = if (calibOn) Bench.calibProbe(spark) else -1L
     val calibMemAfter = if (calibOn) Bench.calibProbeMem(spark) else -1L
     val calibJson = s"[$calibBefore,$calibAfter]"
@@ -528,7 +562,15 @@ object Bench {
     // lines (what the driver parses) are unaffected by the routing.
     // a restricted (BENCH_ONLY) run writes NO ledger file: its partial
     // total would clobber a full-surface pin as a spuriously "faster" run
-    try if (only.isEmpty) {
+    try if (only.isEmpty && masterEnv.isDefined) {
+      // non-default master (local-cluster profile): its own ledger file,
+      // overwrite-latest, no pin interaction — cluster numbers include
+      // real serialization + transport and are not comparable to the
+      // local[32] pin's population (tools/bench_compare.py compares them
+      // deliberately, per query, to find serialization-sensitive plans)
+      val w = new java.io.PrintWriter(s"BENCH_CLUSTER_sf$sfNum.json")
+      try w.println(fullLine) finally w.close()
+    } else if (only.isEmpty) {
       // anchored to the metric, not the first "value": — field reordering
       // or format drift must not silently disable the slow-phase guard.
       // A ledger that exists but doesn't parse gets a LOUD stderr note

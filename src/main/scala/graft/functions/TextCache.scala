@@ -390,7 +390,14 @@ object TextCache {
     *
     *  - every fingerprint in `protectSfDirs`'s current content (the live
     *    corpora — computed with [[corpusFingerprint]], so a reader of a
-    *    live artifact is never affected regardless of `keepN`),
+    *    live artifact is never affected regardless of `keepN`). This
+    *    protection only covers corpora the CALLER enumerates:
+    *    `protectSfDirs` is deliberately a required parameter (ADVICE
+    *    r11) because a fingerprint dir built more than `maxAgeMs` ago
+    *    that some OTHER long-lived session still actively reads is
+    *    evicted — failing that session's in-flight queries, not merely
+    *    forcing a rebuild — whenever its corpus is omitted here. Pass
+    *    every corpus any live session may be reading,
     *  - the `keepN` most-recently-modified remaining subdirs,
     *  - anything younger than `maxAgeMs` (default 1 h: a fingerprint
     *    another session is actively building into is not yanked from
@@ -413,9 +420,9 @@ object TextCache {
     * corpus that changed back, which rebuilds transparently. Returns the
     * deleted paths.
     */
-  def gc(spark: SparkSession, sharedBase: String, keepN: Int = 4,
+  def gc(spark: SparkSession, sharedBase: String,
+         protectSfDirs: Seq[String], keepN: Int = 4,
          maxAgeMs: Long = 3600000L,
-         protectSfDirs: Seq[String] = Nil,
          debrisAgeMs: Long = 6 * 3600000L): Seq[String] = {
     val rootStr = s"${sharedBase.stripSuffix("/")}/graft-textcache-shared"
     val rootPath = new org.apache.hadoop.fs.Path(rootStr)

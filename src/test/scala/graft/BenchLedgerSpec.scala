@@ -125,17 +125,28 @@ class BenchLedgerSpec extends AnyFunSuite {
     assert(file == "BENCH_LOCAL_noisy.json")
     assert(note.exists(n => n.contains("[cpu]") &&
       n.contains("slow host phase, measured directly")))
-    // a WORSE total with IN-BAND probes: the phase excuse is measured
-    // away — the note escalates to likely-real-regression
+    // a WORSE total with BOTH probes in band: the phase excuse is
+    // measured away — the note escalates to likely-real-regression
     val (f3, n3) = Bench.ledgerFor("0.1", 1500L, 55.0, Some(52.0),
       force = false, calibMs = Some(1000L), pinnedCalibMs = Some(1000L),
       calibMemMs = Some(1400L), pinnedCalibMemMs = Some(1400L))
     assert(f3 == "BENCH_LOCAL_noisy.json")
     assert(n3.exists(_.contains("REAL regression")))
-    // exactly at tolerance is still in band (strictly-greater trips)
+    // exactly at tolerance is still in band (strictly-greater trips) —
+    // both dimensions compared, so still the full escalation
     assert(Bench.ledgerFor("0.1", 1500L, 55.0, Some(52.0), force = false,
-      calibMs = Some(1150L), pinnedCalibMs = Some(1000L))
+      calibMs = Some(1150L), pinnedCalibMs = Some(1000L),
+      calibMemMs = Some(1400L), pinnedCalibMemMs = Some(1400L))
       ._2.exists(_.contains("REAL regression")))
+    // ADVICE r11: ONE comparable in-band dimension (legacy pin without
+    // calib_mem_ms) must NOT claim "measured away" — the memory
+    // dimension (the one the r11 forensics showed actually moves) is
+    // unmeasured; the note names the compared dimension and hedges
+    val (f1d, n1d) = Bench.ledgerFor("0.1", 1500L, 55.0, Some(52.0),
+      force = false, calibMs = Some(1000L), pinnedCalibMs = Some(1000L))
+    assert(f1d == "BENCH_LOCAL_noisy.json")
+    assert(n1d.exists(n => n.contains("[cpu]") &&
+      n.contains("unmeasured") && !n.contains("measured away")))
     // second dimension (r11 forensics): an out-of-band MEMORY probe
     // labels the slow phase even when the CPU probe is fine — the
     // observed host state where shuffle-heavy queries inflate 1.3-1.8x

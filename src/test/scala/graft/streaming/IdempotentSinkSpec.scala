@@ -57,18 +57,46 @@ class IdempotentSinkSpec extends SparkSpec {
     assert(out.select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
-  test("a crash between write and commit leaves the batch invisible") {
+  test("a crash during the staged write leaves the batch invisible; " +
+    "the retry overwrites the staging debris and publishes its own data") {
     val path = freshDir()
     IdempotentSink.parquetExactlyOnce(path)(Seq((1L, "a")).toDF("id", "v"), 0L)
-    // simulate the crash: batch dir exists, no commit marker
+    // simulate the crash: STAGING dir exists (the only place a partial
+    // write can ever live under the stage->rename protocol), no final
+    // dir, no marker
     Seq((99L, "ghost")).toDF("id", "v")
-      .write.parquet(s"$path/batch=1")
+      .write.parquet(s"$path/.inflight/batch=1")
     assert(IdempotentSink.committedBatches(spark, path) == Seq(0L))
     val out = IdempotentSink.committedRead(spark, path)
     assert(out.select("id").as[Long].collect().toSeq == Seq(1L))
-    // the retry then overwrites the orphan and commits it
+    // the hidden staging dir is also invisible to a batch=* glob (what a
+    // downstream streaming file source lists)
+    assert(spark.read.option("basePath", path)
+      .parquet(s"$path/batch=*").count() == 1)
+    // the retry overwrites the staging debris, publishes, commits
     IdempotentSink.parquetExactlyOnce(path)(Seq((3L, "c")).toDF("id", "v"), 1L)
     assert(IdempotentSink.committedRead(spark, path)
       .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // no staging leftovers after a successful publish
+    assert(!new java.io.File(s"$path/.inflight/batch=1").exists())
+  }
+
+  test("a crash between the atomic publish and the marker: the published " +
+    "directory is complete by construction — the retry only adds the " +
+    "marker, never rewrites (a rewrite would expose a delete-then-" +
+    "reappear window to a downstream file source)") {
+    val path = freshDir()
+    // publish batch 0 fully, then simulate the crash by deleting the
+    // marker: final dir present (complete), commit absent
+    IdempotentSink.parquetExactlyOnce(path)(Seq((1L, "a")).toDF("id", "v"), 0L)
+    assert(new java.io.File(s"$path/_commits/0").delete())
+    assert(IdempotentSink.committedBatches(spark, path).isEmpty)
+    // engine replays batch 0 (same offsets => same rows in production;
+    // a ghost payload here PROVES the no-rewrite behavior)
+    IdempotentSink.parquetExactlyOnce(path)(
+      Seq((99L, "ghost")).toDF("id", "v"), 0L)
+    assert(IdempotentSink.committedBatches(spark, path) == Seq(0L))
+    assert(IdempotentSink.committedRead(spark, path)
+      .select("id").as[Long].collect().toSeq == Seq(1L))
   }
 }

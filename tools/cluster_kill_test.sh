@@ -28,6 +28,12 @@ TC=$(mktemp -d /tmp/graft-tc-XXXXXX)
 # JVM, so executors are its direct children) — a bare pgrep on
 # CoarseGrainedExecutorBackend would kill executors of any concurrent
 # Spark job on the box (review r11).
+# the killer subshell records each landed kill in a count file: a run
+# where ZERO kills landed (pgrep pattern drift, timing, all kills falling
+# between queries) would otherwise certify "survives executor loss" while
+# never having killed anything (ADVICE r11) — such a run FAILS below.
+KILLCOUNT=$(mktemp /tmp/graft-killcount-XXXXXX)
+echo 0 > "$KILLCOUNT"
 (
   for i in 1 2 3; do
     sleep 15
@@ -36,9 +42,9 @@ TC=$(mktemp -d /tmp/graft-tc-XXXXXX)
     if [ -n "$DRIVER" ]; then
       PID=$(pgrep -P "$DRIVER" -f CoarseGrainedExecutorBackend | head -1 || true)
     fi
-    if [ -n "$PID" ]; then
+    if [ -n "$PID" ] && kill -9 "$PID" 2>/dev/null; then
       echo "[kill-test] SIGKILL executor pid $PID (kill #$i)" >&2
-      kill -9 "$PID" 2>/dev/null || true
+      echo $(( $(cat "$KILLCOUNT") + 1 )) > "$KILLCOUNT"
     else
       echo "[kill-test] no executor of this test alive at kill #$i" >&2
     fi
@@ -59,6 +65,13 @@ SPARK_GRAFT_ONLY="$QUERIES" \
 RC=$?
 kill "$KILLER" 2>/dev/null || true
 wait "$KILLER" 2>/dev/null || true
-rm -rf "$CKPT" "$TC"
+KILLS=$(cat "$KILLCOUNT" 2>/dev/null || echo 0)
+rm -rf "$CKPT" "$TC" "$KILLCOUNT"
 [ "$RC" -eq 0 ] || { echo "[kill-test] Verify exited $RC" >&2; exit "$RC"; }
+if ! [[ "$KILLS" =~ ^[0-9]+$ ]] || [ "$KILLS" -eq 0 ]; then
+  echo "[kill-test] FAIL: zero executor kills landed — this run proves" \
+    "nothing about recovery (pattern drift or timing); rerun" >&2
+  exit 1
+fi
+echo "[kill-test] $KILLS executor kill(s) landed"
 python3 tools/compare.py "$SF" "$OUT"

@@ -44,6 +44,16 @@ for i in $(seq 1 "$ATTEMPTS"); do
       tools/bench_java.sh graft.Bench 2>/dev/null | tail -1)
   C=$(echo "$LINE" | sed -E 's/.*"value":([0-9]+).*/\1/')
   M=$(echo "$LINE" | sed -E 's/.*"mem_ms":([0-9]+).*/\1/')
+  # a missing/garbled probe line (bench_java crash, partial output) leaves
+  # C/M as the whole unmatched line; under set -e the numeric test below
+  # would then abort the entire poll loop — validate and retry instead
+  # (ADVICE r11)
+  if ! [[ "$C" =~ ^[0-9]+$ && "$M" =~ ^[0-9]+$ ]]; then
+    echo "[pin] attempt $i/$ATTEMPTS: probe line missing/garbled" \
+      "(${LINE:0:80}) — retrying" >&2
+    sleep 60
+    continue
+  fi
   echo "[pin] attempt $i/$ATTEMPTS: cpu $C ms, mem $M ms"
   if [ "$C" -le "$CUT" ] && [ "$M" -le "$MEMCUT" ]; then
     echo "[pin] in band — launching full bench at $SF"
