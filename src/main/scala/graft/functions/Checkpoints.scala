@@ -53,7 +53,22 @@ object Checkpoints {
       require(
         ds.sparkSession.sparkContext.getCheckpointDir.isDefined,
         s"$ReliableConfKey=true requires sparkContext.setCheckpointDir")
-      ds.checkpoint(true)
+      // A reliable checkpoint writes its files in a SECOND job over the
+      // same RDD (the eager count, then ReliableCheckpointRDD's write
+      // job) — without a persist every iterative round COMPUTES TWICE,
+      // which the r12 cluster bench measured as the whole iterative
+      // tier running 1.5–3.2× over the uniform cluster-overhead model
+      // (BASELINE §4.0f). Persisting first makes the write job read the
+      // cached rows instead; MEMORY_AND_DISK so memory pressure spills
+      // rather than recomputes. The persist must precede the FIRST
+      // physical planning of `ds` (cache substitution happens at plan
+      // time) — true for every cut/rotate call site, which checkpoint
+      // freshly-built frames. Unpersisted in `finally`: both jobs have
+      // completed by then, and the returned frame reads the checkpoint
+      // RDD, not this plan's cache.
+      ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try ds.checkpoint(true)
+      finally { ds.unpersist(blocking = false); () }
     } else ds.localCheckpoint(true)
   }
 
