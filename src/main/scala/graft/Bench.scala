@@ -328,18 +328,9 @@ object Bench {
       // nothing).
       .config("spark.sql.files.maxPartitionBytes", s"${8L * 1024 * 1024}")
       .config("spark.ui.enabled", "false")
-    // cluster-profile plumbing (shared with Verify): app jar for the
-    // executors' classpath, executor memory, shared-filesystem TextCache
-    sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
-    sys.env.get("SPARK_GRAFT_EXEC_MEM")
-      .foreach(builder.config("spark.executor.memory", _))
-    sys.env.get("SPARK_GRAFT_TEXTCACHE_DIR")
-      .foreach(builder.config(graft.functions.TextCache.DirConfKey, _))
+    ClusterProfile.configure(builder)
     val spark = builder.getOrCreate()
-    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").foreach { dir =>
-      spark.sparkContext.setCheckpointDir(dir)
-      spark.conf.set(graft.functions.Checkpoints.ReliableConfKey, "true")
-    }
+    ClusterProfile.installCheckpoints(spark)
     spark.sparkContext.setLogLevel("WARN")
     // Phase calibration (round 11, VERDICT item 2): time the fixed probe
     // BEFORE the warm-up and AFTER the timed pass; both land in every
@@ -562,12 +553,17 @@ object Bench {
     // lines (what the driver parses) are unaffected by the routing.
     // a restricted (BENCH_ONLY) run writes NO ledger file: its partial
     // total would clobber a full-surface pin as a spuriously "faster" run
-    try if (only.isEmpty && masterEnv.isDefined) {
-      // non-default master (local-cluster profile): its own ledger file,
-      // overwrite-latest, no pin interaction — cluster numbers include
-      // real serialization + transport and are not comparable to the
-      // local[32] pin's population (tools/bench_compare.py compares them
-      // deliberately, per query, to find serialization-sensitive plans)
+    try if (only.isEmpty &&
+        masterEnv.exists(!ClusterProfile.isLocalMaster(_))) {
+      // genuinely distributed master (local-cluster / standalone): its
+      // own ledger file, overwrite-latest, no pin interaction — cluster
+      // numbers include real serialization + transport and are not
+      // comparable to the local[32] pin's population
+      // (tools/bench_compare.py compares them deliberately, per query, to
+      // find serialization-sensitive plans). An explicitly-exported
+      // local[*] master does NOT take this branch: in-process numbers
+      // must face the pin's anti-ratchet guards, never clobber the
+      // cluster ledger (round-12 review)
       val w = new java.io.PrintWriter(s"BENCH_CLUSTER_sf$sfNum.json")
       try w.println(fullLine) finally w.close()
     } else if (only.isEmpty) {

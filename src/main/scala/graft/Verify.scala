@@ -29,22 +29,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
     if (sys.env.get("SPARK_GRAFT_AQE").contains("0"))
       builder.config("spark.sql.adaptive.enabled", "false")
-    // ship the application classes to real executors (local-cluster JVMs
-    // share nothing with the driver's classpath)
-    sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
-    sys.env.get("SPARK_GRAFT_EXEC_MEM")
-      .foreach(builder.config("spark.executor.memory", _))
-    // non-local masters need a shared-filesystem TextCache root (the
-    // java-temp fallback is driver-local by definition)
-    sys.env.get("SPARK_GRAFT_TEXTCACHE_DIR")
-      .foreach(builder.config(graft.functions.TextCache.DirConfKey, _))
+    ClusterProfile.configure(builder)
     val spark = builder.getOrCreate()
-    // reliable checkpoints: the cluster-profile branch of Checkpoints.cut
-    // (executor loss must not strand an iterative operator mid-loop)
-    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").foreach { dir =>
-      spark.sparkContext.setCheckpointDir(dir)
-      spark.conf.set(graft.functions.Checkpoints.ReliableConfKey, "true")
-    }
+    ClusterProfile.installCheckpoints(spark)
     spark.sparkContext.setLogLevel("WARN")
     // Spill evidence (round 12, VERDICT item 2): under the constrained
     // memory-pressure profile (tools/spill_gate.sh) the claim is not just

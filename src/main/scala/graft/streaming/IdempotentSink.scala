@@ -34,11 +34,21 @@ import org.apache.spark.sql.functions.col
   *
   * Crash matrix: before the rename → only hidden staging debris, invisible
   * to everyone, overwritten by the retry; between rename and marker → the
-  * directory content is the COMPLETE output of the batch (the rename only
-  * follows a successful write job), so the retry publishes just the
-  * missing marker — rewriting would instead expose a delete-then-reappear
-  * window in which a file source double-reads differently-named part
-  * files; after the marker → full no-op.
+  * batch dir carries the staged write's job-commit `_SUCCESS` marker,
+  * proving it the COMPLETE output of the batch, so the retry publishes
+  * just the missing commit marker — rewriting a complete dir would
+  * instead expose a delete-then-reappear window in which a file source
+  * double-reads differently-named part files; after the marker → full
+  * no-op. A pre-existing batch dir WITHOUT `_SUCCESS` is partial debris
+  * this protocol never published (an upgrade from the pre-round-12
+  * direct-write layout, or a torn rename on a store without atomic
+  * rename) and is deleted + republished rather than trusted.
+  *
+  * Filesystem contract: step 2 relies on atomic directory rename —
+  * true on HDFS and posix filesystems. On S3-style object stores
+  * (rename = copy+delete) front this sink with a rename-atomic layer
+  * (HBOSS, or an Iceberg/Delta table as the hop) — the `_SUCCESS`
+  * completeness probe above then still catches any torn publish.
   *
   * At 100 TB this is also the right layout: each micro-batch is an
   * independently-committed partition directory, so downstream backfills
@@ -60,7 +70,7 @@ object IdempotentSink {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
       val finalDir = new org.apache.hadoop.fs.Path(s"$path/batch=$batchId")
-      if (!fs.exists(finalDir)) {
+      def stageAndPublish(): Unit = {
         val staging =
           new org.apache.hadoop.fs.Path(s"$path/.inflight/batch=$batchId")
         df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
@@ -69,8 +79,28 @@ object IdempotentSink {
           throw new java.io.IOException(
             s"IdempotentSink: publish rename $staging -> $finalDir failed")
       }
+      val success =
+        new org.apache.hadoop.fs.Path(finalDir, "_SUCCESS")
+      if (!fs.exists(finalDir)) stageAndPublish()
+      else if (!fs.exists(success)) {
+        // An unmarked batch dir WITHOUT the job-commit marker was never
+        // published by this protocol's rename (the staged write puts
+        // _SUCCESS inside the dir before the rename moves it whole): it
+        // is partial debris — a crash of the old direct-write protocol,
+        // or a non-atomic rename on an object store. Trusting it would
+        // commit a partial batch permanently (round-12 review). No
+        // correct reader can have consumed it as complete (committedRead
+        // requires the marker; a file source saw at most these same
+        // partial files), so delete and republish atomically.
+        fs.delete(finalDir, true)
+        stageAndPublish()
+      }
       // else: a previous attempt crashed between publish and marker — the
-      // directory is complete by construction; just finish the commit
+      // dir carries the staged write's _SUCCESS, i.e. the COMPLETE output
+      // of the batch; just finish the commit. (If
+      // mapreduce.fileoutputcommitter.marksuccessfuljobs is disabled the
+      // complete dir is indistinguishable from debris and gets
+      // republished — correct, just non-minimal.)
       commit(df.sparkSession, path, batchId)
     }
   }

@@ -120,10 +120,9 @@ object StreamChaos {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
-    sys.env.get("SPARK_GRAFT_EXEC_MEM")
-      .foreach(builder.config("spark.executor.memory", _))
+    graft.ClusterProfile.configure(builder)
     val spark = builder.getOrCreate()
+    graft.ClusterProfile.installCheckpoints(spark)
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
@@ -134,10 +133,15 @@ object StreamChaos {
     val cfg = graft.operators.CurationPipeline.Config()
 
     // ---- batch ground truth (same engine-side LSH params as the twin)
+    // sorted MULTISET of survivor digests, not a set: the exact-dup twins
+    // share one md5 by construction, so a double-emit / dedup-state-loss
+    // failure that lets BOTH twins survive a post-kill replay changes the
+    // multiset but not the set — the exact exactly-once defect this gate
+    // exists to catch (round-12 review)
     val want = graft.operators.CurationPipeline
       .run(docs.toDF(), cfg, collectStats = false)
       .curated.select(md5(col("text")).as("d"))
-      .collect().map(_.getString(0)).toSet
+      .collect().map(_.getString(0)).sorted.toSeq
     println(s"[chaos] corpus=$nDocs batch survivors=${want.size}")
 
     // ---- stage 1: quality gate + watermarked exact dedup over a file
@@ -191,18 +195,26 @@ object StreamChaos {
     import scala.jdk.CollectionConverters._
     val killed = kills.asScala.toList
     val accepts = IdempotentSink.committedRead(spark, hop)
-    val rejects = IdempotentSink.committedRead(spark, rej)
-      .collect().map(_.getLong(0)).toSet
+    // committedRead throws on a path with no committed batches — probe
+    // first so a never-triggered rejection stream reaches the guided
+    // "[chaos] FAIL: ... emitted NOTHING" diagnostic below instead of
+    // dying on the require (round-12 review)
+    val rejects =
+      if (IdempotentSink.committedBatches(spark, rej).isEmpty) Set.empty[Long]
+      else IdempotentSink.committedRead(spark, rej)
+        .collect().map(_.getLong(0)).toSet
     val got = accepts
       .join(rejects.toSeq.toDF("rid"),
         col("doc_id") === col("rid"), "left_anti")
       .select(md5(col("text")).as("d"))
-      .collect().map(_.getString(0)).toSet
+      .collect().map(_.getString(0)).sorted.toSeq
     println(s"[chaos] kills=${killed.size} (pids ${killed.mkString(",")}) " +
       s"streaming survivors=${got.size} rejects=${rejects.size}")
     val ok = got == want && killed.nonEmpty && rejects.nonEmpty
     if (got != want) {
-      val miss = (want -- got).size; val extra = (got -- want).size
+      // Seq.diff is multiset difference — a duplicated survivor shows up
+      // as extra=1 even though its digest is also in `want`
+      val miss = want.diff(got).size; val extra = got.diff(want).size
       System.err.println(
         s"[chaos] FAIL: survivors != batch (missing=$miss extra=$extra)")
     }

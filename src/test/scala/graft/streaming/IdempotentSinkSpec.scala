@@ -99,4 +99,28 @@ class IdempotentSinkSpec extends SparkSpec {
     assert(IdempotentSink.committedRead(spark, path)
       .select("id").as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("an unmarked batch dir WITHOUT _SUCCESS is partial debris (legacy " +
+    "direct-write crash or torn object-store rename) — the retry deletes " +
+    "and republishes instead of committing the partial batch as-is") {
+    val path = freshDir()
+    // simulate the pre-round-12 protocol's crash state: part files
+    // landed directly in batch=0, job never committed (no _SUCCESS),
+    // no marker
+    val dir = new java.io.File(s"$path/batch=0")
+    assert(dir.mkdirs())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/batch=0/part-00000-junk.parquet"),
+      "not a parquet footer")
+    // the retry must NOT trust the debris (the old exists()-only check
+    // would have committed the junk permanently — round-12 review)
+    IdempotentSink.parquetExactlyOnce(path)(Seq((1L, "a")).toDF("id", "v"), 0L)
+    assert(IdempotentSink.committedBatches(spark, path) == Seq(0L))
+    assert(IdempotentSink.committedRead(spark, path)
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(!new java.io.File(s"$path/batch=0/part-00000-junk.parquet")
+      .exists())
+    // and the republished dir carries the completeness probe
+    assert(new java.io.File(s"$path/batch=0/_SUCCESS").exists())
+  }
 }

@@ -40,8 +40,13 @@ CUT=$(python3 -c "print(int($BAND * 1.15))")
 MEMCUT=$(python3 -c "print(int($MEMBAND * 1.15))")
 echo "[pin] fast band: cpu probe <= $CUT ms, mem probe <= $MEMCUT ms"
 for i in $(seq 1 "$ATTEMPTS"); do
+  # `|| true`: under set -e -o pipefail a crashed bench_java (OOM,
+  # transient classpath) would otherwise abort the WHOLE poll loop at
+  # this assignment — before the garbled-line validation below ever
+  # runs (round-12 review); an empty/garbled LINE falls through to the
+  # retry path either way
   LINE=$(SPARK_GRAFT_CALIB_ONLY=1 SPARK_GRAFT_CPUS=32 \
-      tools/bench_java.sh graft.Bench 2>/dev/null | tail -1)
+      tools/bench_java.sh graft.Bench 2>/dev/null | tail -1 || true)
   C=$(echo "$LINE" | sed -E 's/.*"value":([0-9]+).*/\1/')
   M=$(echo "$LINE" | sed -E 's/.*"mem_ms":([0-9]+).*/\1/')
   # a missing/garbled probe line (bench_java crash, partial output) leaves
