@@ -48,15 +48,15 @@ object Dedup {
   }
 
   /** Jaccard for interned token-id arrays (sorted, distinct, null-free
-    * longs): the intersect is the codegen'd merge
-    * [[graft.expressions.SortedIntersectSize]] — no per-row hash set, the
-    * right shape for the quadratic verify loops.
+    * longs): ONE codegen'd merge pass ([[graft.expressions.SortedJaccard]]
+    * — no per-row hash set, the right shape for the quadratic verify
+    * loops). Round 12: previously composed as `sis / (|A|+|B|−sis)` with
+    * two [[graft.expressions.SortedIntersectSize]] nodes, which join
+    * conditions evaluate twice per pair; the fused expression is
+    * bit-identical (same IEEE ops in the same order) at half the merges.
     */
-  def jaccardSortedIds(a: Column, b: Column): Column = {
-    val inter = graft.expressions.SortedIntersectSize
-      .sizeOfIntersect(a, b).cast("double")
-    inter / (size(a).cast("double") + size(b).cast("double") - inter)
-  }
+  def jaccardSortedIds(a: Column, b: Column): Column =
+    graft.expressions.SortedJaccard.jaccard(a, b)
 
   /** Sorted distinct 64-bit token ids — the interned form consumed by
     * [[jaccardSortedIds]]. One codegen'd pass
@@ -242,6 +242,15 @@ object Dedup {
         Seq("block", "id_a"))
       .join(g.select(col("block"), col("id").as("id_b"), col("g").as("gb")),
         Seq("block", "id_b"))
+      // exact length prefilter ahead of the O(|g|) verify merge (round
+      // 12): the best achievable Jaccard at these sizes is min/max
+      // (i = min ⟹ |∪| = max), and THIS filter evaluates the identical
+      // IEEE division the verify filter would see at i = min — correctly-
+      // rounded division is monotone in i, so every pair the verify
+      // filter passes, this passes. No float boundary, no false drop.
+      .filter(least(size(col("ga")), size(col("gb"))).cast("double") /
+        greatest(size(col("ga")), size(col("gb"))).cast("double")
+        >= threshold)
       .withColumn("jac", jaccardSortedIds(col("ga"), col("gb")))
       .filter(col("jac") >= threshold)
       .select(col("block"), col("id_a"), col("id_b"),
@@ -281,6 +290,10 @@ object Dedup {
         col("g").as("gc")), Seq("block", "id_corpus"))
       .join(gN.select(col("block"), col("id").as("id_new"),
         col("g").as("gn")), Seq("block", "id_new"))
+      // exact length prefilter — the ngramNearDupsFromIds bound
+      .filter(least(size(col("gc")), size(col("gn"))).cast("double") /
+        greatest(size(col("gc")), size(col("gn"))).cast("double")
+        >= threshold)
       .withColumn("jac", jaccardSortedIds(col("gc"), col("gn")))
       .filter(col("jac") >= threshold)
       .select(col("block"), col("id_new"), col("id_corpus"),

@@ -45,6 +45,13 @@ object PipelineQueries {
     cand
       .join(tok.select(col("doc_id").as("id_a"), col("tok").as("tok_a")), "id_a")
       .join(tok.select(col("doc_id").as("id_b"), col("tok").as("tok_b")), "id_b")
+      // exact length prefilter ahead of the O(|tok|) verify merge
+      // (round 12, guide §1.2): J ≥ 0.9 ⟹ min/max ≥ 0.9 ⟹
+      // 10·min ≥ 9·max — integer compare, drops no qualifying pair;
+      // the two filters combine into the verify join's condition with
+      // the cheap conjunct first (CombineFilters keeps source order)
+      .filter(lit(10) * least(size(col("tok_a")), size(col("tok_b"))) >=
+        lit(9) * greatest(size(col("tok_a")), size(col("tok_b"))))
       .withColumn("jaccard_raw", Dedup.jaccardSortedIds(col("tok_a"), col("tok_b")))
       .filter(col("jaccard_raw") >= 0.9)
       .select(col("id_a"), col("id_b"), Det.r4(col("jaccard_raw")).as("jaccard"))
@@ -72,6 +79,11 @@ object PipelineQueries {
     cand
       .join(tok.select(col("doc_id").as("id_a"), col("tok").as("tok_a")), "id_a")
       .join(tok.select(col("doc_id").as("id_b"), col("tok").as("tok_b")), "id_b")
+      // exact length prefilter ahead of the O(|tok|) verify merge
+      // (round 12): J ≥ 0.8 ⟹ min/max ≥ 0.8 ⟹ 5·min ≥ 4·max —
+      // integer compare, drops no qualifying pair (q81's bound)
+      .filter(lit(5) * least(size(col("tok_a")), size(col("tok_b"))) >=
+        lit(4) * greatest(size(col("tok_a")), size(col("tok_b"))))
       .withColumn("jaccard_raw", Dedup.jaccardSortedIds(col("tok_a"), col("tok_b")))
       .filter(col("jaccard_raw") >= 0.8)
       .select(col("lang"), col("id_a"), col("id_b"), col("jaccard_raw"))

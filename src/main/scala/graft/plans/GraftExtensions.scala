@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expressions.SortedIntersectSize
+import graft.expressions.{SortedIntersectSize, SortedJaccard}
 import org.apache.spark.sql.{GraftColumn, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
@@ -46,6 +46,16 @@ object GraftExtensions {
       require(args.length == 2,
         s"sorted_intersect_size takes 2 arguments, got ${args.length}")
       SortedIntersectSize(args.head, args(1))
+    })
+
+  private val sortedJaccardDesc: FunctionDesc = (
+    FunctionIdentifier("sorted_jaccard"),
+    new ExpressionInfo(classOf[SortedJaccard].getName,
+      "sorted_jaccard"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"sorted_jaccard takes 2 arguments, got ${args.length}")
+      SortedJaccard(args.head, args(1))
     })
 
   private def d(e: Expression): Expression = Cast(e, DoubleType)
@@ -234,6 +244,7 @@ object GraftExtensions {
     })
 
   private val all: Seq[FunctionDesc] = Seq(sortedIntersectSizeDesc,
+    sortedJaccardDesc,
     distanceInMetersDesc, withinCircleDesc, withinBoxDesc, weightedAvgDesc,
     scrubPiiDesc, hashSampleDesc, hashSplitDesc, simhash60Desc,
     shingleIdsDesc, minhashBandsDesc, wordNgramsDesc, winnowIdsDesc,
