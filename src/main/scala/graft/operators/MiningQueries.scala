@@ -191,11 +191,13 @@ object MiningQueries {
   def q164_knn_label_vote(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .filter(Det.saneEmb(col("embedding")))
+    // norms hoisted out of the pair loop — the q82 rule (round 12)
     val probes = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
-        col("embedding").as("pv"))
+        col("embedding").as("pv"), Det.l2norm(col("embedding")).as("pn"))
     val corpus = e.select(col("vec_id").as("neighbor_id"),
-      col("label").as("nl"), col("embedding").as("cv"))
+      col("label").as("nl"), col("embedding").as("cv"),
+      Det.l2norm(col("embedding")).as("cn"))
     val wK = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     // the probe side broadcasts, so the 400×|corpus| dot-product probe
@@ -206,7 +208,7 @@ object MiningQueries {
       .crossJoin(graft.functions.Escalation.spreadIfNarrow(corpus))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cos_sim", Det.r6(Det.dotD(col("pv"), col("cv")) /
-        (Det.l2norm(col("pv")) * Det.l2norm(col("cv")))))
+        (col("pn") * col("cn"))))
       .withColumn("rank", row_number().over(wK))
       .filter(col("rank") <= 5)
     val wVote = Window.partitionBy(col("probe_id"))

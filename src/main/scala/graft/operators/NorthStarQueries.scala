@@ -76,12 +76,18 @@ object NorthStarQueries {
   def q82_knn_cosine(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .filter(Det.saneEmb(col("embedding")))
+    // norms hoisted out of the pair loop (round 12, guide §1.2 — the
+    // embeddingNearDups rule): computed once per side below the join,
+    // the per-pair work drops from three O(d) passes to one dot product.
+    // Same doubles, same op order — hash-identical.
     val probes = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        Det.l2norm(col("embedding")).as("pn"))
     val corpus = emb
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        Det.l2norm(col("embedding")).as("cn"))
     val cos = Det.r6(Det.dotD(col("pv"), col("cv")) /
-      (Det.l2norm(col("pv")) * Det.l2norm(col("cv"))))
+      (col("pn") * col("cn")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     broadcast(probes).crossJoin(corpus)
@@ -104,13 +110,15 @@ object NorthStarQueries {
   def q98_knn_ivf_cell(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .filter(Det.saneEmb(col("embedding")))
+    // norms hoisted out of the pair loop — the q82 rule (round 12)
     val probes = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("label"),
-        col("embedding").as("pv"))
+        col("embedding").as("pv"), Det.l2norm(col("embedding")).as("pn"))
     val corpus = emb.select(col("vec_id").as("neighbor_id"),
-      col("label"), col("embedding").as("cv"))
+      col("label"), col("embedding").as("cv"),
+      Det.l2norm(col("embedding")).as("cn"))
     val cos = Det.r6(Det.dotD(col("pv"), col("cv")) /
-      (Det.l2norm(col("pv")) * Det.l2norm(col("cv"))))
+      (col("pn") * col("cn")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     broadcast(probes).join(corpus, "label")
@@ -162,13 +170,19 @@ object NorthStarQueries {
   private def clusterAssignments(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .filter(Det.saneEmb(col("embedding")))
+    // self-dots hoisted out of the pair loop (round 12, the q82 rule):
+    // dot(v,v) once per corpus row and dot(cv,cv) once per centroid —
+    // the k-way cross join then pays ONE dot per (row, centroid) pair
+    // instead of three. Same doubles, same (vv − 2·dot) + cc op order.
     val cent = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val corpus = emb.select(col("vec_id"), col("embedding").as("v"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        Det.dotD(col("embedding"), col("embedding")).as("cc"))
+    val corpus = emb.select(col("vec_id"), col("embedding").as("v"),
+      Det.dotD(col("embedding"), col("embedding")).as("vv"))
     val d2 = Det.r6(
-      Det.dotD(col("v"), col("v"))
+      col("vv")
         - lit(2.0) * Det.dotD(col("v"), col("cv"))
-        + Det.dotD(col("cv"), col("cv")))
+        + col("cc"))
     corpus.crossJoin(broadcast(cent))
       .withColumn("d2", d2)
       .groupBy(col("vec_id"))
@@ -329,13 +343,15 @@ object NorthStarQueries {
   def q200_ann_recall(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
       .filter(Det.saneEmb(col("embedding")))
+    // norms hoisted out of the pair loop — the q82 rule (round 12); with
+    // 50 probes the corpus-side norm was recomputed 50× per vector
     val probes = emb.filter(col("vec_id") < 50)
       .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
-        col("embedding").as("pv"))
+        col("embedding").as("pv"), Det.l2norm(col("embedding")).as("pn"))
     val corpus = emb.select(col("vec_id").as("nb"), col("label").as("clabel"),
-      col("embedding").as("cv"))
+      col("embedding").as("cv"), Det.l2norm(col("embedding")).as("cn"))
     val cos = Det.r6(Det.dotD(col("pv"), col("cv")) /
-      (Det.l2norm(col("pv")) * Det.l2norm(col("cv"))))
+      (col("pn") * col("cn")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cs").desc, col("nb").asc)
     val brute = broadcast(probes).crossJoin(corpus)
@@ -382,14 +398,15 @@ object NorthStarQueries {
   def q227_ann_recall_kmeans(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val asg = clusterAssignments(spark, sfDir).select(col("vec_id"), col("cid"))
+    // norms hoisted out of the pair loop — the q82 rule (round 12)
     val probes = emb.filter(col("vec_id") < 50).join(asg, "vec_id")
       .select(col("vec_id").as("probe_id"), col("cid").as("pcid"),
-        col("embedding").as("pv"))
+        col("embedding").as("pv"), Det.l2norm(col("embedding")).as("pn"))
     val corpus = emb.join(asg, "vec_id")
       .select(col("vec_id").as("nb"), col("cid").as("ccid"),
-        col("embedding").as("cv"))
+        col("embedding").as("cv"), Det.l2norm(col("embedding")).as("cn"))
     val cos = Det.r6(Det.dotD(col("pv"), col("cv")) /
-      (Det.l2norm(col("pv")) * Det.l2norm(col("cv"))))
+      (col("pn") * col("cn")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cs").desc, col("nb").asc)
     val brute = broadcast(probes).crossJoin(corpus)

@@ -235,8 +235,15 @@ object ScalarQueries {
           expr("cast(((c_custkey div 10) div 50) % 30 as double)") * lit(0.03),
           expr("cast((c_custkey div 10) % 50 as double)") * lit(0.03))
           .as("loc"))
-    val e = geoPairs(pts, 8000L, maxAbsLatDeg = 0.87).select(col("id_a").as("a"),
-      col("id_b").as("b"))
+    // materialize the proximity edge list once (round 12, guide §2.4):
+    // the triangle enumeration references `e` three times (wedge sides +
+    // closure) and exchange reuse only dedupes the shuffles under the
+    // cell join — the SMJ merge + per-candidate haversine re-ran per
+    // reference. The edge list is a few-thousand-row (a, b) frame; one
+    // lineage cut computes the trig once.
+    val e = graft.functions.Checkpoints.cut(
+      geoPairs(pts, 8000L, maxAbsLatDeg = 0.87).select(col("id_a").as("a"),
+        col("id_b").as("b")))
     // The documented skew swap is a real code path (round 9): past
     // graft.scale.triangle.escalateBytes the enumeration routes through
     // [[Triangles.perVertexDegreeOrdered]] — wedges owned by the
@@ -282,7 +289,13 @@ object ScalarQueries {
           expr("cast(((c_custkey div 10) div 50) % 30 as double)") * lit(0.03),
           expr("cast((c_custkey div 10) % 50 as double)") * lit(0.03))
           .as("loc"))
-    val und = geoPairs(pts, 8000L, maxAbsLatDeg = 0.87)
+    // cut the pair list before the symmetrizing union (round 12, guide
+    // §2.4): each union branch re-ran the cell join's merge + haversine
+    // filter; checkpointed, the trig runs once and both branches read
+    // the materialized (id_a, id_b) rows
+    val und = graft.functions.Checkpoints.cut(
+      geoPairs(pts, 8000L, maxAbsLatDeg = 0.87)
+        .select(col("id_a"), col("id_b")))
     val edges = und.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(und.select(col("id_b").as("src"), col("id_a").as("dst")))
     PageRank.ranks(pts.select(col("id")), edges, iters = 5)
@@ -305,7 +318,10 @@ object ScalarQueries {
           expr("cast(((c_custkey div 10) div 50) % 30 as double)") * lit(0.03),
           expr("cast((c_custkey div 10) % 50 as double)") * lit(0.03))
           .as("loc"))
-    val und = geoPairs(pts, 8000L, maxAbsLatDeg = 0.87)
+    // cut before the symmetrizing union — the q157 rule (round 12)
+    val und = graft.functions.Checkpoints.cut(
+      geoPairs(pts, 8000L, maxAbsLatDeg = 0.87)
+        .select(col("id_a"), col("id_b")))
     val edges = und.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(und.select(col("id_b").as("src"), col("id_a").as("dst")))
     val seeds = pts.select(col("id")).filter(col("id") % 100 === 0)
@@ -335,7 +351,9 @@ object ScalarQueries {
           expr("cast(((c_custkey div 10) div 50) % 30 as double)") * lit(0.03),
           expr("cast((c_custkey div 10) % 50 as double)") * lit(0.03))
           .as("loc"))
-    val und = geoPairs(pts, 8000L, maxAbsLatDeg = 0.87)
+    // cut before the symmetrizing union — the q157 rule (round 12)
+    val und = graft.functions.Checkpoints.cut(
+      geoPairs(pts, 8000L, maxAbsLatDeg = 0.87))
     val edges = und.select(col("id_a").as("src"), col("id_b").as("dst"),
         col("dist_m").as("w"))
       .unionByName(und.select(col("id_b").as("src"), col("id_a").as("dst"),
@@ -405,11 +423,18 @@ object ScalarQueries {
           expr("cast(((c_custkey div 10) div 50) % 30 as double)") * lit(0.03),
           expr("cast((c_custkey div 10) % 50 as double)") * lit(0.03))
           .as("loc"))
-    val und = geoPairs(pts, 8000L, maxAbsLatDeg = 0.87)
     import graft.functions.Checkpoints
-    var e = Checkpoints.cut(
+    // cut BEFORE the symmetrizing union (round 12): the old shape cut the
+    // union, so its materialization ran the cell join's merge + haversine
+    // once per branch; cut first, the trig runs once and the union cut
+    // reads checkpointed rows
+    val und = Checkpoints.cut(
+      geoPairs(pts, 8000L, maxAbsLatDeg = 0.87)
+        .select(col("id_a"), col("id_b")))
+    var e = Checkpoints.rotate(
       und.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionByName(und.select(col("id_b").as("src"), col("id_a").as("dst"))))
+        .unionByName(und.select(col("id_b").as("src"), col("id_a").as("dst"))),
+      prev = und)
     for (_ <- 1 to 6) {
       val v = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= 10).select(col("src").as("id"))
