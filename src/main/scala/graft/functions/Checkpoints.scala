@@ -134,6 +134,46 @@ object Checkpoints {
     cp
   }
 
+  /** [[cut]] that also returns the frame's row count — in the SAME job
+    * as the materialization on the local path (round 12). The iterative
+    * loops all need per-round sizes (convergence checks, and the
+    * driver-count-gated broadcast decisions in [[Escalation.bcastIfSmall]]
+    * — a checkpoint's `LogicalRDD` carries no stats, so Catalyst alone
+    * can never pick a broadcast join inside a loop); paying a separate
+    * count job per round doubled the action count of every loop. Here the
+    * local path plants a LAZY local checkpoint (no job) and runs ONE
+    * `rdd.count()` — computing the plan, persisting the marked blocks,
+    * truncating lineage at job end, and returning n, all in that single
+    * job. The reliable (cluster) path keeps [[cut]]'s persist-then-
+    * checkpoint discipline and counts the checkpointed RDD directly (a
+    * cheap file-backed scan, no SQL agg plan).
+    */
+  def cutCounted[T](ds: Dataset[T]): (Dataset[T], Long) = {
+    val reliable =
+      ds.sparkSession.conf.get(ReliableConfKey, "false").toBoolean
+    if (reliable) {
+      val cp = cut(ds)
+      (cp, rddOf(cp).map(_.count()).getOrElse(cp.count()))
+    } else {
+      val cp = ds.localCheckpoint(eager = false)
+      rddOf(cp) match {
+        case Some(rdd) => (cp, rdd.count())
+        case None => // unexpected plan shape — fall back to the 2-job form
+          val c = cut(ds); (c, rddOf(c).map(_.count()).getOrElse(c.count()))
+      }
+    }
+  }
+
+  /** [[rotate]] returning the new frame's row count ([[cutCounted]]). */
+  def rotateCounted[T](next: Dataset[T], prev: Dataset[_]): (Dataset[T], Long) = {
+    val r = cutCounted(next)
+    release(prev)
+    r
+  }
+
+  private def rddOf(ds: Dataset[_]) =
+    ds.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
+
   /** Storage-block RDD ids currently pinned by `ds`'s checkpoint leaves —
     * test hook for asserting [[release]] actually freed them. */
   def checkpointRddIds(ds: Dataset[_]): Seq[Int] =

@@ -124,4 +124,34 @@ object Escalation {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 < cores) df.repartition(cores) else df
   }
+
+  /** Driver-count-gated broadcast hint for iterative loops (round 12).
+    *
+    * Every loop frame here is a checkpoint (`LogicalRDD`), whose
+    * size-in-bytes stat is the catch-all default — Catalyst therefore
+    * NEVER plans a broadcast join inside a loop, and even AQE's runtime
+    * SMJ→BHJ conversion still pays the exchange it converted (the shuffle
+    * is materialized before stats exist). The loops, however, KNOW their
+    * frame sizes — [[Checkpoints.cutCounted]] returns the row count with
+    * the materialization — so the strategy choice the optimizer can't
+    * make from stats is made here from exact runtime counts: hint
+    * broadcast while the side fits, fall back to the unhinted (shuffle)
+    * plan the moment it doesn't. Scale-adaptive by construction — a
+    * 100 TB corpus's frontiers exceed the cap and take the exchange path;
+    * the cap itself is a conf knob, not a constant tuned to the fixture.
+    *
+    * Default cap 1M rows: loop rows here are 2-4 longs (≤48 B unsafe),
+    * so ≤48 MB broadcast — inside the 64 MiB autoBroadcastJoinThreshold
+    * [[graft.GraftSession]] already endorses for dimension tables.
+    *
+    * `rows < 0` means "unknown" and never broadcasts.
+    */
+  val BroadcastMaxRowsKey = "graft.broadcast.maxRows"
+
+  def bcastIfSmall(df: DataFrame, rows: Long): DataFrame = {
+    val cap = confInt(df.sparkSession, BroadcastMaxRowsKey, 1000000)
+    if (rows >= 0 && rows <= cap)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+  }
 }

@@ -60,8 +60,13 @@ object Hierarchy {
         coalesce(col(parentCol), col(idCol)).as("anc"),
         when(col(parentCol).isNull, 0L).otherwise(1L).as("depth"),
         col(parentCol).isNull.as("settled"))
-    import graft.functions.Checkpoints
-    var state = Checkpoints.cut(init)
+    import graft.functions.{Checkpoints, Escalation}
+    // one-job materialize+count; state row count stays n every round
+    // (settled ∪ jumped partitions the node set — t_id is unique, so the
+    // left join is multiplicity-1), so n both seeds the loop and gates
+    // the per-round broadcast below
+    val (state0, n) = Checkpoints.cutCounted(init)
+    var state = state0
     var frontier = state.filter(!col("settled")).count()
     var iter = 0
     var progressing = true
@@ -70,9 +75,16 @@ object Hierarchy {
       // distance s.depth + t.depth. Only the unsettled frontier joins
       // (the left side shrinks every round); the lookup side must be the
       // FULL state — a frontier row's ancestor may itself be settled.
+      // The lookup side is broadcast while it fits (driver-known count —
+      // a checkpoint's LogicalRDD has no stats, so neither Catalyst nor
+      // AQE can avoid the per-round exchanges themselves; see
+      // Escalation.bcastIfSmall): the round then runs as one
+      // checkpoint-read stage, no shuffle, falling back to the SMJ plan
+      // the moment the hierarchy outgrows the cap.
       val s = state.filter(!col("settled")).as("s")
-      val t = state.select(col("id").as("t_id"), col("anc").as("t_anc"),
-        col("depth").as("t_depth"), col("settled").as("t_settled"))
+      val t = Escalation.bcastIfSmall(
+        state.select(col("id").as("t_id"), col("anc").as("t_anc"),
+          col("depth").as("t_depth"), col("settled").as("t_settled")), n)
       val jumped = s.join(t, col("s.anc") === col("t_id"), "left").select(
         col("s.id").as("id"),
         col("t_anc").as("anc"),
@@ -131,36 +143,49 @@ object Hierarchy {
       .select(col(idCol).as("descd"), col(parentCol).as("anc"))
     // invariant entering each round: A = all dists in [0, 2^k),
     // P = the exact 2^k-step pointer. k = 0 ⇒ A holds self-pairs only.
-    import graft.functions.Checkpoints
-    var a = Checkpoints.cut(self)
-    var p = Checkpoints.cut(step)
-    var pSize = p.count()
+    //
+    // Round 12 shape: A is kept as a LIST of per-round checkpointed
+    // blocks instead of one re-checkpointed union — the old
+    // `rotate(a ∪ lifted)` re-MATERIALIZED the whole closure every round
+    // (Σₖ|Aₖ| ≈ log·|closure| block writes); appending only the new
+    // lifted block writes each closure pair exactly once. The P side is
+    // broadcast while it fits (driver-known count; checkpoints carry no
+    // stats — Escalation.bcastIfSmall), so a round's two joins are
+    // exchange-free block scans at fixture scale and fall back to SMJ
+    // past the cap. Total pinned storage is unchanged (the closure).
+    import graft.functions.{Checkpoints, Escalation}
+    var parts = List(Checkpoints.cut(self))
+    var (p, pSize) = Checkpoints.cutCounted(step)
     var iter = 0
     while (pSize > 0 && iter < maxIter) {
       // v -(2^k)-> mid -(d < 2^k)-> anc  ⇒  v -(2^k + d)-> anc, covering
       // exactly the new distance block [2^k, 2^{k+1}) once per pair (the
       // d = 0 self-pair contributes the bare 2^k jump itself)
-      val lifted = p.select(col("descd"), col("anc").as("mid"))
-        .join(a.select(col("descd").as("mid"), col("anc")), "mid")
-        .select(col("descd"), col("anc"))
-      val p2 = p.select(col("descd"), col("anc").as("mid"))
+      val pJump = Escalation.bcastIfSmall(
+        p.select(col("descd"), col("anc").as("mid")), pSize)
+      val p2 = pJump
         .join(p.select(col("descd").as("mid"), col("anc")), "mid")
         .select(col("descd"), col("anc"))
       val prevP = p
-      p = Checkpoints.cut(p2)
-      val pNext = p.count()
+      val (pCp, pNext) = Checkpoints.cutCounted(p2)
+      p = pCp
       // acyclic input ⇒ |P| strictly shrinks while nonempty (see scaladoc);
-      // a plateau is a parent cycle — stop BEFORE unioning wrapped pairs
+      // a plateau is a parent cycle — stop BEFORE materializing wrapped
+      // pairs into the closure
       if (pNext >= pSize)
         throw new IllegalArgumentException(
           s"ancestorClosure: parent cycle detected (2^$iter-step pointer " +
             s"count $pSize -> $pNext did not shrink); input must be acyclic")
-      a = Checkpoints.rotate(a.unionByName(lifted), prev = a)
+      val a = parts.reduceLeft(_ unionByName _)
+      val lifted = pJump
+        .join(a.select(col("descd").as("mid"), col("anc")), "mid")
+        .select(col("descd"), col("anc"))
+      parts = Checkpoints.cut(lifted) :: parts
       Checkpoints.release(prevP)
       pSize = pNext
       iter += 1
     }
-    a
+    parts.reduceLeft(_ unionByName _)
   }
 
   /** The deterministic customer referral forest both declared hierarchy
