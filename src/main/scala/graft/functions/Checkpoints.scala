@@ -32,9 +32,13 @@ import org.apache.spark.sql.execution.LogicalRDD
   * Safety rule callers must follow: only [[release]] a frame once a LATER
   * eager checkpoint derived from it has materialized, and never release a
   * frame the operator's RETURNED (lazy) plan still reads — a truncated
-  * lineage cannot recompute freed blocks. In practice every loop below
-  * follows the same shape: the returned frame depends only on the final
-  * round's checkpoint, so all predecessors are releasable.
+  * lineage cannot recompute freed blocks. In practice most loops follow
+  * the same shape: the returned frame depends only on the final round's
+  * checkpoint, so all predecessors are releasable. The exception is
+  * `Hierarchy.ancestorClosure`, whose returned plan unions EVERY round's
+  * block (each closure pair is materialized exactly once): there the
+  * per-round blocks stay pinned — O(log depth) frames totalling the
+  * closure's bytes — and only the superseded pointer frames are released.
   */
 object Checkpoints {
 

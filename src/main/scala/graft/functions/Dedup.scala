@@ -248,8 +248,13 @@ object Dedup {
       // IEEE division the verify filter would see at i = min — correctly-
       // rounded division is monotone in i, so every pair the verify
       // filter passes, this passes. No float boundary, no false drop.
-      .filter(least(size(col("ga")), size(col("gb"))).cast("double") /
-        greatest(size(col("ga")), size(col("gb"))).cast("double")
+      // try_divide: a pair of two EMPTY gram arrays (greatest = 0,
+      // unreachable from declared callers) yields null — filtered out,
+      // not an ANSI DIVIDE_BY_ZERO throw (r12 ADVICE); for every nonzero
+      // denominator try_divide is bit-identical to the plain division.
+      .filter(try_divide(
+        least(size(col("ga")), size(col("gb"))).cast("double"),
+        greatest(size(col("ga")), size(col("gb"))).cast("double"))
         >= threshold)
       .withColumn("jac", jaccardSortedIds(col("ga"), col("gb")))
       .filter(col("jac") >= threshold)

@@ -140,17 +140,24 @@ object Escalation {
     * 100 TB corpus's frontiers exceed the cap and take the exchange path;
     * the cap itself is a conf knob, not a constant tuned to the fixture.
     *
-    * Default cap 1M rows: loop rows here are 2-4 longs (≤48 B unsafe),
-    * so ≤48 MB broadcast — inside the 64 MiB autoBroadcastJoinThreshold
-    * [[graft.GraftSession]] already endorses for dimension tables.
+    * The cap is a BYTE budget, expressed as rows × bytesPerRow: the
+    * default 1M-row cap assumes the ≤48 B/row unsafe layout of the
+    * 2-4-long frames every current loop passes, i.e. ≤48 MB broadcast —
+    * inside the 64 MiB autoBroadcastJoinThreshold [[graft.GraftSession]]
+    * already endorses for dimension tables. A call site with wide rows
+    * (arrays/strings) MUST pass its own `bytesPerRow` estimate so the
+    * row cap scales down instead of silently OOMing the driver
+    * (r12 ADVICE).
     *
     * `rows < 0` means "unknown" and never broadcasts.
     */
   val BroadcastMaxRowsKey = "graft.broadcast.maxRows"
 
-  def bcastIfSmall(df: DataFrame, rows: Long): DataFrame = {
-    val cap = confInt(df.sparkSession, BroadcastMaxRowsKey, 1000000)
-    if (rows >= 0 && rows <= cap)
+  def bcastIfSmall(df: DataFrame, rows: Long, bytesPerRow: Int = 48): DataFrame = {
+    require(bytesPerRow > 0, s"bytesPerRow must be positive: $bytesPerRow")
+    val capRows = confInt(df.sparkSession, BroadcastMaxRowsKey, 1000000)
+    val capBytes = capRows.toLong * 48L
+    if (rows >= 0 && rows * bytesPerRow.toLong <= capBytes)
       org.apache.spark.sql.functions.broadcast(df)
     else df
   }

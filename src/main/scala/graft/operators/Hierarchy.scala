@@ -185,6 +185,10 @@ object Hierarchy {
       pSize = pNext
       iter += 1
     }
+    // the returned plan reads ONLY the part blocks — the final P pointer
+    // (empty on normal exit) is dead weight; free it rather than pinning
+    // an extra frame for the session (r12 ADVICE)
+    Checkpoints.release(p)
     parts.reduceLeft(_ unionByName _)
   }
 

@@ -44,8 +44,12 @@ class SortedJaccardSpec extends SparkSpec {
     // declared caller can produce one: tokenIds of any string yields >= 1
     // id, and the q86/q75 prefix index explodes empty gram arrays to zero
     // candidate rows. Under ANSI the old composition threw DIVIDE_BY_ZERO
-    // on that unreachable edge; the fused expression returns IEEE NaN
-    // (NaN >= t is false, so a hypothetical pair is dropped, not crashed).
+    // on that unreachable edge; the fused expression returns IEEE NaN.
+    // NOTE (r12 ADVICE): Spark SQL orders NaN GREATER than every double,
+    // so `NaN >= t` is TRUE -- a hypothetical empty-empty pair would be
+    // KEPT by the verify filters, not dropped. Harmless only because the
+    // edge is unreachable (tokenIds/gramIds never emit empty candidate
+    // arrays); this test pins the NaN value itself, not a keep/drop.
     val df = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
     val j = df.select(SortedJaccard.jaccard(col("a"), col("b")).as("j"))
       .head.getDouble(0)
