@@ -122,7 +122,22 @@ object Escalation {
     */
   def spreadIfNarrow(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < cores) df.repartition(cores) else df
+    // Splits estimated from plan bytes / maxPartitionBytes — the same
+    // formula the file-split planner applies — instead of probing
+    // `df.rdd.getNumPartitions` (round 13): the RDD probe physically
+    // plans the frame, and when the input contains a lazily-registered
+    // Dataset cache that registers the cache's buffer RDD before the
+    // caller's first action (observed: CurationPipeline's lazy path
+    // acquired a resident-cache entry at plan time, breaking its
+    // release() accounting), besides paying a full physical planning
+    // pass per call. Every call site feeds a scan-derived frame, where
+    // plan bytes ARE the file bytes the splitter reads; a huge-default
+    // stat (checkpoint leaves) simply never spreads, which is the
+    // at-scale identity this guard promises anyway.
+    val maxSplit = math.max(1L,
+      df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    val estSplits = (planBytes(df) / maxSplit).toLong + 1L
+    if (estSplits * 2 < cores) df.repartition(cores) else df
   }
 
   /** Driver-count-gated broadcast hint for iterative loops (round 12).

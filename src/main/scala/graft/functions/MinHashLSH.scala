@@ -77,7 +77,23 @@ object MinHashLSH {
   def candidatePairsRaw(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, bands: Int = 4,
                         maxBucket: Int = 1000,
-                        blockCols: Seq[String] = Nil): DataFrame = {
+                        blockCols: Seq[String] = Nil): DataFrame =
+    candidatePairsRawReleasable(
+      docs, idCol, textCol, k, bands, maxBucket, blockCols)._1
+
+  /** [[candidatePairsRaw]] plus a release handle that unpersists the
+    * internal banded-signature cache (see the persist note inside). The
+    * plain overload leaves the cache to the session-level sweep the
+    * bench/verify harnesses run between queries; long-lived callers that
+    * materialize the pair stream (e.g. [[graft.operators.CurationPipeline]])
+    * call the handle once their downstream frame is materialized, so
+    * repeated pipeline invocations don't accumulate banded caches.
+    */
+  def candidatePairsRawReleasable(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, bands: Int = 4,
+      maxBucket: Int = 1000,
+      blockCols: Seq[String] = Nil): (DataFrame, () => Unit) = {
     // All k minhashes + band strings in ONE codegen'd pass per row
     // (graft.expressions.MinHashBands — replaces k interpreted
     // transform/array_min folds; band strings byte-identical to
@@ -89,12 +105,33 @@ object MinHashLSH {
     // Block columns are folded into the hash, so docs only collide within
     // their block — the blocked-LSH shape (e.g. near-dup within lang)
     // shares this one path.
-    val banded = docs
-      .select(col(idCol).as("id") +: blockCols.map(col)
+    //
+    // Round 13 (guide §2.3/§2.4/§2.5): the signature pass — k md5 hashes
+    // per TOKEN — is by far the most expensive projection in the
+    // pipeline, and the plan below reads `banded` THREE times (the
+    // bucket-count build side plus both sides of the pair self-join), so
+    // it used to be computed three times, each time inside the SCAN's
+    // stage — single-task when the input is one small parquet split
+    // (measured: 3 × ~0.5 s single-task stages at sf0.1 on 32 cores).
+    // Fix: project to only (id, block, text) — nothing else need cross
+    // the exchange — spreadIfNarrow so the signature runs on every core
+    // (identity at scale: splits ≫ cores), and persist the NARROW banded
+    // rows (id + 8-byte band per (doc, band) — the text never enters the
+    // cache) so the signature is computed exactly once. MEMORY_AND_DISK:
+    // memory pressure spills, never recomputes. The cache lives only for
+    // this query's actions; the bench/verify harnesses sweep it between
+    // queries, and at 100 TB it is n_docs × bands × ~24 B — the same
+    // lightweight-proxy budget the two-phase skew guard already assumes.
+    val input = Escalation.spreadIfNarrow(
+      docs.select(col(idCol).as("id") +: blockCols.map(col)
+        :+ col(textCol).as("__text"): _*))
+    val banded = input
+      .select(col("id") +: blockCols.map(col)
         :+ explode(graft.expressions.MinHashBands.bandKeys(
-          col(textCol), k, bands)).as("bandStr"): _*)
+          col("__text"), k, bands)).as("bandStr"): _*)
       .select(col("id") +: blockCols.map(col)
         :+ xxhash64(blockCols.map(col) :+ col("bandStr"): _*).as("band"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Skew guard as a two-phase count + ANTI join against the overflow
     // bands, NOT a Window over band. The window funneled the
     // pathological hot bucket — the exact case the guard exists for —
@@ -103,12 +140,11 @@ object MinHashLSH {
     // count's partial aggregation collapses the hot key map-side (one
     // row per partition reaches the shuffle) and the anti join's build
     // side holds only bands ABOVE the cap — near-empty on a healthy
-    // corpus, so it broadcasts. Deliberate trade: the banded projection
-    // is computed twice (count + probe), one extra LINEAR perfectly
-    // parallel pass (measured +0.3-0.6 s/query at sf0.1) bought instead
-    // of a single-task buffer of an uncapped bucket at 100 TB. Kept set
-    // is identical to the oracle's QUALIFY semantics (band ∉ overflow ⇔
-    // bucket_n ≤ cap; band keys are never null).
+    // corpus, so it broadcasts. The count phase reads the persisted
+    // banded rows (round 13) — the old "signature computed twice" trade
+    // is gone; what the extra phase costs now is one scan of the narrow
+    // cache. Kept set is identical to the oracle's QUALIFY semantics
+    // (band ∉ overflow ⇔ bucket_n ≤ cap; band keys are never null).
     val pruned = if (maxBucket == Int.MaxValue) banded else {
       val bigBuckets = banded.groupBy(col("band"))
         .agg(count(lit(1)).as("bucket_n"))
@@ -116,10 +152,11 @@ object MinHashLSH {
         .select(col("band"))
       banded.join(bigBuckets, Seq("band"), "left_anti")
     }
-    pruned.as("a")
+    val pairs = pruned.as("a")
       .join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a") +: col("b.id").as("id_b")
         +: blockCols.map(c => col(s"a.$c")): _*)
+    (pairs, () => { banded.unpersist(blocking = false); () })
   }
 }

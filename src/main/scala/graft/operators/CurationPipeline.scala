@@ -94,18 +94,28 @@ object CurationPipeline {
     * every verified pair the larger id loses (deterministic survivor rule,
     * transitively keeps at least one doc per duplicate cluster).
     */
-  def nearDedup(docs: DataFrame, cfg: Config): DataFrame = {
+  def nearDedup(docs: DataFrame, cfg: Config): DataFrame =
+    nearDedupReleasable(docs, cfg)._1
+
+  /** [[nearDedup]] plus the release handle for the LSH stage's internal
+    * banded-signature cache (freed by `run`'s Result.release / stats path
+    * once the survivors are materialized; a standalone `nearDedup` caller
+    * is covered by the harnesses' between-queries cache sweep). */
+  private def nearDedupReleasable(docs: DataFrame,
+                                  cfg: Config): (DataFrame, () => Unit) = {
     val tok = docs.select(col(cfg.idCol).as("__id"),
       Dedup.tokenIds(col(cfg.textCol)).as("__tok"))
-    val losers = MinHashLSH.candidatePairsRaw(docs, cfg.idCol, cfg.textCol,
-        cfg.minhashK, cfg.minhashBands, cfg.maxBucket)
+    val (cand, candRelease) = MinHashLSH.candidatePairsRawReleasable(
+      docs, cfg.idCol, cfg.textCol,
+      cfg.minhashK, cfg.minhashBands, cfg.maxBucket)
+    val losers = cand
       .join(tok.select(col("__id").as("id_a"), col("__tok").as("tok_a")), "id_a")
       .join(tok.select(col("__id").as("id_b"), col("__tok").as("tok_b")), "id_b")
       .filter(Dedup.jaccardSortedIds(col("tok_a"), col("tok_b"))
         >= cfg.nearDupJaccard)
       .select(col("id_b").as(cfg.idCol))   // id_a < id_b: larger id loses
       .distinct()
-    docs.join(losers, Seq(cfg.idCol), "left_anti")
+    (docs.join(losers, Seq(cfg.idCol), "left_anti"), candRelease)
   }
 
   def annotate(docs: DataFrame, cfg: Config): DataFrame = {
@@ -134,9 +144,10 @@ object CurationPipeline {
       // catches callers that never do).
       val exact = exactDedup(
         repetitionGate(qualityGate(scrub(docs, cfg), cfg), cfg), cfg).cache()
-      val out = annotate(nearDedup(exact, cfg), cfg)
+      val (near, candRelease) = nearDedupReleasable(exact, cfg)
+      val out = annotate(near, cfg)
       return Result(out, Map.empty,
-        release = () => { exact.unpersist(false); () })
+        release = () => { exact.unpersist(false); candRelease() })
     }
     // single-execution stats: observe() metrics ride along the one action
     // that materializes the exact-dedup cache, so the scan→gate→dedup
@@ -149,8 +160,10 @@ object CurationPipeline {
       .observe(obsGated, count(lit(1)).as("n"))
     val exact = exactDedup(gated, cfg).cache()
     val nExact = exact.count()                 // action #1: fills the cache
-    val near = nearDedup(exact, cfg).cache()
+    val (near0, candRelease) = nearDedupReleasable(exact, cfg)
+    val near = near0.cache()
     val nNear = near.count()                   // action #2: LSH runs once
+    candRelease()  // near is materialized; the banded cache is done
     exact.unpersist()
     val out = annotate(near, cfg)
     Result(out, Map(

@@ -65,11 +65,16 @@ class CurationPipelineSpec extends SparkSpec {
     val lazyRun = CurationPipeline.run(docs, cfg, collectStats = false)
     assert(sc.getPersistentRDDs.size == before)
     lazyRun.curated.count()
-    assert(sc.getPersistentRDDs.size == before + 1,
-      "exact-dedup prefix cache should be resident after materializing")
+    // two resident caches after materializing (round 13): the exact-dedup
+    // prefix AND the LSH banded-signature cache (MinHashLSH persists the
+    // narrow banded rows so the signature pass runs once, not three
+    // times) — release() must free BOTH
+    assert(sc.getPersistentRDDs.size == before + 2,
+      "exact-dedup prefix + LSH banded caches should be resident after " +
+        s"materializing, got ${sc.getPersistentRDDs.size - before}")
     lazyRun.release()
     assert(sc.getPersistentRDDs.size == before,
-      "exact-dedup prefix cache still resident after release()")
+      "pipeline caches still resident after release()")
   }
 
   test("annotations present with sane domains") {
