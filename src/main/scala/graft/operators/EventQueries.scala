@@ -1263,9 +1263,25 @@ object EventQueries {
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("tot", sum(col("c")).over(Window.partitionBy()))
       .select(col("cents"), expr("cum * 10000 div tot").as("cum_bp"))
-    val grid = spark.range(0L, 10001L).select(col("id").as("bp"))
-    val lut = grid.join(broadcast(vcum), col("cum_bp") >= col("bp"))
-      .groupBy(col("bp")).agg(min(col("cents")).as("norm_cents"))
+    // bp→cents lookup WITHOUT the grid theta-join (round 13, guide §1.2):
+    // `grid.join(vcum, cum_bp >= bp).groupBy(bp).min(cents)` is a
+    // 10001×|cents| nested-loop probe — measured 3.25 s of task time at
+    // sf0.1, the query's single hottest stage. The crossing rule is a
+    // step function over the MONOTONE cum_bp column, so each reference
+    // row i covers exactly the bps in (cum_bp_{i-1}, cum_bp_i] (the
+    // first row covers [0, cum_bp_1]); emitting that range per row via
+    // lag + sequence + explode produces the IDENTICAL 10001-row table —
+    // min(cents) per bp falls out of range disjointness, no grid, no
+    // groupBy, O(|cents| + 10001) instead of O(|cents|·10001). Rows
+    // whose cum_bp repeats a predecessor's (integer-div collisions)
+    // cover an empty range and are dropped by the guard — exactly the
+    // rows min() discarded.
+    val wLag = Window.orderBy(col("cents"))
+    val lut = vcum
+      .withColumn("prev", lag(col("cum_bp"), 1, -1L).over(wLag))
+      .filter(col("cum_bp") > col("prev"))
+      .select(explode(sequence(col("prev") + 1L, col("cum_bp"))).as("bp"),
+        col("cents").as("norm_cents"))
     p.join(broadcast(lut), col("bp") === col("pct_bp"))
       .select(col("event_id"), col("event_type"), col("cents"),
         col("pct_bp"), col("norm_cents"))

@@ -46,8 +46,22 @@ object MiningQueries {
     // re-derived per branch; at warehouse scale that's the cheaper side of
     // the trade (a real deployment materializes incidence as a bucketed
     // table — sources/Sources.writeBucketed — and pays the shuffle once).
+    // explicit not-null filters (round 13, guide §2.4): the basket-join
+    // branch pushes isnotnull(o) into its scan and the freq branches
+    // isnotnull(p) into theirs, so the four subtrees reading this frame
+    // were canonically UNEQUAL and not one exchange was reused — the
+    // profile showed the scan+partial-distinct stage computed twice and
+    // the freq aggregate twice (its broadcast too). Filtering both keys
+    // here (a no-op on TPC-H lineitem, and inner joins drop null keys
+    // anyway) makes every branch's subtree identical, so Spark reuses
+    // the distinct exchange and the freq broadcast instead of
+    // recomputing them. (A persist here is NOT the answer — measured
+    // 1.0 → 1.55 s at sf0.1: columnar encode of 600k rows costs more
+    // than the scans it saves, the round-5 localCheckpoint lesson.)
     val lp = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .filter(col("o").isNotNull && col("p").isNotNull)
+      .distinct()
     val freq = lp.groupBy(col("p")).agg(count(lit(1)).as("f"))
     // query-item incidence is 1% of lp — joining IT against the baskets
     // yields every (query, neighbor) pair in both directions directly

@@ -148,6 +148,36 @@ class KnownAnswerSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("q198's lag+sequence bp→cents lookup == the grid theta-join form " +
+    "on a collision-heavy distribution (cum_bp repeats)") {
+    // 5000 reference rows over 400 distinct cents values → every cents
+    // step advances cum_bp by ~25/12500ths, so consecutive rows SHARE a
+    // cum_bp value constantly — the integer-div collision edge the
+    // round-13 rewrite's range guard must drop exactly like min() did
+    import org.apache.spark.sql.expressions.Window
+    val vc = spark.range(0L, 400L)
+      .select((col("id") * 7L % 400L).as("cents"),
+        (col("id") % 3L + 1L).as("c"))
+    val wCum = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vcum = vc
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy()))
+      .select(col("cents"), expr("cum * 10000 div tot").as("cum_bp"))
+    val grid = spark.range(0L, 10001L).select(col("id").as("bp"))
+    val thetaForm = grid.join(vcum, col("cum_bp") >= col("bp"))
+      .groupBy(col("bp")).agg(min(col("cents")).as("norm_cents"))
+    val wLag = Window.orderBy(col("cents"))
+    val lagForm = vcum
+      .withColumn("prev", lag(col("cum_bp"), 1, -1L).over(wLag))
+      .filter(col("cum_bp") > col("prev"))
+      .select(explode(sequence(col("prev") + 1L, col("cum_bp"))).as("bp"),
+        col("cents").as("norm_cents"))
+    assert(lagForm.count() == 10001L)
+    assert(thetaForm.exceptAll(lagForm).count() == 0L)
+    assert(lagForm.exceptAll(thetaForm).count() == 0L)
+  }
+
   test("q193: a verbatim-contained document scores containment 10000 " +
     "from its side") {
     val dir = tmp("cont")
