@@ -138,6 +138,34 @@ object Checkpoints {
     cp
   }
 
+  /** [[rotate]] for FIXED-round loops whose state frame is consumed by
+    * exactly ONE downstream reference per round (PageRank's rank frame:
+    * `inflow` reads `pr` once, the recombine produces the next `pr`) and
+    * whose result is materialized by a single caller action.
+    *
+    * On the local profile this is the IDENTITY: the unrolled k-round
+    * plan is linear in k (single reference ⇒ no subtree doubling), one
+    * action executes every round exactly once, and the per-round eager
+    * localCheckpoint bought nothing except k driver round-trips — a
+    * materialization job plus a fresh analysis/planning pass per round,
+    * measured as ~60% of q157's wall at sf0.1 (43 jobs, ~1.5 s of
+    * inter-job driver gaps for ~1.1 s of stage time).
+    *
+    * On the reliable (cluster) profile it keeps the full per-round
+    * checkpoint+release discipline: there the checkpoint is durability —
+    * an executor loss resumes from the last round instead of recomputing
+    * the whole chain — which is exactly the property the executor-kill
+    * gate pins, and worth k materialization jobs on a long job.
+    *
+    * Callers whose state is referenced MORE than once per round (BFS's
+    * union+step reads `dist` twice) must NOT use this without verifying
+    * exchange reuse covers the extra reference — a non-reused second
+    * read doubles per-round work between cuts. */
+  def rotateIfReliable[T](next: Dataset[T], prev: Dataset[_]): Dataset[T] =
+    if (next.sparkSession.conf.get(ReliableConfKey, "false").toBoolean)
+      rotate(next, prev)
+    else next
+
   /** [[cut]] that also returns the frame's row count — in the SAME job
     * as the materialization on the local path (round 12). The iterative
     * loops all need per-round sizes (convergence checks, and the
@@ -171,6 +199,62 @@ object Checkpoints {
   /** [[rotate]] returning the new frame's row count ([[cutCounted]]). */
   def rotateCounted[T](next: Dataset[T], prev: Dataset[_]): (Dataset[T], Long) = {
     val r = cutCounted(next)
+    release(prev)
+    r
+  }
+
+  /** [[cutCounted]] that ALSO counts rows whose boolean column `flagCol`
+    * is true — still ONE job (round 13). Convergence loops need both the
+    * state size (broadcast gating) and a frontier/settled count per
+    * round; paying a separate filtered-count job doubled every round's
+    * driver round-trips (measured: ~40–80 ms of job gap each at sf0.1).
+    * Here the materializing pass folds both counts per partition. A null
+    * flag counts as false. */
+  def cutCountedFlag[T](ds: Dataset[T],
+                        flagCol: String): (Dataset[T], Long, Long) = {
+    val idx = ds.schema.fieldIndex(flagCol)
+    require(ds.schema(idx).dataType ==
+      org.apache.spark.sql.types.BooleanType,
+      s"cutCountedFlag: $flagCol must be boolean, got ${ds.schema(idx)}")
+    def counts(rdd: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow]): (Long, Long) =
+      rdd.mapPartitions { it =>
+        var n = 0L; var t = 0L
+        it.foreach { r =>
+          n += 1L
+          if (!r.isNullAt(idx) && r.getBoolean(idx)) t += 1L
+        }
+        Iterator.single((n, t))
+      }.fold((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+    val reliable =
+      ds.sparkSession.conf.get(ReliableConfKey, "false").toBoolean
+    if (reliable) {
+      val cp = cut(ds)
+      rddOf(cp) match {
+        case Some(rdd) => val (n, t) = counts(rdd); (cp, n, t)
+        case None => sys.error("cutCountedFlag: checkpoint left no RDD leaf")
+      }
+    } else {
+      val cp = ds.localCheckpoint(eager = false)
+      rddOf(cp) match {
+        case Some(rdd) =>
+          // one job: computes the plan, persists the lazily-marked
+          // blocks, and folds both counts (same mechanism as cutCounted)
+          val (n, t) = counts(rdd); (cp, n, t)
+        case None => // unexpected plan shape — 2-job fallback
+          val c = cut(ds)
+          val rdd = rddOf(c).getOrElse(
+            sys.error("cutCountedFlag: checkpoint left no RDD leaf"))
+          val (n, t) = counts(rdd); (c, n, t)
+      }
+    }
+  }
+
+  /** [[rotate]] returning (frame, rows, rows with `flagCol` true) in one
+    * materializing job ([[cutCountedFlag]]). */
+  def rotateCountedFlag[T](next: Dataset[T], prev: Dataset[_],
+                           flagCol: String): (Dataset[T], Long, Long) = {
+    val r = cutCountedFlag(next, flagCol)
     release(prev)
     r
   }

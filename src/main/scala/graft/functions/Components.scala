@@ -251,19 +251,25 @@ object Components {
         val msgs = frontier
           .join(edges, frontier("id") === edges("s"))
           .select(col("t").as("id"), col("component"), lit(false).as("self"))
-        val next = Checkpoints.rotate(
+        // `adv` marks rows whose label improved this round; counting it
+        // inside the rotate's materializing job (cutCountedFlag) makes
+        // the convergence probe free — the old frontier.limit(1).count()
+        // was a second driver round-trip per round
+        val (next, _, advanced) = Checkpoints.rotateCountedFlag(
           labels
             .select(col("id"), col("component"), lit(true).as("self"))
             .union(msgs)
             .repartition(p, col("id"))
             .groupBy("id").agg(
               min("component").as("component"),
-              max(when(col("self"), col("component"))).as("old")),
-          prev = cp)
+              max(when(col("self"), col("component"))).as("old"))
+            .withColumn("adv",
+              coalesce(col("component") < col("old"), lit(false))),
+          prev = cp, flagCol = "adv")
         cp = next
-        frontier = next.filter(col("component") < col("old"))
+        frontier = next.filter(col("adv"))
           .select("id", "component")
-        converged = frontier.limit(1).count() == 0L
+        converged = advanced == 0L
         labels = next.select("id", "component")
         iter += 1
       }

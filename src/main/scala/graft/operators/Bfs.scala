@@ -39,12 +39,19 @@ object Bfs {
     for (_ <- 1 to rounds) {
       val step = e.join(dist, col("src") === col("id"))
         .select(col("dst").as("id"), (col("hops") + lit(1L)).as("hops"))
-      dist = Checkpoints.rotate(
+      // local profile: lazy rounds — dist is read twice per round (union
+      // + step), but both references end at the SAME aggregate exchange,
+      // which AQE reuses, so execution stays linear in rounds; the
+      // per-round checkpoint was k driver round-trips (see
+      // rotateIfReliable). Reliable profile keeps per-round durability.
+      dist = Checkpoints.rotateIfReliable(
         dist.unionByName(step)
           .groupBy(col("id")).agg(min(col("hops")).as("hops")),
         prev = dist)
     }
-    Checkpoints.release(e)
+    if (dist.sparkSession.conf
+        .get(Checkpoints.ReliableConfKey, "false").toBoolean)
+      Checkpoints.release(e)  // lazy local rounds still read e
     dist
   }
 
@@ -73,12 +80,16 @@ object Bfs {
     for (_ <- 1 to rounds) {
       val step = e.join(dist, col("src") === col("id"))
         .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
-      dist = Checkpoints.rotate(
+      // same lazy-round rule as [[hops]] (exchange reuse covers the
+      // double reference; reliable profile keeps per-round checkpoints)
+      dist = Checkpoints.rotateIfReliable(
         dist.unionByName(step)
           .groupBy(col("id")).agg(min(col("dist")).as("dist")),
         prev = dist)
     }
-    Checkpoints.release(e)
+    if (dist.sparkSession.conf
+        .get(Checkpoints.ReliableConfKey, "false").toBoolean)
+      Checkpoints.release(e)  // lazy local rounds still read e
     dist
   }
 }

@@ -65,9 +65,12 @@ object Hierarchy {
     // (settled ∪ jumped partitions the node set — t_id is unique, so the
     // left join is multiplicity-1), so n both seeds the loop and gates
     // the per-round broadcast below
-    val (state0, n) = Checkpoints.cutCounted(init)
+    // one-job materialize + BOTH counts (round 13): total n gates the
+    // per-round broadcast, settled count derives the frontier — the old
+    // separate filtered count() doubled each round's driver round-trips
+    val (state0, n, settled0) = Checkpoints.cutCountedFlag(init, "settled")
     var state = state0
-    var frontier = state.filter(!col("settled")).count()
+    var frontier = n - settled0
     var iter = 0
     var progressing = true
     while (frontier > 0 && progressing && iter < maxIter) {
@@ -90,9 +93,11 @@ object Hierarchy {
         col("t_anc").as("anc"),
         (col("s.depth") + col("t_depth")).as("depth"),
         coalesce(col("t_settled"), lit(false)).as("settled"))
-      state = Checkpoints.rotate(
-        state.filter(col("settled")).unionByName(jumped), prev = state)
-      val next = state.filter(!col("settled")).count()
+      val (stateCp, rows, settledN) = Checkpoints.rotateCountedFlag(
+        state.filter(col("settled")).unionByName(jumped), prev = state,
+        flagCol = "settled")
+      state = stateCp
+      val next = rows - settledN
       // the settled set is monotone (depth ≤ 2^k resolves by round k), so
       // an unchanged frontier means only cycle/dangling rows remain —
       // stop now instead of burning the remaining maxIter rounds

@@ -52,7 +52,11 @@ object PageRank {
       val inflow = edgeDeg.join(pr, col("src") === col("id"))
         .select(col("dst"), expr("pr div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("insum"))
-      pr = Checkpoints.rotate(
+      // per-round checkpoint only on the reliable (cluster) profile —
+      // `pr` is single-reference per round, so the unrolled local plan
+      // is linear and one action runs each round once; the local eager
+      // checkpoint was pure driver overhead (see rotateIfReliable)
+      pr = Checkpoints.rotateIfReliable(
         v.join(inflow, col("id") === col("dst"), "left")
           .select(col("id"),
             (lit(Scale * 15L / 100L) +
@@ -60,10 +64,18 @@ object PageRank {
               .as("pr")),
         prev = pr)
     }
-    // the final rank frame is materialized — the returned plan reads only
-    // its checkpoint, so the loop inputs are releasable here
-    Checkpoints.release(v)
-    Checkpoints.release(edgeDeg)
+    // Reliable profile: the final rank frame is materialized, the
+    // returned plan reads only its checkpoint, so the loop inputs are
+    // releasable here. Local profile: the rounds stayed LAZY
+    // (rotateIfReliable), the returned plan still reads v and edgeDeg —
+    // releasing their localCheckpoint blocks now would strand a plan
+    // whose lineage cannot recompute them; the between-queries sweep
+    // reclaims them instead.
+    if (pr.sparkSession.conf
+        .get(Checkpoints.ReliableConfKey, "false").toBoolean) {
+      Checkpoints.release(v)
+      Checkpoints.release(edgeDeg)
+    }
     pr.select(col("id"), col("pr").as("pr_micro"))
   }
 }
