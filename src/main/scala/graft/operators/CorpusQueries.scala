@@ -651,6 +651,13 @@ object CorpusQueries {
     * count and the frame is linear in corpus size.
     */
   private def spanWindows(spark: SparkSession, sfDir: String): DataFrame =
+    // NOT spread (round 13, measured): a spreadIfNarrow here made q193's
+    // sibling shape faster but q177 1.06→1.26 s, q180 0.35→0.62 s and
+    // q182 0.39→0.59 s SLOWER — these consumers' digest aggs partialize
+    // inside the scan stage, and the added exchange plus 32-way
+    // allocation contention on this host costs more than the serial
+    // md5 pass. q193 (two md5 evaluations, bigger verify) spreads its
+    // own inline frame instead.
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         posexplode(WordNgrams.wordNgramsAll(col("text"), SpanW))
@@ -752,7 +759,11 @@ object CorpusQueries {
     // dedup never needed a shuffle, only cross-doc aggregation does
     val grams = array_distinct(
       WordNgrams.wordNgramsAll(col("text"), SpanW))
-    val w = Tables.documents(spark, sfDir)
+    // spread before the per-window md5 pass — the spanWindows rationale
+    // (florid single-task stage, ~0.9 s at sf0.1); the sz branch below
+    // stays unspread: size(grams) never hashes
+    val w = graft.functions.Escalation.spreadIfNarrow(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(grams).as("gram"))
       .select(col("doc_id"), md5(col("gram").cast("binary")).as("dig"))
     // per-doc denominator straight off the scan — zero-shuffle projection
