@@ -103,15 +103,17 @@ object CurationPipeline {
     * is covered by the harnesses' between-queries cache sweep). */
   private def nearDedupReleasable(docs: DataFrame,
                                   cfg: Config): (DataFrame, () => Unit) = {
+    // alias-join on __id (round 13, the q85/q94 shape): identical
+    // broadcast children ⇒ the tokenIds build runs once, reused
     val tok = docs.select(col(cfg.idCol).as("__id"),
       Dedup.tokenIds(col(cfg.textCol)).as("__tok"))
     val (cand, candRelease) = MinHashLSH.candidatePairsRawReleasable(
       docs, cfg.idCol, cfg.textCol,
       cfg.minhashK, cfg.minhashBands, cfg.maxBucket)
     val losers = cand
-      .join(tok.select(col("__id").as("id_a"), col("__tok").as("tok_a")), "id_a")
-      .join(tok.select(col("__id").as("id_b"), col("__tok").as("tok_b")), "id_b")
-      .filter(Dedup.jaccardSortedIds(col("tok_a"), col("tok_b"))
+      .join(tok.as("ta"), col("id_a") === col("ta.__id"))
+      .join(tok.as("tb"), col("id_b") === col("tb.__id"))
+      .filter(Dedup.jaccardSortedIds(col("ta.__tok"), col("tb.__tok"))
         >= cfg.nearDupJaccard)
       .select(col("id_b").as(cfg.idCol))   // id_a < id_b: larger id loses
       .distinct()

@@ -41,10 +41,16 @@ object PipelineQueries {
       k = 8, bands = 4, maxBucket = LshMaxBucket)
     // verification intersect runs on interned (xxhash64) token ids — same
     // set sizes w.h.p., far cheaper per candidate pair
+    // join on doc_id through ALIASES, not per-side renamed copies
+    // (round 13): the rename gave the two broadcast builds canonically
+    // different children, so the tokenIds scan ran twice; identical
+    // children make the second build a ReusedExchange
     val tok = docs.select(col("doc_id"), Dedup.tokenIds(col("text")).as("tok"))
     cand
-      .join(tok.select(col("doc_id").as("id_a"), col("tok").as("tok_a")), "id_a")
-      .join(tok.select(col("doc_id").as("id_b"), col("tok").as("tok_b")), "id_b")
+      .join(tok.as("ta"), col("id_a") === col("ta.doc_id"))
+      .join(tok.as("tb"), col("id_b") === col("tb.doc_id"))
+      .select(col("id_a"), col("id_b"), col("ta.tok").as("tok_a"),
+        col("tb.tok").as("tok_b"))
       // exact length prefilter ahead of the O(|tok|) verify merge
       // (round 12, guide §1.2): J ≥ 0.9 ⟹ min/max ≥ 0.9 ⟹
       // 10·min ≥ 9·max — integer compare, drops no qualifying pair;
@@ -75,10 +81,14 @@ object PipelineQueries {
     val docs = Tables.documents(spark, sfDir)
     val cand = MinHashLSH.candidatePairsRaw(docs, "doc_id", "text",
       k = 8, bands = 4, maxBucket = LshMaxBucket, blockCols = Seq("lang"))
+    // same alias-join shape as q85 (round 13): identical broadcast
+    // children ⇒ the tokenIds build is computed once and reused
     val tok = docs.select(col("doc_id"), Dedup.tokenIds(col("text")).as("tok"))
     cand
-      .join(tok.select(col("doc_id").as("id_a"), col("tok").as("tok_a")), "id_a")
-      .join(tok.select(col("doc_id").as("id_b"), col("tok").as("tok_b")), "id_b")
+      .join(tok.as("ta"), col("id_a") === col("ta.doc_id"))
+      .join(tok.as("tb"), col("id_b") === col("tb.doc_id"))
+      .select(col("lang"), col("id_a"), col("id_b"),
+        col("ta.tok").as("tok_a"), col("tb.tok").as("tok_b"))
       // exact length prefilter ahead of the O(|tok|) verify merge
       // (round 12): J ≥ 0.8 ⟹ min/max ≥ 0.8 ⟹ 5·min ≥ 4·max —
       // integer compare, drops no qualifying pair (q81's bound)
