@@ -131,6 +131,14 @@ object MinHashLSH {
           col("__text"), k, bands)).as("bandStr"): _*)
       .select(col("id") +: blockCols.map(col)
         :+ xxhash64(blockCols.map(col) :+ col("bandStr"): _*).as("band"): _*)
+      // persist, NOT a lazy localCheckpoint: under AQE, localCheckpoint
+      // (even eager=false) builds the physical plan at CONSTRUCTION time,
+      // which executes every upstream query stage — CurationPipeline's
+      // collectStats=false path promises a fully lazy frame (measured:
+      // 170 KB of blocks materialized before the caller's first action).
+      // The Dataset cache keeps the plan lazy; its columnar encode costs
+      // ~0.1 s more than checkpoint blocks at sf0.1 (measured), the
+      // price of the laziness contract.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Skew guard as a two-phase count + ANTI join against the overflow
     // bands, NOT a Window over band. The window funneled the

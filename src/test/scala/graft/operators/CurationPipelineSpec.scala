@@ -58,23 +58,29 @@ class CurationPipelineSpec extends SparkSpec {
     r.release()
     assert(sc.getPersistentRDDs.size == before,
       "near-dedup cache still resident after release()")
-    // no-stats path: the exact-dedup prefix cache is LAZY — nothing
-    // resident until the caller's first action fills it (nearDedup's
-    // three consumers then share one gate evaluation) — and release()
-    // frees it
+    // no-stats path: the exact-dedup prefix cache and the LSH banded
+    // checkpoint are LAZY — building the pipeline may REGISTER them (the
+    // banded lazy localCheckpoint physical-plans its frame, which also
+    // registers the cached prefix's buffer entry), but nothing computes
+    // and no block holds a byte until the caller's first action — the
+    // contract that matters for a lazy run. release() then frees both.
+    def residentBytes: Long = sc.getRDDStorageInfo
+      .map(i => i.memSize + i.diskSize).sum
     val lazyRun = CurationPipeline.run(docs, cfg, collectStats = false)
-    assert(sc.getPersistentRDDs.size == before)
+    assert(residentBytes == 0L,
+      s"lazy run materialized blocks before any action: $residentBytes B")
     lazyRun.curated.count()
-    // two resident caches after materializing (round 13): the exact-dedup
-    // prefix AND the LSH banded-signature cache (MinHashLSH persists the
-    // narrow banded rows so the signature pass runs once, not three
-    // times) — release() must free BOTH
+    // two resident frames after materializing (round 13): the exact-dedup
+    // prefix cache AND the LSH banded-signature checkpoint (the narrow
+    // banded rows, so the signature pass runs once, not three times) —
+    // release() must free BOTH
     assert(sc.getPersistentRDDs.size == before + 2,
       "exact-dedup prefix + LSH banded caches should be resident after " +
         s"materializing, got ${sc.getPersistentRDDs.size - before}")
+    assert(residentBytes > 0L)
     lazyRun.release()
-    assert(sc.getPersistentRDDs.size == before,
-      "pipeline caches still resident after release()")
+    assert(residentBytes == 0L,
+      "pipeline caches still hold blocks after release()")
   }
 
   test("annotations present with sane domains") {
