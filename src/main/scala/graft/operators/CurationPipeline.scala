@@ -103,17 +103,23 @@ object CurationPipeline {
     * is covered by the harnesses' between-queries cache sweep). */
   private def nearDedupReleasable(docs: DataFrame,
                                   cfg: Config): (DataFrame, () => Unit) = {
-    // alias-join on __id (round 13, the q85/q94 shape): identical
-    // broadcast children ⇒ the tokenIds build runs once, reused
+    // per-side RENAMED tok copies here, unlike q85/q94's alias form
+    // (round 13, measured): the pipeline's tok reads the cached
+    // exact-dedup prefix, so each broadcast build pays a cache decode —
+    // with canonically identical children one build becomes a
+    // ReusedExchange that WAITS on the other, serializing two ~0.4 s
+    // builds that the renamed copies let the scheduler overlap
+    // (q97 1.36 → 1.77 s with the alias form). q85/q94 read a cheap raw
+    // scan instead, where computing the build once wins.
     val tok = docs.select(col(cfg.idCol).as("__id"),
       Dedup.tokenIds(col(cfg.textCol)).as("__tok"))
     val (cand, candRelease) = MinHashLSH.candidatePairsRawReleasable(
       docs, cfg.idCol, cfg.textCol,
       cfg.minhashK, cfg.minhashBands, cfg.maxBucket)
     val losers = cand
-      .join(tok.as("ta"), col("id_a") === col("ta.__id"))
-      .join(tok.as("tb"), col("id_b") === col("tb.__id"))
-      .filter(Dedup.jaccardSortedIds(col("ta.__tok"), col("tb.__tok"))
+      .join(tok.select(col("__id").as("id_a"), col("__tok").as("tok_a")), "id_a")
+      .join(tok.select(col("__id").as("id_b"), col("__tok").as("tok_b")), "id_b")
+      .filter(Dedup.jaccardSortedIds(col("tok_a"), col("tok_b"))
         >= cfg.nearDupJaccard)
       .select(col("id_b").as(cfg.idCol))   // id_a < id_b: larger id loses
       .distinct()
